@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's t2 gate:
+run graft.Verify on an sf dir, then execute each oracle SQL in DuckDB
+over the same parquet tables and compare values.
+
+Usage: python3 scripts/check.py [sfdir] [outdir] [--skip-verify] [names...]
+
+Dev tooling only (driver-side python); not part of the Scala library.
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+flags = set(a for a in sys.argv[3:] if a.startswith("--"))
+only = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if "--skip-verify" not in flags:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit(1)
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+names = only if only else sorted(oracle)
+fails, passes, skips = [], [], []
+for name in names:
+    pq = Path(f"{OUT}/{name}")
+    if not pq.exists():
+        fails.append((name, "no spark output (query failed in Verify)"))
+        continue
+    if name not in oracle:
+        skips.append(name)
+        continue
+    try:
+        got = canon(con.execute(
+            f"SELECT * FROM read_parquet('{pq}/*.parquet')").df())
+        want = canon(con.execute(oracle[name]).df())
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}"))
+        continue
+    if list(got.columns) != list(want.columns):
+        fails.append((name, f"columns: spark={list(got.columns)} duckdb={list(want.columns)}"))
+        continue
+    if len(got) != len(want):
+        fails.append((name, f"rows: spark={len(got)} duckdb={len(want)}"))
+        continue
+    bad = None
+    for c in got.columns:
+        gv, wv = got[c].tolist(), want[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, wv)):
+            if not cell_eq(a, b):
+                bad = f"col {c} row {i}: spark={a!r} duckdb={b!r}"
+                break
+        if bad:
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes.append(name)
+
+print(f"\n== PASS ({len(passes)}): {' '.join(passes)}")
+if skips:
+    print(f"== NO-ORACLE ({len(skips)}): {' '.join(skips)}")
+print(f"== FAIL ({len(fails)}):")
+for n, why in fails:
+    print(f"  {n}: {why}")
+sys.exit(1 if fails else 0)

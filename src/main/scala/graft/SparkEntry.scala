@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared operator inventory (SURVEY.md §2); each
+  * entry with a key in `oracleSql` is hash-checked against DuckDB on
+  * the same parquet tables. Keys without oracle SQL
+  * (`agg_approx_distinct`: approximate by design) get a rows-only
+  * check plus ScalaTest coverage.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_group")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.defs ++
+      JoinStateQueries.defs ++
+      WindowSetQueries.defs ++
+      StreamQueries.defs ++
+      LlmQueries.defs ++
+      SourceUdxQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++
+      JoinStateQueries.oracles ++
+      WindowSetQueries.oracles ++
+      StreamQueries.oracles ++
+      LlmQueries.oracles ++
+      SourceUdxQueries.oracles
 }

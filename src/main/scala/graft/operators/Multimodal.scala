@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media metadata row produced by the decode stage. */
+case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    checksum: String,
+    width: Int,
+    height: Int,
+    format: String)
+
+/** Multimodal-column plumbing (north star): media payloads travel as
+  * opaque `binary` columns with typed metadata alongside; decode /
+  * feature-extract runs per-partition in batches so a real codec
+  * (libjpeg, ffmpeg, …) would amortize init cost per partition, not
+  * per row.
+  *
+  * The decode itself is a STUB — this container has no image/audio
+  * libraries — implemented as a deterministic fake derived from the
+  * bytes. Everything around it (schema, binary column handling,
+  * partition-preserving batch iteration, typed output Dataset) is the
+  * real production shape: swap `decodeStub` for a codec call and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** STUB decode: deterministic pseudo-dimensions from the payload.
+    * Real implementation would parse the media header here.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val n = bytes.length
+    val fmt = (n % 3: @unchecked) match {
+      case 0 => "png"; case 1 => "jpg"; case 2 => "webp"
+    }
+    (n % 640 + 1, n % 480 + 1, fmt)
+  }
+
+  /** Attach a binary payload column to a text corpus (here: utf-8
+    * bytes standing in for media blobs).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Batch decode: mapPartitions over (doc_id, payload) so codec
+    * setup happens once per partition. Returns a typed Dataset.
+    */
+  def extractMeta(withPayloadDf: DataFrame): Dataset[MediaMeta] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // codec init would go here, once per partition
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.map { case (id, bytes) =>
+          val (w, h, fmt) = decodeStub(bytes)
+          val sum = md.digest(bytes).map("%02x".format(_)).mkString
+          md.reset()
+          MediaMeta(id, bytes.length.toLong, sum, w, h, fmt)
+        }
+      }
+  }
+}

@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Flatten
+import org.apache.spark.sql.functions._
+import Q._
+
+/** M1/M3 core relational surface: scans, filters, projections, sorts,
+  * limits, aggregations, scalar string/date/json functions, and the
+  * flatten operator exercised end-to-end (SURVEY.md §2.1, §2.2, §2.4,
+  * §2.6, §2.8).
+  */
+object CoreQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    // -- aggregations ---------------------------------------------------
+    "agg_count" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Flagship TPC-H-Q1-shaped aggregate: scan → filter → hash agg →
+    // sort. Partial (map-side) aggregation + 6-group final agg: at
+    // 100 TB this shuffles only num_partitions × 6 pre-aggregated rows.
+    "agg_group" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" < lit("2003-01-01").cast("date"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "agg_multi" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+            .cast("double").as("revenue"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "agg_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // HLL++ sketch — no SQL oracle (approximate); driver records a
+    // rows-only check. ScalaTest asserts relative error vs exact.
+    "agg_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n_rows")
+        .orderBy($"returnflag", $"linestatus")
+    }),
+
+    // -- sorts / limits -------------------------------------------------
+    // Sort + limit fuses to TakeOrderedAndProject: per-partition top-k,
+    // no global sort — the plan that survives 100 TB.
+    "sort_desc" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+    }),
+
+    "limit_n" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+        .limit(10)
+    }),
+
+    // -- filters / predicates ------------------------------------------
+    "null_guard" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(when($"o_orderstatus" === "P", lit(null)).otherwise($"o_orderstatus").as("st"))
+        .filter($"st".isNotNull)
+        .groupBy($"st").agg(count(lit(1)).as("cnt"))
+        .orderBy($"st")
+    }),
+
+    "suffix_filter" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          concat($"source", lit("/"), $"doc_id".cast("string"),
+            when($"doc_id" % 3 === 0, lit(".json")).otherwise(lit(".txt"))).as("file_name"))
+        .filter($"file_name".endsWith(".json"))
+        .orderBy($"doc_id")
+    }),
+
+    "distinct_prefixes" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(concat($"source", lit("/"), $"lang", lit("/"),
+          $"doc_id".cast("string"), lit(".json")).as("key"))
+        .select(regexp_replace($"key", "/[^/]*$", "").as("prefix"))
+        .distinct()
+        .orderBy($"prefix")
+    }),
+
+    // -- scalar functions ----------------------------------------------
+    "string_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          concat($"source", lit("."), $"lang", lit(".json")).as("key"),
+          regexp_replace(concat($"source", lit("."), $"lang", lit(".json")),
+            "\\.[^.]*$", "").as("stem"),
+          upper($"lang").as("lang_uc"),
+          substring($"text", 1, 10).as("head10"),
+          length($"text").as("text_len"),
+          lpad($"doc_id".cast("string"), 8, "0").as("padded"),
+          concat_ws("-", $"source", $"lang").as("tag"),
+          $"source".endsWith("0").as("is_src0"))
+        .orderBy($"doc_id")
+    }),
+
+    "date_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("dom"),
+          trunc($"o_orderdate", "month").as("month_start"),
+          date_add($"o_orderdate".cast("date"), 30).as("plus30"),
+          datediff($"o_orderdate".cast("date"), lit("2000-01-01").cast("date")).as("days_since_y2k"),
+          date_format($"o_orderdate", "yyyy-MM").as("ym"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "json_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // JSON source capability: dump a projection as JSONL, re-read with
+    // schema inference (multiLine=false is correct for JSONL; the
+    // reference's pretty-printed-file case uses multiLine=true — see
+    // Flatten/IngestSpec), aggregate. At scale the JSON scan is
+    // splittable per line, so this parallelizes like any file scan.
+    "json_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = s"/root/repo/target/scratch/json_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", dec($"value").as("value"))
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- flatten exercised end-to-end ----------------------------------
+    "flatten_full" -> ((s, d) => {
+      import s.implicits._
+      val nested = Tables.lineitem(s, d)
+        .filter($"l_orderkey" < 100)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          struct($"l_quantity".as("qty"),
+            struct($"l_returnflag".as("rf")).as("inner")).as("meta"),
+          array($"l_returnflag", $"l_linestatus").as("tags"))
+      // (l_orderkey, l_linenumber) is not unique in the test data —
+      // order by every output column for a deterministic dump.
+      Flatten.flatten(nested)
+        .orderBy($"l_orderkey", $"l_linenumber", $"meta_qty", $"meta_inner_rf", $"tags")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_count" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2003-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_multi" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "sort_desc" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "limit_n" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin,
+
+    "null_guard" ->
+      """SELECT st, count(*) AS cnt FROM
+        | (SELECT nullif(o_orderstatus, 'P') AS st FROM orders) t
+        |WHERE st IS NOT NULL GROUP BY st ORDER BY st""".stripMargin,
+
+    "suffix_filter" ->
+      """SELECT doc_id, file_name FROM (
+        | SELECT doc_id,
+        |  source || '/' || CAST(doc_id AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '.json' ELSE '.txt' END) AS file_name
+        | FROM documents) t
+        |WHERE ends_with(file_name, '.json') ORDER BY doc_id""".stripMargin,
+
+    "distinct_prefixes" ->
+      """SELECT DISTINCT regexp_replace(
+        |  source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.json',
+        |  '/[^/]*$', '', 'g') AS prefix
+        |FROM documents ORDER BY prefix""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT doc_id,
+        | source || '.' || lang || '.json' AS key,
+        | regexp_replace(source || '.' || lang || '.json', '\.[^.]*$', '', 'g') AS stem,
+        | upper(lang) AS lang_uc,
+        | substr(text, 1, 10) AS head10,
+        | length(text) AS text_len,
+        | lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+        | source || '-' || lang AS tag,
+        | ends_with(source, '0') AS is_src0
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS y,
+        | month(o_orderdate) AS m,
+        | dayofmonth(o_orderdate) AS dom,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        | date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS days_since_y2k,
+        | strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "json_funcs" ->
+      """SELECT event_type,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "json_scan" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "flatten_full" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity AS meta_qty, l_returnflag AS meta_inner_rf,
+        | unnest([l_returnflag, l_linestatus]) AS tags
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, meta_qty, meta_inner_rf, tags""".stripMargin
+  )
+}

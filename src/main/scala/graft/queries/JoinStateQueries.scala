@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{SchemaDiff, StateMerge}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** M2: join surface (inner/outer/semi/anti/range/cross/as-of) and the
+  * incremental-state operators (SURVEY.md §2.3, §2.1 S8). The
+  * reference does all of these procedurally with per-key DynamoDB/S3
+  * calls; here they are keyed joins that broadcast when small and
+  * shuffle-partition when not.
+  */
+object JoinStateQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    // Multi-way star join: fact × dims. Dims are broadcast (explicitly
+    // for nation, AQE/threshold for customer) so the only shuffle is
+    // the final 25-group aggregate — at 100 TB the fact table never
+    // repartitions.
+    "join_inner" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(n, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"n_name")
+    }),
+
+    "join_outer" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, $"o_orderkey" === $"l_orderkey", "left_outer")
+        .groupBy($"o_orderkey")
+        .agg(count($"l_orderkey").as("n_items"),
+          coalesce(dsum($"l_quantity"), lit(0.0)).as("sum_qty"))
+        .orderBy($"o_orderkey")
+        .limit(200)
+    }),
+
+    "join_semi" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).filter($"l_discount" > 0.09)
+      o.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // The reference's "skip files that already exist" head_object loop
+    // (lamda_function.py:31-37) as a distributed anti-join.
+    "dedup_anti_join" -> ((s, d) => {
+      import s.implicits._
+      val incoming = Tables.lineitem(s, d)
+        .select($"l_orderkey".cast("string").as("file_key")).distinct()
+      val existing = Tables.orders(s, d)
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey".cast("string").as("file_key"))
+      StateMerge.notYetPresent(incoming, existing)
+        .orderBy($"file_key")
+    }),
+
+    // J1: the per-key DynamoDB point-lookup loop (final_DAG.py:63-72)
+    // as one broadcast left-outer join + flag predicate.
+    "incremental_select" -> ((s, d) => {
+      import s.implicits._
+      val files = Tables.lineitem(s, d)
+        .select($"l_orderkey".cast("string").as("file_key")).distinct()
+      val state = Tables.orders(s, d).select(
+        $"o_orderkey".cast("string").as("file_key"),
+        lit(true).as("ingested"),
+        ($"o_orderstatus" === "F").as("crawled"),
+        ($"o_orderstatus" === "F" && $"o_totalprice" > 200000).as("transformed"),
+        lit(false).as("loaded"))
+      StateMerge.selectNew(files, state).orderBy($"file_key")
+    }),
+
+    // S8: DynamoDB update_item loops (final_DAG.py:272-307) as one
+    // full-outer merge.
+    "state_merge" -> ((s, d) => {
+      import s.implicits._
+      val state = Tables.orders(s, d).select(
+        $"o_orderkey".cast("string").as("file_key"),
+        lit(true).as("ingested"),
+        ($"o_orderstatus" === "F").as("crawled"),
+        lit(false).as("transformed"),
+        lit(false).as("loaded"))
+      val updates = Tables.lineitem(s, d)
+        .select($"l_orderkey".cast("string").as("file_key")).distinct()
+        .withColumn("transformed", lit(true))
+      StateMerge.merge(state, updates).orderBy($"file_key")
+    }),
+
+    // J3: schema-drift classification (compare_schema.py:29-53).
+    // Old = actual orders schema from the scan; new = simulated drift
+    // (drop o_orderpriority, add o_comment, retype o_totalprice).
+    "schema_diff" -> ((s, d) => {
+      import s.implicits._
+      val oldCols = SchemaDiff.columns(Tables.orders(s, d).schema)
+      val newCols = oldCols.filterNot(_.name == "o_orderpriority")
+        .map(c => if (c.name == "o_totalprice") c.copy(dataType = "decimal(18,2)") else c) :+
+        graft.operators.ColumnMeta("o_comment", "string")
+      SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF()).orderBy($"name")
+    }),
+
+    // Range join against a tiny bucket table: broadcast nested-loop on
+    // the range predicate; the big side streams through unshuffled.
+    "join_range" -> ((s, d) => {
+      import s.implicits._
+      val months = Tables.orders(s, d)
+        .select(trunc($"o_orderdate", "month").as("m_start")).distinct()
+        .withColumn("m_end", add_months($"m_start", 1))
+      val li = Tables.lineitem(s, d)
+      li.join(broadcast(months),
+          $"l_shipdate" >= $"m_start" && $"l_shipdate" < $"m_end")
+        .groupBy($"m_start")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"m_start")
+    }),
+
+    "join_cross" -> ((s, d) => {
+      import s.implicits._
+      Tables.region(s, d).crossJoin(Tables.supplier(s, d))
+        .select($"r_name", $"s_name")
+        .orderBy($"r_name", $"s_name")
+    }),
+
+    // As-of join, scalable formulation: no per-key subquery — one
+    // window pass over the union keyed by user, carrying the last
+    // signup time forward. O(n log n) per partition, no N² join.
+    "join_asof" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isin("signup", "purchase"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("signup_ms",
+          max(when($"event_type" === "signup", unix_millis($"ts"))).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id",
+          unix_millis($"ts").as("purchase_ms"), $"signup_ms")
+        .orderBy($"event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        | coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "join_semi" ->
+      """SELECT o_orderstatus, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "dedup_anti_join" ->
+      """SELECT file_key FROM
+        | (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS file_key FROM lineitem) i
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderstatus = 'F' AND CAST(o_orderkey AS VARCHAR) = i.file_key)
+        |ORDER BY file_key""".stripMargin,
+
+    "incremental_select" ->
+      """SELECT i.file_key FROM
+        | (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS file_key FROM lineitem) i
+        | LEFT JOIN
+        | (SELECT CAST(o_orderkey AS VARCHAR) AS file_key, TRUE AS ingested,
+        |   (o_orderstatus = 'F') AS crawled,
+        |   (o_orderstatus = 'F' AND o_totalprice > 200000) AS transformed,
+        |   FALSE AS loaded FROM orders) s
+        | ON i.file_key = s.file_key
+        |WHERE s.ingested IS NULL
+        |  OR (s.ingested AND NOT s.crawled AND NOT s.transformed AND NOT s.loaded)
+        |ORDER BY i.file_key""".stripMargin,
+
+    "state_merge" ->
+      """SELECT coalesce(s.file_key, u.file_key) AS file_key,
+        | coalesce(u.ingested, s.ingested, FALSE) AS ingested,
+        | coalesce(u.crawled, s.crawled, FALSE) AS crawled,
+        | coalesce(u.transformed, s.transformed, FALSE) AS transformed,
+        | coalesce(u.loaded, s.loaded, FALSE) AS loaded
+        |FROM
+        | (SELECT CAST(o_orderkey AS VARCHAR) AS file_key, TRUE AS ingested,
+        |   (o_orderstatus = 'F') AS crawled,
+        |   FALSE AS transformed, FALSE AS loaded FROM orders) s
+        |FULL OUTER JOIN
+        | (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS file_key,
+        |   CAST(NULL AS BOOLEAN) AS ingested, CAST(NULL AS BOOLEAN) AS crawled,
+        |   TRUE AS transformed, CAST(NULL AS BOOLEAN) AS loaded FROM lineitem) u
+        |ON s.file_key = u.file_key
+        |ORDER BY file_key""".stripMargin,
+
+    "schema_diff" ->
+      """SELECT * FROM (VALUES
+        | ('o_comment',       'added',     CAST(NULL AS VARCHAR), 'string'),
+        | ('o_custkey',       'unchanged', 'bigint',    'bigint'),
+        | ('o_orderdate',     'unchanged', 'timestamp_ntz', 'timestamp_ntz'),
+        | ('o_orderkey',      'unchanged', 'bigint',    'bigint'),
+        | ('o_orderpriority', 'dropped',   'string',    CAST(NULL AS VARCHAR)),
+        | ('o_orderstatus',   'unchanged', 'string',    'string'),
+        | ('o_totalprice',    'retyped',   'double',    'decimal(18,2)')
+        |) AS t(name, change, old_type, new_type) ORDER BY name""".stripMargin,
+
+    "join_range" ->
+      """SELECT m_start, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN
+        | (SELECT m_start, m_start + INTERVAL 1 MONTH AS m_end FROM
+        |   (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m_start
+        |    FROM orders) b) m
+        | ON l_shipdate >= m_start AND l_shipdate < m_end
+        |GROUP BY m_start ORDER BY m_start""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, s_name FROM region CROSS JOIN supplier
+        |ORDER BY r_name, s_name""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms, signup_ms FROM
+        | (SELECT event_id, user_id, ts, event_type,
+        |   max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ms
+        |  FROM events WHERE event_type IN ('signup', 'purchase')) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared conventions for the declared query inventory.
+  *
+  * Oracle-parity rules (SURVEY.md §7 risks):
+  *  - Sums/avgs over double columns are computed on `decimal(18,2)`
+  *    casts. Decimal addition is exact and order-independent, so the
+  *    result is bit-identical regardless of Spark partition order or
+  *    DuckDB's summation order; the final value is cast back to double
+  *    (exact) for a stable output schema.
+  *  - Single-row arithmetic on doubles (a*b, a-b) is IEEE-exact and
+  *    needs no rounding.
+  *  - Every query ends in a deterministic ORDER BY (unique key suffix).
+  *  - `events.ts` is nanosecond-precision in parquet while Spark
+  *    timestamps are microseconds: queries expose event times as epoch
+  *    milliseconds (both engines floor identically) instead of raw
+  *    timestamps.
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Exact-sum cast: double → decimal(18,2) (test data carries 2dp). */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-independent exact sum of a 2dp double column, as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact average: decimal sum divided by count in double space. */
+  def davg(c: Column): Column =
+    sum(dec(c)).cast("double") / count(c).cast("double")
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.WeightedMean
+import graft.sources.ZipIngest
+import org.apache.spark.sql.functions._
+import Q._
+
+/** §2.1 source/sink surface (zip fan-out, file listing) and the §2.9
+  * UDx surface (Scala UDF, typed Aggregator UDAF).
+  */
+object SourceUdxQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    // S2: build a deterministic zip from the corpus, fan its entries
+    // out via binaryFile + ZipInputStream, report entry metadata.
+    "unzip_fanout" -> ((s, d) => {
+      import s.implicits._
+      val scratch = s"/root/repo/target/scratch/zip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val dir = new java.io.File(scratch)
+      dir.mkdirs()
+      val rows = Tables.documents(s, d)
+        .filter($"doc_id" < 20)
+        .select($"doc_id", $"text")
+        .orderBy($"doc_id")
+        .collect() // 20 rows — bounded ingestion-utility work, not a query path
+      val zipFile = new java.io.File(dir, "docs.zip")
+      val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipFile))
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val content = s"""{"doc_id":$id,"text":"${r.getString(1)}"}"""
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"doc_$id.json"))
+        zout.write(content.getBytes("UTF-8"))
+        zout.closeEntry()
+      }
+      zout.close()
+      ZipIngest.unzipEntries(s, scratch)
+        .select($"entry_name", octet_length($"content").cast("long").as("n_bytes"))
+        .orderBy($"entry_name")
+    }),
+
+    // S7: object listing with metadata (content pruned from the scan).
+    "file_listing" -> ((s, d) => {
+      import s.implicits._
+      ZipIngest.listFiles(s, d, "*.parquet")
+        .select($"file_name")
+        .orderBy($"file_name")
+    }),
+
+    // Scala UDF example. Per-row double arithmetic is IEEE-exact, so
+    // the oracle needs no rounding. (Built-ins beat UDFs — this exists
+    // to declare the capability; the same expression appears as
+    // codegen'd functions in agg_group.)
+    "udf_scalar" -> ((s, d) => {
+      import s.implicits._
+      val effectivePrice = udf((ext: Double, disc: Double, tax: Double) =>
+        ext * (1 - disc) * (1 + tax))
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          effectivePrice($"l_extendedprice", $"l_discount", $"l_tax").as("eff_price"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"eff_price")
+    }),
+
+    // Typed Aggregator UDAF: weighted mean with exact decimal buffer.
+    "udaf_agg" -> ((s, d) => {
+      import s.implicits._
+      val wmean = udaf(WeightedMean)
+      Tables.orders(s, d)
+        .select($"o_orderstatus", $"o_totalprice", ($"o_custkey" % 10 + 1).as("w"))
+        .groupBy($"o_orderstatus")
+        .agg(wmean($"o_totalprice", $"w").as("wmean_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "unzip_fanout" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.json' AS entry_name,
+        | CAST(octet_length(encode('{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"' || text || '"}')) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 20 ORDER BY entry_name""".stripMargin,
+
+    "file_listing" ->
+      """SELECT * FROM (VALUES ('customer.parquet'), ('documents.parquet'),
+        | ('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'),
+        | ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
+        | ('region.parquet'), ('supplier.parquet')) AS t(file_name)
+        |ORDER BY file_name""".stripMargin,
+
+    "udf_scalar" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS eff_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, eff_price""".stripMargin,
+
+    "udaf_agg" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * (o_custkey % 10 + 1)) AS DOUBLE)
+        |  / CAST(sum(o_custkey % 10 + 1) AS DOUBLE) AS wmean_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

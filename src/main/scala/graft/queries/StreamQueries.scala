@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** §2.10 streaming-shaped queries, run in batch mode (the event-time
+  * window expressions are identical in batch and Structured Streaming;
+  * the true streaming pipeline with `Trigger.AvailableNow`, watermarks
+  * and checkpointing lives in graft.streaming and is exercised by
+  * ScalaTest). Event times are exposed as epoch milliseconds: the
+  * parquet carries nanosecond timestamps, Spark truncates to µs, and
+  * both engines floor identically to ms (Q doc).
+  */
+object StreamQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    "stream_tumbling" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(unix_millis($"window.start").as("w_start"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"w_start", $"event_type")
+    }),
+
+    "stream_sliding" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(unix_millis($"window.start").as("w_start"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"w_start", $"event_type")
+    }),
+
+    // session_window: gap-merged per-user sessions; end = last event
+    // + gap (Spark semantics, replicated in the oracle via lag+cumsum).
+    "stream_session" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select($"user_id",
+          unix_millis($"session_window.start").as("sess_start"),
+          unix_millis($"session_window.end").as("sess_end"),
+          $"n", $"sum_value")
+        .orderBy($"user_id", $"sess_start")
+    }),
+
+    // Stateful dedup (dropDuplicates analog), deterministic keep-first
+    // formulation: earliest (ts, event_id) per (user, type).
+    "stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id",
+          unix_millis($"ts").as("first_ms"))
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // Watermark late-data drop, batch analog: keep events within 2h of
+    // the max observed event time (scalar agg broadcast back).
+    "stream_late_filter" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val maxTs = ev.agg(max($"ts").as("max_ts"))
+      ev.crossJoin(broadcast(maxTs))
+        .filter($"ts" >= $"max_ts" - expr("INTERVAL 2 HOURS"))
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy($"event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS w_start, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT w_start, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT epoch_ms(ts) - epoch_ms(ts) % 900000 - k * 900000 AS w_start,
+        |  event_type, value
+        | FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks) t
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, value, event_id,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        | SELECT user_id, ts_us, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM flagged)
+        |SELECT user_id, min(ts_us) // 1000 AS sess_start,
+        | max(ts_us) // 1000 + 1800000 AS sess_end,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_ms(ts) AS first_ms FROM
+        | (SELECT user_id, event_type, event_id, ts,
+        |   row_number() OVER (PARTITION BY user_id, event_type
+        |     ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_late_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 7200000000
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** §2.5 window functions + §2.6 top-k retention + §2.7 set operations.
+  * Window partitions are keyed on mid-cardinality columns (nation,
+  * customer, supplier) so state per partition stays bounded at scale;
+  * running frames are ROWS-based with a unique ordering suffix for
+  * determinism.
+  */
+object WindowSetQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    "window_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 10)
+        .orderBy($"c_nationkey", $"rn")
+    }),
+
+    "window_lag" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    // (l_orderkey, l_linenumber) is not unique, so the frame order
+    // includes the summed value columns: rows that still tie are fully
+    // identical in the sum input and produce the same running multiset
+    // in either order — deterministic at every sf.
+    "window_running_sum" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"l_partkey", $"l_quantity", $"l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          sum(dec($"l_quantity")).over(w).cast("double").as("running_qty"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+    }),
+
+    // The reference's keep-newest-5-versions GC (compare_schema.py:73-89)
+    // as a rank-and-filter window.
+    "window_topn_retention" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          row_number().over(w).as("version_rank"))
+        .filter($"version_rank" <= 5)
+        .orderBy($"o_custkey", $"version_rank")
+    }),
+
+    "set_union" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.customer(s, d).filter($"c_mktsegment" === "AUTOMOBILE")
+        .select($"c_custkey".as("key"), lit("auto").as("src"))
+      val b = Tables.orders(s, d).filter($"o_totalprice" > 300000)
+        .select($"o_custkey".as("key"), lit("high").as("src"))
+      a.union(b).orderBy($"key", $"src")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).select($"l_partkey".as("partkey"))
+        .intersect(Tables.part(s, d).filter($"p_size" > 25)
+          .select($"p_partkey".as("partkey")))
+        .orderBy($"partkey")
+    }),
+
+    "set_except" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).select($"o_custkey".as("custkey"))
+        .except(Tables.customer(s, d).filter($"c_acctbal" < 0)
+          .select($"c_custkey".as("custkey")))
+        .orderBy($"custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk, rn FROM
+        | (SELECT c_nationkey, c_custkey, c_acctbal,
+        |   rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |   row_number() OVER w AS rn
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE rn <= 10 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | o_totalprice - lag(o_totalprice, 1) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER
+        |  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |   l_partkey, l_quantity, l_extendedprice
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+
+    "window_topn_retention" ->
+      """SELECT o_custkey, o_orderkey, version_rank FROM
+        | (SELECT o_custkey, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS version_rank
+        |  FROM orders) t
+        |WHERE version_rank <= 5 ORDER BY o_custkey, version_rank""".stripMargin,
+
+    "set_union" ->
+      """SELECT c_custkey AS key, 'auto' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION ALL
+        |SELECT o_custkey AS key, 'high' AS src FROM orders WHERE o_totalprice > 300000
+        |ORDER BY key, src""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+        |INTERSECT
+        |SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+        |ORDER BY partkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin
+  )
+}
