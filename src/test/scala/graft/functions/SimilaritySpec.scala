@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine matches hand-computed values") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 0.0f), math.sqrt(0.5)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 0.0f), 0.0) // zero vector guarded
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine($"a", $"b").as("cos"), $"want").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("shingles produce word n-grams; short docs yield empty") {
+    val df = Seq(Tuple1(Seq("a", "b", "c", "d")), Tuple1(Seq("a", "b"))).toDF("w")
+    val got = df.select(Similarity.shingles($"w", 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("jaccard on distinct token sets") {
+    val df = Seq((Seq("a", "b", "c", "a"), Seq("b", "c", "d"))).toDF("x", "y")
+    val got = df.select(Similarity.jaccard($"x", $"y")).head.getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // {b,c} / {a,b,c,d}
+  }
+
+  test("minhash: identical docs share all signatures, disjoint docs none") {
+    val df = Seq(
+      (1L, Seq("x y z", "y z w")),
+      (2L, Seq("x y z", "y z w")),
+      (3L, Seq("p q r"))
+    ).toDF("id", "sh")
+    val sig = df.select($"id",
+      (0 until 4).map(Similarity.minhash($"sh", _)).toArray.toSeq
+        .reduce(concat(_, _)).as("sig"))
+      .as[(Long, String)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("approx_count_distinct stays within 10% of exact on lineitem") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.select(countDistinct($"l_partkey")).head.getLong(0).toDouble
+    val approx = li.select(approx_count_distinct($"l_partkey")).head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.10)
+  }
+}
