@@ -61,8 +61,10 @@ object JoinStateQueries {
     // (lamda_function.py:31-37) as a distributed anti-join.
     "dedup_anti_join" -> ((s, d) => {
       import s.implicits._
+      // distinct on the numeric key first (cheaper shuffle), cast after
       val incoming = Tables.lineitem(s, d)
-        .select($"l_orderkey".cast("string").as("file_key")).distinct()
+        .select($"l_orderkey").distinct()
+        .select($"l_orderkey".cast("string").as("file_key"))
       val existing = Tables.orders(s, d)
         .filter($"o_orderstatus" === "F")
         .select($"o_orderkey".cast("string").as("file_key"))
@@ -75,7 +77,8 @@ object JoinStateQueries {
     "incremental_select" -> ((s, d) => {
       import s.implicits._
       val files = Tables.lineitem(s, d)
-        .select($"l_orderkey".cast("string").as("file_key")).distinct()
+        .select($"l_orderkey").distinct()
+        .select($"l_orderkey".cast("string").as("file_key"))
       val state = Tables.orders(s, d).select(
         $"o_orderkey".cast("string").as("file_key"),
         lit(true).as("ingested"),
@@ -96,7 +99,8 @@ object JoinStateQueries {
         lit(false).as("transformed"),
         lit(false).as("loaded"))
       val updates = Tables.lineitem(s, d)
-        .select($"l_orderkey".cast("string").as("file_key")).distinct()
+        .select($"l_orderkey").distinct()
+        .select($"l_orderkey".cast("string").as("file_key"))
         .withColumn("transformed", lit(true))
       StateMerge.merge(state, updates).orderBy($"file_key")
     }),
@@ -113,16 +117,23 @@ object JoinStateQueries {
       SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF()).orderBy($"name")
     }),
 
-    // Range join against a tiny bucket table: broadcast nested-loop on
-    // the range predicate; the big side streams through unshuffled.
+    // Range join, bucketed: a naive broadcast nested-loop compares
+    // every row against every range (O(n·m)). Since each range here
+    // spans exactly one month bucket, adding the bucket key to both
+    // sides turns it into a hash equi-join with the range predicate
+    // retained as a residual — the standard bucketed-range-join
+    // rewrite that survives 100 TB (ranges spanning k buckets would
+    // explode to k bucket keys on the ranges side).
     "join_range" -> ((s, d) => {
       import s.implicits._
       val months = Tables.orders(s, d)
         .select(trunc($"o_orderdate", "month").as("m_start")).distinct()
         .withColumn("m_end", add_months($"m_start", 1))
       val li = Tables.lineitem(s, d)
+        .withColumn("bkt", trunc($"l_shipdate", "month"))
       li.join(broadcast(months),
-          $"l_shipdate" >= $"m_start" && $"l_shipdate" < $"m_end")
+          $"bkt" === $"m_start" &&
+            $"l_shipdate" >= $"m_start" && $"l_shipdate" < $"m_end")
         .groupBy($"m_start")
         .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
         .orderBy($"m_start")

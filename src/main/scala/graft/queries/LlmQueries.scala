@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Similarity, TextFunctions => TF}
+import graft.functions.{TextFunctions => TF}
+import graft.plans.VecFunctions
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -10,15 +12,24 @@ import Q._
   * approximate dedup (MinHash-LSH, SimHash, n-gram Jaccard), embedding
   * similarity (brute-force and bucketed kNN, near-dup pairs).
   *
-  * Hashing uses md5 (bit-identical across engines) instead of Spark's
-  * Murmur3 `hash()` so every operator has an exact DuckDB oracle.
-  * MinHash signatures are lexicographic minima of seeded md5 strings —
+  * Correctness: hashing uses md5 (bit-identical across engines)
+  * instead of Spark's Murmur3 `hash()` so every operator has an exact
+  * DuckDB oracle. MinHash permutations are 8-hex-char slices of two
+  * seeded md5s; signature values are lexicographic string minima —
   * total order is engine-agnostic, no hex→int conversion needed.
   *
-  * Scale design: all candidate generation is key-partitioned (LSH band
-  * keys, cluster labels) — never an unblocked cross join over the full
-  * corpus; brute-force paths take a bounded query set against the full
-  * corpus via broadcast.
+  * Scale/perf design:
+  *  - Shingling is relational (posexplode + window lead + hash agg),
+  *    not nested higher-order functions — every stage is inside
+  *    whole-stage codegen, and the per-doc shuffle is one window pass.
+  *  - Candidate generation is key-partitioned (LSH band keys, cluster
+  *    labels) — never an unblocked cross join over the corpus.
+  *  - The signature/band table is persisted before the self-join so
+  *    the pipeline upstream runs once, mirroring the materialized
+  *    signature store a production dedup run would write.
+  *  - Vector math uses the codegen'd FloatVecDot expression with
+  *    per-vector norms precomputed once (3× fewer dot products than
+  *    naive cosine-per-pair).
   */
 object LlmQueries {
 
@@ -35,9 +46,14 @@ object LlmQueries {
   private def duckShingles(w: String): String =
     s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
 
-  /** DuckDB minhash for permutation seed over shingle list `sh`. */
-  private def duckMinhash(sh: String, seed: Int): String =
-    s"list_min(list_transform($sh, s -> md5('$seed:' || s)))"
+  /** DuckDB minhash permutation i (of 8): lexicographic min over the
+    * i-th 8-hex-char slice of md5("<half>:" ++ shingle).
+    */
+  private def duckMinhash(sh: String, i: Int): String = {
+    val seed = if (i < 4) "0" else "1"
+    val off = 1 + 8 * (i % 4)
+    s"list_min(list_transform($sh, s -> substr(md5('$seed:' || s), $off, 8)))"
+  }
 
   private def duckBandKey(sh: String, b: Int): String =
     s"${duckMinhash(sh, 2 * b)} || '|' || ${duckMinhash(sh, 2 * b + 1)}"
@@ -57,8 +73,8 @@ object LlmQueries {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** DuckDB cosine between two float-list columns, matching
-    * Similarity.cosine's double-precision structure.
+  /** DuckDB cosine between two float-list columns: same double ops in
+    * the same order as vec_dot + precomputed sqrt norms.
     */
   private def duckCos(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -68,22 +84,58 @@ object LlmQueries {
   }
 
   // ---- Spark-side shared builders ------------------------------------
-  private def sparkCandidates(docs: org.apache.spark.sql.DataFrame) = {
-    val toks = docs
-      .select(col("doc_id"), TF.tokens(col("text")).as("w"))
-      .filter(length(concat_ws(" ", col("w"))) > 0)
-    val sh = toks
-      .select(col("doc_id"), Similarity.shingles(col("w"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val bands = sh.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b => Similarity.bandKey(col("sh"), 2 * b, 2)): _*))
-        .as(Seq("band", "key")))
+
+  /** 3-gram shingle rows (doc_id, sh): posexplode tokens, window lead
+    * ×2, concat. One shuffle keyed by doc_id; fully codegen'd.
+    */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+  }
+
+  /** Persisted (doc_id, band, key) LSH table: 2 md5s per shingle,
+    * sliced into 8 permutations, min-aggregated, 4 bands × 2 rows.
+    */
+  private def bandTable(docs: DataFrame): DataFrame = {
+    val hashes = shingleRows(docs).select(col("doc_id"),
+      md5(concat(lit("0:"), col("sh"))).as("h0"),
+      md5(concat(lit("1:"), col("sh"))).as("h1"))
+    val perms = (0 until 8).map { i =>
+      val src = if (i < 4) "h0" else "h1"
+      min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"p$i")
+    }
+    val sigs = hashes.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
+    sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          concat_ws("|", col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*))
+          .as(Seq("band", "key")))
+      .persist()
+  }
+
+  /** Candidate near-dup pairs from the persisted band table. */
+  private def candidatePairs(bands: DataFrame): DataFrame =
     bands.as("a")
       .join(bands.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  /** Embeddings with the vector norm precomputed once per vector. */
+  private def withNorm(e: DataFrame): DataFrame = {
+    VecFunctions.register(e.sparkSession)
+    e.withColumn("nrm", sqrt(VecFunctions.vecDot(col("embedding"), col("embedding"))))
   }
+
+  /** cosine(a,b) from precomputed norms — same op order as the oracle. */
+  private def cosFromNorms(embA: Column, embB: Column, nrmA: Column, nrmB: Column): Column =
+    when(nrmA * nrmB === 0.0, lit(0.0))
+      .otherwise(VecFunctions.vecDot(embA, embB) / (nrmA * nrmB))
 
   val defs: Map[String, QueryFn] = Map(
     "text_stats" -> ((s, d) => {
@@ -144,34 +196,30 @@ object LlmQueries {
         .orderBy($"fp")
     }),
 
-    // MinHash + LSH: 8 seeded-md5 permutations, 4 bands × 2 rows;
-    // docs sharing a band key become candidate pairs. The join is
-    // keyed on (band, key) — partition-parallel, no cross product.
+    // MinHash + LSH over the persisted signature table; docs sharing a
+    // band key become candidate pairs via a keyed self-join.
     "minhash_dedup" -> ((s, d) => {
       import s.implicits._
-      sparkCandidates(Tables.documents(s, d)).orderBy($"doc_a", $"doc_b")
+      candidatePairs(bandTable(Tables.documents(s, d))).orderBy($"doc_a", $"doc_b")
     }),
 
-    // SimHash (16-bit) over shingle md5s, hex digits decoded
-    // arithmetically so the oracle can reproduce exact bit sums.
+    // SimHash (16-bit) over shingle md5s; hex digits decoded via
+    // ascii() arithmetic (codegen'd), oracle decodes via strpos —
+    // identical integer results.
     "simhash" -> ((s, d) => {
       import s.implicits._
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", TF.tokens($"text").as("w"))
-      val sh = toks
-        .select($"doc_id", Similarity.shingles($"w", 3).as("sh"))
-        .filter(size($"sh") > 0)
-      val ex = sh.select($"doc_id", explode($"sh").as("s"))
-        .select($"doc_id", md5($"s").as("h"))
-      val digits = (0 until 4).map(k =>
-        conv(substring($"h", k + 1, 1), 16, 10).cast("int").as(s"d$k"))
-      val withDigits = ex.select(($"doc_id" +: digits): _*)
+      val ex = shingleRows(Tables.documents(s, d))
+        .select($"doc_id", md5($"sh").as("h"))
+      val digits = (0 until 4).map { k =>
+        val a = ascii(substring($"h", k + 1, 1))
+        when(a >= 97, a - 87).otherwise(a - 48).as(s"d$k")
+      }
       val contribs = (0 until 16).map { j =>
-        val digit = col(s"d${j / 4}")
-        val bit = shiftright(digit, j % 4).bitwiseAND(lit(1))
+        val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
         sum(when(bit > 0, 1).otherwise(-1)).as(s"s$j")
       }
-      withDigits.groupBy($"doc_id").agg(contribs.head, contribs.tail: _*)
+      ex.select(($"doc_id" +: digits): _*)
+        .groupBy($"doc_id").agg(contribs.head, contribs.tail: _*)
         .select($"doc_id",
           (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
             .reduce(_ + _).as("simhash"))
@@ -183,15 +231,16 @@ object LlmQueries {
     "ngram_jaccard" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val toks = docs.select($"doc_id", TF.tokens($"text").as("w"))
-      val sh = toks
-        .select($"doc_id", Similarity.shingles($"w", 3).as("sh"))
-        .filter(size($"sh") > 0)
-      val cand = sparkCandidates(docs)
+      val shSets = shingleRows(docs)
+        .groupBy($"doc_id").agg(collect_set($"sh").as("shs"))
+      val cand = candidatePairs(bandTable(docs))
+      val inter = size(array_intersect($"sh_a", $"sh_b")).cast("double")
+      val uni = size(array_union($"sh_a", $"sh_b")).cast("double")
       cand
-        .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
-        .select($"doc_a", $"doc_b", Similarity.jaccard($"sh_a", $"sh_b").as("jacc"))
+        .join(shSets.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), Seq("doc_a"))
+        .join(shSets.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          when(uni === 0.0, 0.0).otherwise(inter / uni).as("jacc"))
         .filter($"jacc" >= 0.4)
         .orderBy($"doc_a", $"doc_b")
     }),
@@ -201,13 +250,13 @@ object LlmQueries {
     // pattern that survives 100 TB where a global cross join cannot.
     "embedding_neardup" -> ((s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
-      val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"label")
-      val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"label")
+      val e = withNorm(Tables.embeddings(s, d))
+      val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"label")
+      val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b"), $"label")
       a.join(b, Seq("label"))
         .filter($"vec_a" < $"vec_b")
         .select($"vec_a", $"vec_b",
-          round(Similarity.cosine($"emb_a", $"emb_b"), 6).as("cos_sim"))
+          round(cosFromNorms($"emb_a", $"emb_b", $"nrm_a", $"nrm_b"), 6).as("cos_sim"))
         .filter($"cos_sim" > 0.8)
         .orderBy($"vec_a", $"vec_b")
     }),
@@ -216,13 +265,13 @@ object LlmQueries {
     // broadcast against the full corpus.
     "knn_bruteforce" -> ((s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
+      val e = withNorm(Tables.embeddings(s, d))
       val q = broadcast(e.filter($"vec_id" < 100)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb")))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm")))
       val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
       q.join(e, $"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id",
-          round(Similarity.cosine($"q_emb", $"embedding"), 6).as("cos_sim"))
+          round(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
@@ -234,14 +283,50 @@ object LlmQueries {
     // and the join is a keyed equi-join instead of a cross join.
     "cosine_topk" -> ((s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
+      val e = withNorm(Tables.embeddings(s, d))
       val q = broadcast(e.filter($"vec_id" < 100)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"label"))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"), $"label"))
       val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
       q.join(e, Seq("label"))
         .filter($"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id",
-          round(Similarity.cosine($"q_emb", $"embedding"), 6).as("cos_sim"))
+          round(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    // IVF with *computed* centroids (k-means assignment step): exact
+    // per-dimension means per bucket (decimal-summed → deterministic),
+    // probe the nprobe=2 nearest centroids per query, search only
+    // those buckets. Approximate by design → no SQL oracle; ScalaTest
+    // checks recall@5 against knn_bruteforce.
+    "knn_ivf" -> ((s, d) => {
+      import s.implicits._
+      val e = withNorm(Tables.embeddings(s, d))
+      val centroids = broadcast(
+        e.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("cv"))
+          .groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"cv"))),
+            x => x.getField("cv").cast("float")).as("cent")))
+        .withColumn("cnrm", sqrt(VecFunctions.vecDot($"cent", $"cent")))
+      val q = e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      val wc = Window.partitionBy($"q_id").orderBy($"cent_sim".desc, $"label")
+      val probes = q.join(centroids)
+        .select($"q_id", $"q_emb", $"q_nrm", $"label",
+          cosFromNorms($"q_emb", $"cent", $"q_nrm", $"cnrm").as("cent_sim"))
+        .withColumn("cr", row_number().over(wc))
+        .filter($"cr" <= 2)
+        .select($"q_id", $"q_emb", $"q_nrm", $"label")
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+      broadcast(probes).join(e, Seq("label"))
+        .filter($"q_id" =!= $"vec_id")
+        .select($"q_id", $"vec_id",
+          round(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
