@@ -197,6 +197,37 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // -- array / map functions (§2.8) ----------------------------------
+    "array_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          element_at($"embedding", 1).cast("double").as("first_v"),
+          element_at($"embedding", -1).cast("double").as("last_v"),
+          element_at(array_sort($"embedding"), 3).cast("double").as("third_smallest"),
+          round(aggregate($"embedding", lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+            .as("vsum"),
+          size(filter($"embedding", x => x.cast("double") > 0.3)).as("n_big"))
+        .orderBy($"vec_id")
+    }),
+
+    "map_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          from_json($"props", org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)).as("m"))
+        .select($"event_id",
+          element_at($"m", "k").as("k_val"),
+          size($"m").as("n_keys"),
+          concat_ws(",", array_sort(map_keys($"m"))).as("keys_sorted"),
+          element_at(map_values($"m"), 1).as("first_val"))
+        .orderBy($"event_id")
+    }),
+
     // -- flatten exercised end-to-end ----------------------------------
     "flatten_full" -> ((s, d) => {
       import s.implicits._
@@ -317,6 +348,24 @@ object CoreQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id,
+        | len(embedding) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_v,
+        | CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
+        | CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest,
+        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum,
+        | len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) AS n_big
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "map_funcs" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        | 1 AS n_keys,
+        | 'k' AS keys_sorted,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS first_val
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "flatten_full" ->
       """SELECT l_orderkey, l_linenumber,

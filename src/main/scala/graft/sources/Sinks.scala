@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink surface (SURVEY.md §2.1 S5/S6): columnar staging and JDBC
+  * warehouse load, re-expressing the reference's Parquet staging write
+  * (/root/reference/airflow-setup/Scripts/transformation_job.py:45)
+  * and Glue→Redshift load
+  * (/root/reference/airflow-setup/Scripts/etl_glue_job.py:17-43).
+  */
+object Sinks {
+
+  /** Overwrite Parquet staging — the reference's staging write, plus
+    * optional partition columns (at 100 TB, partitioning by e.g.
+    * ingest date is what makes downstream pruning possible; the
+    * reference writes a single unpartitioned dir).
+    */
+  def stageParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Register as a managed table (the Glue-catalog analog: queryable
+    * by name via spark.table / SQL).
+    */
+  def saveAsTable(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").saveAsTable(name)
+
+  /** JDBC warehouse load. The reference hard-codes Redshift
+    * credentials in source (etl_glue_job.py:20-22 — defect §4.4);
+    * here connection config is caller-supplied. `numPartitions`
+    * bounds concurrent connections so a 1000-executor cluster doesn't
+    * open 1000 sessions against the warehouse. No JDBC server exists
+    * in the test environment — the declared capability is this code
+    * path; correctness of the frame being loaded is covered by the
+    * oracle-checked queries that feed it.
+    */
+  def loadJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: Properties,
+      numPartitions: Int = 8,
+      mode: String = "append"): Unit =
+    df.coalesce(numPartitions)
+      .write.mode(mode)
+      .option("batchsize", 10000)
+      .jdbc(url, table, props)
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{SparkSpecBase, SparkEntry}
+
+/** Physical-plan assertions: the scale properties the queries claim
+  * (pushdown, pruning, broadcast, top-k, codegen) must be visible in
+  * the executed plan, not just hoped for (SURVEY.md §4.3).
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Plan string after execution — AQE has finalized, so codegen
+    * stages (`*(n)` / WholeStageCodegen) are visible.
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // count() would build a separate query; AQE finalizes only on execution of THIS plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("agg_group: filter pushed to parquet, columns pruned, partial agg, codegen") {
+    val p = finalPlan("agg_group")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("LessThan(l_shipdate"), "shipdate filter not pushed")
+    assert(!p.contains("l_partkey"), "unused column not pruned from scan")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), "not codegen'd")
+  }
+
+  test("join_inner: dimension joins broadcast, fact side not pre-shuffled") {
+    val p = plan("join_inner")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("sort_desc: sort+limit fuses to top-k (no global sort)") {
+    val p = plan("sort_desc")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("join_range: bucketed rewrite plans a hash join, not nested loop") {
+    val p = plan("join_range")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to nested loop")
+  }
+
+  test("join_semi/anti plan as semi-join operators, not rewrites") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("dedup_anti_join").contains("LeftAnti"))
+  }
+
+  test("knn_bruteforce: custom vec_dot expression participates in the plan") {
+    val p = plan("knn_bruteforce")
+    assert(p.toLowerCase.contains("floatvecdot") || p.contains("vec_dot"), p.take(2000))
+  }
+
+  test("limit_n plans a limit, not a full materialization") {
+    val p = plan("limit_n")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(2000))
+  }
+}
