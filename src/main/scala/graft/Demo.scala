@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.{DriftReport, SchemaDiff}
+import graft.sources.Cricsheet
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Runnable end-to-end demo of the domain flow: cricsheet ingest →
+  * delivery relation → batting analytics → schema-drift report.
+  * `sbt "runMain graft.Demo [matchesDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/src/test/resources/fixtures")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val matches = Cricsheet.readMatches(spark, dir)
+    val dels = Cricsheet.deliveries(matches)
+    println(s"matches=${matches.count()} deliveries=${dels.count()}")
+    Cricsheet.battingSummary(dels).show(10, truncate = false)
+
+    val old = matches.select("info.*").schema
+    val drifted = StructType(
+      old.fields.filterNot(_.name == "gender")
+        .map(f => if (f.name == "overs") f.copy(dataType = StringType) else f) :+
+        org.apache.spark.sql.types.StructField("match_referee_note", StringType))
+    val (_, report) = DriftReport.render(
+      SchemaDiff.diff(spark, old, drifted), "ipl_matches")
+    println(report)
+    spark.stop()
+  }
+}
