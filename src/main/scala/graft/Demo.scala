@@ -33,6 +33,23 @@ object Demo {
     val (_, report) = DriftReport.render(
       SchemaDiff.diff(spark, old, drifted), "ipl_matches")
     println(report)
+
+    // full incremental pipeline: zip the fixtures into a landing dir,
+    // run twice — second run must be a no-op (exactly-once per file)
+    val landing = java.nio.file.Files.createTempDirectory("demo_landing").toString
+    val work = java.nio.file.Files.createTempDirectory("demo_work").toString
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$landing/matches.zip"))
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(f.getName))
+      zout.write(java.nio.file.Files.readAllBytes(f.toPath))
+      zout.closeEntry()
+    }
+    zout.close()
+    val r1 = Pipeline.runOnce(spark, landing, work)
+    println(s"pipeline run1: newFiles=${r1.newFiles} stagedRows=${r1.stagedRows}")
+    val r2 = Pipeline.runOnce(spark, landing, work)
+    println(s"pipeline run2: newFiles=${r2.newFiles} (exactly-once)")
     spark.stop()
   }
 }

