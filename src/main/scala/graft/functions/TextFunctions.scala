@@ -50,13 +50,15 @@ object TextFunctions {
 
   /** Heuristic quality score in [0,1]: length band + stopword presence
     * − punctuation noise. Deterministic, engine-agnostic arithmetic so
-    * a SQL oracle can replicate it.
+    * a SQL oracle can replicate it (rounding via Q.rnd — built-in
+    * `round` resolves half-way cases differently across engines).
     */
   def qualityScore(c: Column): Column = {
     val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
     val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
     val punctPenalty = least(punctRatio(c) * 2.0, lit(1.0))
-    round(greatest(lit(0.0), lenScore * 0.5 + stopScore * 0.5 - punctPenalty * 0.3), 4)
+    graft.queries.Q.rnd(
+      greatest(lit(0.0), lenScore * 0.5 + stopScore * 0.5 - punctPenalty * 0.3), 4)
   }
 
   /** Marker-token language-ID heuristic. With real data this would be

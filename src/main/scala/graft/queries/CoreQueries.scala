@@ -207,7 +207,7 @@ object CoreQueries {
           element_at($"embedding", 1).cast("double").as("first_v"),
           element_at($"embedding", -1).cast("double").as("last_v"),
           element_at(array_sort($"embedding"), 3).cast("double").as("third_smallest"),
-          round(aggregate($"embedding", lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+          rnd(aggregate($"embedding", lit(0.0), (acc, x) => acc + x.cast("double")), 4)
             .as("vsum"),
           size(filter($"embedding", x => x.cast("double") > 0.3)).as("n_big"))
         .orderBy($"vec_id")
@@ -355,7 +355,7 @@ object CoreQueries {
         | CAST(embedding[1] AS DOUBLE) AS first_v,
         | CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
         | CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest,
-        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum,
+        | floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS vsum,
         | len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) AS n_big
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 

@@ -157,8 +157,8 @@ object LlmQueries {
         .select($"doc_id",
           length($"text").as("text_len"),
           TF.nTokens($"text").as("n_tokens"),
-          round(TF.punctRatio($"text"), 4).as("punct_ratio"),
-          round(TF.stopwordRatio($"text"), 4).as("stopword_ratio"),
+          rnd(TF.punctRatio($"text"), 4).as("punct_ratio"),
+          rnd(TF.stopwordRatio($"text"), 4).as("stopword_ratio"),
           TF.qualityScore($"text").as("quality"))
         .orderBy($"doc_id")
     }),
@@ -256,7 +256,7 @@ object LlmQueries {
       a.join(b, Seq("label"))
         .filter($"vec_a" < $"vec_b")
         .select($"vec_a", $"vec_b",
-          round(cosFromNorms($"emb_a", $"emb_b", $"nrm_a", $"nrm_b"), 6).as("cos_sim"))
+          rnd(cosFromNorms($"emb_a", $"emb_b", $"nrm_a", $"nrm_b"), 6).as("cos_sim"))
         .filter($"cos_sim" > 0.8)
         .orderBy($"vec_a", $"vec_b")
     }),
@@ -271,7 +271,7 @@ object LlmQueries {
       val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
       q.join(e, $"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id",
-          round(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+          rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
@@ -290,7 +290,7 @@ object LlmQueries {
       q.join(e, Seq("label"))
         .filter($"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id",
-          round(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+          rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
@@ -326,7 +326,7 @@ object LlmQueries {
       broadcast(probes).join(e, Seq("label"))
         .filter($"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id",
-          round(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+          rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
@@ -362,14 +362,14 @@ object LlmQueries {
 
     "text_quality" ->
       s"""SELECT doc_id, length(text) AS text_len, $NTOK AS n_tokens,
-         | round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS punct_ratio,
-         | round(CASE WHEN $NTOK = 0 THEN 0.0 ELSE
-         |   CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len($TOKS) END, 4) AS stopword_ratio,
-         | round(greatest(0.0,
+         | floor((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         | floor((CASE WHEN $NTOK = 0 THEN 0.0 ELSE
+         |   CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len($TOKS) END) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+         | floor(greatest(0.0,
          |   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
          |   + least((CASE WHEN $NTOK = 0 THEN 0.0 ELSE CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len($TOKS) END) * 5.0, 1.0) * 0.5
-         |   - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 2.0, 1.0) * 0.3), 4) AS quality
+         |   - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 2.0, 1.0) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
@@ -435,7 +435,7 @@ object LlmQueries {
     "embedding_neardup" ->
       s"""SELECT vec_a, vec_b, cos_sim FROM (
          | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  ${Q.duckRnd(duckCos("a.embedding", "b.embedding"), 6)} AS cos_sim
          | FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos_sim > 0.8 ORDER BY vec_a, vec_b""".stripMargin,
@@ -443,9 +443,9 @@ object LlmQueries {
     "knn_bruteforce" ->
       s"""SELECT q_id, neighbor_id, rn, cos_sim FROM (
          | SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-         |  round(${duckCos("q.embedding", "e.embedding")}, 6) AS cos_sim,
+         |  ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} AS cos_sim,
          |  row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY round(${duckCos("q.embedding", "e.embedding")}, 6) DESC, e.vec_id) AS rn
+         |    ORDER BY ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} DESC, e.vec_id) AS rn
          | FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
          | WHERE q.vec_id < 100) t
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
@@ -453,9 +453,9 @@ object LlmQueries {
     "cosine_topk" ->
       s"""SELECT q_id, neighbor_id, rn, cos_sim FROM (
          | SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-         |  round(${duckCos("q.embedding", "e.embedding")}, 6) AS cos_sim,
+         |  ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} AS cos_sim,
          |  row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY round(${duckCos("q.embedding", "e.embedding")}, 6) DESC, e.vec_id) AS rn
+         |    ORDER BY ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} DESC, e.vec_id) AS rn
          | FROM embeddings q JOIN embeddings e
          |  ON q.label = e.label AND q.vec_id <> e.vec_id
          | WHERE q.vec_id < 100) t

@@ -31,4 +31,24 @@ object Q {
   /** Exact average: decimal sum divided by count in double space. */
   def davg(c: Column): Column =
     sum(dec(c)).cast("double") / count(c).cast("double")
+
+  /** Cross-engine-deterministic rounding: `floor(x·10ⁿ + 0.5)/10ⁿ`.
+    * Spark's `round` resolves half-way cases on the exact decimal
+    * expansion of the double (HALF_UP via BigDecimal) while DuckDB
+    * rounds the scaled double (half-even rint) — they disagree when
+    * `x·10ⁿ` lands exactly on .5 after the multiply. This formula is
+    * the same IEEE op sequence in both engines, so results are
+    * bit-identical (half-way values round toward +∞). Use for any
+    * rounded double output that both engines compute.
+    */
+  def rnd(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
+  /** DuckDB SQL for the same formula. */
+  def duckRnd(expr: String, digits: Int): String = {
+    val p = math.pow(10, digits).toLong
+    s"floor(($expr) * $p.0 + 0.5) / $p.0"
+  }
 }
