@@ -1,0 +1,50 @@
+package graft
+
+import graft.plans.VecFunctions
+import org.apache.spark.sql.functions._
+
+/** The SQL front end: every table registered as a view, queries
+  * written in `spark.sql(...)` agree with their DataFrame forms, and
+  * the custom vec_dot expression is callable from SQL.
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("SQL join+agg agrees with the DataFrame formulation") {
+    Tables.registerViews(spark, sf)
+    val sql = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val df = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("q"))
+      .orderBy($"o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sql == df)
+  }
+
+  test("window + session SQL over the events view") {
+    Tables.registerViews(spark, sf)
+    val n = spark.sql(
+      """SELECT user_id, count(*) AS n,
+        | rank() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+        |FROM events GROUP BY user_id""".stripMargin).count()
+    assert(n == Tables.events(spark, sf).select($"user_id").distinct().count())
+  }
+
+  test("vec_dot is callable from SQL after registration") {
+    VecFunctions.register(spark)
+    Tables.registerViews(spark, sf)
+    val d = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS n2 FROM embeddings WHERE vec_id = 0")
+      .head.getDouble(0)
+    assert(d > 0.0)
+  }
+}
