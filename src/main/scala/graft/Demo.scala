@@ -50,6 +50,19 @@ object Demo {
     println(s"pipeline run1: newFiles=${r1.newFiles} stagedRows=${r1.stagedRows}")
     val r2 = Pipeline.runOnce(spark, landing, work)
     println(s"pipeline run2: newFiles=${r2.newFiles} (exactly-once)")
+
+    // warehouse step: bucketed managed tables + SQL analytics over them
+    // (repeated joins on the bucket key plan with no shuffle)
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS demo_li"); spark.sql("DROP TABLE IF EXISTS demo_o")
+    graft.sources.Sinks.bucketTable(Tables.lineitem(spark, sf), "demo_li", "l_orderkey", 8)
+    graft.sources.Sinks.bucketTable(Tables.orders(spark, sf), "demo_o", "o_orderkey", 8)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM demo_li JOIN demo_o ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .show(truncate = false)
+    spark.sql("DROP TABLE demo_li"); spark.sql("DROP TABLE demo_o")
     spark.stop()
   }
 }

@@ -28,6 +28,18 @@ object Sinks {
   def saveAsTable(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").saveAsTable(name)
 
+  /** Bucketed managed table: pre-partitions rows by key into a fixed
+    * bucket count so repeated joins/aggregations on that key plan with
+    * NO shuffle on the bucketed side (verified in SinksSpec). At
+    * 100 TB this is the difference between re-shuffling the fact
+    * table on every query and shuffling it once at write time.
+    */
+  def bucketTable(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(name)
+
   /** JDBC warehouse load. The reference hard-codes Redshift
     * credentials in source (etl_glue_job.py:20-22 — defect §4.4);
     * here connection config is caller-supplied. `numPartitions`

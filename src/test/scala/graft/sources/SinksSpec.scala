@@ -20,6 +20,43 @@ class SinksSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [") && plan.contains("(y"), plan.take(1500))
   }
 
+  test("bucketed tables join without shuffling either side") {
+    val sf = "/root/testdata/sf0.001"
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Sinks.bucketTable(Tables.lineitem(spark, sf), "li_b", "l_orderkey", 8)
+    Sinks.bucketTable(Tables.orders(spark, sf), "o_b", "o_orderkey", 8)
+    // sf0.001 is small enough that AQE would broadcast — disable to
+    // surface the co-located sort-merge path the bucketing buys
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = try {
+      val j = spark.table("li_b")
+        .join(spark.table("o_b"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      j.collect()
+      j
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // assertions target the AQE-final plan
+    val joinPart = plan.substring(plan.indexOf("Join"))
+    // co-located join: no Exchange below the join operator
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffled:\n${joinPart.take(1500)}")
+    // and the result matches the unbucketed join
+    val expect = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expect)
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+  }
+
   test("saveAsTable makes the frame queryable by name") {
     Sinks.saveAsTable(Tables.region(spark, "/root/testdata/sf0.001"), "region_tbl")
     assert(spark.table("region_tbl").count() == 5)
