@@ -13,10 +13,11 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
-flags = set(a for a in sys.argv[3:] if a.startswith("--"))
-only = [a for a in sys.argv[3:] if not a.startswith("--")]
+pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+flags = set(a for a in sys.argv[1:] if a.startswith("--"))
+SF = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+OUT = pos[1] if len(pos) > 1 else "/root/repo/target/verify_out"
+only = pos[2:]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
