@@ -146,22 +146,21 @@ object JoinStateQueries {
         .orderBy($"r_name", $"s_name")
     }),
 
-    // As-of join, scalable formulation: no per-key subquery — one
-    // window pass over the union keyed by user, carrying the last
-    // signup time forward. O(n log n) per partition, no N² join.
+    // As-of join via the generic operator (operators/AsOfJoin): one
+    // window pass over the tagged union keyed by user — no per-key
+    // subquery, no N² join. For each purchase, the latest signup at
+    // or before it.
     "join_asof" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
-        .filter($"event_type".isin("signup", "purchase"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"ts", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("signup_ms",
-          max(when($"event_type" === "signup", unix_millis($"ts"))).over(w))
-        .filter($"event_type" === "purchase")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("s_ts"))
+      graft.operators.AsOfJoin.asofJoin(purchases, signups, "user_id", "ts", "s_ts")
         .select($"event_id", $"user_id",
-          unix_millis($"ts").as("purchase_ms"), $"signup_ms")
+          unix_millis($"ts").as("purchase_ms"),
+          unix_millis($"asof_s_ts").as("signup_ms"))
         .orderBy($"event_id")
     })
   )
