@@ -25,7 +25,8 @@ object SparkEntry {
       WindowSetQueries.defs ++
       StreamQueries.defs ++
       LlmQueries.defs ++
-      SourceUdxQueries.defs
+      SourceUdxQueries.defs ++
+      ExtraQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       WindowSetQueries.oracles ++
       StreamQueries.oracles ++
       LlmQueries.oracles ++
-      SourceUdxQueries.oracles
+      SourceUdxQueries.oracles ++
+      ExtraQueries.oracles
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Coverage beyond the minimum §2 inventory: cube/grouping-sets,
+  * math/time/null scalar families, exact percentiles, and the
+  * multimodal frame-sampling shape (every stage oracle-checked).
+  */
+object ExtraQueries {
+
+  val defs: Map[String, QueryFn] = Map(
+    "agg_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n_rows")
+        .orderBy($"returnflag", $"linestatus")
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      // explicit grouping sets via SQL (the Dataset API routes this
+      // through the same Expand operator as rollup/cube)
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          | coalesce(o_orderpriority, 'ALL') AS priority,
+          | count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    "math_funcs" -> ((s, d) => {
+      import s.implicits._
+      // libm-free selection: abs/sign/floor/ceil/pmod/sqrt are
+      // IEEE-correctly-rounded everywhere; exp/ln/pow are not.
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+          abs($"l_extendedprice" - 50000.0).as("abs_dev"),
+          signum($"l_discount" - 0.05).as("disc_sign"),
+          floor($"l_quantity" / 7.0).as("q_floor"),
+          ceil($"l_quantity" / 7.0).as("q_ceil"),
+          pmod($"l_orderkey", lit(97)).as("key_mod"),
+          sqrt($"l_extendedprice").as("price_sqrt"),
+          greatest($"l_discount", $"l_tax").as("max_rate"),
+          least($"l_discount", $"l_tax").as("min_rate"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    }),
+
+    "time_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          quarter($"o_orderdate").as("q"),
+          dayofyear($"o_orderdate").as("doy"),
+          last_day($"o_orderdate".cast("date")).as("month_end"),
+          hour($"o_orderdate").as("h"),
+          unix_date($"o_orderdate".cast("date")).as("epoch_days"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "null_funcs" -> ((s, d) => {
+      import s.implicits._
+      val df = Tables.orders(s, d)
+        .select($"o_orderkey",
+          when($"o_orderstatus" === "P", lit(null)).otherwise($"o_orderstatus").as("st"),
+          when($"o_totalprice" > 300000, lit(null)).otherwise($"o_totalprice").as("price"))
+      df.select($"o_orderkey",
+          coalesce($"st", lit("pending")).as("st_filled"),
+          $"st".isNull.as("is_null"),
+          ($"st" <=> lit("F")).as("nullsafe_eq_f"),
+          nvl2($"st", lit("present"), lit("absent")).as("presence"),
+          coalesce($"price", lit(0.0)).as("price_filled"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Exact interpolated percentiles over the RAW doubles: the sorted
+    // sequences are bit-identical in both engines, and the linear
+    // interpolation agrees to rnd(4). (Decimal inputs would make
+    // DuckDB's quantile_cont return a truncated DECIMAL.)
+    "agg_percentile" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          rnd(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          rnd(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Multimodal frame sampling: every k-th frame of each "video"
+    // (deterministic fake frame count from the payload size); the
+    // explode is the real distributed shape — one output row per
+    // sampled frame, partition-parallel.
+    "frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val step = 5
+      Tables.documents(s, d)
+        .select($"doc_id", (octet_length($"text") % 30 + 1).as("n_frames"))
+        .select($"doc_id", $"n_frames",
+          explode(sequence(lit(0), $"n_frames" - 1, lit(step))).as("frame_idx"))
+        .orderBy($"doc_id", $"frame_idx")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | abs(l_extendedprice - 50000.0) AS abs_dev,
+        | CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+        | CAST(floor(l_quantity / 7.0) AS BIGINT) AS q_floor,
+        | CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q_ceil,
+        | l_orderkey % 97 AS key_mod,
+        | sqrt(l_extendedprice) AS price_sqrt,
+        | greatest(l_discount, l_tax) AS max_rate,
+        | least(l_discount, l_tax) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "time_funcs" ->
+      """SELECT o_orderkey,
+        | quarter(o_orderdate) AS q,
+        | dayofyear(o_orderdate) AS doy,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        | hour(o_orderdate) AS h,
+        | CAST(epoch(CAST(o_orderdate AS DATE)) // 86400 AS INTEGER) AS epoch_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "null_funcs" ->
+      """SELECT o_orderkey,
+        | coalesce(st, 'pending') AS st_filled,
+        | (st IS NULL) AS is_null,
+        | (st IS NOT DISTINCT FROM 'F') AS nullsafe_eq_f,
+        | (CASE WHEN st IS NOT NULL THEN 'present' ELSE 'absent' END) AS presence,
+        | coalesce(price, 0.0) AS price_filled
+        |FROM (SELECT o_orderkey,
+        |   nullif(o_orderstatus, 'P') AS st,
+        |   CASE WHEN o_totalprice > 300000 THEN NULL ELSE o_totalprice END AS price
+        |  FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        | floor(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS median_price,
+        | floor(quantile_cont(o_totalprice, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "frame_sample" ->
+      """SELECT doc_id, n_frames, unnest(range(0, n_frames, 5)) AS frame_idx
+        |FROM (SELECT doc_id,
+        |   octet_length(encode(text)) % 30 + 1 AS n_frames
+        |  FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}
