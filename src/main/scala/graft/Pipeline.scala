@@ -24,7 +24,8 @@ object Pipeline {
       newFiles: Long,
       stagedRows: Long,
       driftReport: String,
-      hadDrift: Boolean)
+      hadDrift: Boolean,
+      corruptFiles: Long = 0)
 
   private def loadState(spark: SparkSession, statePath: String): DataFrame = {
     val p = new java.io.File(statePath)
@@ -76,7 +77,11 @@ object Pipeline {
     //    + drift check against the last recorded schema version
     val newPaths = newEntries.select("entry_name").as[String].collect()
       .map(n => s"$extractedDir/$n").toSeq
-    val matches = Cricsheet.readMatchFiles(spark, newPaths)
+    val allMatches = Cricsheet.readMatchFiles(spark, newPaths)
+    // corrupt files degrade to null rows (PERMISSIVE) — filter them
+    // out of staging and surface the count instead of failing the run
+    val matches = Cricsheet.validMatches(allMatches)
+    val nCorrupt = allMatches.count() - matches.count()
     val newCols = SchemaDiff.columns(matches.schema)
     val oldCols =
       if (new java.io.File(schemaPath).exists())
@@ -110,6 +115,6 @@ object Pipeline {
     new java.io.File(tmp).renameTo(stateFile)
 
     newEntries.unpersist()
-    RunResult(nNew, staged, driftMsg, hadDrift)
+    RunResult(nNew, staged, driftMsg, hadDrift, nCorrupt)
   }
 }

@@ -113,13 +113,34 @@ object Cricsheet {
   /** Read specific match files/paths — the incremental pipeline scopes
     * each run to its new files only (the reference's crawler-on-new-
     * prefixes, final_DAG.py:144-159).
+    *
+    * Malformed files: Spark's default PERMISSIVE mode (pinned
+    * explicitly here as documentation) makes a corrupt document a row
+    * of nulls instead of a job failure; `validMatches` +
+    * `Pipeline.runOnce`'s corrupt-row count turn that into filtered
+    * staging plus a monitored drop count. At 100 TB a bad-record rate
+    * of 1e-6 is a certainty, not an edge case.
     */
   def readMatchFiles(spark: SparkSession, paths: Seq[String], inferSchema: Boolean = false): DataFrame = {
-    val r = spark.read.option("multiLine", "true")
+    val r = spark.read
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE") // Spark default, pinned on purpose
     (if (inferSchema) r else r.schema(matchSchema))
       .json(paths: _*)
       .withColumn("match_file", input_file_name())
   }
+
+  /** Rows with a parseable `innings` — the column every downstream
+    * consumer (deliveries, flatten staging) actually needs. Written
+    * against the schema actually present so the all-files-corrupt
+    * inference case (schema = only `_corrupt_record`) returns empty
+    * instead of throwing an unresolved-column error. Partial
+    * corruption (valid JSON, mistyped innings) is also dropped here —
+    * count `total - valid` for monitoring (Pipeline.runOnce does).
+    */
+  def validMatches(matches: DataFrame): DataFrame =
+    if (matches.columns.contains("innings")) matches.filter(col("innings").isNotNull)
+    else matches.limit(0)
 
   /** Ball-by-ball relation: one row per delivery, with match/innings/
     * over context — the staging table the reference's warehouse

@@ -40,11 +40,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(r3.stagedRows == 56 + 4)
     assert(!r3.hadDrift) // same schema as recorded version
 
+    // a corrupt file: staged rows exclude it, corrupt count surfaces,
+    // and the file is still marked processed (not retried forever)
+    zipOf(landing, "batch3.zip", Map("m4.json" -> "{ not json".getBytes("UTF-8")))
+    val r4 = Pipeline.runOnce(spark, landing, work)
+    assert(r4.newFiles == 1 && r4.corruptFiles == 1)
+    assert(r4.stagedRows == 60) // unchanged: null row filtered from staging
+    val r5 = Pipeline.runOnce(spark, landing, work)
+    assert(r5.newFiles == 0) // corrupt file not reprocessed
+
     // state table reflects all processed files with all flags set
     val state = spark.read.parquet(s"$work/state")
     import spark.implicits._
     val keys = state.select($"file_key").as[String].collect().sorted
-    assert(keys.toSeq == Seq("m1", "m2", "m3"))
+    assert(keys.toSeq == Seq("m1", "m2", "m3", "m4"))
     assert(state.filter(!$"loaded" || !$"transformed").count() == 0)
   }
 }

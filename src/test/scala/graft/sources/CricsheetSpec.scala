@@ -53,6 +53,20 @@ class CricsheetSpec extends SparkSpecBase {
     assert(flat.count() > 0)
   }
 
+  test("a corrupt match file degrades to a null row, not a job failure") {
+    val dir = tmpDir("corrupt_matches")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture("match_tiny.json")),
+      java.nio.file.Paths.get(dir, "good.json"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.json"), "{ this is not json !!")
+    val all = Cricsheet.readMatches(spark, dir)
+    assert(all.count() == 2) // corrupt file still yields a (null) row
+    val valid = Cricsheet.validMatches(all)
+    assert(valid.count() == 1)
+    assert(Cricsheet.deliveries(valid).count() == 2)
+  }
+
   test("drift report renders added/dropped/retyped sections") {
     val old = Cricsheet.readMatches(spark, matchesDir).select($"info.*").schema
     val neu = org.apache.spark.sql.types.StructType(
