@@ -4,8 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract → BENCH_r{N}.json).
-  * `count()` forces the full plan; AQE stays on (default) so skewed
-  * shuffles re-plan at runtime as they would on a cluster.
+  *
+  * Each query is forced with a `noop`-format write, not `count()`:
+  * under count(), ColumnPruning deletes every projection expression
+  * (regexps, UDFs, vector math) and EliminateSorts drops ORDER BYs, so
+  * scalar-heavy queries would measure only a parquet row count. The
+  * noop sink evaluates every output column of every row and discards
+  * them — the closest local analog to writing results out. AQE stays
+  * on (default) so skewed shuffles re-plan as they would on a cluster.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,7 +30,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

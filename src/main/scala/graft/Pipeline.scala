@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.{DriftReport, Flatten, SchemaDiff, StateMerge}
+import graft.operators.{ColumnMeta, DriftReport, Flatten, SchemaDiff, StateMerge}
 import graft.sources.{Cricsheet, Sinks, ZipIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's entire daily DAG (SURVEY.md §3.1: ingest → unzip
@@ -13,10 +14,17 @@ import org.apache.spark.sql.functions._
   * state table merged relationally.
   *
   * Each stage is a distributed operator: unzip fans out per-archive,
-  * new-file selection is an anti-join against the ledger, flatten is
-  * the fix-point plan builder, staging is partitioned parquet. Running
-  * it again with no new input is a no-op (exactly-once per file);
-  * running after new zips land processes only the delta.
+  * new-file selection is an anti-join against the ledger, extraction
+  * writes from the executors that already hold the bytes, flatten is
+  * the fix-point plan builder, staging is parquet partitioned by
+  * file_key. Running again with no new input is a no-op.
+  *
+  * Exactly-once: staging uses dynamic partition overwrite keyed by
+  * file_key, so re-processing a file replaces its own partition
+  * instead of appending a duplicate. A crash between the staging write
+  * and the ledger update therefore costs a re-run, never a
+  * double-count; losing the state dir mid-swap degrades to
+  * at-least-once processing over idempotent writes.
   */
 object Pipeline {
 
@@ -37,6 +45,23 @@ object Pipeline {
     }
   }
 
+  /** Executor-side extraction of one partition of (entry_name, bytes):
+    * parents created for nested entry names, and any name that
+    * resolves outside the extraction root (absolute, or `../` —
+    * zip-slip) fails the task loudly rather than writing elsewhere.
+    */
+  private def writeEntries(extractedRoot: String)(
+      it: Iterator[(String, Array[Byte])]): Unit = {
+    val root = java.nio.file.Paths.get(extractedRoot).normalize()
+    it.foreach { case (name, bytes) =>
+      val target = root.resolve(name).normalize()
+      require(target.startsWith(root) && target != root,
+        s"zip entry '$name' escapes the extraction dir (zip-slip)")
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.write(target, bytes)
+    }
+  }
+
   /** One incremental run.
     *
     * @param landingDir  dir of zip archives of match JSON (the S3 bucket)
@@ -50,51 +75,90 @@ object Pipeline {
     val schemaPath = s"$workDir/schema_log"
 
     // 1. unzip fan-out (S2), idempotent per entry: anti-join against
-    //    the ledger replaces the reference's per-file head_object loop
+    //    the ledger replaces the reference's per-file head_object loop.
+    //    file_key = entry path minus extension (dirs kept, so
+    //    2024/m1.json and 2025/m1.json stay distinct); when one run
+    //    sees the same key twice (re-delivery in a second archive, or
+    //    m1.json vs m1.txt), the lexicographically-last zip wins —
+    //    without this, extraction would race and the ledger would get
+    //    duplicate key rows.
     val entries = ZipIngest.unzipEntries(spark, landingDir)
       .withColumn("file_key", regexp_replace(col("entry_name"), "\\.[^.]*$", ""))
     val state = loadState(spark, statePath)
+    val latestWins = Window.partitionBy(col("file_key")).orderBy(col("zip_path").desc)
     val newEntries = StateMerge
       .notYetPresent(entries, state.select("file_key"))
+      .withColumn("_rn", row_number().over(latestWins))
+      .filter(col("_rn") === 1).drop("_rn")
       .persist()
     val nNew = newEntries.count()
 
     if (nNew == 0) {
-      val (had, msg) = (false, "no new files")
-      return RunResult(0, 0, msg, had)
+      newEntries.unpersist()
+      return RunResult(0, 0, "no new files", hadDrift = false)
     }
 
-    // 2. land extracted JSON (one file per match, like the json bucket)
+    // 2. land extracted JSON (one file per match, like the json
+    //    bucket), written by the executors that already hold the bytes
+    //    — no collect of file contents through the driver
+    val extRoot = new java.io.File(extractedDir).getAbsolutePath
     new java.io.File(extractedDir).mkdirs()
-    newEntries.select("entry_name", "content").collectAsList().forEach { r =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(extractedDir, r.getString(0)),
-        r.getAs[Array[Byte]](1))
-    }
+    newEntries.select("entry_name", "content").as[(String, Array[Byte])]
+      .foreachPartition(writeEntries(extRoot) _)
 
     // 3. read ONLY the new matches (the reference scopes its crawler
-    //    to new prefixes the same way) — explicit schema fast path —
-    //    + drift check against the last recorded schema version
+    //    to new prefixes the same way) — explicit schema fast path.
+    //    Names are metadata: collecting them (not contents) is fine.
     val newPaths = newEntries.select("entry_name").as[String].collect()
       .map(n => s"$extractedDir/$n").toSeq
     val allMatches = Cricsheet.readMatchFiles(spark, newPaths)
     // corrupt files degrade to null rows (PERMISSIVE) — filter them
     // out of staging and surface the count instead of failing the run
     val matches = Cricsheet.validMatches(allMatches)
-    val nCorrupt = allMatches.count() - matches.count()
-    val newCols = SchemaDiff.columns(matches.schema)
+    val nValid = matches.count()
+    val nCorrupt = allMatches.count() - nValid
+
+    // 3b. drift check = the reference's crawler + compare_schema
+    //     stage: INFER the schema of the new files (the explicit
+    //     matchSchema is a constant and can never drift) and diff its
+    //     leaves against the recorded log. Scoped inference cannot see
+    //     columns that merely don't occur in this batch, so 'dropped'
+    //     is expected noise — drift is added/retyped only, and the log
+    //     records the union (new type wins) like a crawler's catalog.
+    val inferred = Cricsheet.readMatchFiles(spark, newPaths, inferSchema = true).schema
+    val newCols = SchemaDiff.leafColumns(inferred)
+      .filterNot(c => c.name == "match_file" || c.name.startsWith("_corrupt_record"))
     val oldCols =
       if (new java.io.File(schemaPath).exists())
-        spark.read.parquet(schemaPath).as[operators.ColumnMeta].collect().toSeq
+        spark.read.parquet(schemaPath).as[ColumnMeta].collect().toSeq
       else newCols
     val diff = SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF())
-    val (hadDrift, driftMsg) = DriftReport.render(diff, "ipl_matches")
-    newCols.toDF().write.mode("overwrite").parquet(schemaPath)
+    val (hadDrift, driftMsg) =
+      DriftReport.render(diff.filter(col("change") =!= "dropped"), "ipl_matches")
+    val newNames = newCols.map(_.name).toSet
+    val unionCols = newCols ++ oldCols.filterNot(c => newNames.contains(c.name))
+    unionCols.toDF().write.mode("overwrite").parquet(schemaPath)
 
-    // 4. flatten + stage (S5). Append: prior runs' staging stays.
-    val flat = Flatten.flatten(matches.drop("match_file"), outer = true)
-    flat.write.mode("append").parquet(stagingDir)
-    val staged = spark.read.parquet(stagingDir).count()
+    // 4. flatten + stage (S5), partitioned by file_key with dynamic
+    //    partition overwrite: each file replaces exactly its own
+    //    partition, making the write idempotent under re-runs (and
+    //    partition-prunable downstream). Skipped when every new file
+    //    is corrupt — an empty write must not touch staging.
+    if (nValid > 0) {
+      val fileKey = regexp_replace(
+        regexp_extract(col("match_file"),
+          java.util.regex.Pattern.quote(extRoot) + "/(.*)$", 1),
+        "\\.[^.]*$", "")
+      val flat = Flatten
+        .flatten(matches.withColumn("file_key", fileKey).drop("match_file"), outer = true)
+      flat.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_key")
+        .parquet(stagingDir)
+    }
+    val staged =
+      if (new java.io.File(stagingDir).exists()) spark.read.parquet(stagingDir).count()
+      else 0L
 
     // 5. state update (S8): one relational merge flips all flags
     val updates = newEntries.select(col("file_key"))
@@ -103,16 +167,17 @@ object Pipeline {
       .withColumn("transformed", lit(true))
       .withColumn("loaded", lit(true))
     val merged = StateMerge.merge(state, updates)
-    // write via temp + swap (state is input and output of this run)
+    // write via temp + swap (state is input and output of this run);
+    // Files.move throws on failure instead of renameTo's silent false
     val tmp = s"$statePath.tmp"
     Sinks.stageParquet(merged, tmp)
-    val stateFile = new java.io.File(statePath)
-    if (stateFile.exists()) {
+    val stateDir = java.nio.file.Paths.get(statePath)
+    if (java.nio.file.Files.exists(stateDir)) {
       val old = new java.io.File(s"$statePath.old")
       if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      stateFile.renameTo(old)
+      java.nio.file.Files.move(stateDir, old.toPath)
     }
-    new java.io.File(tmp).renameTo(stateFile)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), stateDir)
 
     newEntries.unpersist()
     RunResult(nNew, staged, driftMsg, hadDrift, nCorrupt)

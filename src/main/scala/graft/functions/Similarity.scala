@@ -3,13 +3,22 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector-similarity and near-duplicate primitives (SURVEY.md §2.11).
+/** Vector-similarity and near-duplicate primitives (SURVEY.md §2.11)
+  * as a composable Column API.
   *
   * All computations use higher-order functions (`zip_with`,
-  * `aggregate`, `transform`) over `ArrayType` columns — codegen'd by
-  * Catalyst, no UDFs — and md5 as the hash family so a DuckDB oracle
-  * can reproduce results bit-for-bit (md5 is engine-agnostic, unlike
-  * Murmur3 `hash()` whose seeds differ across engines).
+  * `aggregate`, `transform`) over `ArrayType` columns — no UDFs — and
+  * md5 as the hash family so a DuckDB oracle can reproduce results
+  * bit-for-bit (md5 is engine-agnostic, unlike Murmur3 `hash()` whose
+  * seeds differ across engines).
+  *
+  * This module is the *specification* of the hash family: `minhash` /
+  * `bandKey` here produce exactly the same strings as the relational
+  * LSH pipeline in `graft.queries.LlmQueries` (which trades the
+  * array-at-a-time shape for posexplode + window shingling and a
+  * grouped min — the form that scales past per-row arrays), and
+  * `dot`/`cosine` match the codegen'd `FloatVecDot` expression.
+  * `SimilaritySpec` pins both equivalences.
   */
 object Similarity {
 
@@ -39,13 +48,20 @@ object Similarity {
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** MinHash signature value for permutation `seed`: the
-    * lexicographic minimum of md5("seed:" ++ shingle). String-min is
-    * total-ordered identically in every engine, so no integer hash
-    * conversion is needed.
+  /** MinHash signature value for permutation `perm`: the
+    * lexicographic minimum over shingles of an 8-hex-char slice of
+    * md5("seed:" ++ shingle), where seed = perm/4 and the slice is
+    * perm%4 — four permutations per md5, so 8 permutations cost two
+    * hashes per shingle. String-min is total-ordered identically in
+    * every engine, so no hex→integer conversion is needed. Identical
+    * to the construction in LlmQueries.bandTable / its DuckDB oracle.
     */
-  def minhash(shinglesCol: Column, seed: Int): Column =
-    array_min(transform(shinglesCol, s => md5(concat(lit(s"$seed:"), s))))
+  def minhash(shinglesCol: Column, perm: Int): Column = {
+    val seed = perm / 4
+    val off = 1 + 8 * (perm % 4)
+    array_min(transform(shinglesCol, s =>
+      substring(md5(concat(lit(s"$seed:"), s)), off, 8)))
+  }
 
   /** LSH band key: concatenation of `rowsPerBand` adjacent minhash
     * values starting at permutation `bandStart`. Docs sharing any band

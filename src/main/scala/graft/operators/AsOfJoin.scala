@@ -43,7 +43,9 @@ object AsOfJoin {
       (col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).cast(payloadType).as("_payload") +:
         leftCols.map(col)): _*)
-    val rNorm = right.select(
+    // a NULL right time can never satisfy rightTime <= leftTime; left
+    // in, it would sort first (nulls-first) and leak its payload
+    val rNorm = right.filter(col(rightTime).isNotNull).select(
       (col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         payloadCol.as("_payload") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

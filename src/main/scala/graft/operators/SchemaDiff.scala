@@ -27,6 +27,26 @@ object SchemaDiff {
   def columns(st: StructType): Seq[ColumnMeta] =
     st.fields.toSeq.map(f => ColumnMeta(f.name, f.dataType.simpleString))
 
+  /** Leaf columns of a (possibly nested) StructType as dotted paths —
+    * `info.event.name: string`, `innings[].overs[].over: bigint`.
+    * Nominal top-level comparison is useless for nested JSON: any new
+    * leaf anywhere inside `info` changes the whole struct's type
+    * string, reporting "retyped info" instead of "added
+    * info.event.group". Drift over leaves pinpoints the actual change,
+    * like the reference's crawler catalog does for flattened columns.
+    * Maps are leaves (data-dependent keys are data, not schema).
+    */
+  def leafColumns(st: StructType): Seq[ColumnMeta] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType}
+    def walk(prefix: String, dt: DataType): Seq[ColumnMeta] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => walk(s"$prefix.${f.name}", f.dataType))
+      case a: ArrayType => walk(s"$prefix[]", a.elementType)
+      case other => Seq(ColumnMeta(prefix, other.simpleString))
+    }
+    st.fields.toSeq.flatMap(f => walk(f.name, f.dataType))
+  }
+
   /** Relational diff of two column-metadata tables. Inputs must have
     * columns (name, dataType). Output: (name, change, old_type,
     * new_type) where change ∈ added|dropped|retyped|unchanged.

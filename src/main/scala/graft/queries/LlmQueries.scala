@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{Similarity, TextFunctions => TF}
 import graft.plans.VecFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -78,7 +78,7 @@ object LlmQueries {
     */
   private def duckCos(a: String, b: String): String = {
     def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
     val nn = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${dot(a, b)} / $nn END)"
   }
@@ -100,23 +100,31 @@ object LlmQueries {
   }
 
   /** Persisted (doc_id, band, key) LSH table: 2 md5s per shingle,
-    * sliced into 8 permutations, min-aggregated, 4 bands × 2 rows.
+    * sliced into 8 permutations (the relational form of
+    * [[Similarity.minhash]] — same strings), min-aggregated,
+    * 4 bands × 2 rows. Memoized per (session, dir): minhash_dedup and
+    * ngram_jaccard in one Verify/Bench loop share one cached table
+    * instead of each persisting a fresh copy that is never released.
     */
-  private def bandTable(docs: DataFrame): DataFrame = {
-    val hashes = shingleRows(docs).select(col("doc_id"),
-      md5(concat(lit("0:"), col("sh"))).as("h0"),
-      md5(concat(lit("1:"), col("sh"))).as("h1"))
-    val perms = (0 until 8).map { i =>
-      val src = if (i < 4) "h0" else "h1"
-      min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"p$i")
-    }
-    val sigs = hashes.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
-    sigs.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          concat_ws("|", col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*))
-          .as(Seq("band", "key")))
-      .persist()
-  }
+  private val bandCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    bandCache.getOrElseUpdate((s, d), {
+      val hashes = shingleRows(Tables.documents(s, d)).select(col("doc_id"),
+        md5(concat(lit("0:"), col("sh"))).as("h0"),
+        md5(concat(lit("1:"), col("sh"))).as("h1"))
+      val perms = (0 until 8).map { i =>
+        val src = if (i < 4) "h0" else "h1"
+        min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"p$i")
+      }
+      val sigs = hashes.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
+      sigs.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            concat_ws("|", col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*))
+            .as(Seq("band", "key")))
+        .persist()
+    })
 
   /** Candidate near-dup pairs from the persisted band table. */
   private def candidatePairs(bands: DataFrame): DataFrame =
@@ -200,7 +208,7 @@ object LlmQueries {
     // band key become candidate pairs via a keyed self-join.
     "minhash_dedup" -> ((s, d) => {
       import s.implicits._
-      candidatePairs(bandTable(Tables.documents(s, d))).orderBy($"doc_a", $"doc_b")
+      candidatePairs(bandTable(s, d)).orderBy($"doc_a", $"doc_b")
     }),
 
     // SimHash (16-bit) over shingle md5s; hex digits decoded via
@@ -230,17 +238,14 @@ object LlmQueries {
     // sets — the classic candidate→verify near-dup pipeline.
     "ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val shSets = shingleRows(docs)
+      val shSets = shingleRows(Tables.documents(s, d))
         .groupBy($"doc_id").agg(collect_set($"sh").as("shs"))
-      val cand = candidatePairs(bandTable(docs))
-      val inter = size(array_intersect($"sh_a", $"sh_b")).cast("double")
-      val uni = size(array_union($"sh_a", $"sh_b")).cast("double")
+      val cand = candidatePairs(bandTable(s, d))
       cand
         .join(shSets.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), Seq("doc_a"))
         .join(shSets.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), Seq("doc_b"))
         .select($"doc_a", $"doc_b",
-          when(uni === 0.0, 0.0).otherwise(inter / uni).as("jacc"))
+          Similarity.jaccard($"sh_a", $"sh_b").as("jacc"))
         .filter($"jacc" >= 0.4)
         .orderBy($"doc_a", $"doc_b")
     }),

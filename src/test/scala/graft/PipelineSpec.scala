@@ -49,11 +49,64 @@ class PipelineSpec extends SparkSpecBase {
     val r5 = Pipeline.runOnce(spark, landing, work)
     assert(r5.newFiles == 0) // corrupt file not reprocessed
 
+    // same-run file_key collision (re-delivery in a second archive):
+    // exactly one survives the dedupe, no double-staging, one ledger
+    // row; nested entry names extract with their directories intact
+    zipOf(landing, "batch4a.zip", Map("m5.json" -> tiny))
+    zipOf(landing, "batch4b.zip", Map("m5.json" -> tiny, "2024/m6.json" -> tiny))
+    val r6 = Pipeline.runOnce(spark, landing, work)
+    assert(r6.newFiles == 2) // m5 deduped to one, plus 2024/m6
+    assert(r6.stagedRows == 60 + 4 + 4)
+
+    // genuine schema drift: a new leaf appears inside info → detected
+    // (added), reported by dotted path, and staging still succeeds on
+    // the explicit-schema fast path
+    val drifted = new String(tiny, "UTF-8").replace(
+      "\"balls_per_over\": 6,",
+      "\"balls_per_over\": 6, \"forfeited_overs\": 2,")
+    zipOf(landing, "batch5.zip", Map("m7.json" -> drifted.getBytes("UTF-8")))
+    val r7 = Pipeline.runOnce(spark, landing, work)
+    assert(r7.hadDrift)
+    assert(r7.driftReport.contains("info.forfeited_overs"))
+    // drift is recorded: the same shape again is no longer drift
+    zipOf(landing, "batch6.zip", Map("m8.json" -> drifted.getBytes("UTF-8")))
+    val r8 = Pipeline.runOnce(spark, landing, work)
+    assert(!r8.hadDrift)
+
     // state table reflects all processed files with all flags set
     val state = spark.read.parquet(s"$work/state")
     import spark.implicits._
     val keys = state.select($"file_key").as[String].collect().sorted
-    assert(keys.toSeq == Seq("m1", "m2", "m3", "m4"))
+    assert(keys.toSeq == Seq("2024/m6", "m1", "m2", "m3", "m4", "m5", "m7", "m8"))
     assert(state.filter(!$"loaded" || !$"transformed").count() == 0)
+
+    // exactly-once survives a crash between staging write and ledger
+    // update: deleting the ledger rows for m1/m2 (simulating the
+    // crash) and re-running re-stages them into their own partitions —
+    // same total, no duplicates
+    val before = spark.read.parquet(s"$work/staging").count()
+    val pruned = state.filter(!$"file_key".isin("m1", "m2"))
+    val tmp = s"$work/state_pruned"
+    pruned.write.parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$work/state"))
+    new java.io.File(tmp).renameTo(new java.io.File(s"$work/state"))
+    val r9 = Pipeline.runOnce(spark, landing, work)
+    assert(r9.newFiles == 2)
+    assert(r9.stagedRows == before) // overwrote their partitions, not appended
+  }
+
+  test("zip-slip entry names fail the run instead of writing outside the work dir") {
+    val landing = tmpDir("slip_landing")
+    val work = tmpDir("slip_work")
+    val tiny = Files.readAllBytes(Paths.get(fixture("match_tiny.json")))
+    zipOf(landing, "evil.zip", Map("../evil.json" -> tiny))
+    val e = intercept[Exception] {
+      Pipeline.runOnce(spark, landing, work)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("zip-slip")))
+    // ../evil.json relative to work/extracted would land in work itself
+    assert(!new java.io.File(s"$work/evil.json").exists())
   }
 }

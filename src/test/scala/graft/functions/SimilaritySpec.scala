@@ -45,6 +45,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sig(1L) != sig(3L))
   }
 
+  test("column-API band keys equal the relational LSH pipeline's") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val colApi = docs
+      .select($"doc_id", Similarity.shingles(TextFunctions.tokens($"text"), 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id",
+        posexplode(array((0 until 4).map(b =>
+          Similarity.bandKey($"sh", 2 * b, 2)): _*)).as(Seq("band", "key")))
+    val relational = graft.queries.LlmQueries.bandTable(spark, dir)
+    assert(colApi.exceptAll(relational).isEmpty)
+    assert(relational.exceptAll(colApi).isEmpty)
+  }
+
+  test("higher-order dot/cosine equal the codegen'd FloatVecDot path") {
+    val dir = "/root/testdata/sf0.001"
+    graft.plans.VecFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, dir).limit(200)
+    val maxDiff = e.select(
+      abs(Similarity.dot($"embedding", $"embedding")
+        - graft.plans.VecFunctions.vecDot($"embedding", $"embedding")).as("d"))
+      .agg(max($"d")).head.getDouble(0)
+    assert(maxDiff == 0.0) // same double ops in the same order
+  }
+
   test("approx_count_distinct stays within 10% of exact on lineitem") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val exact = li.select(countDistinct($"l_partkey")).head.getLong(0).toDouble
