@@ -44,6 +44,65 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", col("text").cast("binary"))
 
+  /** STUB feature extraction: deterministic pseudo-embedding from the
+    * payload (a real implementation would run a vision/audio encoder
+    * on the decoded media). Fixed output dimension, unit-independent
+    * of input size — the shape downstream ANN operators expect.
+    */
+  def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val h = md.digest((i + ":").getBytes("UTF-8") ++ bytes)
+      md.reset()
+      // first 4 digest bytes → [0,1) float, deterministic per (i, payload)
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      (v.toDouble / (1L << 32).toDouble).toFloat
+    }
+  }
+
+  /** STUB resize: a real implementation would decode, scale to
+    * (w, h), re-encode; the stub truncates/pads the payload to a size
+    * proportional to the target area so output sizes are plausible.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, (w * h) / 4)
+    if (bytes.length >= target) bytes.take(target)
+    else bytes ++ Array.fill[Byte](target - bytes.length)(0)
+  }
+
+  /** Feature-extraction stage: (doc_id, payload) → (doc_id, embedding)
+    * in per-partition batches — one encoder init per partition, rows
+    * streamed through it. Output matches the `embeddings` table shape
+    * so the ANN queries (cosine_topk, knn_*) compose directly.
+    */
+  def extractFeatures(withPayloadDf: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // encoder/model load would go here, once per partition
+        iter.map { case (id, bytes) => (id, featureStub(bytes, dim)) }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
+  /** Resize stage: binary → binary, partition-preserving. */
+  def resizeAll(withPayloadDf: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // codec init once per partition
+        iter.map { case (id, bytes) => (id, resizeStub(bytes, w, h)) }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Batch decode: mapPartitions over (doc_id, payload) so codec
     * setup happens once per partition. Returns a typed Dataset.
     */

@@ -11,6 +11,19 @@ import Q._
 object ExtraQueries {
 
   val defs: Map[String, QueryFn] = Map(
+    // cross-tab: segments pivoted to columns with an explicit value
+    // list, so the plan is a single pass (no distinct-values job) and
+    // the output schema is scale-independent
+    "agg_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(dsum($"c_acctbal"))
+        .orderBy($"c_nationkey")
+    }),
+
     "agg_cube" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -112,6 +125,17 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val cols = segs.map(seg =>
+        s"""CAST(sum(CASE WHEN c_mktsegment = '$seg'
+           |  THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "$seg"""".stripMargin)
+        .mkString(",\n ")
+      s"""SELECT c_nationkey,
+         | $cols
+         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    },
+
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -65,6 +65,35 @@ object WindowSetQueries {
         .orderBy($"o_custkey", $"version_rank")
     }),
 
+    // distribution ranks: ntile buckets plus percent_rank/cume_dist —
+    // both are single IEEE divisions of window counts, so values are
+    // bit-identical across engines without rounding.
+    "window_ntile" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy($"c_nationkey", $"c_custkey")
+    }),
+
+    // frame-boundary analytics over the whole partition: first/last/
+    // nth order value per customer (frame pinned to the full partition
+    // — last_value under the default frame would just echo the row).
+    "window_first_last" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_totalprice").over(w).as("first_price"),
+          last($"o_totalprice").over(w).as("last_price"),
+          nth_value($"o_totalprice", 2).over(w).as("second_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     "set_union" -> ((s, d) => {
       import s.implicits._
       val a = Tables.customer(s, d).filter($"c_mktsegment" === "AUTOMOBILE")
@@ -126,6 +155,25 @@ object WindowSetQueries {
         |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS version_rank
         |  FROM orders) t
         |WHERE version_rank <= 5 ORDER BY o_custkey, version_rank""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price,
+        | nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "set_union" ->
       """SELECT c_custkey AS key, 'auto' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
