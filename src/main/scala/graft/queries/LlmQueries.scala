@@ -134,6 +134,40 @@ object LlmQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  // ---- random-hyperplane LSH (sign of projection) ---------------------
+
+  /** Signature bits: few enough that buckets stay populated (2^6 = 64
+    * buckets), so multi-probe at Hamming distance 1 scans ~7/64 of the
+    * corpus per query instead of all of it.
+    */
+  private[graft] val LshBits = 6
+
+  /** Deterministic pseudo-random hyperplane for signature bit `bit`:
+    * each component derives from md5(bit:i) mapped to [-0.5, 0.5).
+    * Seeded hashing (not a PRNG) so every executor, run, and the test
+    * suite agree on the planes without sharing state.
+    */
+  private[graft] def hyperplane(bit: Int, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val h = md.digest(s"$bit:$i".getBytes("UTF-8"))
+      md.reset()
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      (v.toDouble / (1L << 32).toDouble - 0.5).toFloat
+    }
+  }
+
+  /** Packed signature: bit r set iff the embedding's projection onto
+    * hyperplane r is positive. Near-identical vectors agree on most
+    * bits, so they land in the same (or Hamming-adjacent) bucket.
+    */
+  private[graft] def lshSignature(emb: Column, dim: Int): Column =
+    (0 until LshBits).map { r =>
+      val plane = array(hyperplane(r, dim).toIndexedSeq.map(lit(_)): _*)
+      when(VecFunctions.vecDot(emb, plane) > 0.0, lit(1 << r)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Embeddings with the vector norm precomputed once per vector. */
   private def withNorm(e: DataFrame): DataFrame = {
     VecFunctions.register(e.sparkSession)
@@ -329,6 +363,34 @@ object LlmQueries {
         .select($"q_id", $"q_emb", $"q_nrm", $"label")
       val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
       broadcast(probes).join(e, Seq("label"))
+        .filter($"q_id" =!= $"vec_id")
+        .select($"q_id", $"vec_id",
+          rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    // Random-hyperplane LSH ANN — the second bucketed scale path next
+    // to IVF: signatures partition the corpus into 2^6 buckets, each
+    // query multi-probes its own bucket plus the 6 at Hamming distance
+    // 1, and the join is a keyed equi-join on the signature. Exact
+    // *within* the probed buckets (deterministic given the seeded
+    // hyperplanes); approximate overall → no SQL oracle, QueriesSpec
+    // pins bucket discipline, in-bucket completeness and ranking.
+    "knn_lsh" -> ((s, d) => {
+      import s.implicits._
+      val dim = 64 // testdata embedding dimension (FIXTURES.md)
+      val e = withNorm(Tables.embeddings(s, d))
+        .withColumn("sig", lshSignature($"embedding", dim))
+      val probeSigs = array((Seq(0) ++ (0 until LshBits).map(1 << _))
+        .map(m => $"sig".bitwiseXOR(lit(m))): _*)
+      val q = broadcast(e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"),
+          explode(probeSigs).as("probe")))
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+      q.join(e, $"probe" === $"sig")
         .filter($"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id",
           rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))

@@ -52,4 +52,46 @@ class QueriesSpec extends SparkSpecBase {
         assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }))
     }
   }
+
+  // LSH is exact WITHIN the probed buckets, so the whole result is
+  // deterministic: recompute it on the driver (same seeded planes,
+  // same left-to-right double accumulation as FloatVecDot) and demand
+  // set equality — bucket discipline, completeness and ranking in one.
+  test("knn_lsh equals exact top-5 restricted to Hamming<=1 buckets") {
+    val dim = 64
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.toArray }.toMap
+    val planes = (0 until LlmQueries.LshBits).map(LlmQueries.hyperplane(_, dim))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val sig = vecs.map { case (id, e) =>
+      id -> (0 until LlmQueries.LshBits)
+        .map(r => if (dot(e, planes(r)) > 0.0) 1 << r else 0).sum
+    }
+    val nrm = vecs.map { case (id, e) => id -> math.sqrt(dot(e, e)) }
+    def cos(a: Long, b: Long): Double = {
+      val nn = nrm(a) * nrm(b)
+      if (nn == 0.0) 0.0 else dot(vecs(a), vecs(b)) / nn
+    }
+    val expected = (for {
+      q <- vecs.keys.toSeq.filter(_ < 100)
+      top = vecs.keys.toSeq
+        .filter(c => c != q && Integer.bitCount(sig(q) ^ sig(c)) <= 1)
+        .map(c => (c, rnd6(cos(q, c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).zipWithIndex
+      ((c, s), i) <- top
+    } yield (q, c, i + 1, s)).toSet
+    val got = SparkEntry.queries("knn_lsh")(spark, sf)
+      .select($"q_id", $"neighbor_id", $"rn", $"cos_sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == expected,
+      s"diff got-expected=${(got -- expected).take(5)} expected-got=${(expected -- got).take(5)}")
+  }
 }
