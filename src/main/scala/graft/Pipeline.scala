@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Each stage is a distributed operator: unzip fans out per-archive,
   * new-file selection is an anti-join against the ledger, extraction
-  * writes from the executors that already hold the bytes, flatten is
-  * the fix-point plan builder, staging is parquet partitioned by
+  * writes from the executors that already hold the bytes (via the
+  * Hadoop FileSystem API — in a cluster deployment `workDir` must be
+  * a shared filesystem / object store, exactly like any Spark output
+  * path; local mode satisfies this trivially), flatten is the
+  * fix-point plan builder, staging is parquet partitioned by
   * file_key. Running again with no new input is a no-op.
   *
   * Exactly-once: staging uses dynamic partition overwrite keyed by
@@ -35,6 +38,12 @@ object Pipeline {
       hadDrift: Boolean,
       corruptFiles: Long = 0)
 
+  /** Strip the extension of the final path segment only — a dot in a
+    * directory name must not swallow the rest of the path (and with it
+    * distinct files' identities).
+    */
+  private val ExtensionRe = "\\.[^./]*$"
+
   private def loadState(spark: SparkSession, statePath: String): DataFrame = {
     val p = new java.io.File(statePath)
     if (p.exists() && p.listFiles() != null && p.listFiles().nonEmpty)
@@ -45,20 +54,25 @@ object Pipeline {
     }
   }
 
-  /** Executor-side extraction of one partition of (entry_name, bytes):
-    * parents created for nested entry names, and any name that
-    * resolves outside the extraction root (absolute, or `../` —
-    * zip-slip) fails the task loudly rather than writing elsewhere.
+  /** Executor-side extraction of one partition of (entry_name, bytes)
+    * through the Hadoop FileSystem API, so `extractedRoot` may be any
+    * supported scheme (local path, hdfs://, s3a://); parent dirs are
+    * created implicitly. Entry names that would escape the extraction
+    * root (absolute, or `../` — zip-slip) fail the task loudly rather
+    * than writing elsewhere.
     */
   private def writeEntries(extractedRoot: String)(
       it: Iterator[(String, Array[Byte])]): Unit = {
-    val root = java.nio.file.Paths.get(extractedRoot).normalize()
+    val conf = new org.apache.hadoop.conf.Configuration()
     it.foreach { case (name, bytes) =>
-      val target = root.resolve(name).normalize()
-      require(target.startsWith(root) && target != root,
+      val rel = java.nio.file.Paths.get(name).normalize()
+      require(!rel.isAbsolute && !rel.startsWith(".."),
         s"zip entry '$name' escapes the extraction dir (zip-slip)")
-      java.nio.file.Files.createDirectories(target.getParent)
-      java.nio.file.Files.write(target, bytes)
+      val target = new org.apache.hadoop.fs.Path(extractedRoot, rel.toString)
+      val fs = target.getFileSystem(conf)
+      val out = fs.create(target, true)
+      try out.write(bytes)
+      finally out.close()
     }
   }
 
@@ -79,107 +93,113 @@ object Pipeline {
     //    file_key = entry path minus extension (dirs kept, so
     //    2024/m1.json and 2025/m1.json stay distinct); when one run
     //    sees the same key twice (re-delivery in a second archive, or
-    //    m1.json vs m1.txt), the lexicographically-last zip wins —
-    //    without this, extraction would race and the ledger would get
-    //    duplicate key rows.
+    //    m1.json vs m1.txt), the lexicographically-last (zip, entry)
+    //    wins — the ordering includes entry_name so same-archive
+    //    collisions resolve deterministically too.
     val entries = ZipIngest.unzipEntries(spark, landingDir)
-      .withColumn("file_key", regexp_replace(col("entry_name"), "\\.[^.]*$", ""))
+      .withColumn("file_key", regexp_replace(col("entry_name"), ExtensionRe, ""))
     val state = loadState(spark, statePath)
-    val latestWins = Window.partitionBy(col("file_key")).orderBy(col("zip_path").desc)
+    val latestWins = Window.partitionBy(col("file_key"))
+      .orderBy(col("zip_path").desc, col("entry_name").desc)
     val newEntries = StateMerge
       .notYetPresent(entries, state.select("file_key"))
       .withColumn("_rn", row_number().over(latestWins))
       .filter(col("_rn") === 1).drop("_rn")
       .persist()
-    val nNew = newEntries.count()
+    try {
+      val nNew = newEntries.count()
+      if (nNew == 0) return RunResult(0, 0, "no new files", hadDrift = false)
 
-    if (nNew == 0) {
-      newEntries.unpersist()
-      return RunResult(0, 0, "no new files", hadDrift = false)
-    }
+      // 2. land extracted JSON (one file per match, like the json
+      //    bucket), written by the executors that already hold the
+      //    bytes — no collect of file contents through the driver
+      val extRoot = new java.io.File(extractedDir).getAbsolutePath
+      new java.io.File(extractedDir).mkdirs()
+      newEntries.select("entry_name", "content").as[(String, Array[Byte])]
+        .foreachPartition(writeEntries(extRoot) _)
 
-    // 2. land extracted JSON (one file per match, like the json
-    //    bucket), written by the executors that already hold the bytes
-    //    — no collect of file contents through the driver
-    val extRoot = new java.io.File(extractedDir).getAbsolutePath
-    new java.io.File(extractedDir).mkdirs()
-    newEntries.select("entry_name", "content").as[(String, Array[Byte])]
-      .foreachPartition(writeEntries(extRoot) _)
+      // 3. read ONLY the new matches (the reference scopes its crawler
+      //    to new prefixes the same way) — explicit schema fast path.
+      //    Names are metadata: collecting them (not contents) is fine.
+      val newPaths = newEntries.select("entry_name").as[String].collect()
+        .map(n => s"$extractedDir/$n").toSeq
+      val allMatches = Cricsheet.readMatchFiles(spark, newPaths)
+      // corrupt files degrade to null rows (PERMISSIVE) — filter them
+      // out of staging and surface the count instead of failing the run
+      val matches = Cricsheet.validMatches(allMatches)
+      val nValid = matches.count()
+      val nCorrupt = allMatches.count() - nValid
 
-    // 3. read ONLY the new matches (the reference scopes its crawler
-    //    to new prefixes the same way) — explicit schema fast path.
-    //    Names are metadata: collecting them (not contents) is fine.
-    val newPaths = newEntries.select("entry_name").as[String].collect()
-      .map(n => s"$extractedDir/$n").toSeq
-    val allMatches = Cricsheet.readMatchFiles(spark, newPaths)
-    // corrupt files degrade to null rows (PERMISSIVE) — filter them
-    // out of staging and surface the count instead of failing the run
-    val matches = Cricsheet.validMatches(allMatches)
-    val nValid = matches.count()
-    val nCorrupt = allMatches.count() - nValid
+      // 3b. drift check = the reference's crawler + compare_schema
+      //     stage: INFER the schema of the new files (the explicit
+      //     matchSchema is a constant and can never drift) and diff its
+      //     leaves against the recorded log. Scoped inference cannot see
+      //     columns that merely don't occur in this batch, so 'dropped'
+      //     is expected noise — drift is added/retyped only, and the log
+      //     records the union (new type wins) like a crawler's catalog.
+      val inferred = Cricsheet.readMatchFiles(spark, newPaths, inferSchema = true).schema
+      val newCols = SchemaDiff.leafColumns(inferred)
+        .filterNot(c => c.name == "match_file" || c.name.startsWith("_corrupt_record"))
+      val oldCols =
+        if (new java.io.File(schemaPath).exists())
+          spark.read.parquet(schemaPath).as[ColumnMeta].collect().toSeq
+        else newCols
+      val diff = SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF())
+      val (hadDrift, driftMsg) =
+        DriftReport.render(diff.filter(col("change") =!= "dropped"), "ipl_matches")
+      val newNames = newCols.map(_.name).toSet
+      val unionCols = newCols ++ oldCols.filterNot(c => newNames.contains(c.name))
+      unionCols.toDF().write.mode("overwrite").parquet(schemaPath)
 
-    // 3b. drift check = the reference's crawler + compare_schema
-    //     stage: INFER the schema of the new files (the explicit
-    //     matchSchema is a constant and can never drift) and diff its
-    //     leaves against the recorded log. Scoped inference cannot see
-    //     columns that merely don't occur in this batch, so 'dropped'
-    //     is expected noise — drift is added/retyped only, and the log
-    //     records the union (new type wins) like a crawler's catalog.
-    val inferred = Cricsheet.readMatchFiles(spark, newPaths, inferSchema = true).schema
-    val newCols = SchemaDiff.leafColumns(inferred)
-      .filterNot(c => c.name == "match_file" || c.name.startsWith("_corrupt_record"))
-    val oldCols =
-      if (new java.io.File(schemaPath).exists())
-        spark.read.parquet(schemaPath).as[ColumnMeta].collect().toSeq
-      else newCols
-    val diff = SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF())
-    val (hadDrift, driftMsg) =
-      DriftReport.render(diff.filter(col("change") =!= "dropped"), "ipl_matches")
-    val newNames = newCols.map(_.name).toSet
-    val unionCols = newCols ++ oldCols.filterNot(c => newNames.contains(c.name))
-    unionCols.toDF().write.mode("overwrite").parquet(schemaPath)
+      // 4. flatten + stage (S5), partitioned by file_key with dynamic
+      //    partition overwrite: each file replaces exactly its own
+      //    partition, making the write idempotent under re-runs (and
+      //    partition-prunable downstream). Skipped when every new file
+      //    is corrupt — an empty write must not touch staging.
+      if (nValid > 0) {
+        // input_file_name() is a percent-encoded URI; decode it before
+        // stripping the extraction root, or any encodable character in
+        // workDir ('%', space, …) makes the prefix never match and
+        // every row collapses into one empty partition key. url_decode
+        // also maps '+' to space (form encoding), so literal '+' is
+        // pre-escaped to %2B.
+        val decodedPath =
+          url_decode(regexp_replace(col("match_file"), "\\+", "%2B"))
+        val fileKey = regexp_replace(
+          regexp_extract(decodedPath,
+            java.util.regex.Pattern.quote(extRoot) + "/(.*)$", 1),
+          ExtensionRe, "")
+        val flat = Flatten
+          .flatten(matches.withColumn("file_key", fileKey).drop("match_file"), outer = true)
+        flat.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("file_key")
+          .parquet(stagingDir)
+      }
+      val staged =
+        if (new java.io.File(stagingDir).exists()) spark.read.parquet(stagingDir).count()
+        else 0L
 
-    // 4. flatten + stage (S5), partitioned by file_key with dynamic
-    //    partition overwrite: each file replaces exactly its own
-    //    partition, making the write idempotent under re-runs (and
-    //    partition-prunable downstream). Skipped when every new file
-    //    is corrupt — an empty write must not touch staging.
-    if (nValid > 0) {
-      val fileKey = regexp_replace(
-        regexp_extract(col("match_file"),
-          java.util.regex.Pattern.quote(extRoot) + "/(.*)$", 1),
-        "\\.[^.]*$", "")
-      val flat = Flatten
-        .flatten(matches.withColumn("file_key", fileKey).drop("match_file"), outer = true)
-      flat.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("file_key")
-        .parquet(stagingDir)
-    }
-    val staged =
-      if (new java.io.File(stagingDir).exists()) spark.read.parquet(stagingDir).count()
-      else 0L
+      // 5. state update (S8): one relational merge flips all flags
+      val updates = newEntries.select(col("file_key"))
+        .withColumn("ingested", lit(true))
+        .withColumn("crawled", lit(true))
+        .withColumn("transformed", lit(true))
+        .withColumn("loaded", lit(true))
+      val merged = StateMerge.merge(state, updates)
+      // write via temp + swap (state is input and output of this run);
+      // Files.move throws on failure instead of renameTo's silent false
+      val tmp = s"$statePath.tmp"
+      Sinks.stageParquet(merged, tmp)
+      val stateDir = java.nio.file.Paths.get(statePath)
+      if (java.nio.file.Files.exists(stateDir)) {
+        val old = new java.io.File(s"$statePath.old")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        java.nio.file.Files.move(stateDir, old.toPath)
+      }
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), stateDir)
 
-    // 5. state update (S8): one relational merge flips all flags
-    val updates = newEntries.select(col("file_key"))
-      .withColumn("ingested", lit(true))
-      .withColumn("crawled", lit(true))
-      .withColumn("transformed", lit(true))
-      .withColumn("loaded", lit(true))
-    val merged = StateMerge.merge(state, updates)
-    // write via temp + swap (state is input and output of this run);
-    // Files.move throws on failure instead of renameTo's silent false
-    val tmp = s"$statePath.tmp"
-    Sinks.stageParquet(merged, tmp)
-    val stateDir = java.nio.file.Paths.get(statePath)
-    if (java.nio.file.Files.exists(stateDir)) {
-      val old = new java.io.File(s"$statePath.old")
-      if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      java.nio.file.Files.move(stateDir, old.toPath)
-    }
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), stateDir)
-
-    newEntries.unpersist()
-    RunResult(nNew, staged, driftMsg, hadDrift, nCorrupt)
+      RunResult(nNew, staged, driftMsg, hadDrift, nCorrupt)
+    } finally newEntries.unpersist()
   }
 }

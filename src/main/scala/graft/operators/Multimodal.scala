@@ -52,12 +52,7 @@ object Multimodal {
   def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
-      val h = md.digest((i + ":").getBytes("UTF-8") ++ bytes)
-      md.reset()
-      // first 4 digest bytes → [0,1) float, deterministic per (i, payload)
-      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
-      (v.toDouble / (1L << 32).toDouble).toFloat
+      graft.functions.Hashing.md5UnitFloat(md, s"$i:".getBytes("UTF-8") ++ bytes)
     }
   }
 

@@ -109,7 +109,22 @@ object LlmQueries {
   private val bandCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  /** Drop cached band tables (all, or one session's). Needed when the
+    * documents parquet under a cached dir is regenerated mid-session —
+    * like Spark's own table cache, the memoized table does not watch
+    * the files — or before discarding a long-lived session.
+    */
+  def clearBandCache(session: Option[org.apache.spark.sql.SparkSession] = None): Unit =
+    bandCache.keys
+      .filter(k => session.forall(_ eq k._1))
+      .foreach(k => bandCache.remove(k).foreach { df =>
+        if (!k._1.sparkContext.isStopped) df.unpersist()
+      })
+
+  private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // entries of stopped sessions are unreachable garbage — drop them
+    // so the cache cannot grow across session restarts
+    bandCache.keys.filter(_._1.sparkContext.isStopped).foreach(bandCache.remove)
     bandCache.getOrElseUpdate((s, d), {
       val hashes = shingleRows(Tables.documents(s, d)).select(col("doc_id"),
         md5(concat(lit("0:"), col("sh"))).as("h0"),
@@ -125,6 +140,7 @@ object LlmQueries {
             .as(Seq("band", "key")))
         .persist()
     })
+  }
 
   /** Candidate near-dup pairs from the persisted band table. */
   private def candidatePairs(bands: DataFrame): DataFrame =
@@ -150,11 +166,7 @@ object LlmQueries {
   private[graft] def hyperplane(bit: Int, dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
-      val h = md.digest(s"$bit:$i".getBytes("UTF-8"))
-      md.reset()
-      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
-      (v.toDouble / (1L << 32).toDouble - 0.5).toFloat
+      graft.functions.Hashing.md5UnitFloat(md, s"$bit:$i".getBytes("UTF-8")) - 0.5f
     }
   }
 

@@ -95,6 +95,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(r9.stagedRows == before) // overwrote their partitions, not appended
   }
 
+  test("work dir with URI-encodable characters still partitions staging by file") {
+    // input_file_name() percent-encodes the path; the staging file_key
+    // derivation must decode it or every row collapses into one
+    // empty-key partition that the next run's overwrite then deletes
+    val landing = tmpDir("enc_landing")
+    val workRoot = tmpDir("enc_work")
+    val work = s"$workRoot/with space+plus"
+    Files.createDirectories(Paths.get(work))
+    val tiny = Files.readAllBytes(Paths.get(fixture("match_tiny.json")))
+    zipOf(landing, "b1.zip", Map("m1.json" -> tiny))
+    val r1 = Pipeline.runOnce(spark, landing, work)
+    assert(r1.newFiles == 1 && r1.stagedRows == 4)
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$work/staging")
+      .select($"file_key").distinct().as[String].collect()
+    assert(keys.toSeq == Seq("m1")) // not "" (collapsed), not m1%20…
+    // second batch must append its own partition, not overwrite m1's
+    zipOf(landing, "b2.zip", Map("m2.json" -> tiny))
+    val r2 = Pipeline.runOnce(spark, landing, work)
+    assert(r2.stagedRows == 8)
+  }
+
+  test("same-archive key collision resolves deterministically (last entry name wins)") {
+    val landing = tmpDir("tie_landing")
+    val work = tmpDir("tie_work")
+    val tiny = new String(
+      Files.readAllBytes(Paths.get(fixture("match_tiny.json"))), "UTF-8")
+    val vA = tiny.replace("Wankhede Stadium", "Venue JSON")
+    val vB = tiny.replace("Wankhede Stadium", "Venue TXT")
+    // one zip, two entries with the same file_key 'a'
+    zipOf(landing, "b.zip", Map(
+      "a.json" -> vA.getBytes("UTF-8"), "a.txt" -> vB.getBytes("UTF-8")))
+    val r = Pipeline.runOnce(spark, landing, work)
+    assert(r.newFiles == 1 && r.stagedRows == 4)
+    import spark.implicits._
+    val venues = spark.read.parquet(s"$work/staging")
+      .select($"info_venue").distinct().as[String].collect()
+    assert(venues.toSeq == Seq("Venue TXT")) // a.txt > a.json lexicographically
+  }
+
   test("zip-slip entry names fail the run instead of writing outside the work dir") {
     val landing = tmpDir("slip_landing")
     val work = tmpDir("slip_work")
