@@ -39,6 +39,68 @@ class OperatorPropertySpec extends SparkSpecBase {
     }, 25)
   }
 
+  test("state merge: unique keys, update flag wins, absent flags inherit then default false") {
+    val boolGen = Gen.oneOf(true, false)
+    val stateGen = Gen.mapOf(for {
+      i <- Gen.choose(0, 15)
+      fs <- Gen.listOfN(4, boolGen)
+    } yield s"f$i" -> (fs(0), fs(1), fs(2), fs(3)))
+    // updates carry only (ingested, crawled) so the other two flags
+    // exercise the fall-through to state value / false
+    val updGen = Gen.mapOf(for {
+      i <- Gen.choose(0, 15)
+      a <- boolGen; b <- boolGen
+    } yield s"f$i" -> (a, b))
+    check(Prop.forAll(stateGen, updGen) { (st, up) =>
+      val sDf = st.toSeq.map { case (k, (a, b, c, d)) => (k, a, b, c, d) }
+        .toDF("file_key", "ingested", "crawled", "transformed", "loaded")
+      val uDf = up.toSeq.map { case (k, (a, b)) => (k, a, b) }
+        .toDF("file_key", "ingested", "crawled")
+      val got = StateMerge.merge(sDf, uDf)
+        .as[(String, Boolean, Boolean, Boolean, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      val want = (st.keySet ++ up.keySet).toSeq.sorted.map { k =>
+        val s = st.get(k)
+        val u = up.get(k)
+        (k,
+          u.map(_._1).orElse(s.map(_._1)).getOrElse(false),
+          u.map(_._2).orElse(s.map(_._2)).getOrElse(false),
+          s.map(_._3).getOrElse(false),
+          s.map(_._4).getOrElse(false))
+      }
+      got == want // equality implies key uniqueness too
+    }, 20)
+  }
+
+  test("asof join equals the per-row model; null right times are invisible") {
+    val keyGen = Gen.oneOf("a", "b", "c")
+    val leftGen = Gen.listOf(for {
+      k <- keyGen; t <- Gen.choose(0L, 30L)
+    } yield (k, t)).map(_.distinct)
+    val rightGen = Gen.listOf(for {
+      k <- keyGen
+      t <- Gen.option(Gen.choose(0L, 30L))
+      v <- Gen.choose(0, 100)
+    } yield (k, t, v))
+      // one right row per (key, time) so the asof pick is unambiguous
+      .map(_.groupBy(r => (r._1, r._2)).map(_._2.head).toList)
+    check(Prop.forAll(leftGen, rightGen) { (lefts, rights) =>
+      val l = lefts.toDF("k", "t")
+      val r = rights.toDF("k", "rt", "v")
+      val got = AsOfJoin.asofJoin(l, r, "k", "t", "rt")
+        .select($"k", $"t", $"asof_rt", $"asof_v")
+        .as[(String, Long, Option[Long], Option[Int])]
+        .collect().sorted.toSeq
+      val want = lefts.map { case (k, t) =>
+        val best = rights
+          .collect { case (`k`, Some(rt), v) if rt <= t => (rt, v) }
+          .sortBy(_._1).lastOption
+        (k, t, best.map(_._1), best.map(_._2))
+      }.sorted
+      got == want
+    }, 20)
+  }
+
   test("dedup (anti-join then union) is idempotent") {
     val keysGen = Gen.listOf(Gen.choose(0, 30).map(i => s"f$i")).map(_.distinct)
     check(Prop.forAll(keysGen, keysGen) { (existing, incoming) =>
