@@ -142,6 +142,29 @@ object LlmQueries {
     })
   }
 
+  /** 16-bit SimHash per doc: majority vote over shingle-md5 hex
+    * digits, decoded with ascii() arithmetic (codegen'd; the oracle
+    * decodes via strpos — identical integers). Shared by the `simhash`
+    * signature query and the `simhash_neardup` pairing.
+    */
+  private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ex = shingleRows(Tables.documents(s, d))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val digits = (0 until 4).map { k =>
+      val a = ascii(substring(col("h"), k + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).as(s"d$k")
+    }
+    val contribs = (0 until 16).map { j =>
+      val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
+      sum(when(bit > 0, 1).otherwise(-1)).as(s"s$j")
+    }
+    ex.select((col("doc_id") +: digits): _*)
+      .groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Candidate near-dup pairs from the persisted band table. */
   private def candidatePairs(bands: DataFrame): DataFrame =
     bands.as("a")
@@ -262,22 +285,28 @@ object LlmQueries {
     // identical integer results.
     "simhash" -> ((s, d) => {
       import s.implicits._
-      val ex = shingleRows(Tables.documents(s, d))
-        .select($"doc_id", md5($"sh").as("h"))
-      val digits = (0 until 4).map { k =>
-        val a = ascii(substring($"h", k + 1, 1))
-        when(a >= 97, a - 87).otherwise(a - 48).as(s"d$k")
-      }
-      val contribs = (0 until 16).map { j =>
-        val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
-        sum(when(bit > 0, 1).otherwise(-1)).as(s"s$j")
-      }
-      ex.select(($"doc_id" +: digits): _*)
-        .groupBy($"doc_id").agg(contribs.head, contribs.tail: _*)
-        .select($"doc_id",
-          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
-            .reduce(_ + _).as("simhash"))
-        .orderBy($"doc_id")
+      simhashTable(s, d).orderBy($"doc_id")
+    }),
+
+    // SimHash near-dup pairing — the dedup use of the signature: split
+    // the 16 bits into 2 byte-bands; any pair within Hamming distance
+    // 1 differs in at most one band, so the keyed band self-join is a
+    // COMPLETE candidate generator (no cross join), and bit_count of
+    // the xor verifies exactly.
+    "simhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val sim = simhashTable(s, d)
+      val bands = sim.select($"doc_id", $"simhash",
+        posexplode(array(shiftright($"simhash", 8), $"simhash".bitwiseAND(lit(255))))
+          .as(Seq("band", "key")))
+      bands.as("a")
+        .join(bands.as("b"), Seq("band", "key"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 1)
+        .orderBy($"doc_a", $"doc_b")
     }),
 
     // Jaccard verification of the LSH candidates over 3-gram shingle
@@ -497,6 +526,32 @@ object LlmQueries {
          | $sums
          | FROM ex GROUP BY doc_id)
          |SELECT doc_id, $combine AS simhash FROM bits ORDER BY doc_id""".stripMargin
+    },
+
+    "simhash_neardup" -> {
+      val digit = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+      val sums = (0 until 16).map { j =>
+        s"sum(CASE WHEN (${digit(j / 4)} & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n ")
+      val combine = (0 until 16)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM toks WHERE len(w) >= 3),
+         |ex AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
+         |bits AS (SELECT doc_id, $sums FROM ex GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $combine AS simhash FROM bits),
+         |bands AS (
+         | SELECT doc_id, simhash, 0 AS band, simhash // 256 AS key FROM sims
+         | UNION ALL
+         | SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM sims)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM bands a JOIN bands b
+         | ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "ngram_jaccard" ->
