@@ -106,26 +106,37 @@ object LlmQueries {
     * ngram_jaccard in one Verify/Bench loop share one cached table
     * instead of each persisting a fresh copy that is never released.
     */
-  private val bandCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val tableCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
 
-  /** Drop cached band tables (all, or one session's). Needed when the
-    * documents parquet under a cached dir is regenerated mid-session —
-    * like Spark's own table cache, the memoized table does not watch
-    * the files — or before discarding a long-lived session.
+  /** Drop memoized signature tables (all, or one session's). Needed
+    * when the documents parquet under a cached dir is regenerated
+    * mid-session — like Spark's own table cache, the memoized table
+    * does not watch the files — or before discarding a long-lived
+    * session.
     */
-  def clearBandCache(session: Option[org.apache.spark.sql.SparkSession] = None): Unit =
-    bandCache.keys
+  def clearCaches(session: Option[org.apache.spark.sql.SparkSession] = None): Unit =
+    tableCache.keys
       .filter(k => session.forall(_ eq k._1))
-      .foreach(k => bandCache.remove(k).foreach { df =>
+      .foreach(k => tableCache.remove(k).foreach { df =>
         if (!k._1.sparkContext.isStopped) df.unpersist()
       })
 
-  private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    // entries of stopped sessions are unreachable garbage — drop them
-    // so the cache cannot grow across session restarts
-    bandCache.keys.filter(_._1.sparkContext.isStopped).foreach(bandCache.remove)
-    bandCache.getOrElseUpdate((s, d), {
+  /** Memoize + persist a per-(session, dir) derived table: consumers
+    * that self-join it (LSH bands, SimHash pairing) read the cached
+    * partitions instead of recomputing the shingle/hash pipeline per
+    * join side, and repeated queries in one Verify/Bench loop share
+    * one copy. Entries of stopped sessions are dropped on access so
+    * the cache cannot grow across session restarts.
+    */
+  private def memoized(s: org.apache.spark.sql.SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    tableCache.keys.filter(_._1.sparkContext.isStopped).foreach(tableCache.remove)
+    tableCache.getOrElseUpdate((s, d, tag), build.persist())
+  }
+
+  private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "bands") {
       val hashes = shingleRows(Tables.documents(s, d)).select(col("doc_id"),
         md5(concat(lit("0:"), col("sh"))).as("h0"),
         md5(concat(lit("1:"), col("sh"))).as("h1"))
@@ -138,32 +149,31 @@ object LlmQueries {
           posexplode(array((0 until 4).map(b =>
             concat_ws("|", col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*))
             .as(Seq("band", "key")))
-        .persist()
-    })
-  }
+    }
 
   /** 16-bit SimHash per doc: majority vote over shingle-md5 hex
     * digits, decoded with ascii() arithmetic (codegen'd; the oracle
     * decodes via strpos — identical integers). Shared by the `simhash`
     * signature query and the `simhash_neardup` pairing.
     */
-  private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(Tables.documents(s, d))
-      .select(col("doc_id"), md5(col("sh")).as("h"))
-    val digits = (0 until 4).map { k =>
-      val a = ascii(substring(col("h"), k + 1, 1))
-      when(a >= 97, a - 87).otherwise(a - 48).as(s"d$k")
+  private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "simhash") {
+      val ex = shingleRows(Tables.documents(s, d))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val digits = (0 until 4).map { k =>
+        val a = ascii(substring(col("h"), k + 1, 1))
+        when(a >= 97, a - 87).otherwise(a - 48).as(s"d$k")
+      }
+      val contribs = (0 until 16).map { j =>
+        val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
+        sum(when(bit > 0, 1).otherwise(-1)).as(s"s$j")
+      }
+      ex.select((col("doc_id") +: digits): _*)
+        .groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+            .reduce(_ + _).as("simhash"))
     }
-    val contribs = (0 until 16).map { j =>
-      val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
-      sum(when(bit > 0, 1).otherwise(-1)).as(s"s$j")
-    }
-    ex.select((col("doc_id") +: digits): _*)
-      .groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
-          .reduce(_ + _).as("simhash"))
-  }
 
   /** Candidate near-dup pairs from the persisted band table. */
   private def candidatePairs(bands: DataFrame): DataFrame =
