@@ -24,6 +24,38 @@ object ExtraQueries {
         .orderBy($"c_nationkey")
     }),
 
+    // statistical moments from exact decimal power sums: the built-in
+    // stddev/corr are streaming (Welford) and engine/order-dependent,
+    // but Σx, Σx², Σxy in decimal are exact and order-free, and the
+    // closed-form combination is one fixed IEEE op sequence shared
+    // with the oracle — bit-identical variance/stddev/covar/corr.
+    // Columns are (quantity, discount), NOT price: price² sums exceed
+    // 2^53 in unscaled units, where Spark's (single-rounding
+    // BigDecimal) and DuckDB's decimal→double conversions disagree by
+    // an ulp. The chosen power sums stay exactly representable.
+    "agg_stats" -> ((s, d) => {
+      import s.implicits._
+      val q = dec($"l_quantity")
+      val p = dec($"l_discount")
+      val sums = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("sx"), sum(q * q).cast("double").as("sxx"),
+          sum(p).cast("double").as("sy"), sum(p * p).cast("double").as("syy"),
+          sum(q * p).cast("double").as("sxy"))
+      val n = $"n"
+      val ssqX = $"sxx" - $"sx" * $"sx" / n
+      val ssqY = $"syy" - $"sy" * $"sy" / n
+      val ssXY = $"sxy" - $"sx" * $"sy" / n
+      sums.select($"l_returnflag", $"n",
+          (ssqX / (n - lit(1.0))).as("var_qty"),
+          sqrt(ssqX / (n - lit(1.0))).as("stddev_qty"),
+          (ssXY / (n - lit(1.0))).as("covar_qd"),
+          (ssXY / sqrt(ssqX * ssqY)).as("corr_qd"))
+        .orderBy($"l_returnflag")
+    }),
+
     "agg_cube" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -135,6 +167,23 @@ object ExtraQueries {
          | $cols
          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
     },
+
+    "agg_stats" ->
+      """SELECT l_returnflag, n,
+        | (sxx - sx*sx/n)/(n - 1.0) AS var_qty,
+        | sqrt((sxx - sx*sx/n)/(n - 1.0)) AS stddev_qty,
+        | (sxy - sx*sy/n)/(n - 1.0) AS covar_qd,
+        | (sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)) AS corr_qd
+        |FROM (
+        | SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
 
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
