@@ -24,6 +24,26 @@ object ExtraQueries {
         .orderBy($"c_nationkey")
     }),
 
+    // SQL front-end subqueries: an uncorrelated scalar subquery and a
+    // correlated EXISTS, planned by Catalyst's subquery rewrites
+    // (scalar → one-row broadcast; EXISTS → left-semi join). The
+    // above-average predicate is rearranged to `bal * n > total` so
+    // the threshold derives from an exact decimal sum instead of
+    // avg-over-doubles (engine summation order would differ).
+    "sql_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_sq c
+          |WHERE c_acctbal * (SELECT count(*) FROM customer_sq)
+          |      > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |         FROM customer_sq)
+          |  AND EXISTS (SELECT 1 FROM orders_sq o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderstatus = 'O')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // statistical moments from exact decimal power sums: the built-in
     // stddev/corr are streaming (Welford) and engine/order-dependent,
     // but Σx, Σx², Σxy in decimal are exact and order-free, and the
@@ -167,6 +187,16 @@ object ExtraQueries {
          | $cols
          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
     },
+
+    "sql_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal * (SELECT count(*) FROM customer)
+        |      > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag, n,

@@ -58,6 +58,11 @@ class PlanSpec extends SparkSpecBase {
     assert(p.toLowerCase.contains("floatvecdot") || p.contains("vec_dot"), p.take(2000))
   }
 
+  test("sql_subquery: EXISTS plans as a semi join, not a rewrite through distinct") {
+    val p = plan("sql_subquery")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
   test("limit_n plans a limit, not a full materialization") {
     val p = plan("limit_n")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(2000))
