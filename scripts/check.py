@@ -74,6 +74,15 @@ for name in names:
     if list(got.columns) != list(want.columns):
         fails.append((name, f"columns: spark={list(got.columns)} duckdb={list(want.columns)}"))
         continue
+    # the driver's hash-compare survives width skews (int32 vs int64
+    # both passed round 1) but NOT kind skews (DuckDB sum(BIGINT) ->
+    # HUGEINT -> float64 vs Spark int64 failed it) — catch kind skews
+    dt_bad = [c for c in got.columns
+              if got[c].dtype.kind != want[c].dtype.kind]
+    if dt_bad:
+        fails.append((name, "dtype kinds: " + ", ".join(
+            f"{c}: spark={got[c].dtype} duckdb={want[c].dtype}" for c in dt_bad)))
+        continue
     if len(got) != len(want):
         fails.append((name, f"rows: spark={len(got)} duckdb={len(want)}"))
         continue

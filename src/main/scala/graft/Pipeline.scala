@@ -44,6 +44,12 @@ object Pipeline {
     */
   private val ExtensionRe = "\\.[^./]*$"
 
+  /** Escape Hadoop glob metacharacters in a path fragment so it is
+    * read as a literal name, not a pattern.
+    */
+  private[graft] def globEscape(name: String): String =
+    name.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
+
   private def loadState(spark: SparkSession, statePath: String): DataFrame = {
     val p = new java.io.File(statePath)
     if (p.exists() && p.listFiles() != null && p.listFiles().nonEmpty)
@@ -121,8 +127,12 @@ object Pipeline {
       // 3. read ONLY the new matches (the reference scopes its crawler
       //    to new prefixes the same way) — explicit schema fast path.
       //    Names are metadata: collecting them (not contents) is fine.
+      //    Entry names are glob-escaped: Hadoop path resolution treats
+      //    [ ] { } * ? as patterns, so an entry like 'm[1].json' would
+      //    otherwise be written literally but read as a (non-matching)
+      //    glob.
       val newPaths = newEntries.select("entry_name").as[String].collect()
-        .map(n => s"$extractedDir/$n").toSeq
+        .map(n => s"$extractedDir/${globEscape(n)}").toSeq
       val allMatches = Cricsheet.readMatchFiles(spark, newPaths)
       // corrupt files degrade to null rows (PERMISSIVE) — filter them
       // out of staging and surface the count instead of failing the run

@@ -70,10 +70,17 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 /** Session registration + Column-level API for the vector expressions. */
 object VecFunctions {
 
-  /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+  /** Idempotent per-session registration. The exists-check keeps
+    * repeated calls (every query touching vectors registers defensively)
+    * from logging a `SimpleFunctionRegistry` replaced-function warning
+    * per call.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Requires `register(spark)` on the owning session first. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -186,7 +186,7 @@ object CoreQueries {
     // splittable per line, so this parallelizes like any file scan.
     "json_scan" -> ((s, d) => {
       import s.implicits._
-      val path = s"/root/repo/target/scratch/json_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = s"${Q.scratchDir}/json_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       Tables.events(s, d)
         .select($"event_id", $"user_id", $"event_type", dec($"value").as("value"))
         .write.mode("overwrite").json(path)
@@ -336,9 +336,12 @@ object CoreQueries {
         | strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // sum(BIGINT) is HUGEINT in DuckDB (→ float64 in the driver's
+    // pandas compare) while Spark's sum(long) stays int64 — cast the
+    // sum back to BIGINT so the dtypes hash identically.
     "json_funcs" ->
       """SELECT event_type,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -250,11 +250,17 @@ object JoinStateQueries {
       """SELECT r_name, s_name FROM region CROSS JOIN supplier
         |ORDER BY r_name, s_name""".stripMargin,
 
+    // The interleaved window orders signup rows BEFORE purchase rows at
+    // equal ts (mirroring AsOfJoin's _side tiebreak: a right row at
+    // exactly leftTime is visible, <= match) — ordering by bare
+    // (ts, event_id) would hide a same-instant signup whose event_id is
+    // larger than the purchase's.
     "join_asof" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms, signup_ms FROM
         | (SELECT event_id, user_id, ts, event_type,
         |   max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY ts, (CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ms
         |  FROM events WHERE event_type IN ('signup', 'purchase')) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Similarity, TextFunctions => TF}
+import graft.functions.{TextFunctions => TF}
 import graft.plans.VecFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -73,6 +73,27 @@ object LlmQueries {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** 64-bit SimHash oracle fragments: per-bit majority sums over the 16
+    * hex digits of each shingle md5, then recombination into one BIGINT.
+    * Bit 63 recombines as long-min (expressed as -(2^63-1)-1: DuckDB
+    * parses the bare min-long literal as HUGEINT); every partial sum of
+    * the combine stays in BIGINT range, so the checked addition never
+    * overflows.
+    */
+  private val duckSimhashSums: String = {
+    val digit = (k: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+    (0 until 64).map { j =>
+      s"sum(CASE WHEN (${digit(j / 4)} & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n ")
+  }
+
+  private val duckSimhashCombine: String =
+    (0 until 64).map { j =>
+      val term = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN s$j > 0 THEN $term ELSE 0 END)"
+    }.mkString(" + ")
+
   /** DuckDB cosine between two float-list columns: same double ops in
     * the same order as vec_dot + precomputed sqrt norms.
     */
@@ -135,9 +156,21 @@ object LlmQueries {
     tableCache.getOrElseUpdate((s, d, tag), build.persist())
   }
 
+  /** Memoized + persisted raw shingle rows (multiset — duplicates
+    * kept): the ONE run of the tokenize→posexplode→window pipeline that
+    * every shingle consumer (MinHash band table, SimHash table, Jaccard
+    * verification) builds on. Before this was shared, the three
+    * consumers each re-ran the pipeline — 3× the dominant cost of the
+    * whole dedup family.
+    */
+  private[graft] def shingleTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "shingles") {
+      shingleRows(Tables.documents(s, d))
+    }
+
   private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     memoized(s, d, "bands") {
-      val hashes = shingleRows(Tables.documents(s, d)).select(col("doc_id"),
+      val hashes = shingleTable(s, d).select(col("doc_id"),
         md5(concat(lit("0:"), col("sh"))).as("h0"),
         md5(concat(lit("1:"), col("sh"))).as("h1"))
       val perms = (0 until 8).map { i =>
@@ -151,28 +184,37 @@ object LlmQueries {
             .as(Seq("band", "key")))
     }
 
-  /** 16-bit SimHash per doc: majority vote over shingle-md5 hex
-    * digits, decoded with ascii() arithmetic (codegen'd; the oracle
-    * decodes via strpos — identical integers). Shared by the `simhash`
-    * signature query and the `simhash_neardup` pairing.
+  /** 64-bit SimHash per doc: majority vote over all 16 hex digits of
+    * each shingle md5, decoded with ascii() arithmetic (codegen'd; the
+    * oracle decodes via strpos — identical integers). Shared by the
+    * `simhash` signature query and the `simhash_neardup` pairing.
+    *
+    * 64 bits (not 16): with b-bit bands the keyed self-join cost is
+    * Σ bucket² over ~2^b keys per band. A 16-bit signature caps each
+    * band at 256 keys, so buckets grow ~N/256 and the join degenerates
+    * quadratically at corpus scale; 16-bit bands give 65,536 keys per
+    * band — at N = 50M docs that is ~760 docs/bucket, and bucket
+    * population scales N/65,536 instead of N/256 (256× smaller
+    * Σ bucket²). The sign bit (j = 63) is built with Long.MinValue and
+    * combined via bitwiseOR, so no arithmetic overflow semantics are
+    * involved.
     */
   private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     memoized(s, d, "simhash") {
-      val ex = shingleRows(Tables.documents(s, d))
-        .select(col("doc_id"), md5(col("sh")).as("h"))
-      val digits = (0 until 4).map { k =>
+      val ex = shingleTable(s, d).select(col("doc_id"), md5(col("sh")).as("h"))
+      val digits = (0 until 16).map { k =>
         val a = ascii(substring(col("h"), k + 1, 1))
         when(a >= 97, a - 87).otherwise(a - 48).as(s"d$k")
       }
-      val contribs = (0 until 16).map { j =>
+      val contribs = (0 until 64).map { j =>
         val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
         sum(when(bit > 0, 1).otherwise(-1)).as(s"s$j")
       }
       ex.select((col("doc_id") +: digits): _*)
         .groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
         .select(col("doc_id"),
-          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
-            .reduce(_ + _).as("simhash"))
+          (0 until 64).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
     }
 
   /** Candidate near-dup pairs from the persisted band table. */
@@ -185,11 +227,28 @@ object LlmQueries {
 
   // ---- random-hyperplane LSH (sign of projection) ---------------------
 
-  /** Signature bits: few enough that buckets stay populated (2^6 = 64
-    * buckets), so multi-probe at Hamming distance 1 scans ~7/64 of the
-    * corpus per query instead of all of it.
+  /** Target mean bucket occupancy for the LSH signature: enough bits
+    * that the average bucket holds ~this many vectors.
     */
-  private[graft] val LshBits = 6
+  private[graft] val LshTargetBucket = 32L
+
+  /** Signature width as a function of corpus size — the knob that keeps
+    * multi-probe LSH sub-linear as N grows. Each query probes its own
+    * bucket plus the `bits` buckets at Hamming distance 1, so the
+    * expected probed fraction is (bits+1)/2^bits: 4 bits → 31%, 6 bits
+    * → 11%, 13 bits (N≈260k) → 0.17%, 21 bits (N≈67M) → 0.001%. A
+    * fixed width would pin the probed fraction at a constant share of
+    * the corpus forever; scaling bits with ceil(log2(N/bucket)) keeps
+    * per-bucket work flat while the probed fraction shrinks ~1/N.
+    * Clamped to [4, 24]: below 4 bits probing degenerates to a scan,
+    * 24 bits (16M buckets) is plenty for any corpus this library will
+    * see per partition-group.
+    */
+  private[graft] def lshBitsFor(n: Long): Int = {
+    val buckets = math.max(1L, n / LshTargetBucket)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(24, math.max(4, bits))
+  }
 
   /** Deterministic pseudo-random hyperplane for signature bit `bit`:
     * each component derives from md5(bit:i) mapped to [-0.5, 0.5).
@@ -207,8 +266,8 @@ object LlmQueries {
     * hyperplane r is positive. Near-identical vectors agree on most
     * bits, so they land in the same (or Hamming-adjacent) bucket.
     */
-  private[graft] def lshSignature(emb: Column, dim: Int): Column =
-    (0 until LshBits).map { r =>
+  private[graft] def lshSignature(emb: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { r =>
       val plane = array(hyperplane(r, dim).toIndexedSeq.map(lit(_)): _*)
       when(VecFunctions.vecDot(emb, plane) > 0.0, lit(1 << r)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -290,7 +349,7 @@ object LlmQueries {
       candidatePairs(bandTable(s, d)).orderBy($"doc_a", $"doc_b")
     }),
 
-    // SimHash (16-bit) over shingle md5s; hex digits decoded via
+    // SimHash (64-bit) over shingle md5s; hex digits decoded via
     // ascii() arithmetic (codegen'd), oracle decodes via strpos —
     // identical integer results.
     "simhash" -> ((s, d) => {
@@ -299,15 +358,17 @@ object LlmQueries {
     }),
 
     // SimHash near-dup pairing — the dedup use of the signature: split
-    // the 16 bits into 2 byte-bands; any pair within Hamming distance
-    // 1 differs in at most one band, so the keyed band self-join is a
-    // COMPLETE candidate generator (no cross join), and bit_count of
-    // the xor verifies exactly.
+    // the 64 bits into 4 16-bit bands; any pair within Hamming distance
+    // 3 differs in at most 3 bands (pigeonhole), so the keyed band
+    // self-join is a COMPLETE candidate generator (no cross join), and
+    // bit_count of the xor verifies exactly. Shift + mask keeps the
+    // sign-bit band (bits 48-63) a plain non-negative key.
     "simhash_neardup" -> ((s, d) => {
       import s.implicits._
       val sim = simhashTable(s, d)
       val bands = sim.select($"doc_id", $"simhash",
-        posexplode(array(shiftright($"simhash", 8), $"simhash".bitwiseAND(lit(255))))
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned($"simhash", 16 * b).bitwiseAND(lit(65535L))): _*))
           .as(Seq("band", "key")))
       bands.as("a")
         .join(bands.as("b"), Seq("band", "key"))
@@ -315,22 +376,36 @@ object LlmQueries {
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
           bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
         .distinct()
-        .filter($"hamming" <= 1)
+        .filter($"hamming" <= 3)
         .orderBy($"doc_a", $"doc_b")
     }),
 
     // Jaccard verification of the LSH candidates over 3-gram shingle
-    // sets — the classic candidate→verify near-dup pipeline.
+    // sets — the classic candidate→verify near-dup pipeline, kept fully
+    // relational: shingles stay ROWS (never collect_set arrays), the
+    // intersection is a count over co-occurring shingle rows, and set
+    // sizes join in as per-doc scalars. The array formulation shipped
+    // both docs' complete shingle sets through two shuffles and
+    // intersected them with interpreted higher-order functions; this
+    // shape shuffles only (pair, shingle) rows and stays codegen'd —
+    // the payload per row is O(1) regardless of document length, which
+    // is what survives 100 TB.
     "ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val shSets = shingleRows(Tables.documents(s, d))
-        .groupBy($"doc_id").agg(collect_set($"sh").as("shs"))
+      val dsh = shingleTable(s, d).distinct()
+      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = candidatePairs(bandTable(s, d))
-      cand
-        .join(shSets.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), Seq("doc_a"))
-        .join(shSets.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), Seq("doc_b"))
+      val inter = cand
+        .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
+      // zero-intersection candidates drop out of `inter`, which is fine:
+      // jacc = 0 can never pass the >= 0.4 verification threshold
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
         .select($"doc_a", $"doc_b",
-          Similarity.jaccard($"sh_a", $"sh_b").as("jacc"))
+          ($"n_int".cast("double") / ($"n_a" + $"n_b" - $"n_int").cast("double")).as("jacc"))
         .filter($"jacc" >= 0.4)
         .orderBy($"doc_a", $"doc_b")
     }),
@@ -424,18 +499,23 @@ object LlmQueries {
     }),
 
     // Random-hyperplane LSH ANN — the second bucketed scale path next
-    // to IVF: signatures partition the corpus into 2^6 buckets, each
-    // query multi-probes its own bucket plus the 6 at Hamming distance
-    // 1, and the join is a keyed equi-join on the signature. Exact
-    // *within* the probed buckets (deterministic given the seeded
+    // to IVF: signatures partition the corpus into 2^bits buckets, each
+    // query multi-probes its own bucket plus the `bits` at Hamming
+    // distance 1, and the join is a keyed equi-join on the signature.
+    // `bits` scales with the corpus (see lshBitsFor) so the probed
+    // fraction shrinks as N grows instead of staying a constant share.
+    // Exact *within* the probed buckets (deterministic given the seeded
     // hyperplanes); approximate overall → no SQL oracle, QueriesSpec
     // pins bucket discipline, in-bucket completeness and ranking.
     "knn_lsh" -> ((s, d) => {
       import s.implicits._
       val dim = 64 // testdata embedding dimension (FIXTURES.md)
+      // corpus count drives the signature width — the count is one
+      // parquet-metadata job, the production analog of table stats
+      val bits = lshBitsFor(Tables.embeddings(s, d).count())
       val e = withNorm(Tables.embeddings(s, d))
-        .withColumn("sig", lshSignature($"embedding", dim))
-      val probeSigs = array((Seq(0) ++ (0 until LshBits).map(1 << _))
+        .withColumn("sig", lshSignature($"embedding", dim, bits))
+      val probeSigs = array((Seq(0) ++ (0 until bits).map(1 << _))
         .map(m => $"sig".bitwiseXOR(lit(m))): _*)
       val q = broadcast(e.filter($"vec_id" < 100)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"),
@@ -472,8 +552,10 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->
+      // CAST(sum(...) AS BIGINT): DuckDB sums integers into HUGEINT
+      // (float64 in the driver's pandas compare); Spark stays int64.
       s"""SELECT lang, count(*) AS n_docs,
-         | sum($NTOK) AS total_tokens,
+         | CAST(sum($NTOK) AS BIGINT) AS total_tokens,
          | CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
          | min(n_chars) AS min_chars, max(n_chars) AS max_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -521,46 +603,31 @@ object LlmQueries {
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
 
     "simhash" -> {
-      val digit = (k: Int) =>
-        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
-      val sums = (0 until 16).map { j =>
-        s"sum(CASE WHEN (${digit(j / 4)} & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END) AS s$j"
-      }.mkString(",\n ")
-      val combine = (0 until 16)
-        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
          |sh AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM toks WHERE len(w) >= 3),
          |ex AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
          |bits AS (SELECT doc_id,
-         | $sums
+         | $duckSimhashSums
          | FROM ex GROUP BY doc_id)
-         |SELECT doc_id, $combine AS simhash FROM bits ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, $duckSimhashCombine AS simhash FROM bits ORDER BY doc_id""".stripMargin
     },
 
     "simhash_neardup" -> {
-      val digit = (k: Int) =>
-        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
-      val sums = (0 until 16).map { j =>
-        s"sum(CASE WHEN (${digit(j / 4)} & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END) AS s$j"
-      }.mkString(",\n ")
-      val combine = (0 until 16)
-        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${16 * b}) & 65535 AS key FROM sims"
+      }.mkString("\n UNION ALL\n ")
       s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
          |sh AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM toks WHERE len(w) >= 3),
          |ex AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
-         |bits AS (SELECT doc_id, $sums FROM ex GROUP BY doc_id),
-         |sims AS (SELECT doc_id, $combine AS simhash FROM bits),
+         |bits AS (SELECT doc_id, $duckSimhashSums FROM ex GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $duckSimhashCombine AS simhash FROM bits),
          |bands AS (
-         | SELECT doc_id, simhash, 0 AS band, simhash // 256 AS key FROM sims
-         | UNION ALL
-         | SELECT doc_id, simhash, 1 AS band, simhash % 256 AS key FROM sims)
+         | $bandRows)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM bands a JOIN bands b
          | ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

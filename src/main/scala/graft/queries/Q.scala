@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** Scratch root for queries that materialize intermediate files
+    * (json_scan dump, unzip_fanout fixture zip) — tmpdir-derived, not a
+    * hard-coded repo path.
+    */
+  lazy val scratchDir: String = {
+    val d = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   /** Exact-sum cast: double → decimal(18,2) (test data carries 2dp). */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 

@@ -16,7 +16,7 @@ object SourceUdxQueries {
     // out via binaryFile + ZipInputStream, report entry metadata.
     "unzip_fanout" -> ((s, d) => {
       import s.implicits._
-      val scratch = s"/root/repo/target/scratch/zip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val scratch = s"${Q.scratchDir}/zip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       val dir = new java.io.File(scratch)
       dir.mkdirs()
       val rows = Tables.documents(s, d)
@@ -28,7 +28,10 @@ object SourceUdxQueries {
       val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipFile))
       rows.foreach { r =>
         val id = r.getLong(0)
-        val content = s"""{"doc_id":$id,"text":"${r.getString(1)}"}"""
+        // escape backslash + quote so the entry is valid JSON even if
+        // the text carries either (the oracle mirrors both replaces)
+        val text = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        val content = s"""{"doc_id":$id,"text":"$text"}"""
         zout.putNextEntry(new java.util.zip.ZipEntry(s"doc_$id.json"))
         zout.write(content.getBytes("UTF-8"))
         zout.closeEntry()
@@ -77,7 +80,7 @@ object SourceUdxQueries {
   val oracles: Map[String, String] = Map(
     "unzip_fanout" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.json' AS entry_name,
-        | CAST(octet_length(encode('{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"' || text || '"}')) AS BIGINT) AS n_bytes
+        | CAST(octet_length(encode('{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"' || replace(replace(text, '\', '\\'), '"', '\"') || '"}')) AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id < 20 ORDER BY entry_name""".stripMargin,
 
     "file_listing" ->

@@ -59,26 +59,14 @@ class QueriesSpec extends SparkSpecBase {
   // set equality — bucket discipline, completeness and ranking in one.
   test("knn_lsh equals exact top-5 restricted to Hamming<=1 buckets") {
     val dim = 64
-    val vecs = graft.Tables.embeddings(spark, sf)
-      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
-      .map { case (id, e) => id -> e.toArray }.toMap
-    val planes = (0 until LlmQueries.LshBits).map(LlmQueries.hyperplane(_, dim))
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    val sig = vecs.map { case (id, e) =>
-      id -> (0 until LlmQueries.LshBits)
-        .map(r => if (dot(e, planes(r)) > 0.0) 1 << r else 0).sum
-    }
+    val vecs = embVecs(sf)
+    val sig = driverSigs(vecs, LlmQueries.lshBitsFor(vecs.size), dim)
     val nrm = vecs.map { case (id, e) => id -> math.sqrt(dot(e, e)) }
     def cos(a: Long, b: Long): Double = {
       val nn = nrm(a) * nrm(b)
       if (nn == 0.0) 0.0 else dot(vecs(a), vecs(b)) / nn
     }
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val expected = (for {
       q <- vecs.keys.toSeq.filter(_ < 100)
       top = vecs.keys.toSeq
@@ -93,5 +81,57 @@ class QueriesSpec extends SparkSpecBase {
       .as[(Long, Long, Int, Double)].collect().toSet
     assert(got == expected,
       s"diff got-expected=${(got -- expected).take(5)} expected-got=${(expected -- got).take(5)}")
+  }
+
+  private def embVecs(dir: String): Map[Long, Array[Float]] =
+    graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.toArray }.toMap
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def driverSigs(
+      vecs: Map[Long, Array[Float]], bits: Int, dim: Int): Map[Long, Int] = {
+    val planes = (0 until bits).map(LlmQueries.hyperplane(_, dim))
+    vecs.map { case (id, e) =>
+      id -> (0 until bits).map(r => if (dot(e, planes(r)) > 0.0) 1 << r else 0).sum
+    }
+  }
+
+  // The scale property the fixed-width design lacked: as the corpus
+  // grows, the signature widens and the fraction of the corpus each
+  // query actually probes (its own bucket + the `bits` Hamming-1
+  // buckets, measured from the real signature distribution) SHRINKS.
+  test("knn_lsh probed fraction is sub-linear in corpus size (sf0.001 -> sf0.1)") {
+    val dim = 64
+    def meanProbedFraction(dir: String): (Int, Double) = {
+      val vecs = embVecs(dir)
+      val bits = LlmQueries.lshBitsFor(vecs.size)
+      val sig = driverSigs(vecs, bits, dim)
+      val bucketSizes = sig.values.groupBy(identity).map { case (k, v) => k -> v.size }
+      val fractions = vecs.keys.toSeq.filter(_ < 100).map { q =>
+        val probes = (Seq(0) ++ (0 until bits).map(1 << _)).map(sig(q) ^ _)
+        probes.map(p => bucketSizes.getOrElse(p, 0)).sum.toDouble / vecs.size
+      }
+      (bits, fractions.sum / fractions.size)
+    }
+    val (bitsSmall, fracSmall) = meanProbedFraction("/root/testdata/sf0.001")
+    val (bitsBig, fracBig) = meanProbedFraction("/root/testdata/sf0.1")
+    assert(bitsBig > bitsSmall, s"bits should widen with corpus: $bitsSmall -> $bitsBig")
+    assert(fracBig < fracSmall,
+      s"probed fraction should shrink with corpus: $fracSmall -> $fracBig")
+    // formula-level check across the scale path to 100x and beyond:
+    // probed fraction (bits+1)/2^bits strictly decreases as N grows
+    val ns = Seq(500L, 2000L, 200000L, 2000000L, 50000000L)
+    val fr = ns.map { n =>
+      val b = LlmQueries.lshBitsFor(n)
+      (b + 1).toDouble / (1 << b)
+    }
+    assert(fr.zip(fr.tail).forall { case (a, b) => b < a }, s"fractions $fr not decreasing")
   }
 }
