@@ -44,10 +44,9 @@ object Sinks {
     * credentials in source (etl_glue_job.py:20-22 — defect §4.4);
     * here connection config is caller-supplied. `numPartitions`
     * bounds concurrent connections so a 1000-executor cluster doesn't
-    * open 1000 sessions against the warehouse. No JDBC server exists
-    * in the test environment — the declared capability is this code
-    * path; correctness of the frame being loaded is covered by the
-    * oracle-checked queries that feed it.
+    * open 1000 sessions against the warehouse. Round-tripped in
+    * SinksSpec against an embedded Derby database (in Spark's jars),
+    * standing in for the warehouse.
     */
   def loadJdbc(
       df: DataFrame,

@@ -95,6 +95,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(r9.stagedRows == before) // overwrote their partitions, not appended
   }
 
+  test("S1 ingest: download (file:// URL) -> landing -> runOnce end-to-end") {
+    // the reference's full story: download_and_upload_to_s3 lands the
+    // archive, then the DAG fans it out — here Ingest + runOnce
+    val src = tmpDir("dl_src")
+    val landing = tmpDir("dl_landing")
+    val work = tmpDir("dl_work")
+    val tiny = Files.readAllBytes(Paths.get(fixture("match_tiny.json")))
+    zipOf(src, "upstream.zip", Map("m1.json" -> tiny, "2025/m2.json" -> tiny))
+
+    val url = Paths.get(s"$src/upstream.zip").toUri.toString
+    val landed = graft.sources.Ingest.downloadToLanding(url, landing)
+    assert(landed.isDefined)
+    val r1 = Pipeline.runOnce(spark, landing, work)
+    assert(r1.newFiles == 2 && r1.stagedRows == 8)
+
+    // unchanged upstream: ingest is a ledger no-op, pipeline sees
+    // nothing new — the end-to-end loop is idempotent
+    assert(graft.sources.Ingest.downloadToLanding(url, landing).isEmpty)
+    val r2 = Pipeline.runOnce(spark, landing, work)
+    assert(r2.newFiles == 0)
+  }
+
   test("work dir with URI-encodable characters still partitions staging by file") {
     // input_file_name() percent-encodes the path; the staging file_key
     // derivation must decode it or every row collapses into one

@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpecBase
+
+class IngestSpec extends SparkSpecBase {
+
+  private def fileUrl(path: String): String = Paths.get(path).toUri.toString
+
+  test("downloadToLanding lands a timestamped key and is ledger-idempotent") {
+    val src = tmpDir("ingest_src")
+    val landing = tmpDir("ingest_landing")
+    Files.write(Paths.get(src, "payload.zip"), "zip-bytes-v1".getBytes("UTF-8"))
+    val fixedNow = () => java.time.Instant.parse("2026-01-02T03:04:05Z")
+
+    val first = Ingest.downloadToLanding(
+      fileUrl(s"$src/payload.zip"), landing, now = fixedNow)
+    assert(first.isDefined)
+    val f = first.get
+    assert(f.getName.startsWith("ipl_matches_20260102030405_"))
+    assert(f.getName.endsWith(".zip"))
+    assert(new String(Files.readAllBytes(f.toPath), "UTF-8") == "zip-bytes-v1")
+
+    // identical content again: ledger no-op, nothing new lands
+    val again = Ingest.downloadToLanding(
+      fileUrl(s"$src/payload.zip"), landing, now = fixedNow)
+    assert(again.isEmpty)
+    // only the first key + the hidden ledger exist
+    val names = new java.io.File(landing).list().sorted.toSeq
+    assert(names == Seq(Ingest.LedgerName, f.getName))
+
+    // changed content: lands under a new key (sha suffix differs even
+    // at the same wall-clock second)
+    Files.write(Paths.get(src, "payload.zip"), "zip-bytes-v2".getBytes("UTF-8"))
+    val changed = Ingest.downloadToLanding(
+      fileUrl(s"$src/payload.zip"), landing, now = fixedNow)
+    assert(changed.isDefined && changed.get.getName != f.getName)
+    // no .part temp files left behind
+    assert(!new java.io.File(landing).list().exists(_.endsWith(".part")))
+  }
+
+  test("a failed download leaves no partial file and no ledger entry") {
+    val landing = tmpDir("ingest_fail")
+    intercept[Exception] {
+      Ingest.downloadToLanding(
+        fileUrl(s"$landing/does_not_exist.zip"), landing)
+    }
+    val leftover = new java.io.File(landing).list().toSeq
+    assert(leftover.isEmpty, s"leftovers: $leftover")
+  }
+}
