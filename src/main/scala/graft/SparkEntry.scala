@@ -8,9 +8,12 @@ import graft.queries._
   *
   * `queries` is the declared operator inventory (SURVEY.md §2); each
   * entry with a key in `oracleSql` is hash-checked against DuckDB on
-  * the same parquet tables. Keys without oracle SQL
-  * (`agg_approx_distinct`: approximate by design) get a rows-only
-  * check plus ScalaTest coverage.
+  * the same parquet tables. The single key without oracle SQL
+  * (`agg_approx_distinct`: an HLL++ sketch, genuinely
+  * non-reproducible outside Spark) gets a rows-only check plus a
+  * ScalaTest error bound. `knn_ivf`/`knn_lsh` are approximate vs the
+  * true top-k but deterministic given their seeded centroids/planes,
+  * so they carry full oracles.
   */
 object SparkEntry {
 

@@ -94,14 +94,18 @@ object LlmQueries {
       s"(CASE WHEN s$j > 0 THEN $term ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DuckDB Σ aᵢ·bᵢ over two float-list columns — the same
+    * left-to-right double accumulation as [[graft.plans.FloatVecDot]].
+    */
+  private def duckDot(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
   /** DuckDB cosine between two float-list columns: same double ops in
     * the same order as vec_dot + precomputed sqrt norms.
     */
   private def duckCos(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    val nn = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-    s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${dot(a, b)} / $nn END)"
+    val nn = s"(sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+    s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${duckDot(a, b)} / $nn END)"
   }
 
   // ---- Spark-side shared builders ------------------------------------
@@ -465,8 +469,9 @@ object LlmQueries {
     // IVF with *computed* centroids (k-means assignment step): exact
     // per-dimension means per bucket (decimal-summed → deterministic),
     // probe the nprobe=2 nearest centroids per query, search only
-    // those buckets. Approximate by design → no SQL oracle; ScalaTest
-    // checks recall@5 against knn_bruteforce.
+    // those buckets. Approximate vs the true top-k but DETERMINISTIC,
+    // so it has a full DuckDB oracle (centroid math replayed exactly);
+    // ScalaTest additionally checks recall@5 against knn_bruteforce.
     "knn_ivf" -> ((s, d) => {
       import s.implicits._
       val e = withNorm(Tables.embeddings(s, d))
@@ -504,9 +509,10 @@ object LlmQueries {
     // distance 1, and the join is a keyed equi-join on the signature.
     // `bits` scales with the corpus (see lshBitsFor) so the probed
     // fraction shrinks as N grows instead of staying a constant share.
-    // Exact *within* the probed buckets (deterministic given the seeded
-    // hyperplanes); approximate overall → no SQL oracle, QueriesSpec
-    // pins bucket discipline, in-bucket completeness and ranking.
+    // Exact *within* the probed buckets and fully deterministic given
+    // the seeded hyperplanes → full DuckDB oracle (planes regenerated
+    // from the same md5 mapping); QueriesSpec additionally pins bucket
+    // discipline, in-bucket completeness and ranking.
     "knn_lsh" -> ((s, d) => {
       import s.implicits._
       val dim = 64 // testdata embedding dimension (FIXTURES.md)
@@ -671,6 +677,88 @@ object LlmQueries {
          |  ON q.label = e.label AND q.vec_id <> e.vec_id
          | WHERE q.vec_id < 100) t
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // IVF is deterministic given the computed centroids (decimal-exact
+    // per-dimension means), so it has a FULL oracle: DuckDB recomputes
+    // the centroids with the same decimal sums, REAL casts, and probe
+    // ranking. generate_subscripts+unnest zip the embedding open the
+    // way posexplode does.
+    "knn_ivf" ->
+      s"""WITH dims AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DECIMAL(18,8)) AS dv
+         |  FROM embeddings
+         |),
+         |cvs AS (
+         |  SELECT label, pos, CAST(sum(dv) AS DOUBLE) / count(*) AS cv
+         |  FROM dims GROUP BY label, pos
+         |),
+         |cents AS (
+         |  SELECT label, list(CAST(cv AS REAL) ORDER BY pos) AS cent FROM cvs GROUP BY label
+         |),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100),
+         |probes AS (
+         |  SELECT q_id, q_emb, label FROM (
+         |    SELECT q.q_id, q.q_emb, c.label,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.q_emb", "c.cent")} DESC, c.label) AS cr
+         |    FROM q CROSS JOIN cents c) t
+         |  WHERE cr <= 2
+         |)
+         |SELECT q_id, neighbor_id, rn, cos_sim FROM (
+         |  SELECT p.q_id, e.vec_id AS neighbor_id,
+         |    ${Q.duckRnd(duckCos("p.q_emb", "e.embedding"), 6)} AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${Q.duckRnd(duckCos("p.q_emb", "e.embedding"), 6)} DESC, e.vec_id) AS rn
+         |  FROM probes p JOIN embeddings e ON p.label = e.label AND p.q_id <> e.vec_id) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // LSH is deterministic given the seeded hyperplanes, so it too has
+    // a FULL oracle: DuckDB regenerates every plane component from the
+    // same md5("bit:i") → first-4-bytes → [0,1) float → −0.5 mapping
+    // (REAL casts reproduce the float rounding bit-for-bit), derives
+    // the signature width from the corpus count with the same
+    // ceil(log2(N/32)) clamp, and replays the multi-probe equi-join.
+    "knn_lsh" -> {
+      val digit = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+      val hv = (0 until 8)
+        .map(k => s"CAST(${digit(k)} AS BIGINT) * ${1L << (4 * (7 - k))}")
+        .mkString(" + ")
+      s"""WITH bitsq AS (
+         |  SELECT least(24, greatest(4, CAST(ceil(log2(greatest(1, count(*) // ${LshTargetBucket}))) AS INTEGER))) AS bits
+         |  FROM embeddings
+         |),
+         |comps AS (
+         |  SELECT r.range AS r, i.range AS i,
+         |    CAST(CAST(($hv) / 4294967296.0 AS REAL) - CAST(0.5 AS REAL) AS REAL) AS comp
+         |  FROM range(0, 24) r, range(0, 64) i,
+         |       LATERAL (SELECT md5(CAST(r.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)) AS h) m
+         |),
+         |planes AS (
+         |  SELECT r, list(comp ORDER BY i) AS plane FROM comps, bitsq WHERE r < bits GROUP BY r
+         |),
+         |sigs AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(sum(CASE WHEN ${duckDot("e.embedding", "p.plane")} > 0 THEN (1 << p.r) ELSE 0 END) AS INTEGER) AS sig
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding
+         |),
+         |masks AS (
+         |  SELECT 0 AS m FROM bitsq
+         |  UNION ALL SELECT (1 << r.range) FROM range(0, 24) r, bitsq WHERE r.range < bits
+         |),
+         |probes AS (
+         |  SELECT s.vec_id AS q_id, s.embedding AS q_emb, xor(s.sig, mk.m) AS probe
+         |  FROM sigs s CROSS JOIN masks mk WHERE s.vec_id < 100
+         |)
+         |SELECT q_id, neighbor_id, rn, cos_sim FROM (
+         |  SELECT p.q_id, e.vec_id AS neighbor_id,
+         |    ${Q.duckRnd(duckCos("p.q_emb", "e.embedding"), 6)} AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${Q.duckRnd(duckCos("p.q_emb", "e.embedding"), 6)} DESC, e.vec_id) AS rn
+         |  FROM probes p JOIN sigs e ON p.probe = e.sig AND p.q_id <> e.vec_id) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id,
