@@ -29,7 +29,8 @@ object SparkEntry {
       StreamQueries.defs ++
       LlmQueries.defs ++
       SourceUdxQueries.defs ++
-      ExtraQueries.defs
+      ExtraQueries.defs ++
+      CorpusOpsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       StreamQueries.oracles ++
       LlmQueries.oracles ++
       SourceUdxQueries.oracles ++
-      ExtraQueries.oracles
+      ExtraQueries.oracles ++
+      CorpusOpsQueries.oracles
 }

@@ -197,6 +197,40 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // CSV source capability: dump as CSV (decimal rendered exactly),
+    // re-read with an EXPLICIT schema — at scale inference would cost
+    // a full extra pass; the explicit-schema read is one splittable
+    // scan like any file source.
+    "csv_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = s"${Q.scratchDir}/csv_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", dec($"value").as("value"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DECIMAL(18,2)")
+        .option("header", "true").csv(path)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value")).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ORC source capability: same round-trip through Spark's native
+    // ORC reader (vectorized, predicate-pushdown-capable like parquet).
+    "orc_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = s"${Q.scratchDir}/orc_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", dec($"value").as("value"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value")).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- array / map functions (§2.8) ----------------------------------
     "array_funcs" -> ((s, d) => {
       import s.implicits._
@@ -347,6 +381,21 @@ object CoreQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "json_scan" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the dumped file is a projection of `events`, so the oracle
+    // recomputes from the source table directly (DuckDB never reads
+    // the scratch CSV/ORC)
+    "csv_scan" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "orc_scan" ->
       """SELECT event_type,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | count(*) AS n

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after the per-document analyses in [[LlmQueries]] (SURVEY.md §2.11
+  * extensions): dedup-cluster resolution, deterministic stratified
+  * sampling, benchmark-contamination screening, and quality-percentile
+  * gating.
+  *
+  * Scale/perf design:
+  *  - `dedup_clusters` is iterative min-label propagation over the LSH
+  *    candidate edges — the standard distributed connected-components
+  *    shape (each iteration: one keyed join + one aggregate; no
+  *    adjacency ever collects to the driver). Near-dup clusters are
+  *    small-diameter, so it converges in a handful of rounds; a corpus
+  *    with pathological chain components would swap in large-star /
+  *    small-star alternation (O(log n) rounds) with the same per-round
+  *    plan shape.
+  *  - Sampling/gating are pure column arithmetic (seeded md5 →
+  *    uniform; window percent_rank) — single-pass, codegen'd,
+  *    shuffle-free except the per-stratum window.
+  *  - Contamination screening keeps shingles as rows and semi-joins
+  *    against the (small) benchmark shingle set — broadcast at scale,
+  *    never an array intersection.
+  */
+object CorpusOpsQueries {
+
+  /** Uniform [0,1) from the first 8 md5 hex digits of "smp:<doc_id>" —
+    * the seeded, engine-reproducible analog of rand(seed) (Spark's
+    * rand is partition-dependent and unreproducible elsewhere).
+    */
+  private def hashUniform(idCol: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("smp:"), idCol.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  val defs: Map[String, QueryFn] = Map(
+    // Connected components over the MinHash-LSH candidate pairs:
+    // every doc resolves to the minimum doc_id of its near-dup
+    // cluster (the canonical "keeper"). Iterative min-label
+    // propagation; convergence checked with an aggregate per round.
+    "dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id")
+      val pairs = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
+      val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .persist()
+      var labels = docs.select($"doc_id", $"doc_id".as("lbl")).persist()
+      labels.count()
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 30) {
+        val nbrMin = sym
+          .join(labels.select($"doc_id".as("dst"), $"lbl".as("nlbl")), Seq("dst"))
+          .groupBy($"src").agg(min($"nlbl").as("nbr_min"))
+        val next = labels
+          .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+          .select(labels("doc_id"),
+            least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+          .persist()
+        val changed = next
+          .join(labels.select($"doc_id", $"lbl".as("old_lbl")), Seq("doc_id"))
+          .filter($"lbl" =!= $"old_lbl").count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      sym.unpersist()
+      labels.select($"doc_id", $"lbl".as("cluster")).orderBy($"doc_id")
+    }),
+
+    // Deterministic stratified Bernoulli sampling for training-data
+    // mixes: per-language keep rates, seeded-hash uniform per doc —
+    // reproducible across runs, engines, partitionings.
+    "sample_stratified" -> ((s, d) => {
+      import s.implicits._
+      val rate = when($"lang" === "en", 0.3)
+        .when($"lang" === "de", 0.6)
+        .otherwise(1.0)
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", hashUniform($"doc_id").as("u"), rate.as("rate"))
+        .filter($"u" < $"rate")
+        .select($"doc_id", $"lang", $"u")
+        .orderBy($"doc_id")
+    }),
+
+    // Benchmark decontamination: corpus docs sharing >= 3 distinct
+    // 3-gram shingles with the benchmark set (docs with doc_id % 97 =
+    // 0 stand in for an eval set). The benchmark shingle set is tiny
+    // relative to the corpus -> broadcast equi-join on the shingle.
+    "contamination_check" -> ((s, d) => {
+      import s.implicits._
+      val dsh = LlmQueries.shingleTable(s, d).distinct()
+      val benchSh = dsh.filter($"doc_id" % 97 === 0).select($"sh").distinct()
+      dsh.filter($"doc_id" % 97 =!= 0)
+        .join(benchSh, Seq("sh"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy($"doc_id")
+    }),
+
+    // Quality gating by per-source percentile: keep the top half of
+    // each source by quality score. percent_rank is (rank-1)/(n-1) —
+    // exact small-integer division, identical across engines.
+    "quality_gate" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", TF.qualityScore($"text").as("quality"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter($"pr" >= 0.5)
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Transitive closure via recursive CTE: min reachable doc_id ==
+    // the propagated min label. Tiny closures at test scale; the
+    // Spark side is the one that has to scale.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${LlmQueries.duckCandidateCtes},
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM cand),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+         |)
+         |SELECT doc_id, min(r) AS cluster FROM reach
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" -> {
+      val digit = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+      val hv = (0 until 8)
+        .map(k => s"CAST(${digit(k)} AS BIGINT) * ${1L << (4 * (7 - k))}")
+        .mkString(" + ")
+      s"""SELECT doc_id, lang, u FROM (
+         |  SELECT doc_id, lang, ($hv) / 4294967296.0 AS u,
+         |    (CASE WHEN lang = 'en' THEN 0.3
+         |          WHEN lang = 'de' THEN 0.6 ELSE 1.0 END) AS rate
+         |  FROM (SELECT doc_id, lang,
+         |          md5('smp:' || CAST(doc_id AS VARCHAR)) AS h
+         |        FROM documents) t0) t
+         |WHERE u < rate ORDER BY doc_id""".stripMargin
+    },
+
+    "contamination_check" ->
+      s"""WITH ${LlmQueries.duckShingleCtes},
+         |shr AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |bench AS (SELECT DISTINCT s FROM shr WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM shr JOIN bench USING (s)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id HAVING count(*) >= 3
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_gate" ->
+      s"""SELECT doc_id, source, quality, pr FROM (
+         |  SELECT doc_id, source, ${LlmQueries.duckQuality} AS quality,
+         |    percent_rank() OVER (PARTITION BY source
+         |      ORDER BY ${LlmQueries.duckQuality}, doc_id) AS pr
+         |  FROM documents) t
+         |WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin
+  )
+}

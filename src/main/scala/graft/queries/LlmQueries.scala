@@ -37,14 +37,33 @@ object LlmQueries {
   /** DuckDB replica of TextFunctions.normText (note: DuckDB
     * regexp_replace needs the 'g' flag; Spark replaces all matches).
     */
-  private val NORM =
+  private[queries] val NORM =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
-  private val TOKS = s"string_split($NORM, ' ')"
-  private val NTOK = s"(CASE WHEN length($NORM) = 0 THEN 0 ELSE len($TOKS) END)"
+  private[queries] val TOKS = s"string_split($NORM, ' ')"
+  private[queries] val NTOK = s"(CASE WHEN length($NORM) = 0 THEN 0 ELSE len($TOKS) END)"
 
   /** DuckDB 3-gram shingle list from a token list column `w`. */
   private def duckShingles(w: String): String =
     s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+
+  /** toks + sh CTEs (per-doc shingle LIST) shared by every shingle
+    * consumer's oracle.
+    */
+  private[queries] val duckShingleCtes: String =
+    s"""toks AS (SELECT doc_id, $TOKS AS w FROM documents WHERE length($NORM) > 0),
+       |sh AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM toks WHERE len(w) >= 3)""".stripMargin
+
+  /** DuckDB replica of TextFunctions.qualityScore over `documents.text`
+    * (same op order as the Spark column; rounding via Q.rnd formula).
+    */
+  private[queries] val duckQuality: String = {
+    val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
+    val stop = s"(CASE WHEN $NTOK = 0 THEN 0.0 ELSE CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len($TOKS) END)"
+    s"""floor(greatest(0.0,
+       |   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+       |   + least($stop * 5.0, 1.0) * 0.5
+       |   - least($punct * 2.0, 1.0) * 0.3) * 10000.0 + 0.5) / 10000.0""".stripMargin
+  }
 
   /** DuckDB minhash permutation i (of 8): lexicographic min over the
     * i-th 8-hex-char slice of md5("<half>:" ++ shingle).
@@ -58,13 +77,14 @@ object LlmQueries {
   private def duckBandKey(sh: String, b: Int): String =
     s"${duckMinhash(sh, 2 * b)} || '|' || ${duckMinhash(sh, 2 * b + 1)}"
 
-  /** Candidate-pair CTEs shared by minhash_dedup / ngram_jaccard. */
-  private val duckCandidateCtes: String = {
+  /** Candidate-pair CTEs shared by minhash_dedup / ngram_jaccard /
+    * dedup_clusters.
+    */
+  private[queries] val duckCandidateCtes: String = {
     val bandCases = (0 until 4)
       .map(b => s"WHEN ${b} THEN ${duckBandKey("sh", b)}")
       .mkString(" ")
-    s"""toks AS (SELECT doc_id, $TOKS AS w FROM documents WHERE length($NORM) > 0),
-       |sh AS (SELECT doc_id, ${duckShingles("w")} AS sh FROM toks WHERE len(w) >= 3),
+    s"""$duckShingleCtes,
        |bands AS (SELECT doc_id, b.band,
        |  CASE b.band $bandCases END AS key
        | FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
@@ -222,7 +242,7 @@ object LlmQueries {
     }
 
   /** Candidate near-dup pairs from the persisted band table. */
-  private def candidatePairs(bands: DataFrame): DataFrame =
+  private[queries] def candidatePairs(bands: DataFrame): DataFrame =
     bands.as("a")
       .join(bands.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))

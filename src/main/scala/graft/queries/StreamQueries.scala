@@ -63,6 +63,25 @@ object StreamQueries {
         .orderBy($"user_id", $"event_type")
     }),
 
+    // Stream-stream interval join, batch analog: each purchase paired
+    // with the same user's signups in the preceding hour. The true
+    // streaming form (watermarks on both sides bounding join state) is
+    // IncrementalPipeline.purchaseAttribution + StreamingSpec.
+    "stream_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      val g = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id".as("s_id"), $"ts".as("s_ts"))
+      p.join(g, Seq("user_id"))
+        .filter($"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+        .select($"user_id", $"p_id", $"s_id",
+          unix_millis($"p_ts").as("purchase_ms"),
+          unix_millis($"s_ts").as("signup_ms"))
+        .orderBy($"p_id", $"s_id")
+    }),
+
     // Watermark late-data drop, batch analog: keep events within 2h of
     // the max observed event time (scalar agg broadcast back).
     "stream_late_filter" -> ((s, d) => {
@@ -118,6 +137,19 @@ object StreamQueries {
         |     ORDER BY ts, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // comparisons on epoch_us floor to Spark's µs truncation of the
+    // nanosecond source timestamps (Q doc)
+    "stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, g.event_id AS s_id,
+        | epoch_us(p.ts) // 1000 AS purchase_ms,
+        | epoch_us(g.ts) // 1000 AS signup_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') g
+        | ON p.user_id = g.user_id
+        | AND epoch_us(g.ts) <= epoch_us(p.ts)
+        | AND epoch_us(g.ts) >= epoch_us(p.ts) - 3600000000
+        |ORDER BY p_id, s_id""".stripMargin,
 
     "stream_late_filter" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -62,6 +62,18 @@ object IncrementalPipeline {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join (§2.10): purchases attributed to the
+    * same user's signups within the preceding hour. Watermarks on BOTH
+    * sides let Spark drop join state older than watermark + interval —
+    * the state bound that makes a stream-stream join runnable forever.
+    * Expects columns (p_user, p_id, p_ts) / (s_user, s_id, s_ts); the
+    * batch-mode equivalent is the oracle-checked `stream_join` query.
+    */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases.withWatermark("p_ts", "2 hours")
+      .join(signups.withWatermark("s_ts", "2 hours"),
+        expr("p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"))
+
   /** Per-user running profile maintained with explicit state. */
   case class UserProfile(user_id: Long, n_events: Long, total_value: Double, last_type: String)
 

@@ -58,6 +58,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed > 0 && streamed <= batch)
   }
 
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val stage = tmpDir("ssj_stage")
+    Tables.events(spark, sf).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    def stream() = spark.readStream.schema(schema).parquet(stage)
+    val p = stream().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val g = stream().filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"event_id".as("s_id"), $"ts".as("s_ts"))
+    val q = IncrementalPipeline.purchaseAttribution(p, g)
+      .writeStream.outputMode("append").format("memory").queryName("attrib")
+      .option("checkpointLocation", tmpDir("ssj_cp")).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib")
+      .select($"p_id", $"s_id").as[(Long, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("stream_join")(spark, sf)
+      .select($"p_id", $"s_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream-batch diff: ${(streamed -- batch).take(5)} / ${(batch -- streamed).take(5)}")
+  }
+
   test("flatMapGroupsWithState maintains per-user profiles over a stream") {
     val sf = "/root/testdata/sf0.001"
     val stage = tmpDir("events_state_stage")
