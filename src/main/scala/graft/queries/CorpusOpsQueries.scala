@@ -52,7 +52,12 @@ object CorpusOpsQueries {
         .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .persist()
       var labels = docs.select($"doc_id", $"doc_id".as("lbl")).persist()
-      labels.count()
+      // labels only ever DECREASE, so the label sum strictly drops on
+      // any change: sum-equality is the convergence test — one exact
+      // decimal aggregate per round instead of a change-detection join
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
       while (!converged && iter < 30) {
@@ -64,12 +69,11 @@ object CorpusOpsQueries {
           .select(labels("doc_id"),
             least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
           .persist()
-        val changed = next
-          .join(labels.select($"doc_id", $"lbl".as("old_lbl")), Seq("doc_id"))
-          .filter($"lbl" =!= $"old_lbl").count()
+        val s = labelSum(next)
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         iter += 1
       }
       sym.unpersist()
@@ -103,6 +107,52 @@ object CorpusOpsQueries {
         .join(benchSh, Seq("sh"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 3)
+        .orderBy($"doc_id")
+    }),
+
+    // TF-IDF-style top terms per document. The inverse-document-
+    // frequency weight is the smoothed RATIONAL form (N+1)/(df+1) —
+    // rational so the score is exact IEEE arithmetic in any engine
+    // (ln() is libm-dependent in its last ulp and would break
+    // bit-exact oracles; ranking is unaffected since ln is monotone).
+    // Term rows → two hash aggregates (tf, df) + a broadcast of the
+    // (vocabulary-sized) df table + a per-doc top-k window: at 100 TB
+    // the df table is the only global state and it aggregates
+    // map-side first.
+    "tfidf_topk" -> ((s, d) => {
+      import s.implicits._
+      val terms = Tables.documents(s, d)
+        .select($"doc_id", explode(TF.tokens($"text")).as("term"))
+        .filter($"term" =!= "")
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"term", $"tf",
+          ($"tf".cast("double") * (($"n_docs" + 1).cast("double") / ($"df" + 1).cast("double")))
+            .as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .orderBy($"doc_id", $"rk")
+    }),
+
+    // Deterministic sequence packing: contiguous token-budget bins per
+    // language in doc_id order (the order-free approximation of
+    // first-fit packing — reproducible under any partitioning, unlike
+    // greedy bin packing, which is inherently sequential). One window
+    // pass; bins close when the running total crosses the budget.
+    "pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val budget = 2048
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", TF.bpeTokenCount($"text").as("tokens"))
+        .withColumn("cum", sum($"tokens").over(w))
+        .select($"doc_id", $"lang", $"tokens",
+          floor(($"cum" - $"tokens") / budget).cast("long").as("bin"))
         .orderBy($"doc_id")
     }),
 
@@ -161,6 +211,33 @@ object CorpusOpsQueries {
          |WHERE doc_id % 97 <> 0
          |GROUP BY doc_id HAVING count(*) >= 3
          |ORDER BY doc_id""".stripMargin,
+
+    "tfidf_topk" -> {
+      val score =
+        "CAST(tf.tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE))"
+      s"""WITH terms AS (SELECT doc_id, unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) dd GROUP BY term),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, score, rk FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, $score AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY $score DESC, tf.term) AS rk
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd) x
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    },
+
+    "pack_sequences" -> {
+      val bpe = """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))"""
+      s"""SELECT doc_id, lang, tokens,
+         | CAST(floor((cum - tokens) / 2048) AS BIGINT) AS bin
+         |FROM (
+         | SELECT doc_id, lang, $bpe AS tokens,
+         |  sum($bpe) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "quality_gate" ->
       s"""SELECT doc_id, source, quality, pr FROM (

@@ -44,6 +44,31 @@ object ExtraQueries {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Data-quality profiling: per-column counts/nulls/distincts/range/
+    // sum for the numeric lineitem measures — ONE pass over the table
+    // (a single 24-metric aggregate, unpivoted with stack), not one
+    // scan per column. At 100 TB a per-column loop would re-read the
+    // table N times; this shape is why profiling can run daily.
+    "profile_table" -> ((s, d) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
+          countDistinct(col(c)).as(s"${c}_ndist"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"),
+          dsum(col(c)).as(s"${c}_sum"))
+      } :+ count(lit(1)).as("n_rows")
+      val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map { c =>
+        s"'$c', n_rows, ${c}_nnull, ${c}_ndist, ${c}_min, ${c}_max, ${c}_sum"
+      }.mkString(", ")
+      wide.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n, n_null, n_distinct, min_v, max_v, sum_v)")
+        .orderBy($"col_name")
+    }),
+
     // statistical moments from exact decimal power sums: the built-in
     // stddev/corr are streaming (Welford) and engine/order-dependent,
     // but Σx, Σx², Σxy in decimal are exact and order-free, and the
@@ -177,6 +202,18 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_table" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           | CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY col_name")
+    },
+
     "agg_pivot" -> {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
       val cols = segs.map(seg =>

@@ -67,4 +67,25 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("limit_n")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(2000))
   }
+
+  test("ngram_jaccard: relational verification — no array payloads, no interpreted HOFs") {
+    val p = finalPlan("ngram_jaccard")
+    assert(!p.contains("collect_set"), "shingle sets materialized as arrays again")
+    // higher-order array intersection would appear as these expressions
+    assert(!p.contains("array_intersect") && !p.contains("ArrayFilter"),
+      "array intersection crept back in")
+    assert(p.contains("HashAggregate"), "intersection should be a count aggregate")
+  }
+
+  test("contamination_check: benchmark shingle side broadcasts") {
+    val p = finalPlan("contamination_check")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("stream_join: user equi-join with time-range residual, not nested loop") {
+    val p = finalPlan("stream_join")
+    assert(p.contains("Join"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join degenerated to nested loop/cartesian")
+  }
 }
