@@ -69,6 +69,63 @@ object ExtraQueries {
         .orderBy($"col_name")
     }),
 
+    // Conversion funnel: per user, first signup and first purchase at
+    // or after it. Two keyed aggregates + one broadcast-able join —
+    // never a per-user subquery. min() commutes with the µs
+    // truncation, so the oracle floors identically.
+    "funnel_conversion" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+      val pu = ev.filter($"event_type" === "purchase")
+        .join(su, Seq("user_id"))
+        .filter($"ts" >= $"s_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      su.join(pu, Seq("user_id"), "left")
+        .select($"user_id",
+          unix_millis($"s_ts").as("signup_ms"),
+          unix_millis($"p_ts").as("first_purchase_ms"),
+          $"p_ts".isNotNull.as("converted"))
+        .orderBy($"user_id")
+    }),
+
+    // Outlier flagging from exact group moments: events whose squared
+    // deviation from the event-type mean exceeds 4·variance (|z| > 2
+    // without the engine-variant sqrt). Mean/variance come from exact
+    // decimal power sums (same convention as agg_stats), broadcast
+    // back onto the stream — one scan + one tiny join.
+    "outlier_zscore" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy($"event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec($"value")).cast("double").as("sx"),
+        sum(dec($"value") * dec($"value")).cast("double").as("sxx"))
+      val mean = $"sx" / $"n"
+      val varr = $"sxx" / $"n" - mean * mean
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter(($"value" - mean) * ($"value" - mean) > varr * 4.0)
+        .select($"event_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    }),
+
+    // Equi-width histogram of order totals: global min/max (exact on
+    // doubles), 10 buckets, one aggregate — the profiling companion
+    // to profile_table. Bucket arithmetic is the same IEEE sequence
+    // in the oracle.
+    "value_histogram" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val mm = o.agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      val bucket = least(floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / 10.0)), lit(9.0))
+        .cast("long")
+      o.crossJoin(broadcast(mm))
+        .select(bucket.as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
     // statistical moments from exact decimal power sums: the built-in
     // stddev/corr are streaming (Welford) and engine/order-dependent,
     // but Σx, Σx², Σxy in decimal are exact and order-free, and the
@@ -213,6 +270,43 @@ object ExtraQueries {
            |FROM lineitem""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY col_name")
     },
+
+    "funnel_conversion" ->
+      """SELECT s.user_id, epoch_us(s.s_ts) // 1000 AS signup_ms,
+        | epoch_us(p.p_ts) // 1000 AS first_purchase_ms,
+        | p.p_ts IS NOT NULL AS converted
+        |FROM (SELECT user_id, min(ts) AS s_ts FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id) s
+        |LEFT JOIN (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN (SELECT user_id, min(ts) AS s_ts FROM events
+        |                      WHERE event_type = 'signup' GROUP BY user_id) s2
+        |    ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= epoch_us(s2.s_ts)
+        |  GROUP BY e.user_id) p
+        | ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin,
+
+    "outlier_zscore" ->
+      """SELECT event_id, event_type, value FROM (
+        | SELECT e.event_id, e.event_type, e.value,
+        |  st.sx / st.n AS mean, st.sxx / st.n - (st.sx / st.n) * (st.sx / st.n) AS varr
+        | FROM events e JOIN (
+        |   SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |   FROM events GROUP BY event_type) st
+        |  ON e.event_type = st.event_type) t
+        |WHERE (value - mean) * (value - mean) > varr * 4.0
+        |ORDER BY event_id""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT bucket, count(*) AS n FROM (
+        | SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT) AS bucket
+        | FROM orders CROSS JOIN (
+        |   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders) mm) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "agg_pivot" -> {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")

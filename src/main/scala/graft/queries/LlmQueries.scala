@@ -192,8 +192,13 @@ object LlmQueries {
       shingleRows(Tables.documents(s, d))
     }
 
-  private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    memoized(s, d, "bands") {
+  /** Memoized 8-permutation MinHash signature table (doc_id, p0..p7)
+    * — the materialized sketch store. The band table derives from it;
+    * `minhash_est` reads it directly for sketch-based similarity
+    * estimates.
+    */
+  private[queries] def sigTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "minhash_sigs") {
       val hashes = shingleTable(s, d).select(col("doc_id"),
         md5(concat(lit("0:"), col("sh"))).as("h0"),
         md5(concat(lit("1:"), col("sh"))).as("h1"))
@@ -201,11 +206,15 @@ object LlmQueries {
         val src = if (i < 4) "h0" else "h1"
         min(substring(col(src), 1 + 8 * (i % 4), 8)).as(s"p$i")
       }
-      val sigs = hashes.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
-      sigs.select(col("doc_id"),
-          posexplode(array((0 until 4).map(b =>
-            concat_ws("|", col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*))
-            .as(Seq("band", "key")))
+      hashes.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
+    }
+
+  private[graft] def bandTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "bands") {
+      sigTable(s, d).select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          concat_ws("|", col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*))
+          .as(Seq("band", "key")))
     }
 
   /** 64-bit SimHash per doc: majority vote over all 16 hex digits of
@@ -431,6 +440,44 @@ object LlmQueries {
         .select($"doc_a", $"doc_b",
           ($"n_int".cast("double") / ($"n_a" + $"n_b" - $"n_int").cast("double")).as("jacc"))
         .filter($"jacc" >= 0.4)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Sketch-based Jaccard ESTIMATE for the candidate pairs: fraction
+    // of the 8 MinHash permutations that agree — the number a
+    // production dedup uses to skip exact verification when the sketch
+    // is decisive. Reads the persisted signature table; no shingle
+    // payloads move.
+    "minhash_est" -> ((s, d) => {
+      import s.implicits._
+      val sigs = sigTable(s, d)
+      val cand = candidatePairs(bandTable(s, d))
+      val sigA = sigs.select((col("doc_id").as("doc_a") +:
+        (0 until 8).map(i => col(s"p$i").as(s"a$i"))): _*)
+      val sigB = sigs.select((col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => col(s"p$i").as(s"b$i"))): _*)
+      cand.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          ((0 until 8).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+            .reduce(_ + _) / 8.0).as("est_jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Fuzzy matching: exact Levenshtein on normalized 40-char
+    // prefixes, but ONLY over the LSH-blocked candidate pairs — the
+    // edit-distance verify step of a fuzzy-dedup pipeline. Blocking is
+    // what makes O(len²)-per-pair affordable: the quadratic work runs
+    // on ~|candidates|, never |corpus|².
+    "fuzzy_match" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", substring(TF.normText($"text"), 1, 40).as("t"))
+      val cand = candidatePairs(bandTable(s, d))
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"t".as("t_a")), Seq("doc_a"))
+        .join(docs.select($"doc_id".as("doc_b"), $"t".as("t_b")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", levenshtein($"t_a", $"t_b").as("edit_dist"))
+        .filter($"edit_dist" <= 10)
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -668,6 +715,32 @@ object LlmQueries {
          |  JOIN sh sa ON sa.doc_id = c.doc_a
          |  JOIN sh sb ON sb.doc_id = c.doc_b) t
          |WHERE jacc >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "minhash_est" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"${duckMinhash("sh", i)} AS p$i").mkString(",\n  ")
+      val agree = (0 until 8)
+        .map(i => s"(CASE WHEN a.p$i = b.p$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $duckCandidateCtes,
+         |sigs AS (SELECT doc_id,
+         |  $sigCols
+         | FROM sh)
+         |SELECT doc_a, doc_b, ($agree) / 8.0 AS est_jaccard
+         |FROM cand
+         | JOIN sigs a ON a.doc_id = doc_a
+         | JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "fuzzy_match" ->
+      s"""WITH $duckCandidateCtes,
+         |prefs AS (SELECT doc_id, substr($NORM, 1, 40) AS t FROM documents)
+         |SELECT doc_a, doc_b, edit_dist FROM (
+         | SELECT doc_a, doc_b, levenshtein(a.t, b.t) AS edit_dist
+         | FROM cand
+         |  JOIN prefs a ON a.doc_id = doc_a
+         |  JOIN prefs b ON b.doc_id = doc_b) x
+         |WHERE edit_dist <= 10 ORDER BY doc_a, doc_b""".stripMargin,
 
     "embedding_neardup" ->
       s"""SELECT vec_a, vec_b, cos_sim FROM (
