@@ -67,6 +67,27 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 }
 
+/** SparkSessionExtensions hook: the production path for shipping the
+  * engine's Catalyst extensions to every session on a cluster —
+  * `spark.sql.extensions=graft.plans.GraftSparkExtensions` (or
+  * `builder.withExtensions(new GraftSparkExtensions)`) injects
+  * `vec_dot` at session build time, so plain SQL users get the
+  * codegen'd expression without any driver-side register call. The
+  * test harness builds its shared session through this class
+  * (SparkSpecBase), which is what SqlSurfaceSpec's bare-SQL vec_dot
+  * query exercises.
+  */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+  }
+}
+
 /** Session registration + Column-level API for the vector expressions. */
 object VecFunctions {
 

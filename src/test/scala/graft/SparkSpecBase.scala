@@ -12,6 +12,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production wiring for the engine's Catalyst extensions —
+      // the whole suite runs through it (SqlSurfaceSpec asserts the
+      // injected functions resolve from bare SQL)
+      .withExtensions(new graft.plans.GraftSparkExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -44,7 +44,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     Tables.registerViews(spark, sf)
     val d = spark.sql(
       "SELECT vec_dot(embedding, embedding) AS n2 FROM embeddings WHERE vec_id = 0")
-      .head.getDouble(0)
+      .head().getDouble(0)
+    assert(d > 0.0)
+  }
+
+  test("GraftSparkExtensions injects vec_dot at session build (no register call)") {
+    // the suite session is built .withExtensions(GraftSparkExtensions):
+    // a FRESH child session (no temp-function state carried over) must
+    // resolve vec_dot from bare SQL because injectFunction registered
+    // it as a built-in at session build time
+    val fresh = spark.newSession()
+    Tables.registerViews(fresh, sf)
+    val d = fresh.sql(
+      "SELECT vec_dot(embedding, embedding) AS n2 FROM embeddings WHERE vec_id = 0")
+      .head().getDouble(0)
     assert(d > 0.0)
   }
 }
