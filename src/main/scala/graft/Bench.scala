@@ -42,8 +42,11 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the default-locale f-interpolator would render
+    // comma decimal separators (invalid JSON) on e.g. de_DE JVMs
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -32,7 +32,10 @@ object Retry {
       catch {
         case e: Throwable =>
           if (attempt >= maxAttempts - 1 || !retryOn(e)) throw e
-          sleep(baseDelayMs << attempt)
+          // cap the exponent: an uncapped shift overflows Long around
+          // attempt 63 and Thread.sleep(negative) would then mask the
+          // real failure with an IllegalArgumentException
+          sleep(baseDelayMs << math.min(attempt, 20))
           attempt += 1
       }
     }

@@ -31,6 +31,60 @@ import Q._
   */
 object CorpusOpsQueries {
 
+  /** Converged min-label table (doc_id, lbl) over the LSH candidate
+    * graph, memoized+persisted per (session, dir) like the signature
+    * tables (one computation serves Verify, Bench, and repeat callers;
+    * freed via LlmQueries.clearCaches). Fails loudly if propagation
+    * has not converged within the iteration cap — an under-merged
+    * cluster table silently mis-assigns keepers, which is worse than
+    * an error. 30 rounds covers a graph diameter of 30; near-dup
+    * components are star/clique-shaped (diameter 2-4), so hitting the
+    * cap means the candidate graph is pathological and should be
+    * inspected, not papered over.
+    */
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    LlmQueries.memoized(s, d, "cluster_labels") {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val pairs = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
+      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).persist()
+      // labels only ever DECREASE, so the label sum strictly drops on
+      // any change: sum-equality is the convergence test — one exact
+      // decimal aggregate per round instead of a change-detection join
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      val maxIter = 30
+      while (!converged && iter < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+          .select(labels("doc_id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+          .persist()
+        val sm = labelSum(next)
+        labels.unpersist()
+        labels = next
+        converged = sm.compareTo(prevSum) == 0
+        prevSum = sm
+        iter += 1
+      }
+      sym.unpersist()
+      if (!converged) {
+        labels.unpersist()
+        throw new IllegalStateException(
+          s"dedup_clusters: min-label propagation did not converge in $maxIter rounds — " +
+            "candidate graph has a component of diameter > " + maxIter)
+      }
+      labels
+    }
+
   /** Uniform [0,1) from the first 8 md5 hex digits of "smp:<doc_id>" —
     * the seeded, engine-reproducible analog of rand(seed) (Spark's
     * rand is partition-dependent and unreproducible elsewhere).
@@ -46,38 +100,7 @@ object CorpusOpsQueries {
     // propagation; convergence checked with an aggregate per round.
     "dedup_clusters" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).select($"doc_id")
-      val pairs = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
-      val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-        .persist()
-      var labels = docs.select($"doc_id", $"doc_id".as("lbl")).persist()
-      // labels only ever DECREASE, so the label sum strictly drops on
-      // any change: sum-equality is the convergence test — one exact
-      // decimal aggregate per round instead of a change-detection join
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0)
-      var prevSum = labelSum(labels)
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 30) {
-        val nbrMin = sym
-          .join(labels.select($"doc_id".as("dst"), $"lbl".as("nlbl")), Seq("dst"))
-          .groupBy($"src").agg(min($"nlbl").as("nbr_min"))
-        val next = labels
-          .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-          .select(labels("doc_id"),
-            least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
-          .persist()
-        val s = labelSum(next)
-        labels.unpersist()
-        labels = next
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        iter += 1
-      }
-      sym.unpersist()
-      labels.select($"doc_id", $"lbl".as("cluster")).orderBy($"doc_id")
+      clusterLabels(s, d).select($"doc_id", $"lbl".as("cluster")).orderBy($"doc_id")
     }),
 
     // Deterministic stratified Bernoulli sampling for training-data
@@ -101,7 +124,7 @@ object CorpusOpsQueries {
     // relative to the corpus -> broadcast equi-join on the shingle.
     "contamination_check" -> ((s, d) => {
       import s.implicits._
-      val dsh = LlmQueries.shingleTable(s, d).distinct()
+      val dsh = LlmQueries.distinctShingleTable(s, d)
       val benchSh = dsh.filter($"doc_id" % 97 === 0).select($"sh").distinct()
       dsh.filter($"doc_id" % 97 =!= 0)
         .join(benchSh, Seq("sh"))
@@ -121,9 +144,7 @@ object CorpusOpsQueries {
     // map-side first.
     "tfidf_topk" -> ((s, d) => {
       import s.implicits._
-      val terms = Tables.documents(s, d)
-        .select($"doc_id", explode(TF.tokens($"text")).as("term"))
-        .filter($"term" =!= "")
+      val terms = LlmQueries.termTable(s, d)
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = terms.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
@@ -187,11 +208,7 @@ object CorpusOpsQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" -> {
-      val digit = (k: Int) =>
-        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
-      val hv = (0 until 8)
-        .map(k => s"CAST(${digit(k)} AS BIGINT) * ${1L << (4 * (7 - k))}")
-        .mkString(" + ")
+      val hv = LlmQueries.duckHex8ToBigint("h")
       s"""SELECT doc_id, lang, u FROM (
          |  SELECT doc_id, lang, ($hv) / 4294967296.0 AS u,
          |    (CASE WHEN lang = 'en' THEN 0.3

@@ -118,8 +118,13 @@ object ExtraQueries {
       import s.implicits._
       val o = Tables.orders(s, d)
       val mm = o.agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
-      val bucket = least(floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / 10.0)), lit(9.0))
-        .cast("long")
+      // hi == lo (constant column) guarded explicitly: otherwise the
+      // bucket expression is 0/0 = NaN, and the engines disagree on it
+      // (Spark floor(NaN)=0 long; DuckDB least(NaN, 9.0)=9)
+      val bucket = when($"hi" === $"lo", lit(0L))
+        .otherwise(
+          least(floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / 10.0)), lit(9.0))
+            .cast("long"))
       o.crossJoin(broadcast(mm))
         .select(bucket.as("bucket"))
         .groupBy($"bucket").agg(count(lit(1)).as("n"))
@@ -303,7 +308,9 @@ object ExtraQueries {
 
     "value_histogram" ->
       """SELECT bucket, count(*) AS n FROM (
-        | SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT) AS bucket
+        | SELECT (CASE WHEN hi = lo THEN 0
+        |   ELSE CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT)
+        |  END) AS bucket
         | FROM orders CROSS JOIN (
         |   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders) mm) t
         |GROUP BY bucket ORDER BY bucket""".stripMargin,

@@ -93,6 +93,20 @@ object LlmQueries {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** DuckDB decode of one md5 hex digit (0-based position k) to 0-15. */
+  private[queries] def duckHexDigit(col: String, k: Int): String =
+    s"(strpos('0123456789abcdef', substr($col, ${k + 1}, 1)) - 1)"
+
+  /** DuckDB decode of the first 8 md5 hex digits to an unsigned 32-bit
+    * value in a BIGINT — the mirror of [[graft.functions.Hashing.unitFloat]]'s
+    * byte packing. Shared by every oracle that replays seeded-md5
+    * pseudo-randomness (LSH hyperplanes, stratified sampling).
+    */
+  private[queries] def duckHex8ToBigint(col: String): String =
+    (0 until 8)
+      .map(k => s"CAST(${duckHexDigit(col, k)} AS BIGINT) * ${1L << (4 * (7 - k))}")
+      .mkString(" + ")
+
   /** 64-bit SimHash oracle fragments: per-bit majority sums over the 16
     * hex digits of each shingle md5, then recombination into one BIGINT.
     * Bit 63 recombines as long-min (expressed as -(2^63-1)-1: DuckDB
@@ -100,13 +114,10 @@ object LlmQueries {
     * the combine stays in BIGINT range, so the checked addition never
     * overflows.
     */
-  private val duckSimhashSums: String = {
-    val digit = (k: Int) =>
-      s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+  private val duckSimhashSums: String =
     (0 until 64).map { j =>
-      s"sum(CASE WHEN (${digit(j / 4)} & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END) AS s$j"
+      s"sum(CASE WHEN (${duckHexDigit("h", j / 4)} & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(",\n ")
-  }
 
   private val duckSimhashCombine: String =
     (0 until 64).map { j =>
@@ -174,10 +185,16 @@ object LlmQueries {
     * one copy. Entries of stopped sessions are dropped on access so
     * the cache cannot grow across session restarts.
     */
-  private def memoized(s: org.apache.spark.sql.SparkSession, d: String, tag: String)(
+  private[queries] def memoized(s: org.apache.spark.sql.SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame = {
     tableCache.keys.filter(_._1.sparkContext.isStopped).foreach(tableCache.remove)
-    tableCache.getOrElseUpdate((s, d, tag), build.persist())
+    tableCache.getOrElseUpdate((s, d, tag), {
+      val df = build
+      // some builders (iterative cluster labels) persist internally —
+      // re-persisting an already-cached frame would only log a warning
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      else df
+    })
   }
 
   /** Memoized + persisted raw shingle rows (multiset — duplicates
@@ -190,6 +207,29 @@ object LlmQueries {
   private[graft] def shingleTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     memoized(s, d, "shingles") {
       shingleRows(Tables.documents(s, d))
+    }
+
+  /** Memoized DISTINCT shingle rows — the set-semantics view of
+    * [[shingleTable]] shared by Jaccard verification and contamination
+    * screening, so the distinct shuffle runs once per (session, dir)
+    * instead of once per consumer reference.
+    */
+  private[queries] def distinctShingleTable(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "shingles_distinct") {
+      shingleTable(s, d).distinct()
+    }
+
+  /** Memoized token rows (doc_id, term) — the corpus term relation
+    * feeding tf and df aggregates (tfidf_topk), so the tokenize+explode
+    * pipeline runs once, not once per aggregate branch.
+    */
+  private[queries] def termTable(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "term_rows") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
     }
 
   /** Memoized 8-permutation MinHash signature table (doc_id, p0..p7)
@@ -425,7 +465,7 @@ object LlmQueries {
     // is what survives 100 TB.
     "ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val dsh = shingleTable(s, d).distinct()
+      val dsh = distinctShingleTable(s, d)
       val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = candidatePairs(bandTable(s, d))
       val inter = cand
@@ -813,11 +853,7 @@ object LlmQueries {
     // the signature width from the corpus count with the same
     // ceil(log2(N/32)) clamp, and replays the multi-probe equi-join.
     "knn_lsh" -> {
-      val digit = (k: Int) =>
-        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
-      val hv = (0 until 8)
-        .map(k => s"CAST(${digit(k)} AS BIGINT) * ${1L << (4 * (7 - k))}")
-        .mkString(" + ")
+      val hv = duckHex8ToBigint("h")
       s"""WITH bitsq AS (
          |  SELECT least(24, greatest(4, CAST(ceil(log2(greatest(1, count(*) // ${LshTargetBucket}))) AS INTEGER))) AS bits
          |  FROM embeddings

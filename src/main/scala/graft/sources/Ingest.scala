@@ -64,22 +64,32 @@ object Ingest {
       finally in.close()
       val sha = md.digest().map("%02x".format(_)).mkString
 
-      val seen: Set[String] =
-        if (ledger.exists())
-          Files.readAllLines(ledger.toPath).asScala.map(_.split("\t")(0)).toSet
-        else Set.empty
-      if (seen.contains(sha)) {
-        tmp.delete()
-        None
-      } else {
-        val key = s"${prefix}_${KeyTs.format(now())}_${sha.take(8)}$suffix"
-        val target = new File(dir, key)
-        Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-        Files.write(ledger.toPath,
-          s"$sha\t$key\t$url\n".getBytes("UTF-8"),
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-        Some(target)
-      }
+      // ledger check + move + append run under an exclusive file lock
+      // so concurrent ingest runs of the same payload cannot both land
+      // it. A crash between the move and the append re-lands the
+      // payload on the next run (at-least-once) — harmless, because
+      // Pipeline.runOnce dedups per zip ENTRY via its own ledger
+      // anti-join, so a re-landed archive stages nothing twice.
+      val raf = new java.io.RandomAccessFile(ledger, "rw")
+      try {
+        val lock = raf.getChannel.lock()
+        try {
+          val seen: Set[String] =
+            Files.readAllLines(ledger.toPath).asScala.map(_.split("\t")(0)).toSet
+          if (seen.contains(sha)) {
+            tmp.delete()
+            None
+          } else {
+            val key = s"${prefix}_${KeyTs.format(now())}_${sha.take(8)}$suffix"
+            val target = new File(dir, key)
+            Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+            Files.write(ledger.toPath,
+              s"$sha\t$key\t$url\n".getBytes("UTF-8"),
+              StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+            Some(target)
+          }
+        } finally lock.release()
+      } finally raf.close()
     } finally if (tmp.exists()) tmp.delete()
   }
 }
