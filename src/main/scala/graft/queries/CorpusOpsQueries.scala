@@ -31,58 +31,19 @@ import Q._
   */
 object CorpusOpsQueries {
 
-  /** Converged min-label table (doc_id, lbl) over the LSH candidate
-    * graph, memoized+persisted per (session, dir) like the signature
-    * tables (one computation serves Verify, Bench, and repeat callers;
-    * freed via LlmQueries.clearCaches). Fails loudly if propagation
-    * has not converged within the iteration cap — an under-merged
-    * cluster table silently mis-assigns keepers, which is worse than
-    * an error. 30 rounds covers a graph diameter of 30; near-dup
-    * components are star/clique-shaped (diameter 2-4), so hitting the
-    * cap means the candidate graph is pathological and should be
-    * inspected, not papered over.
+  /** Converged component table (doc_id, lbl) over the LSH candidate
+    * graph — [[graft.operators.ConnectedComponents.minLabel]] applied
+    * to the candidate pairs, memoized+persisted per (session, dir)
+    * like the signature tables (one computation serves Verify, Bench,
+    * and repeat callers; freed via LlmQueries.clearCaches).
     */
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     LlmQueries.memoized(s, d, "cluster_labels") {
-      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
       val pairs = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
-      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist()
-      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).persist()
-      // labels only ever DECREASE, so the label sum strictly drops on
-      // any change: sum-equality is the convergence test — one exact
-      // decimal aggregate per round instead of a change-detection join
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      var prevSum = labelSum(labels)
-      var iter = 0
-      var converged = false
-      val maxIter = 30
-      while (!converged && iter < maxIter) {
-        val nbrMin = sym
-          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
-        val next = labels
-          .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-          .select(labels("doc_id"),
-            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-          .persist()
-        val sm = labelSum(next)
-        labels.unpersist()
-        labels = next
-        converged = sm.compareTo(prevSum) == 0
-        prevSum = sm
-        iter += 1
-      }
-      sym.unpersist()
-      if (!converged) {
-        labels.unpersist()
-        throw new IllegalStateException(
-          s"dedup_clusters: min-label propagation did not converge in $maxIter rounds — " +
-            "candidate graph has a component of diameter > " + maxIter)
-      }
-      labels
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.ConnectedComponents.minLabel(docs, pairs)
+        .select(col("id").as("doc_id"), col("component").as("lbl"))
     }
 
   /** Uniform [0,1) from the first 8 md5 hex digits of "smp:<doc_id>" —

@@ -41,6 +41,15 @@ object Ingest {
     */
   val LedgerName = ".ingest_ledger"
 
+  /** JVM-level monitor per ledger path: java.nio file locks are held
+    * per-PROCESS, so two threads of one JVM locking the same ledger
+    * would hit OverlappingFileLockException instead of waiting — the
+    * monitor serializes same-JVM callers, the file lock serializes
+    * across processes.
+    */
+  private val localLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Stream `url` into `landingDir/<prefix>_<timestamp>_<sha8><suffix>`.
     *
     * @return the landed file, or `None` when the ledger shows this
@@ -64,12 +73,15 @@ object Ingest {
       finally in.close()
       val sha = md.digest().map("%02x".format(_)).mkString
 
-      // ledger check + move + append run under an exclusive file lock
-      // so concurrent ingest runs of the same payload cannot both land
-      // it. A crash between the move and the append re-lands the
-      // payload on the next run (at-least-once) — harmless, because
-      // Pipeline.runOnce dedups per zip ENTRY via its own ledger
-      // anti-join, so a re-landed archive stages nothing twice.
+      // ledger check + move + append run under an exclusive lock
+      // (JVM monitor + cross-process file lock) so concurrent ingest
+      // runs of the same payload cannot both land it. A crash between
+      // the move and the append re-lands the payload on the next run
+      // (at-least-once) — harmless, because Pipeline.runOnce dedups
+      // per zip ENTRY via its own ledger anti-join, so a re-landed
+      // archive stages nothing twice.
+      val monitor = localLocks.computeIfAbsent(ledger.getCanonicalPath, _ => new Object)
+      monitor.synchronized {
       val raf = new java.io.RandomAccessFile(ledger, "rw")
       try {
         val lock = raf.getChannel.lock()
@@ -90,6 +102,7 @@ object Ingest {
           }
         } finally lock.release()
       } finally raf.close()
+      }
     } finally if (tmp.exists()) tmp.delete()
   }
 }

@@ -40,6 +40,23 @@ class IngestSpec extends SparkSpecBase {
     assert(!new java.io.File(landing).list().exists(_.endsWith(".part")))
   }
 
+  test("concurrent ingests of the same payload land exactly one copy") {
+    val src = tmpDir("ingest_conc_src")
+    val landing = tmpDir("ingest_conc_landing")
+    Files.write(Paths.get(src, "p.zip"), "same-bytes".getBytes("UTF-8"))
+    val url = fileUrl(s"$src/p.zip")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val landed = Await.result(
+      Future.sequence((1 to 8).map(_ =>
+        Future(Ingest.downloadToLanding(url, landing)))),
+      60.seconds)
+    assert(landed.count(_.isDefined) == 1, s"landed: $landed")
+    val ledger = Files.readAllLines(Paths.get(landing, Ingest.LedgerName))
+    assert(ledger.size() == 1)
+  }
+
   test("a failed download leaves no partial file and no ledger entry") {
     val landing = tmpDir("ingest_fail")
     intercept[Exception] {
