@@ -64,6 +64,19 @@ class SinksSpec extends SparkSpecBase {
     spark.sql("DROP TABLE region_tbl")
   }
 
+  test("compact rewrites many small files into few, preserving data") {
+    val out = tmpDir("compact") + "/t"
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+    df.repartition(40).write.parquet(out) // 40 tiny files
+    val (before, after) = Sinks.compact(spark, out, targetBytes = 512L * 1024)
+    assert(before == 40 && after < before, s"$before -> $after")
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    // content identical (key set equality on the primary key)
+    val want = df.select($"o_orderkey").as[Long].collect().sorted.toSeq
+    assert(back.select($"o_orderkey").as[Long].collect().sorted.toSeq == want)
+  }
+
   // S6 exercised for real: embedded Derby (in Spark's jars — no server
   // needed) stands in for the warehouse the reference loads via Glue.
   test("loadJdbc round-trips against an embedded Derby warehouse") {
