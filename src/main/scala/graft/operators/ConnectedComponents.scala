@@ -30,37 +30,45 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    // localCheckpoint (eager), NOT persist: each round's plan
-    // references the previous round twice (the join and the neighbor
-    // aggregate), so without lineage TRUNCATION the logical plan
-    // doubles per round — exponential driver-side planning cost by
-    // round ~15 even though the data is cached. Checkpointing replaces
-    // the plan with the materialized partitions each round, keeping
-    // the per-round plan constant-size (a cluster deployment with a
-    // checkpoint dir would use reliable checkpoint() for the same
-    // reason plus fault tolerance).
+    // Lineage discipline: each round's plan references the previous
+    // round twice (the join and the neighbor aggregate), so without
+    // TRUNCATION the logical plan doubles per round — exponential
+    // driver-side planning cost by round ~15 even though data is
+    // cached. Every 5th round localCheckpoints (replacing the plan
+    // with the materialized partitions — a cluster deployment with a
+    // checkpoint dir would use reliable checkpoint() for fault
+    // tolerance too); the rounds in between persist() so the previous
+    // round's blocks can be freed PROMPTLY with unpersist instead of
+    // waiting on the ContextCleaner. Plan size is bounded at 2^5
+    // nodes per window.
     var labels = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // sum(...) is null on an empty frame: an empty graph is a valid
+    // input (zero components), not an NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val sm = labelSum(next)
-      labels = next
-      converged = sm.compareTo(prevSum) == 0
-      prevSum = sm
-      iter += 1
-    }
-    sym.unpersist()
+    try {
+      while (!converged && iter < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
+        val nextPlan = labels
+          .join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        val next =
+          if ((iter + 1) % 5 == 0) nextPlan.localCheckpoint() else nextPlan.persist()
+        val sm = labelSum(next) // materializes next before the old round is freed
+        labels.unpersist() // no-op for checkpointed rounds (cleaner reclaims those)
+        labels = next
+        converged = sm.compareTo(prevSum) == 0
+        prevSum = sm
+        iter += 1
+      }
+    } finally sym.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"ConnectedComponents: min-label propagation did not converge in $maxIter rounds — " +

@@ -38,7 +38,7 @@ object CorpusOpsQueries {
     * and repeat callers; freed via LlmQueries.clearCaches).
     */
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    LlmQueries.memoized(s, d, "cluster_labels") {
+    LlmQueries.memoized(s, d, "cluster_labels", persistIt = false) {
       val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
       val pairs = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -185,16 +185,17 @@ object LlmQueries {
     * one copy. Entries of stopped sessions are dropped on access so
     * the cache cannot grow across session restarts.
     */
-  private[queries] def memoized(s: org.apache.spark.sql.SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame = {
+  private[queries] def memoized(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String,
+      persistIt: Boolean = true)(build: => DataFrame): DataFrame = {
     tableCache.keys.filter(_._1.sparkContext.isStopped).foreach(tableCache.remove)
-    tableCache.getOrElseUpdate((s, d, tag), {
-      val df = build
-      // some builders (iterative cluster labels) persist internally —
-      // re-persisting an already-cached frame would only log a warning
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      else df
-    })
+    // persistIt = false for builders whose result is already backed by
+    // operator-managed cached/checkpointed blocks (cluster labels):
+    // persist() on top would hold the data TWICE — checkpoint blocks
+    // are RDD-level and invisible to Dataset.storageLevel, so there is
+    // no reliable way to detect that case here.
+    tableCache.getOrElseUpdate((s, d, tag),
+      if (persistIt) build.persist() else build)
   }
 
   /** Memoized + persisted raw shingle rows (multiset — duplicates

@@ -1,12 +1,10 @@
 package graft.sources
 
 import java.io.File
-import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, StandardCopyOption}
 import java.security.{DigestInputStream, MessageDigest}
 import java.time.format.DateTimeFormatter
 import java.time.ZoneOffset
-
-import scala.jdk.CollectionConverters._
 
 /** S1 ingest utility: stream a URL into the landing directory under a
   * timestamped key — the front door of the pipeline, re-expressing the
@@ -41,14 +39,16 @@ object Ingest {
     */
   val LedgerName = ".ingest_ledger"
 
-  /** JVM-level monitor per ledger path: java.nio file locks are held
+  /** JVM-level monitor per ledger path (the canonical path, interned —
+    * interned strings are globally unique and GC-able, so no map of
+    * monitors grows without bound): java.nio file locks are held
     * per-PROCESS, so two threads of one JVM locking the same ledger
     * would hit OverlappingFileLockException instead of waiting — the
     * monitor serializes same-JVM callers, the file lock serializes
     * across processes.
     */
-  private val localLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def ledgerMonitor(ledger: File): AnyRef =
+    ledger.getCanonicalPath.intern()
 
   /** Stream `url` into `landingDir/<prefix>_<timestamp>_<sha8><suffix>`.
     *
@@ -80,14 +80,19 @@ object Ingest {
       // (at-least-once) — harmless, because Pipeline.runOnce dedups
       // per zip ENTRY via its own ledger anti-join, so a re-landed
       // archive stages nothing twice.
-      val monitor = localLocks.computeIfAbsent(ledger.getCanonicalPath, _ => new Object)
-      monitor.synchronized {
+      // the ledger is read and appended through the SAME locked file
+      // handle — a second handle would fail on OSes with mandatory
+      // file locking (Windows), where the exclusive lock blocks even
+      // this process's other channels
+      ledgerMonitor(ledger).synchronized {
       val raf = new java.io.RandomAccessFile(ledger, "rw")
       try {
         val lock = raf.getChannel.lock()
         try {
-          val seen: Set[String] =
-            Files.readAllLines(ledger.toPath).asScala.map(_.split("\t")(0)).toSet
+          val existing = new Array[Byte](raf.length().toInt)
+          raf.readFully(existing)
+          val seen: Set[String] = new String(existing, "UTF-8")
+            .split("\n").filter(_.nonEmpty).map(_.split("\t")(0)).toSet
           if (seen.contains(sha)) {
             tmp.delete()
             None
@@ -95,9 +100,8 @@ object Ingest {
             val key = s"${prefix}_${KeyTs.format(now())}_${sha.take(8)}$suffix"
             val target = new File(dir, key)
             Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-            Files.write(ledger.toPath,
-              s"$sha\t$key\t$url\n".getBytes("UTF-8"),
-              StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+            raf.seek(raf.length())
+            raf.write(s"$sha\t$key\t$url\n".getBytes("UTF-8"))
             Some(target)
           }
         } finally lock.release()

@@ -44,15 +44,29 @@ object Sinks {
     * ~`targetBytes`-sized files. Incremental pipelines (this one
     * included — staging partitions per file_key) accrete small files
     * that at 100 TB dominate scan cost (per-file open + footer read +
-    * scheduler pressure beat row decoding). Rewrites via temp dir +
-    * atomic-ish swap so a crash leaves either the old or the new
-    * layout, never a mix. Returns (filesBefore, filesAfter).
+    * scheduler pressure beat row decoding).
+    *
+    * Partitioned directories MUST pass their partition columns: the
+    * rewrite then repartitions by them and writes `partitionBy`, so
+    * the directory layout (and dynamic-partition-overwrite semantics
+    * downstream) is preserved — a flat rewrite of a partitioned dir
+    * would silently demote partition columns to data columns.
+    *
+    * Crash safety: the swap is two renames with a recovery preamble —
+    * if a previous run died between them (path missing, `.compact_old`
+    * present) the old layout is restored before compacting, so a
+    * re-run self-heals instead of failing on the missing directory.
+    * Returns (filesBefore, filesAfter).
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): (Int, Int) = {
     val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".compact_old")
+    if (!dir.exists() && old.exists()) // crashed between the two renames
+      java.nio.file.Files.move(old.toPath, dir.toPath)
     def parquetFiles(f: java.io.File): Seq[java.io.File] =
       Option(f.listFiles()).toSeq.flatten.flatMap { c =>
         if (c.isDirectory) parquetFiles(c)
@@ -62,8 +76,14 @@ object Sinks {
     val totalBytes = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = path + ".compact_tmp"
-    spark.read.parquet(path).repartition(nOut).write.mode("overwrite").parquet(tmp)
-    val old = new java.io.File(path + ".compact_old")
+    val df = spark.read.parquet(path)
+    val writer =
+      if (partitionBy.nonEmpty)
+        // one task per partition value -> one file per partition dir
+        df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partitionBy: _*)
+      else df.repartition(nOut).write
+    writer.mode("overwrite").parquet(tmp)
     if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
     java.nio.file.Files.move(dir.toPath, old.toPath)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir.toPath)

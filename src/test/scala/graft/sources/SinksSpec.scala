@@ -77,6 +77,24 @@ class SinksSpec extends SparkSpecBase {
     assert(back.select($"o_orderkey").as[Long].collect().sorted.toSeq == want)
   }
 
+  test("compact preserves a partitioned layout when given the partition columns") {
+    val out = tmpDir("compact_part") + "/t"
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("y", year($"o_orderdate"))
+    df.repartition(10).write.partitionBy("y").parquet(out) // many files per y=… dir
+    val (before, after) = Sinks.compact(spark, out, targetBytes = 512L * 1024,
+      partitionBy = Seq("y"))
+    assert(after < before, s"$before -> $after")
+    val back = spark.read.parquet(out)
+    // partition layout survived: y is still a partition column (dirs
+    // exist) and partition pruning still works on it
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("y=")))
+    assert(back.count() == df.count())
+    val pruned = back.filter($"y" === 1997)
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: ["))
+  }
+
   // S6 exercised for real: embedded Derby (in Spark's jars — no server
   // needed) stands in for the warehouse the reference loads via Glue.
   test("loadJdbc round-trips against an embedded Derby warehouse") {
