@@ -64,6 +64,56 @@ object CorpusOpsQueries {
       clusterLabels(s, d).select($"doc_id", $"lbl".as("cluster")).orderBy($"doc_id")
     }),
 
+    // The dedup endgame: keep the HIGHEST-QUALITY document of each
+    // near-dup cluster (not the arbitrary min-id keeper) — cluster
+    // labels join to quality scores, one top-1 window per cluster.
+    // Tie-break on doc_id keeps it deterministic.
+    "dedup_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")
+      clusterLabels(s, d)
+        .select($"doc_id", $"lbl".as("cluster"))
+        .join(Tables.documents(s, d)
+          .select($"doc_id", TF.qualityScore($"text").as("quality")), Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"cluster", $"doc_id".as("kept_doc"), $"quality")
+        .orderBy($"cluster")
+    }),
+
+    // BM25 top terms per document — the retrieval-grade upgrade of
+    // tfidf_topk: term saturation (k1) and document-length
+    // normalization (b) in the standard Okapi form, with the idf as
+    // the same smoothed RATIONAL weight (exact cross-engine IEEE
+    // arithmetic; ln() would differ in the last ulp and is monotone
+    // anyway). All inputs are exact integers entering one fixed
+    // sequence of double ops.
+    "bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val k1 = 1.2
+      val b = 0.75
+      val terms = LlmQueries.termTable(s, d)
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        sum($"dl").cast("double").as("total_dl"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      val tfd = $"tf".cast("double")
+      // 1.0 - b folds to the exact double 0.25, matching the oracle's
+      // (1.0 - 0.75) computed in SQL
+      val denom = tfd + lit(k1) * (lit(1.0 - b) + lit(b) *
+        ($"dl".cast("double") / ($"total_dl" / $"n_docs")))
+      val score = (tfd * (k1 + 1.0) / denom) *
+        (($"n_docs" + 1.0) / ($"df".cast("double") + 1.0))
+      tf.join(dl, Seq("doc_id")).join(df, Seq("term")).crossJoin(broadcast(stats))
+        .select($"doc_id", $"term", $"tf", rnd(score, 6).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .orderBy($"doc_id", $"rk")
+    }),
+
     // Deterministic stratified Bernoulli sampling for training-data
     // mixes: per-language keep rates, seeded-hash uniform per doc —
     // reproducible across runs, engines, partitionings.
@@ -167,6 +217,43 @@ object CorpusOpsQueries {
          |)
          |SELECT doc_id, min(r) AS cluster FROM reach
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${LlmQueries.duckCandidateCtes},
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM cand),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+         |),
+         |clusters AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+         |q AS (SELECT doc_id, ${LlmQueries.duckQuality} AS quality FROM documents)
+         |SELECT cluster, kept_doc, quality FROM (
+         |  SELECT c.cluster, c.doc_id AS kept_doc, q.quality,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY q.quality DESC, c.doc_id) AS rk
+         |  FROM clusters c JOIN q USING (doc_id)) x
+         |WHERE rk = 1 ORDER BY cluster""".stripMargin,
+
+    "bm25_topk" -> {
+      // literals composed the way the Spark side folds them
+      // ((1.2 + 1.0), 1.0 - 0.75 + 0.75*x) so every double matches
+      val score =
+        "(CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / (total_dl / n_docs))))) * ((n_docs + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))"
+      val rscore = Q.duckRnd(score, 6)
+      s"""WITH terms AS (SELECT doc_id, unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) dd GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS total_dl FROM dl)
+         |SELECT doc_id, term, tf, score, rk FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, $rscore AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY $rscore DESC, tf.term) AS rk
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st) x
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    },
 
     "sample_stratified" -> {
       val hv = LlmQueries.duckHex8ToBigint("h")
