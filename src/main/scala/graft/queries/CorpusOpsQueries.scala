@@ -114,6 +114,17 @@ object CorpusOpsQueries {
         .orderBy($"doc_id", $"rk")
     }),
 
+    // Dedup yield report: how many clusters of each size — the number
+    // a curation run publishes ("N docs collapsed into M clusters").
+    // Two hash aggregates over the memoized cluster table.
+    "dedup_stats" -> ((s, d) => {
+      import s.implicits._
+      clusterLabels(s, d)
+        .groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy($"cluster_size")
+    }),
+
     // Deterministic stratified Bernoulli sampling for training-data
     // mixes: per-language keep rates, seeded-hash uniform per doc —
     // reproducible across runs, engines, partitionings.
@@ -254,6 +265,20 @@ object CorpusOpsQueries {
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st) x
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
     },
+
+    "dedup_stats" ->
+      s"""WITH RECURSIVE ${LlmQueries.duckCandidateCtes},
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM cand),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+         |),
+         |clusters AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT cluster, count(*) AS cluster_size FROM clusters GROUP BY cluster)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "sample_stratified" -> {
       val hv = LlmQueries.duckHex8ToBigint("h")

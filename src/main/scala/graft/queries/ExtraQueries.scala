@@ -110,6 +110,27 @@ object ExtraQueries {
         .orderBy($"event_id")
     }),
 
+    // Cohort retention matrix: users grouped by first-signup day,
+    // counted distinct per (cohort, days-since-signup) — the classic
+    // warehouse retention triangle as two keyed aggregates + one
+    // broadcast-able join. Day indices are floor(ms/86400000): one
+    // IEEE division both engines share.
+    "retention_cohorts" -> ((s, d) => {
+      import s.implicits._
+      val dayMs = 86400000.0
+      val ev = Tables.events(s, d)
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min(unix_millis($"ts")).as("s_ms"))
+        .select($"user_id", floor($"s_ms" / dayMs).as("cohort_day"))
+      ev.select($"user_id", floor(unix_millis($"ts") / dayMs).as("day"))
+        .join(su, Seq("user_id"))
+        .filter($"day" >= $"cohort_day")
+        .select($"cohort_day", ($"day" - $"cohort_day").as("days_since"), $"user_id")
+        .distinct()
+        .groupBy($"cohort_day", $"days_since").agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_day", $"days_since")
+    }),
+
     // Equi-width histogram of order totals: global min/max (exact on
     // doubles), 10 buckets, one aggregate — the profiling companion
     // to profile_table. Bucket arithmetic is the same IEEE sequence
@@ -305,6 +326,19 @@ object ExtraQueries {
         |  ON e.event_type = st.event_type) t
         |WHERE (value - mean) * (value - mean) > varr * 4.0
         |ORDER BY event_id""".stripMargin,
+
+    "retention_cohorts" ->
+      """SELECT cohort_day, days_since, count(*) AS n_users FROM (
+        | SELECT DISTINCT su.cohort_day,
+        |  CAST(floor((epoch_us(e.ts) // 1000) / 86400000.0) AS BIGINT) - su.cohort_day AS days_since,
+        |  e.user_id
+        | FROM events e JOIN (
+        |   SELECT user_id,
+        |    CAST(floor(min(epoch_us(ts) // 1000) / 86400000.0) AS BIGINT) AS cohort_day
+        |   FROM events WHERE event_type = 'signup' GROUP BY user_id) su
+        |  ON e.user_id = su.user_id
+        | WHERE CAST(floor((epoch_us(e.ts) // 1000) / 86400000.0) AS BIGINT) >= su.cohort_day) t
+        |GROUP BY cohort_day, days_since ORDER BY cohort_day, days_since""".stripMargin,
 
     "value_histogram" ->
       """SELECT bucket, count(*) AS n FROM (
