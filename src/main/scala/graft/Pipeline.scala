@@ -86,8 +86,19 @@ object Pipeline {
     *
     * @param landingDir  dir of zip archives of match JSON (the S3 bucket)
     * @param workDir     scratch root: extracted files, staging, state, schema log
+    * @param maxDriverRows bound on the two metadata collects that come
+    *   to the driver (new-entry NAMES for the scoped read, schema-log
+    *   rows for the drift diff). Both are metadata — tiny at the
+    *   reference's daily cadence — but a million-file backfill would
+    *   otherwise accrete an unbounded driver array; past the bound the
+    *   run fails LOUDLY with the batching remedy instead of slowly
+    *   OOMing the driver.
     */
-  def runOnce(spark: SparkSession, landingDir: String, workDir: String): RunResult = {
+  def runOnce(
+      spark: SparkSession,
+      landingDir: String,
+      workDir: String,
+      maxDriverRows: Long = 100000L): RunResult = {
     import spark.implicits._
     val extractedDir = s"$workDir/extracted"
     val stagingDir = s"$workDir/staging"
@@ -115,6 +126,12 @@ object Pipeline {
     try {
       val nNew = newEntries.count()
       if (nNew == 0) return RunResult(0, 0, "no new files", hadDrift = false)
+      if (nNew > maxDriverRows)
+        throw new IllegalStateException(
+          s"Pipeline.runOnce: $nNew new files exceeds maxDriverRows=$maxDriverRows — " +
+            "the scoped read collects new-entry NAMES to the driver. Backfills this " +
+            "large should run in batches (ingest the landing dir in slices and call " +
+            "runOnce per slice), or raise maxDriverRows if the driver has headroom.")
 
       // 2. land extracted JSON (one file per match, like the json
       //    bucket), written by the executors that already hold the
@@ -151,9 +168,18 @@ object Pipeline {
       val newCols = SchemaDiff.leafColumns(inferred)
         .filterNot(c => c.name == "match_file" || c.name.startsWith("_corrupt_record"))
       val oldCols =
-        if (new java.io.File(schemaPath).exists())
-          spark.read.parquet(schemaPath).as[ColumnMeta].collect().toSeq
-        else newCols
+        if (new java.io.File(schemaPath).exists()) {
+          val log = spark.read.parquet(schemaPath)
+          val nCols = log.count()
+          if (nCols > maxDriverRows)
+            throw new IllegalStateException(
+              s"Pipeline.runOnce: schema log holds $nCols columns, exceeding " +
+                s"maxDriverRows=$maxDriverRows — the drift diff collects the log to the " +
+                "driver. A leaf-column count this size means runaway schema inference " +
+                "(e.g. map-typed data inferred as per-key struct fields); fix the input " +
+                "schema, or raise maxDriverRows if the driver has headroom.")
+          log.as[ColumnMeta].collect().toSeq
+        } else newCols
       val diff = SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF())
       val (hadDrift, driftMsg) =
         DriftReport.render(diff.filter(col("change") =!= "dropped"), "ipl_matches")

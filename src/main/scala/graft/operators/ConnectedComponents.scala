@@ -19,10 +19,25 @@ import org.apache.spark.sql.functions._
   * for the dedup use case, and the iteration cap fails LOUDLY rather
   * than returning a silently under-merged labeling.
   *
+  * Round economy (the dominant cost at toy scale is per-job overhead,
+  * not data):
+  *  - labels SEED with the one-hop minimum `least(id, min(neighbor))`
+  *    — a full propagation round folded into the initial
+  *    materialization, so star-shaped clusters are already converged
+  *    before the loop runs.
+  *  - each loop iteration chains TWO propagation rounds into one job
+  *    and checks convergence once — labels are monotone
+  *    non-increasing, so an unchanged sum across a double-round is
+  *    still exactly the fixpoint, at half the job/aggregate count.
+  *
   * @param vertices one column `id` (any numeric type)
   * @param edges    columns `src`, `dst` (directed input; symmetrized
   *                 internally, self-loops harmless)
-  * @return (id, component) where component = min id of the component
+  * @return (id, component) where component = min id of the component.
+  *         The returned Dataset IS the persisted result: callers that
+  *         `unpersist()` it free every cached block this operator
+  *         holds (intermediate rounds are already released
+  *         internally).
   */
 object ConnectedComponents {
 
@@ -30,49 +45,71 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    // Lineage discipline: each round's plan references the previous
-    // round twice (the join and the neighbor aggregate), so without
-    // TRUNCATION the logical plan doubles per round — exponential
-    // driver-side planning cost by round ~15 even though data is
-    // cached. Every 5th round localCheckpoints (replacing the plan
-    // with the materialized partitions — a cluster deployment with a
-    // checkpoint dir would use reliable checkpoint() for fault
-    // tolerance too); the rounds in between persist() so the previous
-    // round's blocks can be freed PROMPTLY with unpersist instead of
-    // waiting on the ContextCleaner. Plan size is bounded at 2^5
-    // nodes per window.
-    var labels = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint()
     // sum(...) is null on an empty frame: an empty graph is a valid
     // input (zero components), not an NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    def propagate(labels: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
+      labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+    }
+    // Lineage discipline: each round's plan references the previous
+    // round twice (the join and the neighbor aggregate), so without
+    // TRUNCATION the logical plan doubles per round — exponential
+    // driver-side planning cost by round ~15 even though data is
+    // cached. Every 2nd double-round localCheckpoints (replacing the
+    // plan with the materialized partitions — a cluster deployment
+    // with a checkpoint dir would use reliable checkpoint() for fault
+    // tolerance too); the rounds in between persist() so the previous
+    // round's blocks can be freed PROMPTLY with unpersist instead of
+    // waiting on the ContextCleaner. Plan size is bounded at ~2^4
+    // nodes per window.
+    val seed = vertices
+      .join(sym.groupBy(col("src")).agg(min(col("dst")).as("nbr_min")),
+        vertices("id") === col("src"), "left")
+      .select(vertices("id"),
+        least(col("id"), coalesce(col("nbr_min"), col("id"))).as("lbl"))
+    var labels = seed.localCheckpoint()
     var prevSum = labelSum(labels)
-    var iter = 0
+    var iter = 1 // the seed already performed one propagation round
     var converged = false
     try {
       while (!converged && iter < maxIter) {
-        val nbrMin = sym
-          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
-        val nextPlan = labels
-          .join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id"),
-            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        // two chained rounds, one materializing job: the mid frame is
+        // persist()ed so the double-round plan evaluates it once (both
+        // of round 2's references read the cached blocks), and freed
+        // as soon as the sum materializes the pair.
+        val mid = propagate(labels).persist()
+        val nextPlan = propagate(mid)
         val next =
-          if ((iter + 1) % 5 == 0) nextPlan.localCheckpoint() else nextPlan.persist()
-        val sm = labelSum(next) // materializes next before the old round is freed
+          if ((iter / 2) % 2 == 1) nextPlan.localCheckpoint() else nextPlan.persist()
+        val sm = labelSum(next) // materializes next before the old rounds are freed
+        mid.unpersist()
         labels.unpersist() // no-op for checkpointed rounds (cleaner reclaims those)
         labels = next
         converged = sm.compareTo(prevSum) == 0
         prevSum = sm
-        iter += 1
+        iter += 2
       }
     } finally sym.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"ConnectedComponents: min-label propagation did not converge in $maxIter rounds — " +
           s"graph has a component of diameter > $maxIter")
-    labels.select(col("id"), col("lbl").as("component"))
+    // Hand back a frame whose OWN persisted blocks are the result:
+    // returning a projection of the internally-cached final round
+    // would make the caller's unpersist() a silent no-op (unpersist
+    // does not cascade to children), leaking the last round's blocks
+    // for the life of the session.
+    val out = labels.select(col("id"), col("lbl").as("component")).persist()
+    out.count() // materialize from the cached final round before freeing it
+    labels.unpersist()
+    out
   }
 }

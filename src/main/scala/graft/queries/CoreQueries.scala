@@ -411,12 +411,18 @@ object CoreQueries {
         | len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) AS n_big
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // map semantics derived from the DATA via DuckDB's json_keys (not
+    // fixture-hardcoded literals): n_keys/keys_sorted/first_val are
+    // computed over whatever keys each props document actually has, so
+    // the oracle genuinely tests map_keys/map_values/size. first_val
+    // uses document order — both Spark's from_json MapType and DuckDB's
+    // json_keys preserve JSON document key order.
     "map_funcs" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-        | 1 AS n_keys,
-        | 'k' AS keys_sorted,
-        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS first_val
+        | len(json_keys(props)) AS n_keys,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        | CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"') AS INTEGER) AS first_val
         |FROM events ORDER BY event_id""".stripMargin,
 
     "flatten_full" ->

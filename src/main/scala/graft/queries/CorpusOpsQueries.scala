@@ -42,9 +42,12 @@ object CorpusOpsQueries {
       val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
       val pairs = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // the memoized entry is minLabel's own persisted frame — the
+      // rename happens OUTSIDE the cache so clearCaches' unpersist()
+      // hits the frame that holds the blocks (unpersist on a child
+      // projection would be a silent no-op)
       graft.operators.ConnectedComponents.minLabel(docs, pairs)
-        .select(col("id").as("doc_id"), col("component").as("lbl"))
-    }
+    }.select(col("id").as("doc_id"), col("component").as("lbl"))
 
   /** Uniform [0,1) from the first 8 md5 hex digits of "smp:<doc_id>" —
     * the seeded, engine-reproducible analog of rand(seed) (Spark's

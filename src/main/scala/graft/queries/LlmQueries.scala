@@ -165,18 +165,36 @@ object LlmQueries {
   private val tableCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
 
+  /** Memoized scalar table statistics (e.g. the embeddings corpus count
+    * driving the LSH signature width) — the production analog of
+    * catalog-held table stats. One metadata job per (session, dir),
+    * not one per query invocation.
+    */
+  private val statCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), Long]
+
+  private[queries] def memoizedCount(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String)(count: => Long): Long = {
+    statCache.keys.filter(_._1.sparkContext.isStopped).foreach(statCache.remove)
+    statCache.getOrElseUpdate((s, d, tag), count)
+  }
+
   /** Drop memoized signature tables (all, or one session's). Needed
     * when the documents parquet under a cached dir is regenerated
     * mid-session — like Spark's own table cache, the memoized table
     * does not watch the files — or before discarding a long-lived
     * session.
     */
-  def clearCaches(session: Option[org.apache.spark.sql.SparkSession] = None): Unit =
+  def clearCaches(session: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
     tableCache.keys
       .filter(k => session.forall(_ eq k._1))
       .foreach(k => tableCache.remove(k).foreach { df =>
         if (!k._1.sparkContext.isStopped) df.unpersist()
       })
+    statCache.keys
+      .filter(k => session.forall(_ eq k._1))
+      .foreach(statCache.remove)
+  }
 
   /** Memoize + persist a per-(session, dir) derived table: consumers
     * that self-join it (LSH bands, SimHash pairing) read the cached
@@ -189,11 +207,11 @@ object LlmQueries {
       s: org.apache.spark.sql.SparkSession, d: String, tag: String,
       persistIt: Boolean = true)(build: => DataFrame): DataFrame = {
     tableCache.keys.filter(_._1.sparkContext.isStopped).foreach(tableCache.remove)
-    // persistIt = false for builders whose result is already backed by
-    // operator-managed cached/checkpointed blocks (cluster labels):
-    // persist() on top would hold the data TWICE — checkpoint blocks
-    // are RDD-level and invisible to Dataset.storageLevel, so there is
-    // no reliable way to detect that case here.
+    // persistIt = false for builders whose result is ALREADY the
+    // operator-managed persisted frame (ConnectedComponents.minLabel
+    // returns its own persisted output): persist() on top would be a
+    // redundant re-cache request, and clearCaches' unpersist() must
+    // target that frame directly to free its blocks.
     tableCache.getOrElseUpdate((s, d, tag),
       if (persistIt) build.persist() else build)
   }
@@ -624,9 +642,11 @@ object LlmQueries {
     "knn_lsh" -> ((s, d) => {
       import s.implicits._
       val dim = 64 // testdata embedding dimension (FIXTURES.md)
-      // corpus count drives the signature width — the count is one
-      // parquet-metadata job, the production analog of table stats
-      val bits = lshBitsFor(Tables.embeddings(s, d).count())
+      // corpus count drives the signature width — memoized per
+      // (session, dir) so repeat invocations don't re-run the
+      // parquet-metadata job (the production analog of table stats)
+      val bits = lshBitsFor(
+        memoizedCount(s, d, "embeddings_count")(Tables.embeddings(s, d).count()))
       val e = withNorm(Tables.embeddings(s, d))
         .withColumn("sig", lshSignature($"embedding", dim, bits))
       val probeSigs = array((Seq(0) ++ (0 until bits).map(1 << _))

@@ -39,6 +39,27 @@ object Ingest {
     */
   val LedgerName = ".ingest_ledger"
 
+  /** Age past which an `ingest_*.part` temp file is presumed orphaned
+    * (its writer crashed between createTempFile and the finally-block
+    * delete) and swept on the next run. Generous — a live download
+    * this slow has almost certainly already failed its HTTP timeout —
+    * because deleting an in-flight temp under a slow writer would
+    * break that writer, while an orphan lingering one extra day is
+    * just a few stray bytes.
+    */
+  val StalePartAgeMs: Long = 24L * 60 * 60 * 1000
+
+  /** Delete orphaned temp files from crashed past runs: without the
+    * sweep the landing dir accretes `ingest_*.part` junk forever
+    * (nothing else ever touches those names — they are process-local
+    * temp names that the owning run deletes in its finally block).
+    */
+  private def sweepStaleParts(dir: File, now: java.time.Instant): Unit =
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("ingest_") && f.getName.endsWith(".part")
+        && now.toEpochMilli - f.lastModified() > StalePartAgeMs)
+      .foreach(_.delete())
+
   /** JVM-level monitor per ledger path (the canonical path, interned —
     * interned strings are globally unique and GC-able, so no map of
     * monitors grows without bound): java.nio file locks are held
@@ -64,6 +85,7 @@ object Ingest {
     val dir = new File(landingDir)
     dir.mkdirs()
     val ledger = new File(dir, LedgerName)
+    sweepStaleParts(dir, now())
 
     val tmp = File.createTempFile("ingest_", ".part", dir)
     try {

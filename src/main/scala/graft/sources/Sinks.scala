@@ -46,48 +46,90 @@ object Sinks {
     * that at 100 TB dominate scan cost (per-file open + footer read +
     * scheduler pressure beat row decoding).
     *
+    * All listing and the directory swap go through the Hadoop
+    * `FileSystem` API resolved from the path's scheme, so the same
+    * code compacts a local dir in tests and an object-store/HDFS
+    * staging area on a cluster — which is exactly where compaction
+    * matters (the reference's staging store is S3;
+    * transformation_job.py:45).
+    *
     * Partitioned directories MUST pass their partition columns: the
     * rewrite then repartitions by them and writes `partitionBy`, so
     * the directory layout (and dynamic-partition-overwrite semantics
     * downstream) is preserved — a flat rewrite of a partitioned dir
-    * would silently demote partition columns to data columns.
+    * would silently demote partition columns to data columns. A
+    * partition larger than `targetBytes` is still split: rows salt
+    * across ceil(maxPartitionBytes/targetBytes) deterministic buckets
+    * (hash of the row, so retried tasks re-derive the same bucket)
+    * and `maxRecordsPerFile` caps file size from the measured
+    * bytes-per-row, instead of funneling each oversized partition
+    * through one task into one oversized file.
     *
     * Crash safety: the swap is two renames with a recovery preamble —
     * if a previous run died between them (path missing, `.compact_old`
     * present) the old layout is restored before compacting, so a
     * re-run self-heals instead of failing on the missing directory.
-    * Returns (filesBefore, filesAfter).
+    * Concurrency: single-writer, no-concurrent-reader by design — the
+    * rename window (dir → .compact_old, tmp → dir) is not atomic for
+    * readers, so run compaction when the dataset is quiescent (e.g.
+    * from the same scheduler slot as the pipeline that owns the dir),
+    * or point readers at a catalog/manifest layer rather than raw
+    * paths. Returns (filesBefore, filesAfter).
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil): (Int, Int) = {
-    val dir = new java.io.File(path)
-    val old = new java.io.File(path + ".compact_old")
-    if (!dir.exists() && old.exists()) // crashed between the two renames
-      java.nio.file.Files.move(old.toPath, dir.toPath)
-    def parquetFiles(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles()).toSeq.flatten.flatMap { c =>
-        if (c.isDirectory) parquetFiles(c)
-        else if (c.getName.endsWith(".parquet")) Seq(c) else Nil
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new HPath(path + ".compact_old")
+    def mv(from: HPath, to: HPath): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed")
+    if (!fs.exists(dir) && fs.exists(old)) // crashed between the two renames
+      mv(old, dir)
+    // (file path, bytes) of every parquet leaf under p, via the
+    // recursive listing (one LIST round-trip per thousand entries on
+    // object stores, vs one per directory for a manual walk)
+    def parquetFiles(p: HPath): Seq[(HPath, Long)] = {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[(HPath, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += ((st.getPath, st.getLen))
       }
+      buf.result()
+    }
     val before = parquetFiles(dir)
-    val totalBytes = before.map(_.length()).sum
+    val totalBytes = before.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = path + ".compact_tmp"
     val df = spark.read.parquet(path)
     val writer =
-      if (partitionBy.nonEmpty)
-        // one task per partition value -> one file per partition dir
-        df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
-          .write.partitionBy(partitionBy: _*)
-      else df.repartition(nOut).write
+      if (partitionBy.nonEmpty) {
+        // per-partition-directory sizes decide how many salt buckets
+        // the LARGEST partition needs; bytes-per-row (from the same
+        // listing + a metadata-only count) turns targetBytes into a
+        // maxRecordsPerFile cap so within-task file sizes stay bounded
+        val dirBytes = before.groupBy(_._1.getParent).map(_._2.map(_._2).sum)
+        val maxDirBytes = if (dirBytes.isEmpty) 0L else dirBytes.max
+        val salts = math.max(1, math.ceil(maxDirBytes.toDouble / targetBytes).toInt)
+        val totalRows = math.max(1L, df.count())
+        val bytesPerRow = math.max(1L, totalBytes / totalRows)
+        val maxRecords = math.max(1L, targetBytes / bytesPerRow)
+        val keys = partitionBy.map(col) ++
+          (if (salts > 1) Seq(pmod(hash(df.columns.map(col): _*), lit(salts))) else Nil)
+        df.repartition(keys: _*)
+          .write.option("maxRecordsPerFile", maxRecords)
+          .partitionBy(partitionBy: _*)
+      } else df.repartition(nOut).write
     writer.mode("overwrite").parquet(tmp)
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    java.nio.file.Files.move(dir.toPath, old.toPath)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir.toPath)
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (fs.exists(old)) fs.delete(old, true)
+    mv(dir, old)
+    mv(new HPath(tmp), dir)
+    fs.delete(old, true)
     (before.size, parquetFiles(dir).size)
   }
 

@@ -157,6 +157,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(venues.toSeq == Seq("Venue TXT")) // a.txt > a.json lexicographically
   }
 
+  test("a batch larger than maxDriverRows fails loudly with the batching remedy") {
+    // the scoped read collects new-entry NAMES to the driver; past the
+    // bound the run must fail with an actionable message, not OOM
+    val landing = tmpDir("cap_landing")
+    val work = tmpDir("cap_work")
+    val tiny = Files.readAllBytes(Paths.get(fixture("match_tiny.json")))
+    zipOf(landing, "big.zip", Map("m1.json" -> tiny, "m2.json" -> tiny, "m3.json" -> tiny))
+    val e = intercept[IllegalStateException] {
+      Pipeline.runOnce(spark, landing, work, maxDriverRows = 2)
+    }
+    assert(e.getMessage.contains("maxDriverRows"))
+    assert(e.getMessage.contains("batches"))
+    // nothing was staged or marked processed: the failed run is clean
+    // to re-run with a raised bound or a sliced landing dir
+    assert(!new java.io.File(s"$work/staging").exists())
+    val r = Pipeline.runOnce(spark, landing, work) // default bound: fine
+    assert(r.newFiles == 3)
+  }
+
   test("zip-slip entry names fail the run instead of writing outside the work dir") {
     val landing = tmpDir("slip_landing")
     val work = tmpDir("slip_work")

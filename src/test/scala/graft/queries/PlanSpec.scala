@@ -82,6 +82,50 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  /** Physical operators of `name`'s plan, NOT descending into cached
+    * relations (an InMemoryTableScan leaf prints/holds the whole plan
+    * that BUILT the cache — counting inside it would see the build
+    * pipeline's operators, which this query precisely does not run).
+    * AQE is off for the analysis so the tree is the plain physical
+    * plan rather than staged wrappers.
+    */
+  private def physicalOps(name: String): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Seq(s)
+        case other => other +: other.children.flatMap(walk)
+      }
+      walk(root)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("bm25_topk: memoized term relation reused, exactly one ranking window") {
+    val ops = physicalOps("bm25_topk")
+    // tf / dl / df all branch off the ONE persisted term table — each
+    // branch reads cached blocks instead of re-running tokenize+explode
+    val cacheReads = ops.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(cacheReads >= 3, s"term relation not reused from cache ($cacheReads reads)")
+    val windows = ops.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows == 1, s"expected exactly one top-k window, got $windows")
+  }
+
+  test("dedup_keep_best: cached cluster table read, single top-1 window") {
+    val ops = physicalOps("dedup_keep_best")
+    // cluster labels must come from the memoized ConnectedComponents
+    // result, never a re-derived propagation loop
+    assert(ops.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "cluster table not read from cache")
+    val windows = ops.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows == 1, s"expected exactly one keep-best window, got $windows")
+  }
+
   test("stream_join: user equi-join with time-range residual, not nested loop") {
     val p = finalPlan("stream_join")
     assert(p.contains("Join"), p.take(2000))

@@ -107,6 +107,41 @@ class QueriesSpec extends SparkSpecBase {
   // grows, the signature widens and the fraction of the corpus each
   // query actually probes (its own bucket + the `bits` Hamming-1
   // buckets, measured from the real signature distribution) SHRINKS.
+  // Σ bucket² safety for the keyed band self-joins: the candidate
+  // generators stay linear only while no band bucket concentrates a
+  // corpus-scale population (a degenerate band key — e.g. near-empty
+  // docs all sharing one shingle — would turn the self-join
+  // quadratic). Measured max at sf0.1 is 12 (MinHash) and 4 (SimHash)
+  // against mean ≈ 1.06; the 32 guard leaves fixture headroom while
+  // still failing loudly on any real concentration.
+  test("band buckets stay far from quadratic at sf0.1 (MinHash and SimHash)") {
+    val big = "/root/testdata/sf0.1"
+    val mhPops = LlmQueries.bandTable(spark, big)
+      .groupBy($"band", $"key").count()
+      .agg(org.apache.spark.sql.functions.max($"count"),
+        org.apache.spark.sql.functions.avg($"count"))
+      .as[(Long, Double)].head()
+    assert(mhPops._1 <= 32 && mhPops._2 < 4.0,
+      s"MinHash band buckets skewed: max=${mhPops._1} mean=${mhPops._2}")
+
+    // SimHash bands re-derived from the public signature query — the
+    // same shift/mask keys simhash_neardup joins on
+    val sims = SparkEntry.queries("simhash")(spark, big)
+    val simBands = sims.select($"doc_id",
+      org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.array((0 until 4).map(b =>
+          org.apache.spark.sql.functions.shiftrightunsigned($"simhash", 16 * b)
+            .bitwiseAND(org.apache.spark.sql.functions.lit(65535L))): _*))
+        .as(Seq("band", "key")))
+    val shPops = simBands.groupBy($"band", $"key").count()
+      .agg(org.apache.spark.sql.functions.max($"count"),
+        org.apache.spark.sql.functions.avg($"count"))
+      .as[(Long, Double)].head()
+    assert(shPops._1 <= 32 && shPops._2 < 4.0,
+      s"SimHash band buckets skewed: max=${shPops._1} mean=${shPops._2}")
+    LlmQueries.clearCaches(Some(spark)) // drop the sf0.1 tables this test built
+  }
+
   test("knn_lsh probed fraction is sub-linear in corpus size (sf0.001 -> sf0.1)") {
     val dim = 64
     def meanProbedFraction(dir: String): (Int, Double) = {
