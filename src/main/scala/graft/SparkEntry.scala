@@ -30,7 +30,8 @@ object SparkEntry {
       LlmQueries.defs ++
       SourceUdxQueries.defs ++
       ExtraQueries.defs ++
-      CorpusOpsQueries.defs
+      CorpusOpsQueries.defs ++
+      LayoutQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       LlmQueries.oracles ++
       SourceUdxQueries.oracles ++
       ExtraQueries.oracles ++
-      CorpusOpsQueries.oracles
+      CorpusOpsQueries.oracles ++
+      LayoutQueries.oracles
 }

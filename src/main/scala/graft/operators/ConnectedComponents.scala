@@ -112,4 +112,92 @@ object ConnectedComponents {
     labels.unpersist()
     out
   }
+
+  /** Large-star / small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the O(log n)-round escape
+    * hatch for graphs whose components have LARGE diameter, where
+    * min-label propagation needs `diameter` rounds. Each iteration is
+    * two rounds of the same keyed-join-plus-aggregate plan shape as
+    * [[minLabel]]:
+    *
+    *  - large-star: every node u links each strictly-larger neighbor
+    *    to the minimum of its closed neighborhood m = min(N(u) ∪ u) —
+    *    edges (v, m) for v ∈ N(u), v > u.
+    *  - small-star: every edge directed large→small; each node u links
+    *    its smaller neighbors AND ITSELF to m = min(N⁻(u) ∪ u) —
+    *    edges (v, m) and (u, m).
+    *
+    * Both steps preserve connectivity and only ever decrease the
+    * partner of a node, so the edge set converges to disjoint stars
+    * centered at component minima — doubling the "hop radius" per
+    * alternation instead of extending it by one. Convergence test:
+    * exact set equality of consecutive edge sets (symmetric-difference
+    * emptiness in one aggregate job — a label-sum shortcut like
+    * [[minLabel]]'s is NOT sound here, because the edge set can change
+    * while preserving an aggregate).
+    *
+    * Use [[minLabel]] for near-dup dedup graphs (star/clique shaped,
+    * diameter 2–4 — fewer rounds, no edge-set rewriting); use this
+    * when components may be long chains (e.g. transitive similarity
+    * over sliding shingle windows).
+    *
+    * @return (id, component), component = min id of the component; the
+    *         returned Dataset is the persisted result, same contract
+    *         as [[minLabel]].
+    */
+  def alternatingStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // canonical undirected pairs, self-loops dropped
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    // exact set equality of two (distinct) canonical edge sets: any
+    // pair present in exactly one of them breaks the fixpoint
+    def sameEdges(a: DataFrame, b: DataFrame): Boolean =
+      a.union(b).groupBy(col("lo"), col("hi")).count()
+        .filter(col("count") === 1).limit(1).count() == 0
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val m = sym.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      canon(sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // every canonical pair is already large(hi) → small(lo)
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val linked = e.join(m, Seq("hi"))
+        .select(col("lo").as("src"), col("m").as("dst"))
+        .union(m.select(col("hi").as("src"), col("m").as("dst")))
+      canon(linked)
+    }
+    var cur = canon(edges).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val ls = largeStar(cur).persist()
+      val nextPlan = smallStar(ls)
+      val next =
+        if (iter % 2 == 1) nextPlan.localCheckpoint() else nextPlan.persist()
+      converged = sameEdges(next, cur) // materializes next before cur is freed
+      ls.unpersist()
+      cur.unpersist()
+      cur = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents: star alternation did not converge in $maxIter iterations")
+    // stars: every non-center points at its center; isolated vertices
+    // are their own component
+    val out = vertices
+      .join(cur.select(col("hi").as("id"), col("lo").as("cmp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cmp"), col("id")).as("component"))
+      .persist()
+    out.count()
+    cur.unpersist()
+    out
+  }
 }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Data-layout and robustness operators (round-3 widening of
+  * SURVEY.md §2): explicit skew-salted joins, melt/unpivot reshaping,
+  * event-time RANGE window frames, Z-order layout keys, and the
+  * modern aggregate surface (count_if / median / bool_and / bool_or).
+  *
+  * Scale rationale:
+  *  - `join_skew_salted` is the hot-key escape hatch when AQE's
+  *    runtime skew splitting can't apply (single hot key into one
+  *    reducer): the salt spreads each key over `buckets` reducers at
+  *    the cost of replicating the (small) dimension side. Result is
+  *    IDENTICAL to the plain equi-join — the oracle checks that, and
+  *    SkewJoinSpec pins the plan shape.
+  *  - `zorder_layout` computes the interleaved-bit sort key that
+  *    clusters a table on TWO dimensions at once: sorting 100 TB by
+  *    the Z-key makes parquet min/max stats tight on BOTH x and y, so
+  *    either predicate prunes row groups — a single-column sort gives
+  *    pruning on one dimension only. The key is pure codegen'd bit
+  *    arithmetic (no UDF).
+  *  - `window_range_frame` is the event-time trailing aggregate
+  *    (RANGE, not ROWS — peers at the same timestamp all join the
+  *    frame, so the result is order-stable under ties).
+  */
+object LayoutQueries {
+
+  /** Interleave the low 16 bits of x (even positions) and y (odd
+    * positions) into one long — the Morton / Z-order curve key.
+    * Arithmetic form (`(bit) * 2^k` summed) keeps every term a plain
+    * long multiply-add inside whole-stage codegen.
+    */
+  private def zkey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until 16).map { j =>
+      shiftright(x, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)) +
+        shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
+    }.reduce(_ + _)
+
+  val defs: Map[String, QueryFn] = Map(
+    // Hot-key mitigation as a first-class operator: events (the big,
+    // naturally skewed fact — some users are far busier than others)
+    // joined to the customer dim through an explicit salt. The salted
+    // plan must produce exactly the rows of the plain join.
+    "join_skew_salted" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"value")
+      val dim = Tables.customer(s, d)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id", "user_id", buckets = 8)
+        .groupBy(dim("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_events"), dsum(ev("value")).as("sum_value"))
+        .orderBy($"mktsegment")
+    }),
+
+    // Melt / unpivot: wide per-flag aggregates reshaped to long form
+    // (the report/export shape) via the Dataset.unpivot API.
+    "unpivot_melt" -> ((s, d) => {
+      import s.implicits._
+      val wide = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+      wide.unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_price", $"n_items"),
+        "metric", "value")
+        .orderBy($"l_returnflag", $"metric")
+    }),
+
+    // Trailing 1-hour event-time sum per event type — RANGE frame over
+    // epoch millis, so simultaneous events are frame peers and the
+    // result is deterministic under timestamp ties.
+    "window_range_frame" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ms")
+        .rangeBetween(-3600000L, 0L)
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", unix_millis($"ts").as("ms"), $"value")
+        .withColumn("trailing_1h", sum(dec($"value")).over(w).cast("double"))
+        .drop("value")
+        .orderBy($"event_id")
+    }),
+
+    // Z-order layout key over (user_id, floor(value)): the write-side
+    // clustering sort of a two-dimensional layout optimization. Output
+    // is the curve order itself (zkey, then id for ties).
+    "zorder_layout" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          ($"user_id" % 65536).as("zx"),
+          (floor($"value").cast("long") % 65536).as("zy"))
+        .withColumn("zkey", zkey($"zx", $"zy"))
+        .orderBy($"zkey", $"event_id")
+    }),
+
+    // Modern aggregate surface: count_if / median / bool_and /
+    // bool_or. median interpolates between the two middle values on
+    // even counts — same lower+(upper−lower)·frac double arithmetic in
+    // both engines.
+    "agg_modern" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          count_if($"value" > 100).as("n_high"),
+          median($"value").as("med_value"),
+          bool_and($"value" >= 0).as("all_nonneg"),
+          bool_or($"value" > 480).as("any_extreme"))
+        .orderBy($"event_type")
+    })
+  )
+
+  private def duckZkey(x: String, y: String): String =
+    (0 until 16).map { j =>
+      s"(($x >> $j) & 1) * ${1L << (2 * j)} + (($y >> $j) & 1) * ${1L << (2 * j + 1)}"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    // plain equi-join: the salt must be invisible in the result
+    "join_skew_salted" ->
+      """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY mktsegment""".stripMargin,
+
+    "unpivot_melt" ->
+      """WITH wide AS (
+        | SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(count(*) AS DOUBLE) AS n_items
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        | SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        | UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        | UNION ALL SELECT l_returnflag, 'n_items', n_items FROM wide) t
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT event_id, event_type, epoch_ms(ts) AS ms,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY event_type ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "zorder_layout" -> {
+      s"""SELECT event_id, zx, zy, ${duckZkey("zx", "zy")} AS zkey
+         |FROM (SELECT event_id, user_id % 65536 AS zx,
+         |        CAST(floor(value) AS BIGINT) % 65536 AS zy
+         |      FROM events) t
+         |ORDER BY zkey, event_id""".stripMargin
+    },
+
+    "agg_modern" ->
+      """SELECT event_type,
+        | CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
+        | median(value) AS med_value,
+        | bool_and(value >= 0) AS all_nonneg,
+        | bool_or(value > 480) AS any_extreme
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -140,6 +140,44 @@ class OperatorPropertySpec extends SparkSpecBase {
     }, 15)
   }
 
+  test("alternating-star components equal a driver-side union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(1, 25)
+      m <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(m,
+        for { a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) } yield (a, b))
+    } yield (n.toLong, edges)
+    check(Prop.forAll(graphGen) { case (n, edges) =>
+      val vertices = (0L until n).toDF("id")
+      val e = edges.toDF("src", "dst")
+      val got = ConnectedComponents.alternatingStar(vertices, e)
+      val gotMap = got.as[(Long, Long)].collect().toMap
+      got.unpersist()
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n.toInt).map { v =>
+        val comp = (0 until n.toInt).filter(u => find(u) == find(v)).min
+        v.toLong -> comp.toLong
+      }.toMap
+      gotMap == want
+    }, 15)
+  }
+
+  test("alternating-star resolves a 200-node chain in O(log n) iterations") {
+    // diameter 199: min-label propagation would need ~200 rounds; the
+    // star alternation must finish inside a logarithmic budget
+    val n = 200L
+    val vertices = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.alternatingStar(vertices, chain, maxIter = 12)
+    assert(got.as[(Long, Long)].collect().forall(_._2 == 0L))
+    got.unpersist()
+  }
+
   test("connected components fail loudly past the iteration cap (long chain)") {
     val n = 12L
     val vertices = (0L until n).toDF("id")
