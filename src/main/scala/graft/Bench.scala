@@ -22,6 +22,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftSparkExtensions) // vec_dot + optimizer rules
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader paths) so the first

@@ -85,6 +85,7 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
   }
 }
 
