@@ -44,6 +44,34 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", col("text").cast("binary"))
 
+  /** Media-file ingestion through Spark's `binaryFile` source: each
+    * file becomes one row (path, modificationTime, length, content) —
+    * the distributed front door for a directory of images/audio on
+    * any Hadoop-supported filesystem. Executors read the bytes; the
+    * driver only lists. `maxBytesPerFile` guards against a stray
+    * multi-GB video materializing one row that no executor can hold —
+    * oversized files FAIL the read loudly (a silent skip would
+    * under-count the corpus).
+    *
+    * Output: (media_path, payload) + the stat columns, ready for
+    * [[extractMeta]] / [[extractFeatures]] / [[resizeAll]].
+    */
+  def readMediaDir(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String = "*",
+      maxBytesPerFile: Long = 256L * 1024 * 1024): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+    val guarded = raw.withColumn("payload",
+      when(col("length") <= maxBytesPerFile, col("content"))
+        .otherwise(raise_error(concat(
+          lit(s"media file exceeds maxBytesPerFile=$maxBytesPerFile: "), col("path")))))
+    guarded.select(col("path").as("media_path"), col("modificationTime"),
+      col("length").as("n_bytes"), col("payload"))
+  }
+
   /** STUB feature extraction: deterministic pseudo-embedding from the
     * payload (a real implementation would run a vision/audio encoder
     * on the decoded media). Fixed output dimension, unit-independent

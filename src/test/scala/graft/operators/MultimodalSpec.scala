@@ -42,6 +42,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(selfCos.filter(abs($"c" - 1.0) > 1e-6).count() == 0)
   }
 
+  test("binaryFile ingestion: files become payload rows, stages compose, size guard trips") {
+    val dir = tmpDir("media")
+    val payloads = (0 until 12).map { i =>
+      val bytes = Array.tabulate[Byte](100 + 37 * i)(j => ((i * 31 + j) % 256).toByte)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/img_$i.bin"), bytes)
+      s"img_$i.bin" -> bytes
+    }.toMap
+    java.nio.file.Files.writeString( // non-matching extension: excluded by glob
+      java.nio.file.Paths.get(s"$dir/notes.txt"), "not media")
+
+    val media = Multimodal.readMediaDir(spark, dir, glob = "*.bin")
+    assert(media.count() == 12)
+    // executor-read bytes match what was written, per file
+    val back = media.select($"media_path", $"payload")
+      .as[(String, Array[Byte])].collect()
+      .map { case (p, b) => p.split('/').last -> b }.toMap
+    assert(back.keySet == payloads.keySet)
+    assert(back.forall { case (k, b) => b.sameElements(payloads(k)) })
+    // composes with the decode stage (keyed by a derived doc_id)
+    val meta = Multimodal.extractMeta(
+      media.withColumn("doc_id", crc32($"media_path").cast("long")))
+    assert(meta.count() == 12)
+    // the size guard fails LOUDLY instead of silently skipping — it
+    // lives on the payload column, so it fires exactly when payload
+    // bytes are materialized (a pruned metadata-only read is safe and
+    // correctly skips it; count() alone would never touch the bytes)
+    val e = intercept[Exception] {
+      Multimodal.readMediaDir(spark, dir, glob = "*.bin", maxBytesPerFile = 150)
+        .select(md5($"payload")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxBytesPerFile")))
+  }
+
   test("resize stage is partition-preserving and sizes track target area") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val payload = Multimodal.withPayload(docs).repartition(4)
