@@ -29,16 +29,8 @@ import Q._
   */
 object LayoutQueries {
 
-  /** Interleave the low 16 bits of x (even positions) and y (odd
-    * positions) into one long — the Morton / Z-order curve key.
-    * Arithmetic form (`(bit) * 2^k` summed) keeps every term a plain
-    * long multiply-add inside whole-stage codegen.
-    */
   private def zkey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-    (0 until 16).map { j =>
-      shiftright(x, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)) +
-        shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
-    }.reduce(_ + _)
+    graft.functions.ZOrder.zkey(x, y)
 
   val defs: Map[String, QueryFn] = Map(
     // Hot-key mitigation as a first-class operator: events (the big,

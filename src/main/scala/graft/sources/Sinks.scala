@@ -133,6 +133,48 @@ object Sinks {
     (before.size, parquetFiles(dir).size)
   }
 
+  /** Z-order clustered parquet write: rows sort by the Morton key of
+    * (xCol, yCol) before writing, so each output file covers a small
+    * square-ish region of the (x, y) plane and parquet min/max stats
+    * prune file reads on EITHER column — a plain sort clusters only
+    * its leading column. `nFiles` range-partitions the key so files
+    * are balanced; the key column itself is dropped from the output
+    * (it is derivable, not data).
+    *
+    * The key interleaves QUANTILE-BUCKET ids, not raw values: raw
+    * interleaving degrades badly on skewed columns (most of the curve
+    * covers empty value space, so file boxes stretch across the dense
+    * region — measured on the skewed events.value column, a 20%-mass
+    * slice pruned almost nothing). Bucket cuts come from one
+    * sampling-based `approxQuantile` pass over both columns (the
+    * scalable route — no global-sort window), and the per-row bucket
+    * index is a codegen'd comparison sum. 64 buckets per dimension is
+    * deliberately coarse: resolution finer than the file grid buys no
+    * pruning.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      nFiles: Int,
+      buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(xCuts, yCuts) = df.na.drop(Seq(xCol, yCol)).stat
+      .approxQuantile(Array(xCol, yCol), probs, 0.001)
+    def bucketId(c: org.apache.spark.sql.Column, cuts: Array[Double]) =
+      cuts.distinct.map(cut => when(c >= lit(cut), 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+    df.withColumn("_zkey", graft.functions.ZOrder.zkey(
+        bucketId(col(xCol).cast("double"), xCuts),
+        bucketId(col(yCol).cast("double"), yCuts)))
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey") // projection after the sort: within-partition order survives
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** JDBC warehouse load. The reference hard-codes Redshift
     * credentials in source (etl_glue_job.py:20-22 — defect §4.4);
     * here connection config is caller-supplied. `numPartitions`
