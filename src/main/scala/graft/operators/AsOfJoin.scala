@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * with `rightTime <= leftTime` within the same key (SURVEY.md §2.3;
   * the `join_asof` query is this operator specialized to events).
   *
-  * Spark-first formulation: no per-key subquery and no custom
-  * SparkPlan. Both sides are tagged and unioned, one window pass keyed
-  * on the join key carries the latest right payload forward, then left
-  * rows are filtered back out. Cost: one shuffle on the key + one
-  * sort — O(n log n) per partition, state bounded by the key's row
-  * count, skew handled by AQE like any window. A custom
-  * LogicalPlan/Strategy (SURVEY §7) would only pay off if the sort
-  * could be avoided via pre-sorted bucketed inputs.
+  * Two implementations with IDENTICAL semantics and output schema:
+  *
+  *  - [[asofJoin]] — composed from built-ins (tag, union, one window
+  *    pass carrying the latest right payload forward, filter left
+  *    back out). Works on any session; cost is one shuffle on the key
+  *    plus one sort of the UNION.
+  *  - [[asofJoinNative]] — the engine's custom Catalyst operator
+  *    ([[graft.plans.AsOfJoinNode]] / [[graft.plans.AsOfJoinExec]]):
+  *    a per-partition forward merge with O(1) state that shuffles and
+  *    sorts each side separately — and not at all when the inputs are
+  *    already bucketed and sorted by (key, time), which the union
+  *    form can never exploit.
   *
   * Ties (`rightTime == leftTime`): the right row is visible (<= match).
   * Multiple right rows at the same instant resolve to the last in
@@ -25,6 +29,42 @@ import org.apache.spark.sql.functions._
   * `asof_<payload>` columns (null when no right row precedes).
   */
 object AsOfJoin {
+
+  /** The same as-of semantics through the engine's native Catalyst
+    * operator ([[graft.plans.AsOfJoinNode]] → planner strategy →
+    * merge-join exec): no union, no window state, and zero added
+    * shuffle/sort when inputs are already bucketed and sorted by
+    * (key, time). Output schema and every row match [[asofJoin]]
+    * exactly (AsOfJoinExecSpec cross-checks, including on random
+    * data). Requires the session to carry
+    * [[graft.plans.GraftSparkExtensions]].
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    val rightPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
+    // fresh ExprIds on the right via aliases: as-of joins are commonly
+    // self-joins (two filters of one table), where reusing the same
+    // attribute ids in one plan would be ambiguous
+    val rFresh = right.filter(col(rightTime).isNotNull)
+      .select(right.columns.map(c => col(c).as(s"_r_$c")).toIndexedSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rFresh.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column '$n' not found in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, leftTime),
+      attr(rPlan, s"_r_$key"), attr(rPlan, s"_r_$rightTime"))
+    org.apache.spark.sql.GraftOfRowsBridge.ofRows(spark, node)
+      .select((left.columns.map(col).toSeq :+
+        col(s"_r_$rightTime").as(s"asof_$rightTime")) ++
+        rightPayload.map(c => col(s"_r_$c").as(s"asof_$c")): _*)
+  }
 
   def asofJoin(
       left: DataFrame,

@@ -86,6 +86,7 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -157,7 +157,10 @@ object JoinStateQueries {
         .select($"user_id", $"event_id", $"ts")
       val signups = ev.filter($"event_type" === "signup")
         .select($"user_id", $"ts".as("s_ts"))
-      graft.operators.AsOfJoin.asofJoin(purchases, signups, "user_id", "ts", "s_ts")
+      // the NATIVE Catalyst as-of operator (custom LogicalPlan +
+      // strategy + merge exec) — oracle-checked here every round;
+      // AsOfJoinExecSpec proves row equality with the composed form
+      graft.operators.AsOfJoin.asofJoinNative(purchases, signups, "user_id", "ts", "s_ts")
         .select($"event_id", $"user_id",
           unix_millis($"ts").as("purchase_ms"),
           unix_millis($"asof_s_ts").as("signup_ms"))
