@@ -74,6 +74,25 @@ object CoreQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Mergeable-sketch architecture (the 100 TB cardinality pattern):
+    // per-group DataSketches HLL sketches built once, then UNIONED to
+    // a corpus-wide estimate — the shape of a materialized sketch
+    // store, where per-partition/per-day sketches persist and any
+    // rollup merges them without rescanning data. No DuckDB oracle
+    // (sketch binaries are engine-specific, like agg_approx_distinct);
+    // QueriesSpec pins the error bound AND that the merged estimate
+    // equals the direct whole-corpus sketch (HLL union is lossless at
+    // equal lgK).
+    "sketch_union" -> ((s, d) => {
+      import s.implicits._
+      val perType = Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id").as("sk"), count(lit(1)).as("n"))
+      perType.agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"),
+        sum($"n").as("n_events"))
+    }),
+
     "agg_rollup" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)

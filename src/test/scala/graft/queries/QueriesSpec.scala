@@ -107,6 +107,26 @@ class QueriesSpec extends SparkSpecBase {
   // grows, the signature widens and the fraction of the corpus each
   // query actually probes (its own bucket + the `bits` Hamming-1
   // buckets, measured from the real signature distribution) SHRINKS.
+  test("sketch_union: merged per-group sketches equal the direct global sketch") {
+    val got = SparkEntry.queries("sketch_union")(spark, sf)
+      .as[(Long, Long)].head()
+    val trueDistinct = graft.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    val trueEvents = graft.Tables.events(spark, sf).count()
+    assert(got._2 == trueEvents)
+    // HLL_4 at default lgK=12 carries ~1.6% standard error; 5% is a
+    // loose-but-failing-on-bugs bound at this cardinality
+    assert(math.abs(got._1 - trueDistinct).toDouble / trueDistinct <= 0.05,
+      s"estimate ${got._1} vs true $trueDistinct")
+    // union is LOSSLESS at equal lgK: merging the per-group sketches
+    // must reproduce the direct whole-corpus sketch exactly
+    val direct = graft.Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg($"user_id")))
+      .as[Long].head()
+    assert(got._1 == direct, s"merged ${got._1} != direct $direct")
+  }
+
   // Σ bucket² safety for the keyed band self-joins: the candidate
   // generators stay linear only while no band bucket concentrates a
   // corpus-scale population (a degenerate band key — e.g. near-empty

@@ -137,6 +137,21 @@ class SinksSpec extends SparkSpecBase {
     assert(back.select($"o_orderkey").as[Long].collect().sorted.toSeq == want)
   }
 
+  test("compact self-heals after a crash between the two swap renames") {
+    val out = tmpDir("compact_crash") + "/t"
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+    df.repartition(10).write.parquet(out)
+    val want = df.count()
+    // simulate the crash window: dataset dir renamed away, tmp never
+    // promoted — the state a reader would find after a writer died
+    new java.io.File(out).renameTo(new java.io.File(out + ".compact_old"))
+    assert(!new java.io.File(out).exists())
+    val (before, after) = Sinks.compact(spark, out, targetBytes = 512L * 1024)
+    assert(before == 10 && after < before)
+    assert(spark.read.parquet(out).count() == want)
+    assert(!new java.io.File(out + ".compact_old").exists()) // junk cleaned
+  }
+
   test("compact preserves a partitioned layout when given the partition columns") {
     val out = tmpDir("compact_part") + "/t"
     val df = Tables.orders(spark, "/root/testdata/sf0.001")
