@@ -40,12 +40,22 @@ object TextFunctions {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Fraction of tokens that are stopwords. */
+  /** Fraction of tokens that are stopwords. The count is a
+    * `regexp_count` over the normalized text rather than a
+    * higher-order `filter` over the token array: array lambdas run
+    * INTERPRETED with per-element boxing (outside whole-stage
+    * codegen), and this expression sits in the text_quality /
+    * quality_gate / dedup_keep_best hot paths. normText emits only
+    * `[a-z0-9 ]`, so `\b`-delimited alternation matches exactly the
+    * whole-token stopword occurrences the lambda counted — identical
+    * integers, codegen'd.
+    */
   def stopwordRatio(c: Column): Column = {
     val toks = tokens(c)
-    val stops = filter(toks, t => t.isInCollection(stopwords))
+    val stopCount =
+      regexp_count(normText(c), lit(s"\\b(${stopwords.mkString("|")})\\b"))
     when(size(toks) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(toks))
+      .otherwise(stopCount.cast("double") / size(toks))
   }
 
   /** Heuristic quality score in [0,1]: length band + stopword presence

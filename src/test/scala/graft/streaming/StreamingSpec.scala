@@ -36,6 +36,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == afterFirst * 2)
   }
 
+  test("foreachBatch warehouse sink is exactly-once across runs and retries") {
+    val in = tmpDir("wh_in")
+    val cp = tmpDir("wh_cp")
+    val url = "jdbc:derby:memory:graftwhstream;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val schema = "id LONG, v STRING"
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(in, name),
+        rows.map { case (i, v) => s"""{"id":$i,"v":"$v"}""" }.mkString("\n"))
+    def run(): Unit = IncrementalPipeline.warehouseSink(
+      spark.readStream.schema(schema).json(in), url, "events_wh", props, cp)
+    def whCount(): Long = spark.read.jdbc(url, "events_wh", props).count()
+
+    land("b1.json", Seq((1L, "a"), (2L, "b")))
+    run()
+    assert(whCount() == 2)
+    // re-run with nothing new: checkpoint replays no committed batch
+    run()
+    assert(whCount() == 2)
+    // new file: only its rows land
+    land("b2.json", Seq((3L, "c")))
+    run()
+    assert(whCount() == 3)
+    // a RETRIED micro-batch (crash after write, before commit) replaces
+    // its own rows instead of appending a second copy
+    import spark.implicits._
+    val replay = Seq((3L, "c")).toDF("id", "v")
+    IncrementalPipeline.upsertBatch(replay, 1L, url, "events_wh", props)
+    assert(whCount() == 3)
+  }
+
   test("watermarked windowed aggregation runs as a real stream") {
     val sf = "/root/testdata/sf0.001"
     val stage = tmpDir("events_stage")
