@@ -101,7 +101,8 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"ConnectedComponents: min-label propagation did not converge in $maxIter rounds — " +
-          s"graph has a component of diameter > $maxIter")
+          s"graph has a component of diameter > $maxIter. Long-chain graphs resolve in " +
+          "O(log n) iterations via ConnectedComponents.alternatingStar.")
     // Hand back a frame whose OWN persisted blocks are the result:
     // returning a projection of the internally-cached final round
     // would make the caller's unpersist() a silent no-op (unpersist

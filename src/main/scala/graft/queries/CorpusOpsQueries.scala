@@ -128,6 +128,21 @@ object CorpusOpsQueries {
         .orderBy($"cluster_size")
     }),
 
+    // Candidate-graph diagnostics: near-dup degree distribution — how
+    // many docs have k candidate partners. The curation run's health
+    // metric (a fat tail here means a degenerate band key is inflating
+    // Σ bucket² — the same hazard the band-skew spec guards). Reads the
+    // memoized band table; two hash aggregates.
+    "graph_degree_dist" -> ((s, d) => {
+      import s.implicits._
+      val cand = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
+      val degrees = cand.select($"doc_a".as("doc_id"))
+        .union(cand.select($"doc_b".as("doc_id")))
+        .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+      degrees.groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"degree")
+    }),
+
     // Deterministic stratified Bernoulli sampling for training-data
     // mixes: per-language keep rates, seeded-hash uniform per doc —
     // reproducible across runs, engines, partitionings.
@@ -282,6 +297,16 @@ object CorpusOpsQueries {
          |sizes AS (SELECT cluster, count(*) AS cluster_size FROM clusters GROUP BY cluster)
          |SELECT cluster_size, count(*) AS n_clusters FROM sizes
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "graph_degree_dist" ->
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |deg AS (
+         | SELECT doc_id, count(*) AS degree FROM (
+         |  SELECT doc_a AS doc_id FROM cand
+         |  UNION ALL SELECT doc_b AS doc_id FROM cand) t
+         | GROUP BY doc_id)
+         |SELECT degree, count(*) AS n_docs FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin,
 
     "sample_stratified" -> {
       val hv = LlmQueries.duckHex8ToBigint("h")
