@@ -45,7 +45,8 @@ object Bench {
     // are dropped as soon as the family finishes.
     val corpusFamily = Seq(
       "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
-      "ngram_jaccard", "fuzzy_match", "graph_degree_dist", "contamination_check",
+      "ngram_jaccard", "fuzzy_match", "graph_degree_dist", "dedup_incremental",
+      "contamination_check",
       "tfidf_topk", "bm25_topk",
       "dedup_clusters", "dedup_stats", "dedup_keep_best")
     val ordered =

@@ -68,4 +68,46 @@ object StateMerge {
     */
   def notYetPresent(incoming: DataFrame, existing: DataFrame): DataFrame =
     incoming.join(existing, Seq("file_key"), "left_anti")
+
+  /** SCD Type-2 merge — the warehouse-dimension history pattern the
+    * reference's Redshift load implies but never implements: instead
+    * of overwriting changed dimension rows, the open version closes
+    * (`valid_to` = update time) and the update opens a new version
+    * (`valid_from` = update time, `valid_to` null).
+    *
+    * Set-oriented: one keyed join decides closures, one union appends
+    * the new versions — no per-row driver loop, broadcasts when
+    * updates are small. When one batch carries several updates for a
+    * key, the latest per (ts, then attribute order) wins; applying
+    * batches one at a time preserves full history.
+    *
+    * @param history rows of (key, attrs..., valid_from, valid_to);
+    *                open rows have `valid_to` null
+    * @param updates rows of (key, attrs..., ts) — the new attribute
+    *                values effective at ts
+    * @return the merged history, same schema as `history`
+    */
+  def scd2Merge(history: DataFrame, updates: DataFrame, key: String, ts: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val attrs = history.columns.filterNot(c =>
+      c == key || c == "valid_from" || c == "valid_to").toSeq
+    // latest update per key in this batch (deterministic tie-break on
+    // every attribute value, so equal-ts duplicates cannot flap)
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(ts).desc +: attrs.map(col(_).desc)): _*)
+    val latest = updates
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val closing = latest.select(col(key), col(ts).as("_close_ts"))
+    val closed = history
+      .join(closing, Seq(key), "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull && col("_close_ts").isNotNull, col("_close_ts"))
+          .otherwise(col("valid_to")))
+      .drop("_close_ts")
+    val opened = latest.select(
+      (col(key) +: attrs.map(col)) :+
+        col(ts).as("valid_from") :+
+        lit(null).cast(history.schema("valid_to").dataType).as("valid_to"): _*)
+    closed.unionByName(opened)
+  }
 }

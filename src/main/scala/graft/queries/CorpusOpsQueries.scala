@@ -128,6 +128,29 @@ object CorpusOpsQueries {
         .orderBy($"cluster_size")
     }),
 
+    // Incremental dedup — the path a DAILY pipeline actually runs: an
+    // incoming batch (doc_id % 10 == 0 stands in) screens against the
+    // EXISTING corpus instead of recomputing full-corpus dedup. Exact
+    // pass: fingerprint anti-join. Near pass: the batch's LSH band
+    // keys semi-join the corpus band table (the persisted signature
+    // store an incremental run reads instead of rebuilding). Output:
+    // batch docs clean to admit.
+    "dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val fps = Tables.documents(s, d)
+        .select($"doc_id", TF.fingerprint($"text").as("fp"))
+      val exactSurvivors = fps.filter($"doc_id" % 10 === 0)
+        .join(fps.filter($"doc_id" % 10 =!= 0).select($"fp"), Seq("fp"), "left_anti")
+      val bands = LlmQueries.bandTable(s, d)
+      val nearHits = bands.filter($"doc_id" % 10 === 0)
+        .join(bands.filter($"doc_id" % 10 =!= 0).select($"band", $"key"),
+          Seq("band", "key"), "left_semi")
+        .select($"doc_id").distinct()
+      exactSurvivors.select($"doc_id")
+        .join(nearHits, Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
     // Candidate-graph diagnostics: near-dup degree distribution — how
     // many docs have k candidate partners. The curation run's health
     // metric (a fat tail here means a degenerate band key is inflating
@@ -297,6 +320,24 @@ object CorpusOpsQueries {
          |sizes AS (SELECT cluster, count(*) AS cluster_size FROM clusters GROUP BY cluster)
          |SELECT cluster_size, count(*) AS n_clusters FROM sizes
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |fps AS (SELECT doc_id, md5(array_to_string(list_sort(${LlmQueries.TOKS}), ' ')) AS fp
+         |        FROM documents),
+         |exact_sur AS (
+         | SELECT doc_id FROM fps f
+         | WHERE doc_id % 10 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM fps o
+         |                  WHERE o.doc_id % 10 <> 0 AND o.fp = f.fp)),
+         |nearhit AS (
+         | SELECT DISTINCT a.doc_id FROM bands a
+         | WHERE a.doc_id % 10 = 0
+         |  AND EXISTS (SELECT 1 FROM bands b
+         |              WHERE b.doc_id % 10 <> 0 AND b.band = a.band AND b.key = a.key))
+         |SELECT doc_id FROM exact_sur
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nearhit)
+         |ORDER BY doc_id""".stripMargin,
 
     "graph_degree_dist" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},

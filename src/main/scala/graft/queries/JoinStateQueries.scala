@@ -105,6 +105,23 @@ object JoinStateQueries {
       StateMerge.merge(state, updates).orderBy($"file_key")
     }),
 
+    // SCD Type-2 dimension merge: the warehouse-history pattern —
+    // customers with an account-balance update close their open
+    // version at ts=5 and open a new one; untouched customers keep
+    // their single open row.
+    "scd2_apply" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val history = cust.select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val updates = cust.filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal"), $"c_mktsegment")
+        .withColumn("ts", lit(5L))
+      StateMerge.scd2Merge(history, updates, "c_custkey", "ts")
+        .orderBy($"c_custkey", $"valid_from")
+    }),
+
     // J3: schema-drift classification (compare_schema.py:29-53).
     // Old = actual orders schema from the scan; new = simulated drift
     // (drop o_orderpriority, add o_comment, retype o_totalprice).
@@ -169,6 +186,19 @@ object JoinStateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "scd2_apply" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to FROM (
+        | SELECT c_custkey, c_acctbal, c_mktsegment,
+        |  CAST(0 AS BIGINT) AS valid_from,
+        |  CASE WHEN c_custkey % 7 = 0 THEN CAST(5 AS BIGINT)
+        |       ELSE CAST(NULL AS BIGINT) END AS valid_to
+        | FROM customer
+        | UNION ALL
+        | SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+        |  CAST(5 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        | FROM customer WHERE c_custkey % 7 = 0) t
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
     "join_inner" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

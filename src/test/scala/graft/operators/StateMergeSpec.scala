@@ -43,4 +43,29 @@ class StateMergeSpec extends SparkSpecBase {
     assert(StateMerge.notYetPresent(incoming, existing)
       .as[String].collect().toSeq == Seq("f7"))
   }
+
+  test("scd2Merge closes open versions, keeps closed history, dedups batch updates") {
+    // key 1: open + already-closed history row; two same-batch updates
+    // (latest ts wins). key 2: untouched. key 3: brand new.
+    val history = Seq(
+      (1L, "a", 0L, Some(3L)), // closed: must stay untouched
+      (1L, "b", 3L, None: Option[Long]),
+      (2L, "c", 0L, None: Option[Long]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq((1L, "b2", 5L), (1L, "b1", 4L), (3L, "n", 5L))
+      .toDF("k", "attr", "ts")
+    val got = StateMerge.scd2Merge(history, updates, "k", "ts")
+      .as[(Long, String, Long, Option[Long])].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, "a", 0L, Some(3L)),  // closed row untouched
+      (1L, "b", 3L, Some(5L)),  // open row closed at the update ts
+      (1L, "b2", 5L, None),     // latest same-batch update wins
+      (2L, "c", 0L, None),      // untouched key keeps its open row
+      (3L, "n", 5L, None)))     // new key opens with no prior history
+    // applying the same batch again only re-closes/reopens at the same
+    // ts — history length grows by the reopened rows, values stable
+    val again = StateMerge.scd2Merge(
+      StateMerge.scd2Merge(history, updates, "k", "ts"), updates, "k", "ts")
+    assert(again.filter($"valid_to".isNull).count() == 3) // one open row per key
+  }
 }
