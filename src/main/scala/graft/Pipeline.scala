@@ -82,6 +82,25 @@ object Pipeline {
     }
   }
 
+  /** Staging maintenance — run periodically (not per batch): the
+    * incremental pipeline writes one parquet file per new source file
+    * into its own `file_key=` partition, so a long-running deployment
+    * accretes exactly the small-file problem [[Sinks.compact]] exists
+    * for. Compaction preserves the partition layout, so dynamic
+    * partition overwrite (the exactly-once mechanism) and partition
+    * pruning keep working on the compacted staging dir.
+    *
+    * @return (filesBefore, filesAfter), (0, 0) when nothing staged yet
+    */
+  def maintain(
+      spark: SparkSession,
+      workDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val stagingDir = s"$workDir/staging"
+    if (!new java.io.File(stagingDir).exists()) (0, 0)
+    else Sinks.compact(spark, stagingDir, targetBytes, partitionBy = Seq("file_key"))
+  }
+
   /** One incremental run.
     *
     * @param landingDir  dir of zip archives of match JSON (the S3 bucket)

@@ -157,6 +157,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(venues.toSeq == Seq("Venue TXT")) // a.txt > a.json lexicographically
   }
 
+  test("maintain compacts staging while preserving partitions and exactly-once") {
+    val landing = tmpDir("mnt_landing")
+    val work = tmpDir("mnt_work")
+    val tiny = Files.readAllBytes(Paths.get(fixture("match_tiny.json")))
+    // three incremental batches -> three per-file staging partitions
+    (1 to 3).foreach { i =>
+      zipOf(landing, s"b$i.zip", Map(s"m$i.json" -> tiny))
+      Pipeline.runOnce(spark, landing, work)
+    }
+    val before = spark.read.parquet(s"$work/staging")
+    val wantRows = before.count()
+    assert(wantRows == 12)
+    val (nBefore, nAfter) = Pipeline.maintain(spark, work)
+    assert(nBefore >= 3 && nAfter <= nBefore)
+    val after = spark.read.parquet(s"$work/staging")
+    assert(after.count() == wantRows)
+    // partition layout survived: pruning on file_key still plans
+    import spark.implicits._
+    val pruned = after.filter($"file_key" === "m2")
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: ["))
+    assert(pruned.count() == 4)
+    // exactly-once still holds post-compaction: re-delivering m2 in a
+    // new archive overwrites only its partition, no duplicates
+    zipOf(landing, "redeliver.zip", Map("m2.json" -> tiny))
+    // force reprocessing by pruning m2 from the ledger (same surgery
+    // as the crash-recovery case in the end-to-end test)
+    val state = spark.read.parquet(s"$work/state")
+    val prunedState = state.filter($"file_key" =!= "m2")
+    prunedState.write.parquet(s"$work/state_pruned")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$work/state"))
+    new java.io.File(s"$work/state_pruned").renameTo(new java.io.File(s"$work/state"))
+    Pipeline.runOnce(spark, landing, work)
+    assert(spark.read.parquet(s"$work/staging").count() == wantRows)
+  }
+
   test("a batch larger than maxDriverRows fails loudly with the batching remedy") {
     // the scoped read collects new-entry NAMES to the driver; past the
     // bound the run must fail with an actionable message, not OOM
