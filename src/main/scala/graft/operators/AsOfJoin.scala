@@ -84,8 +84,12 @@ object AsOfJoin {
         lit(null).cast(payloadType).as("_payload") +:
         leftCols.map(col)): _*)
     // a NULL right time can never satisfy rightTime <= leftTime; left
-    // in, it would sort first (nulls-first) and leak its payload
-    val rNorm = right.filter(col(rightTime).isNotNull).select(
+    // in, it would sort first (nulls-first) and leak its payload. A
+    // NULL right KEY never matches either (SQL equi-join semantics —
+    // the native exec agrees); unfiltered, the window's partitionBy
+    // would GROUP null keys together and match them to null-key left
+    // rows, which no SQL join does.
+    val rNorm = right.filter(col(rightTime).isNotNull && col(key).isNotNull).select(
       (col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         payloadCol.as("_payload") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

@@ -72,6 +72,30 @@ class AsOfJoinExecSpec extends SparkSpecBase {
     }, 20)
   }
 
+  test("null keys and null times never match, identically to the composed form") {
+    val l = Seq(
+      (Some(1L), Some(10L), 100L),
+      (Some(1L), None: Option[Long], 101L), // null left time -> no match
+      (None: Option[Long], Some(10L), 102L), // null left key -> no match
+      (Some(2L), Some(5L), 103L))
+      .toDF("k", "t", "id").repartition(3)
+    val r = Seq(
+      (Some(1L), Some(9L), 900L),
+      (Some(1L), None: Option[Long], 901L), // null right time: invisible
+      (None: Option[Long], Some(1L), 902L), // null right key: invisible
+      (Some(2L), Some(6L), 903L))           // after left t=5: invisible
+      .toDF("k", "rt", "v").repartition(2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"asof_rt", $"asof_v")
+        .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    val native = rows(AsOfJoin.asofJoinNative(l, r, "k", "t", "rt"))
+    val composed = rows(AsOfJoin.asofJoin(l, r, "k", "t", "rt"))
+    assert(native == composed, s"native=$native composed=$composed")
+    assert(native == Seq(
+      (100L, Some(9L), Some(900L)), // normal match
+      (101L, None, None), (102L, None, None), (103L, None, None)))
+  }
+
   test("native plan: AsOfJoinExec, no Window; composed plan: Window") {
     val native = AsOfJoin.asofJoinNative(purchases, signups, "user_id", "ts", "signup_ts")
     val np = native.queryExecution.executedPlan.toString
