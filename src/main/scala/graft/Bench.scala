@@ -49,6 +49,11 @@ object Bench {
       "contamination_check",
       "tfidf_topk", "bm25_topk",
       "dedup_clusters", "dedup_stats", "dedup_keep_best")
+    // A renamed query silently vanishing from this list would shrink
+    // bench coverage without an error — fail loudly on drift instead.
+    val drifted = corpusFamily.filterNot(SparkEntry.queries.contains)
+    require(drifted.isEmpty,
+      s"corpusFamily names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
     val ordered =
       SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => corpusFamily.contains(q._1)) ++
         corpusFamily.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
@@ -72,7 +77,25 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+    val full =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(full)
+    // The harness that records this output keeps only the LAST ~2000
+    // characters of stdout, and with ~100 queries the full line above
+    // is longer than that — its head (including the total) gets cut,
+    // so nothing parses. Persist the full line to a file, then print a
+    // compact summary line (same shape, slowest-15 queries only) that
+    // fits whole inside the tail window and parses on its own.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL_LATEST.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not persist full results: ${e.getMessage}") }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15).map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in BENCH_LOCAL_LATEST.json and the long line above","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -97,7 +97,13 @@ object Pipeline {
       workDir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val stagingDir = s"$workDir/staging"
-    if (!new java.io.File(stagingDir).exists()) (0, 0)
+    // Existence must resolve through the same scheme-aware Hadoop
+    // FileSystem that compact uses: a java.io.File check is always
+    // false for hdfs:// or s3a:// workDirs, silently no-opping
+    // maintenance exactly where compaction matters most.
+    val stagingPath = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stagingPath)) (0, 0)
     else Sinks.compact(spark, stagingDir, targetBytes, partitionBy = Seq("file_key"))
   }
 

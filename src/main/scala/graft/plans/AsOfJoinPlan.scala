@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{
   SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.DataType
 
 /** Whole-operator as-of join as a first-class Catalyst citizen
   * (SURVEY.md §7 / custom-operator tier (c)): a logical node, a
@@ -41,6 +43,26 @@ case class AsOfJoinNode(
     rightKey: Attribute,
     rightTime: Attribute)
   extends BinaryNode {
+
+  // The exec builds its orderings from the LEFT attribute types and
+  // merges raw values across sides, so a mismatched (or unordered)
+  // right type would surface as a deep runtime ClassCastException in
+  // the merge loop. Fail at plan construction instead: the node is
+  // only well-formed when each (left, right) pair shares one ordered
+  // data type. (Validation waits until all four attributes are
+  // resolved, so analyzer-phase copies don't trip on placeholders.)
+  if (Seq(leftKey, leftTime, rightKey, rightTime).forall(_.resolved)) {
+    require(RowOrdering.isOrderable(leftKey.dataType),
+      s"as-of join key type ${leftKey.dataType.catalogString} is not orderable")
+    require(RowOrdering.isOrderable(leftTime.dataType),
+      s"as-of join time type ${leftTime.dataType.catalogString} is not orderable")
+    require(DataType.equalsStructurally(leftKey.dataType, rightKey.dataType, ignoreNullability = true),
+      s"as-of join key types differ: left ${leftKey.dataType.catalogString} " +
+        s"vs right ${rightKey.dataType.catalogString}")
+    require(DataType.equalsStructurally(leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+      s"as-of join time types differ: left ${leftTime.dataType.catalogString} " +
+        s"vs right ${rightTime.dataType.catalogString}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -94,11 +94,39 @@ object IncrementalPipeline {
       // quoted: Spark's JDBC writer creates the column quoted, and
       // unquoted lower-case would not resolve against it on Derby
       try st.executeUpdate(s"""DELETE FROM $table WHERE "load_batch_id" = $batchId""")
-      catch { case _: java.sql.SQLException => () } // first load: table doesn't exist yet
-      finally st.close()
+      catch {
+        case e: java.sql.SQLException =>
+          // Only the first-load "table does not exist" failure may be
+          // swallowed. Any OTHER failure (lock timeout, permissions,
+          // connectivity) must rethrow: if a crashed prior attempt's
+          // rows survive an ignored DELETE error, the append below
+          // would duplicate them — silently breaking exactly-once.
+          // Existence is checked via connection metadata rather than
+          // vendor SQLStates so the guard is driver-agnostic.
+          if (tableExists(conn, table)) throw e
+      } finally st.close()
     } finally conn.close()
     graft.sources.Sinks.loadJdbc(
       batch.withColumn("load_batch_id", lit(batchId)), url, table, props)
+  }
+
+  /** Does `table` exist, per JDBC connection metadata? Handles an
+    * optional `schema.table` qualifier; unquoted identifiers are
+    * stored upper-case by Derby (and most ANSI-folding databases), so
+    * both the given and upper-cased spellings are probed.
+    */
+  private[streaming] def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val (schema, name) = table.lastIndexOf('.') match {
+      case -1 => (null: String, table)
+      case i  => (table.substring(0, i), table.substring(i + 1))
+    }
+    def probe(s: String, n: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, s, n, null)
+      try rs.next() finally rs.close()
+    }
+    probe(schema, name) || probe(
+      if (schema == null) null else schema.toUpperCase(java.util.Locale.ROOT),
+      name.toUpperCase(java.util.Locale.ROOT))
   }
 
   /** Stream → warehouse with exactly-once semantics: each available

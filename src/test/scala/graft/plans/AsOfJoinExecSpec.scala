@@ -126,4 +126,22 @@ class AsOfJoinExecSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS asof_r")
     }
   }
+
+  test("mismatched key/time types fail at node construction, not in the merge loop") {
+    val l = Seq((1L, 1L)).toDF("k", "t").queryExecution.analyzed
+    val r = Seq(("x", 2.0)).toDF("rk", "rt").queryExecution.analyzed
+    val Seq(lk, lt) = l.output
+    val Seq(rk, rt) = r.output
+    val keyErr = intercept[IllegalArgumentException] {
+      AsOfJoinNode(l, r, lk, lt, rk, rt)
+    }
+    assert(keyErr.getMessage.contains("key types differ"), keyErr.getMessage)
+    // same-typed keys but mismatched time types also refuse
+    val r2 = Seq((2L, 2.0)).toDF("rk", "rt").queryExecution.analyzed
+    val Seq(rk2, rt2) = r2.output
+    val timeErr = intercept[IllegalArgumentException] {
+      AsOfJoinNode(l, r2, lk, lt, rk2, rt2)
+    }
+    assert(timeErr.getMessage.contains("time types differ"), timeErr.getMessage)
+  }
 }

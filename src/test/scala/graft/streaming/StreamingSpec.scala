@@ -68,6 +68,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(whCount() == 3)
   }
 
+  test("upsertBatch only swallows the missing-table DELETE failure") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftwhguard;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      assert(!IncrementalPipeline.tableExists(conn, "broken_wh"))
+      // a table that EXISTS but lacks the batch-id column: the dedup
+      // DELETE fails with a non-missing-table SQLException, which must
+      // rethrow — appending past it would double-load a retried batch
+      conn.createStatement().executeUpdate("CREATE TABLE broken_wh (id BIGINT)")
+      assert(IncrementalPipeline.tableExists(conn, "broken_wh"))
+    } finally conn.close()
+    val batch = Seq((1L, "a")).toDF("id", "v")
+    intercept[java.sql.SQLException] {
+      IncrementalPipeline.upsertBatch(batch, 0L, url, "broken_wh", props)
+    }
+  }
+
   test("watermarked windowed aggregation runs as a real stream") {
     val sf = "/root/testdata/sf0.001"
     val stage = tmpDir("events_stage")
