@@ -54,9 +54,14 @@ object Bench {
     val drifted = corpusFamily.filterNot(SparkEntry.queries.contains)
     require(drifted.isEmpty,
       s"corpusFamily names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
+    // SPARK_GRAFT_ONLY=a,b,c — optional local-iteration subset filter;
+    // the driver never sets it, so driver runs always sweep everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered =
-      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => corpusFamily.contains(q._1)) ++
-        corpusFamily.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      (SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => corpusFamily.contains(q._1)) ++
+        corpusFamily.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
+        .filter(q => only.forall(_.contains(q._1)))
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -45,11 +45,6 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    // sum(...) is null on an empty frame: an empty graph is a valid
-    // input (zero components), not an NPE
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
     def propagate(labels: DataFrame): DataFrame = {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
@@ -59,23 +54,38 @@ object ConnectedComponents {
         .select(labels("id"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
     }
+    // sum(...) is null on an empty frame: an empty graph is a valid
+    // input (zero components), not an NPE. The aggregate doubles as
+    // the materializer of whatever persisted frame it runs over —
+    // rounds materialize strictly one at a time, because a multi-frame
+    // convergence action (e.g. cross-joining two round-sums) submits
+    // independent stages that race to compute the SAME not-yet-cached
+    // upstream partitions concurrently, duplicating the expensive
+    // candidate-pair build (measured: slower than the job it saves).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     // Lineage discipline: each round's plan references the previous
     // round twice (the join and the neighbor aggregate), so without
     // TRUNCATION the logical plan doubles per round — exponential
-    // driver-side planning cost by round ~15 even though data is
-    // cached. Every 2nd double-round localCheckpoints (replacing the
-    // plan with the materialized partitions — a cluster deployment
-    // with a checkpoint dir would use reliable checkpoint() for fault
-    // tolerance too); the rounds in between persist() so the previous
-    // round's blocks can be freed PROMPTLY with unpersist instead of
-    // waiting on the ContextCleaner. Plan size is bounded at ~2^4
-    // nodes per window.
+    // driver-side planning cost within 2-3 double-rounds when the
+    // input lineage is heavy (the candidate-pair build carries the
+    // whole shingle→band→self-join pipeline). Every round therefore
+    // truncates with LAZY localCheckpoint(eager = false): the logical
+    // plan collapses to a LogicalRDD immediately, but materialization
+    // still rides the round's own labelSum job — lineage truncation
+    // without the extra eager-checkpoint job per round the previous
+    // formulation paid. (A cluster deployment with a checkpoint dir
+    // would use reliable checkpoint() for fault tolerance too.)
     val seed = vertices
       .join(sym.groupBy(col("src")).agg(min(col("dst")).as("nbr_min")),
         vertices("id") === col("src"), "left")
       .select(vertices("id"),
         least(col("id"), coalesce(col("nbr_min"), col("id"))).as("lbl"))
-    var labels = seed.localCheckpoint()
+      .localCheckpoint(eager = false)
+    // ONE job materializes sym + seed's truncated RDD and computes its
+    // sum; every loop round likewise materializes through its sum.
+    var labels: DataFrame = seed
     var prevSum = labelSum(labels)
     var iter = 1 // the seed already performed one propagation round
     var converged = false
@@ -86,12 +96,10 @@ object ConnectedComponents {
         // of round 2's references read the cached blocks), and freed
         // as soon as the sum materializes the pair.
         val mid = propagate(labels).persist()
-        val nextPlan = propagate(mid)
-        val next =
-          if ((iter / 2) % 2 == 1) nextPlan.localCheckpoint() else nextPlan.persist()
+        val next = propagate(mid).localCheckpoint(eager = false)
         val sm = labelSum(next) // materializes next before the old rounds are freed
         mid.unpersist()
-        labels.unpersist() // no-op for checkpointed rounds (cleaner reclaims those)
+        labels.unpersist() // checkpointed blocks: reclaimed by the ContextCleaner
         labels = next
         converged = sm.compareTo(prevSum) == 0
         prevSum = sm

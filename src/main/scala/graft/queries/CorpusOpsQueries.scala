@@ -40,7 +40,7 @@ object CorpusOpsQueries {
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     LlmQueries.memoized(s, d, "cluster_labels", persistIt = false) {
       val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val pairs = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
+      val pairs = LlmQueries.pairTable(s, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       // the memoized entry is minLabel's own persisted frame — the
       // rename happens OUTSIDE the cache so clearCaches' unpersist()
@@ -158,7 +158,7 @@ object CorpusOpsQueries {
     // memoized band table; two hash aggregates.
     "graph_degree_dist" -> ((s, d) => {
       import s.implicits._
-      val cand = LlmQueries.candidatePairs(LlmQueries.bandTable(s, d))
+      val cand = LlmQueries.pairTable(s, d)
       val degrees = cand.select($"doc_a".as("doc_id"))
         .union(cand.select($"doc_b".as("doc_id")))
         .groupBy($"doc_id").agg(count(lit(1)).as("degree"))

@@ -317,6 +317,19 @@ object LlmQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** Memoized + persisted distinct candidate pairs over the MinHash
+    * band table — the candidate GRAPH every downstream consumer walks
+    * (pair listing, cluster resolution, degree diagnostics, sketch
+    * estimation, fuzzy verification). Before this was shared, each
+    * consumer re-ran the band self-join + distinct shuffle; cluster
+    * resolution paid it twice more (once per direction of its
+    * symmetrized edge union).
+    */
+  private[graft] def pairTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "candidate_pairs") {
+      candidatePairs(bandTable(s, d))
+    }
+
   // ---- random-hyperplane LSH (sign of projection) ---------------------
 
   /** Target mean bucket occupancy for the LSH signature: enough bits
@@ -438,7 +451,7 @@ object LlmQueries {
     // band key become candidate pairs via a keyed self-join.
     "minhash_dedup" -> ((s, d) => {
       import s.implicits._
-      candidatePairs(bandTable(s, d)).orderBy($"doc_a", $"doc_b")
+      pairTable(s, d).orderBy($"doc_a", $"doc_b")
     }),
 
     // SimHash (64-bit) over shingle md5s; hex digits decoded via
@@ -486,7 +499,7 @@ object LlmQueries {
       import s.implicits._
       val dsh = distinctShingleTable(s, d)
       val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = candidatePairs(bandTable(s, d))
+      val cand = pairTable(s, d)
       val inter = cand
         .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
         .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
@@ -510,7 +523,7 @@ object LlmQueries {
     "minhash_est" -> ((s, d) => {
       import s.implicits._
       val sigs = sigTable(s, d)
-      val cand = candidatePairs(bandTable(s, d))
+      val cand = pairTable(s, d)
       val sigA = sigs.select((col("doc_id").as("doc_a") +:
         (0 until 8).map(i => col(s"p$i").as(s"a$i"))): _*)
       val sigB = sigs.select((col("doc_id").as("doc_b") +:
@@ -531,7 +544,7 @@ object LlmQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
         .select($"doc_id", substring(TF.normText($"text"), 1, 40).as("t"))
-      val cand = candidatePairs(bandTable(s, d))
+      val cand = pairTable(s, d)
       cand
         .join(docs.select($"doc_id".as("doc_a"), $"t".as("t_a")), Seq("doc_a"))
         .join(docs.select($"doc_id".as("doc_b"), $"t".as("t_b")), Seq("doc_b"))
