@@ -116,9 +116,15 @@ object ConnectedComponents {
     // would make the caller's unpersist() a silent no-op (unpersist
     // does not cascade to children), leaking the last round's blocks
     // for the life of the session.
+    // NO trailing labels.unpersist(): `out` is a rename-only
+    // projection of the final round, so their canonicalized plans are
+    // sameResult — unpersisting `labels` here would evict the cache
+    // entry `out` just built (exact-match uncache), silently breaking
+    // this contract. The final round is a lazily-localCheckpointed
+    // LogicalRDD, not a cached frame: its blocks belong to the RDD and
+    // are reclaimed by the ContextCleaner once unreferenced.
     val out = labels.select(col("id"), col("lbl").as("component")).persist()
-    out.count() // materialize from the cached final round before freeing it
-    labels.unpersist()
+    out.count() // materialize the result cache
     out
   }
 

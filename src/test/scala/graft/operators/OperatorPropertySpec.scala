@@ -191,4 +191,22 @@ class OperatorPropertySpec extends SparkSpecBase {
     assert(ok.as[(Long, Long)].collect().forall(_._2 == 0L))
     ok.unpersist()
   }
+
+  test("minLabel/alternatingStar return the PERSISTED result (contract pin)") {
+    // The documented contract: the returned Dataset IS the persisted
+    // frame — callers' unpersist() frees the operator's blocks. A
+    // rename-only final projection sameResult-matches the last round,
+    // so an internal trailing unpersist would silently evict the
+    // returned cache entry (round-4 regression). Pin it here.
+    val vertices = (0L until 10L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val a = ConnectedComponents.minLabel(vertices, edges)
+    assert(a.storageLevel.useMemory, "minLabel result must be cached")
+    a.unpersist()
+    assert(!a.storageLevel.useMemory)
+    val b = ConnectedComponents.alternatingStar(vertices, edges)
+    assert(b.storageLevel.useMemory, "alternatingStar result must be cached")
+    b.unpersist()
+    assert(!b.storageLevel.useMemory)
+  }
 }
