@@ -56,15 +56,69 @@ object Bench {
       s"corpusFamily names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
     // SPARK_GRAFT_ONLY=a,b,c — optional local-iteration subset filter;
     // the driver never sets it, so driver runs always sweep everything.
+    // Names that match no query fail loudly: a typo must not yield an
+    // empty run printing "value":0 (the same silent-shrinkage mode the
+    // corpusFamily drift guard above exists for).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no such queries: ${unknown.mkString(", ")}")
+    }
     val ordered =
       (SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => corpusFamily.contains(q._1)) ++
         corpusFamily.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
         .filter(q => only.forall(_.contains(q._1)))
+    // Cache lifecycle: each memoized family table is released right
+    // after its LAST consumer in the run order above, so peak storage
+    // is one or two live tables, not all eight accreted to end-of-run
+    // (storage pressure taxes every later query with GC; on a loaded
+    // machine that tax measured 3-6× on family members in round 4).
+    // A released table a later query still wants is simply rebuilt.
+    val releaseAfter: Map[String, Seq[String]] = Map(
+      "minhash_est" -> Seq("minhash_sigs"),
+      "simhash_neardup" -> Seq("simhash"),
+      "ngram_jaccard" -> Seq("shingles"),
+      "dedup_incremental" -> Seq("bands"),
+      "contamination_check" -> Seq("shingles_distinct"),
+      "bm25_topk" -> Seq("term_rows"),
+      "dedup_clusters" -> Seq("candidate_pairs"))
+    // Band-bucket health guard: the documented LSH/SimHash hazard is a
+    // degenerate band key whose bucket holds a large corpus fraction
+    // (Σ bucket² blows up the candidate self-join). Measure the largest
+    // bucket HERE, at bench scale, while the tables are still cached —
+    // so the hazard is caught at sf0.1, not at 100×.
+    val bucketStats = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def maxBucket(grouped: org.apache.spark.sql.DataFrame): Long =
+      grouped.agg(org.apache.spark.sql.functions.max("count")).head() match {
+        case r if r.isNullAt(0) => 0L // empty table
+        case r => r.getLong(0)
+      }
+    def recordBucketStats(tag: String): Unit = tag match {
+      case "bands" =>
+        val b = graft.queries.LlmQueries.bandTable(spark, sfDir)
+        bucketStats("lsh_max_band_bucket") =
+          maxBucket(b.groupBy("band", "key").count())
+      case "simhash" =>
+        import org.apache.spark.sql.functions._
+        val sim = graft.queries.LlmQueries.simhashTable(spark, sfDir)
+        val bands = sim.select(col("doc_id"),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("simhash"), 16 * i).bitwiseAND(lit(65535L))): _*))
+            .as(Seq("band", "key")))
+        bucketStats("simhash_max_band_bucket") =
+          maxBucket(bands.groupBy("band", "key").count())
+      case _ => ()
+    }
+    // Attribution: which query paid each one-time memoized build. The
+    // family keeps shifting build costs between members across code
+    // changes; without this, per-query deltas are unreadable.
+    val cacheBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val results = ordered.map { case (name, fn) =>
+      val tagsBefore = graft.queries.LlmQueries.memoizedTags(spark)
       val t0 = System.nanoTime()
-      try {
+      val res = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
@@ -72,8 +126,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
       }
+      val built = graft.queries.LlmQueries.memoizedTags(spark).diff(tagsBefore)
+      if (built.nonEmpty) {
+        cacheBuilds(name) = built.toSeq.sorted
+        System.err.println(s"[bench] $name paid cache builds: ${built.toSeq.sorted.mkString(", ")}")
+      }
+      releaseAfter.getOrElse(name, Nil).foreach { tag =>
+        recordBucketStats(tag)
+        graft.queries.LlmQueries.release(spark, sfDir, tag)
+      }
+      res
     }
     graft.queries.LlmQueries.clearCaches(Some(spark))
+    bucketStats.foreach { case (k, v) =>
+      System.err.println(s"[bench] bucket guard: $k = $v")
+    }
     // Locale.ROOT: the default-locale f-interpolator would render
     // comma decimal separators (invalid JSON) on e.g. de_DE JVMs
     val qs = results.map { case (k, v) =>
@@ -83,8 +150,18 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+    val buildsJson = cacheBuilds.map { case (q, tags) =>
+      "\"" + q + "\":[" + tags.map("\"" + _ + "\"").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val bucketsJson = bucketStats.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // "total_full" (not "total"): exactly ONE metric:"total" line is
+    // printed per run — the compact summary below, the one that fits
+    // whole inside the recorder's ~2000-char stdout tail window — so a
+    // consumer grepping for it can never double-count or pick the
+    // truncated head of this long line.
     val full =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"sf":"$sfDir"}"""
     println(full)
     // The harness that records this output keeps only the LAST ~2000
     // characters of stdout, and with ~100 queries the full line above
@@ -100,7 +177,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15).map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in BENCH_LOCAL_LATEST.json and the long line above","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in BENCH_LOCAL_LATEST.json and the total_full line above","bucket_stats":$bucketsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -179,6 +179,30 @@ object LlmQueries {
     statCache.getOrElseUpdate((s, d, tag), count)
   }
 
+  /** Tags of the session's live memoized tables — the bench snapshots
+    * this around each query to attribute which query paid each
+    * one-time cache build (cost-shifting inside the family made
+    * per-query deltas unreadable across rounds).
+    */
+  private[graft] def memoizedTags(s: org.apache.spark.sql.SparkSession): Set[String] =
+    tableCache.keys.collect { case (ss, _, tag) if ss eq s => tag }.toSet
+
+  /** Unpersist + drop ONE memoized table — cache lifecycle for a
+    * sequential run: each table is released as soon as its last
+    * consumer finishes, bounding PEAK storage instead of holding all
+    * eight tables to end-of-run. At 100 TB the sketch stores dwarf
+    * executor storage memory; holding dead caches is the difference
+    * between fitting and spilling (and, single-node, between a quiet
+    * run and GC-pressure tax on whatever runs next). A later consumer
+    * of a released table simply rebuilds it — correctness never
+    * depends on the cache.
+    */
+  private[graft] def release(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String): Unit =
+    tableCache.remove((s, d, tag)).foreach { df =>
+      if (!s.sparkContext.isStopped) df.unpersist()
+    }
+
   /** Drop memoized signature tables (all, or one session's). Needed
     * when the documents parquet under a cached dir is regenerated
     * mid-session — like Spark's own table cache, the memoized table
@@ -291,7 +315,7 @@ object LlmQueries {
     * combined via bitwiseOR, so no arithmetic overflow semantics are
     * involved.
     */
-  private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private[graft] def simhashTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     memoized(s, d, "simhash") {
       val ex = shingleTable(s, d).select(col("doc_id"), md5(col("sh")).as("h"))
       val digits = (0 until 16).map { k =>
