@@ -101,12 +101,7 @@ object Bench {
         bucketStats("lsh_max_band_bucket") =
           maxBucket(b.groupBy("band", "key").count())
       case "simhash" =>
-        import org.apache.spark.sql.functions._
-        val sim = graft.queries.LlmQueries.simhashTable(spark, sfDir)
-        val bands = sim.select(col("doc_id"),
-          posexplode(array((0 until 4).map(i =>
-            shiftrightunsigned(col("simhash"), 16 * i).bitwiseAND(lit(65535L))): _*))
-            .as(Seq("band", "key")))
+        val bands = graft.queries.LlmQueries.simhashBands(spark, sfDir)
         bucketStats("simhash_max_band_bucket") =
           maxBucket(bands.groupBy("band", "key").count())
       case _ => ()

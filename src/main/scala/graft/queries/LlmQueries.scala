@@ -333,6 +333,52 @@ object LlmQueries {
             .reduce(_.bitwiseOR(_)).as("simhash"))
     }
 
+  /** SimHash band layout (bandCount, bandWidth) derived from corpus
+    * size N — the same knob as [[lshBitsFor]]: width w =
+    * clamp(ceil(log2(N / [[LshTargetBucket]])), 4, 16) keeps mean
+    * band-bucket occupancy near the target as N grows (2^w keys per
+    * band), and bandCount = floor(64 / w) ≥ 4 preserves the pigeonhole
+    * guarantee — a pair within Hamming distance 3 differs in at most 3
+    * bands, so with ≥ 4 bands at least one band key matches, making
+    * the keyed self-join a COMPLETE candidate generator for Hamming ≤ 3
+    * at EVERY layout this returns. (Bits beyond bandCount*w go
+    * uncovered, which loses discrimination, never recall; the
+    * post-join bit_count filter is exact either way, so the query
+    * result is layout-independent.)
+    *
+    * The former fixed 4×16 layout capped keys/band at 65,536 forever,
+    * so Σ bucket² — the self-join cost — degenerated once N outgrew
+    * ~targetBucket×65,536 (~2M docs). Deriving w from N keeps bucket
+    * population flat up to that point; past it a 64-bit signature has
+    * no wider complete layout to give (w > 16 would leave < 4 bands),
+    * which is the documented hard cap of simhash-64 at Hamming ≤ 3 —
+    * beyond it, partition the corpus or move to the MinHash path whose
+    * signature width is unbounded. The bench's band-bucket guard
+    * measures the actual max bucket per run so degeneracy is observed,
+    * not assumed.
+    */
+  private[graft] def simhashBandLayout(n: Long): (Int, Int) = {
+    val buckets = math.max(1L, n / LshTargetBucket)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    val w = math.min(16, math.max(4, bits))
+    (64 / w, w)
+  }
+
+  /** SimHash band rows (doc_id, simhash, band, key) under the
+    * N-derived [[simhashBandLayout]] — shared by the `simhash_neardup`
+    * candidate join and the bench's band-bucket guard.
+    */
+  private[graft] def simhashBands(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val n = memoizedCount(s, d, "documents_count")(Tables.documents(s, d).count())
+    val (bands, w) = simhashBandLayout(n)
+    val mask = (1L << w) - 1
+    simhashTable(s, d).select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("simhash"), w * b).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+  }
+
   /** Candidate near-dup pairs from the persisted band table. */
   private[queries] def candidatePairs(bands: DataFrame): DataFrame =
     bands.as("a")
@@ -486,19 +532,17 @@ object LlmQueries {
       simhashTable(s, d).orderBy($"doc_id")
     }),
 
-    // SimHash near-dup pairing — the dedup use of the signature: split
-    // the 64 bits into 4 16-bit bands; any pair within Hamming distance
-    // 3 differs in at most 3 bands (pigeonhole), so the keyed band
-    // self-join is a COMPLETE candidate generator (no cross join), and
-    // bit_count of the xor verifies exactly. Shift + mask keeps the
-    // sign-bit band (bits 48-63) a plain non-negative key.
+    // SimHash near-dup pairing — the dedup use of the signature: the
+    // 64 bits split into ≥ 4 bands under the N-derived layout
+    // (simhashBandLayout); any pair within Hamming distance 3 differs
+    // in at most 3 bands (pigeonhole), so the keyed band self-join is
+    // a COMPLETE candidate generator (no cross join), and bit_count of
+    // the xor verifies exactly — the result is layout-independent, so
+    // the oracle's static 4×16 banding produces identical rows.
+    // Shift + mask keeps the sign-bit band a plain non-negative key.
     "simhash_neardup" -> ((s, d) => {
       import s.implicits._
-      val sim = simhashTable(s, d)
-      val bands = sim.select($"doc_id", $"simhash",
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned($"simhash", 16 * b).bitwiseAND(lit(65535L))): _*))
-          .as(Seq("band", "key")))
+      val bands = simhashBands(s, d)
       bands.as("a")
         .join(bands.as("b"), Seq("band", "key"))
         .filter($"a.doc_id" < $"b.doc_id")
