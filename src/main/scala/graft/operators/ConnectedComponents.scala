@@ -33,6 +33,19 @@ import org.apache.spark.sql.functions._
   * @param vertices one column `id` (any numeric type)
   * @param edges    columns `src`, `dst` (directed input; symmetrized
   *                 internally, self-loops harmless)
+  * @param checkpointDir when set, per-round lineage truncation uses
+  *                 RELIABLE `checkpoint()` into this directory
+  *                 (HDFS/object-store path on a cluster) instead of
+  *                 `localCheckpoint()` — executor loss mid-iteration
+  *                 recovers from the checkpoint files rather than
+  *                 failing the job, which is the right trade for a
+  *                 many-round computation on preemptible executors.
+  *                 Default None keeps the executor-local fast path
+  *                 (no distributed-FS round trip per round). Reliable
+  *                 checkpoint files are deleted by the ContextCleaner
+  *                 only when `spark.cleaner.referenceTracking
+  *                 .cleanCheckpoints` is true; otherwise clean the
+  *                 directory after the job.
   * @return (id, component) where component = min id of the component.
   *         The returned Dataset IS the persisted result: callers that
   *         `unpersist()` it free every cached block this operator
@@ -41,7 +54,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  def minLabel(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def minLabel(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -75,17 +93,16 @@ object ConnectedComponents {
     // plan collapses to a LogicalRDD immediately, but materialization
     // still rides the round's own labelSum job — lineage truncation
     // without the extra eager-checkpoint job per round the previous
-    // formulation paid. (A cluster deployment with a checkpoint dir
-    // would use reliable checkpoint() for fault tolerance too.)
+    // formulation paid. (With `checkpointDir` set, truncation is a
+    // reliable checkpoint() instead — same lazy shape, fault-tolerant.)
     val seed = vertices
       .join(sym.groupBy(col("src")).agg(min(col("dst")).as("nbr_min")),
         vertices("id") === col("src"), "left")
       .select(vertices("id"),
         least(col("id"), coalesce(col("nbr_min"), col("id"))).as("lbl"))
-      .localCheckpoint(eager = false)
     // ONE job materializes sym + seed's truncated RDD and computes its
     // sum; every loop round likewise materializes through its sum.
-    var labels: DataFrame = seed
+    var labels: DataFrame = truncate(seed)
     var prevSum = labelSum(labels)
     var iter = 1 // the seed already performed one propagation round
     var converged = false
@@ -96,7 +113,7 @@ object ConnectedComponents {
         // of round 2's references read the cached blocks), and freed
         // as soon as the sum materializes the pair.
         val mid = propagate(labels).persist()
-        val next = propagate(mid).localCheckpoint(eager = false)
+        val next = truncate(propagate(mid))
         val sm = labelSum(next) // materializes next before the old rounds are freed
         mid.unpersist()
         labels.unpersist() // checkpointed blocks: reclaimed by the ContextCleaner
@@ -158,9 +175,13 @@ object ConnectedComponents {
     *
     * @return (id, component), component = min id of the component; the
     *         returned Dataset is the persisted result, same contract
-    *         as [[minLabel]].
+    *         as [[minLabel]] (including `checkpointDir` semantics).
     */
-  def alternatingStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def alternatingStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // canonical undirected pairs, self-loops dropped
     def canon(e: DataFrame): DataFrame = e
       .select(least(col("src"), col("dst")).as("lo"),
@@ -188,14 +209,14 @@ object ConnectedComponents {
         .union(m.select(col("hi").as("src"), col("m").as("dst")))
       canon(linked)
     }
-    var cur = canon(edges).localCheckpoint()
+    var cur = truncate(canon(edges))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val ls = largeStar(cur).persist()
       val nextPlan = smallStar(ls)
       val next =
-        if (iter % 2 == 1) nextPlan.localCheckpoint() else nextPlan.persist()
+        if (iter % 2 == 1) truncate(nextPlan) else nextPlan.persist()
       converged = sameEdges(next, cur) // materializes next before cur is freed
       ls.unpersist()
       cur.unpersist()

@@ -114,19 +114,97 @@ object IncrementalPipeline {
     * optional `schema.table` qualifier; unquoted identifiers are
     * stored upper-case by Derby (and most ANSI-folding databases), so
     * both the given and upper-cased spellings are probed.
+    *
+    * `getTables`' schema/table arguments are LIKE patterns — `_`
+    * matches ANY character, and every warehouse table here contains
+    * `_` — so a bare `rs.next()` on the probe would let a
+    * similarly-named table (`eventsXwh` for `events_wh`) make a
+    * MISSING table appear to exist, rethrowing the benign first-load
+    * DELETE failure and crashing the stream's first batch. Escaping
+    * the pattern is NOT portable (Derby declares an empty search
+    * escape and treats a backslash literally), so the probe instead
+    * uses the raw name as an over-matching prefilter and compares the
+    * returned TABLE_NAME/TABLE_SCHEM for exact equality — correct
+    * under any driver's LIKE dialect, since over-matching can only add
+    * false candidates, never drop the true one.
     */
   private[streaming] def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val md = conn.getMetaData
     val (schema, name) = table.lastIndexOf('.') match {
       case -1 => (null: String, table)
       case i  => (table.substring(0, i), table.substring(i + 1))
     }
     def probe(s: String, n: String): Boolean = {
-      val rs = conn.getMetaData.getTables(null, s, n, null)
-      try rs.next() finally rs.close()
+      val rs = md.getTables(null, s, n, null)
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME") == n &&
+            (s == null || rs.getString("TABLE_SCHEM") == s)
+        found
+      } finally rs.close()
     }
     probe(schema, name) || probe(
       if (schema == null) null else schema.toUpperCase(java.util.Locale.ROOT),
       name.toUpperCase(java.util.Locale.ROOT))
+  }
+
+  /** Stream → parquet with PERIODIC COMPACTION — the streaming
+    * counterpart of `Pipeline.maintain`. A long-running (or
+    * frequently re-triggered) stream accretes one small-file pile per
+    * micro-batch; this sink writes each batch into its own
+    * `load_batch_id=` partition via dynamic partition overwrite — a
+    * RETRIED batch replaces its own partition instead of appending a
+    * duplicate, so together with the checkpoint (committed batches
+    * never re-run) the sink is exactly-once — and every
+    * `compactEvery` batches runs `Sinks.compact` over the output
+    * WITH the partition column preserved. Preserving the partition
+    * dirs is what keeps compaction safe here: a crashed attempt's
+    * partition stays its own partition through compaction, and the
+    * retry's dynamic overwrite still replaces exactly that directory.
+    * Compaction runs at the START of a batch body, when every row on
+    * disk belongs to a committed batch or to a crashed attempt of the
+    * CURRENT one — never mid-append.
+    *
+    * Unlike the built-in parquet streaming sink, foreachBatch leaves
+    * no `_spark_metadata` log, so plain `spark.read.parquet(outDir)`
+    * sees the compacted layout directly (the built-in sink's log
+    * pins exact file names, which a compactor must not rewrite).
+    * Reader caveat inherited from `Sinks.compact`: schedule readers
+    * off the compaction instant or point them at a manifest layer.
+    */
+  def parquetSink(
+      df: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      targetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
+    val q = df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val p = new org.apache.hadoop.fs.Path(outDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) {
+            val (before, after) =
+              graft.sources.Sinks.compact(spark, outDir, targetBytes,
+                partitionBy = Seq("load_batch_id"))
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .info(s"[stream-maintain] batch $batchId: compacted $outDir " +
+                s"$before -> $after files")
+          }
+        }
+        batch.withColumn("load_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("load_batch_id")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
   }
 
   /** Stream → warehouse with exactly-once semantics: each available

@@ -192,6 +192,31 @@ class OperatorPropertySpec extends SparkSpecBase {
     ok.unpersist()
   }
 
+  test("reliable-checkpoint mode matches localCheckpoint mode and writes checkpoint files") {
+    val vertices = (0L until 30L).toDF("id")
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++ Seq((20L, 21L), (21L, 22L)))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    def run(ckpt: Option[String]) = {
+      val local = ConnectedComponents.minLabel(vertices, edges, checkpointDir = ckpt)
+      val star = ConnectedComponents.alternatingStar(vertices, edges, checkpointDir = ckpt)
+      val r = (local.as[(Long, Long)].collect().toMap,
+        star.as[(Long, Long)].collect().toMap)
+      local.unpersist(); star.unpersist()
+      r
+    }
+    val (l1, s1) = run(None)
+    val (l2, s2) = run(Some(dir))
+    assert(l1 == l2, "minLabel differs between checkpoint modes")
+    assert(s1 == s2, "alternatingStar differs between checkpoint modes")
+    assert(l1 == s1)
+    // reliable mode actually wrote checkpoint files (fault-tolerance
+    // evidence — localCheckpoint leaves this directory empty)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
   test("minLabel/alternatingStar return the PERSISTED result (contract pin)") {
     // The documented contract: the returned Dataset IS the persisted
     // frame — callers' unpersist() frees the operator's blocks. A

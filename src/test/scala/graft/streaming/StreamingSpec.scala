@@ -68,6 +68,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(whCount() == 3)
   }
 
+  test("parquet sink with maintenance: compaction preserves rows, cuts files, stays exactly-once") {
+    val in = tmpDir("psink_in")
+    val out = s"${tmpDir("psink_root")}/data"
+    val cp = tmpDir("psink_cp")
+    val schema = "id LONG, v STRING"
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(in, name),
+        rows.map { case (i, v) => s"""{"id":$i,"v":"$v"}""" }.mkString("\n"))
+    // maxFilesPerTrigger=1 → one micro-batch per file, so batch ids
+    // advance and the every-2-batches hook actually fires
+    def run(): Unit = IncrementalPipeline.parquetSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(in),
+      out, cp, compactEvery = 2)
+    def files(): Seq[java.nio.file.Path] = {
+      val s = Files.walk(Paths.get(out))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+
+    land("b0.json", Seq((1L, "a"), (2L, "b")))
+    land("b1.json", Seq((3L, "c")))
+    run() // batches 0,1 — no compaction yet
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    val filesBefore = files().size
+
+    land("b2.json", Seq((4L, "d")))
+    land("b3.json", Seq((5L, "e")))
+    run() // batch 2 triggers compaction of batches 0-1, then 2,3 write
+    // every row exactly once after compaction + further appends
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    // compacted batches collapse to one file per partition dir
+    val perPartition = files().groupBy(_.getParent.getFileName.toString)
+    assert(perPartition("load_batch_id=0").size == 1, perPartition.toString)
+    assert(perPartition("load_batch_id=1").size == 1, perPartition.toString)
+    // re-run with nothing new: no batch replays, rows unchanged
+    run()
+    assert(spark.read.parquet(out).count() == 5)
+    // a RETRIED micro-batch replaces its own partition, not appends:
+    // simulate a crashed attempt of batch 3 re-running post-compaction
+    import org.apache.spark.sql.functions.lit
+    Seq((5L, "e")).toDF("id", "v").withColumn("load_batch_id", lit(3L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("load_batch_id").parquet(out)
+    assert(spark.read.parquet(out).count() == 5)
+    assert(filesBefore >= 2) // the pre-compaction state really had piles
+  }
+
   test("upsertBatch only swallows the missing-table DELETE failure") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftwhguard;create=true"
@@ -81,6 +132,12 @@ class StreamingSpec extends SparkSpecBase {
       // rethrow — appending past it would double-load a retried batch
       conn.createStatement().executeUpdate("CREATE TABLE broken_wh (id BIGINT)")
       assert(IncrementalPipeline.tableExists(conn, "broken_wh"))
+      // getTables' name argument is a LIKE pattern: '_' matches any
+      // char, so without escaping, the existing EVENTSXWH would make
+      // the MISSING events_wh appear to exist — rethrowing the benign
+      // first-load DELETE failure and crashing the stream's first batch
+      conn.createStatement().executeUpdate("CREATE TABLE eventsxwh (id BIGINT)")
+      assert(!IncrementalPipeline.tableExists(conn, "events_wh"))
     } finally conn.close()
     val batch = Seq((1L, "a")).toDF("id", "v")
     intercept[java.sql.SQLException] {
