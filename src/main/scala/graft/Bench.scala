@@ -45,10 +45,10 @@ object Bench {
     // are dropped as soon as the family finishes.
     val corpusFamily = Seq(
       "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
-      "ngram_jaccard", "fuzzy_match", "graph_degree_dist", "dedup_incremental",
-      "contamination_check",
-      "tfidf_topk", "bm25_topk",
-      "dedup_clusters", "dedup_stats", "dedup_keep_best")
+      "ngram_jaccard", "dup_ngram_frac", "fuzzy_match", "graph_degree_dist",
+      "dedup_incremental", "contamination_check",
+      "tfidf_topk", "bm25_topk", "unigram_surprise",
+      "dedup_clusters", "dedup_stats", "dedup_keep_best", "semdedup_clusters")
     // A renamed query silently vanishing from this list would shrink
     // bench coverage without an error — fail loudly on drift instead.
     val drifted = corpusFamily.filterNot(SparkEntry.queries.contains)
@@ -79,10 +79,10 @@ object Bench {
     val releaseAfter: Map[String, Seq[String]] = Map(
       "minhash_est" -> Seq("minhash_sigs"),
       "simhash_neardup" -> Seq("simhash"),
-      "ngram_jaccard" -> Seq("shingles"),
+      "dup_ngram_frac" -> Seq("shingles"),
       "dedup_incremental" -> Seq("bands"),
       "contamination_check" -> Seq("shingles_distinct"),
-      "bm25_topk" -> Seq("term_rows"),
+      "unigram_surprise" -> Seq("term_rows"),
       "dedup_clusters" -> Seq("candidate_pairs"))
     // Band-bucket health guard: the documented LSH/SimHash hazard is a
     // degenerate band key whose bucket holds a large corpus fraction

@@ -67,6 +67,24 @@ object CorpusOpsQueries {
       clusterLabels(s, d).select($"doc_id", $"lbl".as("cluster")).orderBy($"doc_id")
     }),
 
+    // SemDeDup-style semantic dedup over EMBEDDINGS: connected
+    // components of the cosine-similarity graph (label-blocked pairs
+    // with cos > 0.8), each vector resolving to the min vec_id of its
+    // semantic cluster — the embedding-space analog of dedup_clusters,
+    // the step that collapses paraphrases exact/near-text dedup cannot
+    // see. Memoized with persistIt=false: the entry IS minLabel's own
+    // persisted frame (same contract as cluster_labels).
+    "semdedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      LlmQueries.memoized(s, d, "semdedup_labels", persistIt = false) {
+        val vertices = Tables.embeddings(s, d).select($"vec_id".as("id"))
+        val edges = LlmQueries.embNearPairs(s, d)
+          .select($"vec_a".as("src"), $"vec_b".as("dst"))
+        graft.operators.ConnectedComponents.minLabel(vertices, edges)
+      }.select($"id".as("vec_id"), $"component".as("cluster"))
+        .orderBy($"vec_id")
+    }),
+
     // The dedup endgame: keep the HIGHEST-QUALITY document of each
     // near-dup cluster (not the arbitrary min-id keeper) — cluster
     // labels join to quality scores, one top-1 window per cluster.
@@ -269,6 +287,24 @@ object CorpusOpsQueries {
          |)
          |SELECT doc_id, min(r) AS cluster FROM reach
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "semdedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT vec_a, vec_b FROM (
+         |   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${Q.duckRnd(LlmQueries.duckCos("a.embedding", "b.embedding"), 6)} AS cos_sim
+         |   FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |  WHERE cos_sim > 0.8),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+         |          UNION ALL SELECT vec_b AS a, vec_a AS b FROM pairs),
+         |reach AS (
+         |  SELECT vec_id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT e.a AS vec_id, reach.r FROM edges e JOIN reach ON reach.vec_id = e.b
+         |)
+         |SELECT vec_id, min(r) AS cluster FROM reach
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE ${LlmQueries.duckCandidateCtes},

@@ -134,7 +134,7 @@ object LlmQueries {
   /** DuckDB cosine between two float-list columns: same double ops in
     * the same order as vec_dot + precomputed sqrt norms.
     */
-  private def duckCos(a: String, b: String): String = {
+  private[queries] def duckCos(a: String, b: String): String = {
     val nn = s"(sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
     s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${duckDot(a, b)} / $nn END)"
   }
@@ -458,6 +458,27 @@ object LlmQueries {
     when(nrmA * nrmB === 0.0, lit(0.0))
       .otherwise(VecFunctions.vecDot(embA, embB) / (nrmA * nrmB))
 
+  /** Label-blocked embedding near-dup pairs (vec_a, vec_b, cos_sim)
+    * with cos_sim > 0.8 — the candidate edge set shared by
+    * `embedding_neardup` (pair listing) and `semdedup_clusters`
+    * (SemDeDup-style cluster resolution). The join is keyed on the
+    * cluster label, so pair generation stays per-bucket at scale.
+    */
+  private[queries] def embNearPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("label"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        rnd(cosFromNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") > 0.8)
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "text_stats" -> ((s, d) => {
       import s.implicits._
@@ -515,6 +536,79 @@ object LlmQueries {
         .groupBy($"fp")
         .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
         .orderBy($"fp")
+    }),
+
+    // PII redaction — the scrub pass a training-data pipeline runs
+    // before anything else persists text. The corpus is synthetic and
+    // PII-free, so each doc gets deterministic synthetic PII (derived
+    // from doc_id) appended FIRST, then the scrubber redacts emails,
+    // IPv4 addresses, and NANP-style numbers — a single codegen'd
+    // regexp_replace chain per row, no shuffle, scan-parallel at any
+    // scale. Email runs first: its replacement token contains no
+    // digits, so later patterns cannot match inside it.
+    "pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val synth = concat(
+        substring($"text", 1, 40),
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com ip 10.0."),
+        ($"doc_id" % 256).cast("string"), lit("."),
+        (($"doc_id" * 7) % 256).cast("string"),
+        lit(" call 555-"), (lit(1000) + $"doc_id" % 9000).cast("string"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b555-\\d{4}\\b"
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(synth, email, "<EMAIL>"),
+              ip, "<IP>"),
+            phone, "<PHONE>").as("scrubbed"))
+        .orderBy($"doc_id")
+    }),
+
+    // Duplicated-n-gram fraction (MassiveText/Gopher-style repetition
+    // filter): the share of a doc's 3-gram occurrences that are
+    // repeats. Reads the two memoized shingle tables — the multiset
+    // for totals, the distinct view for uniques — so the metric costs
+    // two hash aggregates and a keyed join, nothing rescans text. The
+    // division is one double op over exact integer counts, identical
+    // in any engine.
+    "dup_ngram_frac" -> ((s, d) => {
+      import s.implicits._
+      val tot = shingleTable(s, d).groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"))
+      val dis = distinctShingleTable(s, d).groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_distinct"))
+      tot.join(dis, Seq("doc_id"))
+        .select($"doc_id", $"n_shingles", $"n_distinct",
+          (($"n_shingles" - $"n_distinct").cast("double") /
+            $"n_shingles".cast("double")).as("dup_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Mean corpus-frequency of a doc's tokens — the unigram quality
+    // proxy (low = rare/garbled vocabulary, high = stopword soup) a
+    // curation run scores without any model. Formulated for EXACT
+    // cross-engine arithmetic: per-doc Σ df(term) over occurrences is
+    // an integer aggregate, and the mean divides once as doubles —
+    // sum_df / (n_tok · n_docs) — so no double-accumulation order can
+    // differ. The df table is vocabulary-sized (broadcastable); term
+    // rows come from the memoized term relation.
+    "unigram_surprise" -> ((s, d) => {
+      import s.implicits._
+      val terms = termTable(s, d)
+      val df_ = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = terms.agg(countDistinct($"doc_id").as("n_docs"))
+      terms.join(broadcast(df_), Seq("term"))
+        .groupBy($"doc_id").agg(sum($"df").as("sum_df"), count(lit(1)).as("n_tok"))
+        .crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"n_tok",
+          ($"sum_df".cast("double") /
+            ($"n_tok" * $"n_docs").cast("double")).as("mean_df_frac"))
+        .orderBy($"doc_id")
     }),
 
     // MinHash + LSH over the persisted signature table; docs sharing a
@@ -626,14 +720,7 @@ object LlmQueries {
     // pattern that survives 100 TB where a global cross join cannot.
     "embedding_neardup" -> ((s, d) => {
       import s.implicits._
-      val e = withNorm(Tables.embeddings(s, d))
-      val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"label")
-      val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b"), $"label")
-      a.join(b, Seq("label"))
-        .filter($"vec_a" < $"vec_b")
-        .select($"vec_a", $"vec_b",
-          rnd(cosFromNorms($"emb_a", $"emb_b", $"nrm_a", $"nrm_b"), 6).as("cos_sim"))
-        .filter($"cos_sim" > 0.8)
+      embNearPairs(s, d)
         .orderBy($"vec_a", $"vec_b")
     }),
 
@@ -812,6 +899,40 @@ object LlmQueries {
          | (SELECT doc_id, md5(array_to_string(list_sort($TOKS), ' ')) AS fp
          |  FROM documents) t
          |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    || ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b555-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dup_ngram_frac" ->
+      s"""WITH $duckShingleCtes
+         |SELECT doc_id,
+         |  CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+         |    AS dup_frac
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "unigram_surprise" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, term FROM
+         |   (SELECT doc_id, unnest($TOKS) AS term FROM documents) x
+         |  WHERE term <> ''),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(df.df) AS DOUBLE) / CAST(count(*) * (SELECT n_docs FROM nd) AS DOUBLE)
+         |    AS mean_df_frac
+         |FROM t JOIN df USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "minhash_dedup" ->
       s"""WITH $duckCandidateCtes
