@@ -126,6 +126,37 @@ class PlanSpec extends SparkSpecBase {
     assert(windows == 1, s"expected exactly one keep-best window, got $windows")
   }
 
+  test("pii_scrub: pure scan→project — no shuffle, no join, codegen'd") {
+    val p = finalPlan("pii_scrub")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      "scrub pass introduced a data shuffle") // only the ORDER BY may exchange
+    assert(!p.contains("Join"), "scrub pass should not join")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), "not codegen'd")
+  }
+
+  test("dup_ngram_frac: both shingle tables read from cache, no text rescan") {
+    val ops = physicalOps("dup_ngram_frac")
+    val cacheReads = ops.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(cacheReads >= 2, s"memoized shingle tables not reused ($cacheReads reads)")
+    // a text rescan would show as a parquet FileScan node (the cached
+    // relations' own build plans don't count — physicalOps stops at
+    // the InMemoryTableScan boundary, and only nodes OUTSIDE it run)
+    val fileScans = ops.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(fileScans == 0,
+      s"metric rescanned parquet ($fileScans file scans) instead of the cached shingle tables")
+  }
+
+  test("unigram_surprise: vocabulary df table broadcasts, term rows from cache") {
+    val p = finalPlan("unigram_surprise")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val ops = physicalOps("unigram_surprise")
+    assert(ops.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "term relation not read from cache")
+  }
+
   test("stream_join: user equi-join with time-range residual, not nested loop") {
     val p = finalPlan("stream_join")
     assert(p.contains("Join"), p.take(2000))
