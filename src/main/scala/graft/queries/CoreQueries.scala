@@ -74,6 +74,20 @@ object CoreQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // KLL/GK-style quantile sketch — no SQL oracle (approximate);
+    // driver records a rows-only check. ScalaTest pins the rank error
+    // vs the exact percentiles. The sketch is mergeable, which is the
+    // 100 TB property: map-side sketches combine without a second
+    // scan, where exact percentiles shuffle every value.
+    "agg_approx_percentile" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(1000))
+          .as("p50_p95"))
+        .orderBy($"event_type")
+    }),
+
     // Mergeable-sketch architecture (the 100 TB cardinality pattern):
     // per-group DataSketches HLL sketches built once, then UNIONED to
     // a corpus-wide estimate — the shape of a materialized sketch

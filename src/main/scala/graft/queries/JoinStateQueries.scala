@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{SchemaDiff, StateMerge}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -122,6 +123,32 @@ object JoinStateQueries {
         .orderBy($"c_custkey", $"valid_from")
     }),
 
+    // CDC apply: collapse a change feed into current state — the
+    // merge a warehouse runs against a CDC stream (Debezium/Delta
+    // change-feed shape). Events are the log: 'error' rows are
+    // tombstones (DELETE), everything else an upsert; per key the
+    // LATEST change wins and a trailing tombstone removes the key.
+    // One window over the keyed log — at scale this is a single
+    // shuffle on the merge key, no join against the snapshot needed
+    // when the log is complete. Ordering ties break on event_id at
+    // MICROsecond timestamp precision in both engines (the oracle
+    // truncates its nanos timestamps the same way), so rank order is
+    // engine-identical.
+    "cdc_merge" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"tus".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .select($"event_id", unix_micros($"ts").as("tus"), $"user_id",
+          when($"event_type" === "error", "D").otherwise("U").as("op"),
+          $"value")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1 && $"op" =!= "D")
+        .select($"user_id", $"tus".as("last_us"),
+          $"event_id".as("last_event"), $"value".as("last_value"))
+        .orderBy($"user_id")
+    }),
+
     // J3: schema-drift classification (compare_schema.py:29-53).
     // Old = actual orders schema from the scan; new = simulated drift
     // (drop o_orderpriority, add o_comment, retype o_totalprice).
@@ -198,6 +225,17 @@ object JoinStateQueries {
         |  CAST(5 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
         | FROM customer WHERE c_custkey % 7 = 0) t
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "cdc_merge" ->
+      """SELECT user_id, last_us, last_event, last_value FROM (
+        | SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS last_us,
+        |  event_id AS last_event, value AS last_value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rk
+        | FROM events) t
+        |WHERE rk = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
 
     "join_inner" ->
       """SELECT n_name,

@@ -76,4 +76,26 @@ class SimilaritySpec extends SparkSpecBase {
     val approx = li.select(approx_count_distinct($"l_partkey")).head.getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.10)
   }
+
+  test("approx percentiles stay within rank tolerance of exact on events") {
+    // percentile_approx(accuracy = 1000) guarantees rank error
+    // <= n/1000 per group; verify by locating each sketch answer's
+    // RANK among the group's sorted values — a value-space bound would
+    // be data-dependent, rank is the contract the sketch makes.
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf).select($"event_type", $"value")
+    val groups = ev.select($"event_type").distinct().as[String].collect()
+    val approx = graft.SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .as[(String, Seq[Double])].collect().toMap
+    for (g <- groups) {
+      val vals = ev.filter($"event_type" === g).select($"value")
+        .as[Double].collect().sorted
+      val n = vals.length
+      for ((q, got) <- Seq(0.5, 0.95).zip(approx(g))) {
+        val rank = vals.count(_ <= got).toDouble / n
+        assert(math.abs(rank - q) <= math.max(0.002, 2.0 / n),
+          f"group $g q=$q: sketch value $got sits at rank $rank%.4f")
+      }
+    }
+  }
 }
