@@ -48,7 +48,8 @@ object Bench {
       "ngram_jaccard", "dup_ngram_frac", "fuzzy_match", "graph_degree_dist",
       "dedup_incremental", "contamination_check",
       "tfidf_topk", "bm25_topk", "unigram_surprise",
-      "dedup_clusters", "dedup_stats", "dedup_keep_best", "semdedup_clusters")
+      "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
+      "semdedup_clusters")
     // A renamed query silently vanishing from this list would shrink
     // bench coverage without an error — fail loudly on drift instead.
     val drifted = corpusFamily.filterNot(SparkEntry.queries.contains)

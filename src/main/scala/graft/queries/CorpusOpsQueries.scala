@@ -269,6 +269,31 @@ object CorpusOpsQueries {
         .withColumn("pr", percent_rank().over(w))
         .filter($"pr" >= 0.5)
         .orderBy($"doc_id")
+    }),
+
+    // The curation capstone: the full filter→dedup→select flow a
+    // training-data run executes, composed from the engine's own
+    // pieces — (1) per-source quality gate keeps the top half, (2)
+    // survivors join the memoized near-dup cluster table, (3) one
+    // keep-best window elects the highest-quality survivor per
+    // cluster. Output: the admitted corpus with its token budget. At
+    // scale this is two windows and one keyed join beyond the shared
+    // cluster resolution — no operator here rescans text.
+    "curate_corpus" -> ((s, d) => {
+      import s.implicits._
+      val wq = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+      val gated = Tables.documents(s, d)
+        .select($"doc_id", $"source", TF.qualityScore($"text").as("quality"),
+          TF.nTokens($"text").cast("long").as("n_tokens"))
+        .withColumn("pr", percent_rank().over(wq))
+        .filter($"pr" >= 0.5)
+      val wk = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")
+      gated
+        .join(clusterLabels(s, d).select($"doc_id", $"lbl".as("cluster")), Seq("doc_id"))
+        .withColumn("rk", row_number().over(wk))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"cluster", $"source", $"quality", $"n_tokens")
+        .orderBy($"doc_id")
     })
   )
 
@@ -440,6 +465,31 @@ object CorpusOpsQueries {
          |    percent_rank() OVER (PARTITION BY source
          |      ORDER BY ${LlmQueries.duckQuality}, doc_id) AS pr
          |  FROM documents) t
-         |WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin
+         |WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    "curate_corpus" ->
+      s"""WITH RECURSIVE ${LlmQueries.duckCandidateCtes},
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM cand),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+         |),
+         |clusters AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+         |gated AS (
+         |  SELECT doc_id, source, quality, n_tokens FROM (
+         |    SELECT doc_id, source, ${LlmQueries.duckQuality} AS quality,
+         |      CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tokens,
+         |      percent_rank() OVER (PARTITION BY source
+         |        ORDER BY ${LlmQueries.duckQuality}, doc_id) AS pr
+         |    FROM documents) t
+         |  WHERE pr >= 0.5)
+         |SELECT doc_id, cluster, source, quality, n_tokens FROM (
+         |  SELECT g.doc_id, c.cluster, g.source, g.quality, g.n_tokens,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY g.quality DESC, g.doc_id) AS rk
+         |  FROM gated g JOIN clusters c USING (doc_id)) x
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 }
