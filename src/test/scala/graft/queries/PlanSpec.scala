@@ -157,6 +157,17 @@ class PlanSpec extends SparkSpecBase {
       "term relation not read from cache")
   }
 
+  test("cdc_merge: rank-1 pruned map-side (WindowGroupLimit before the shuffle)") {
+    val p = plan("cdc_merge")
+    // Partial + Final WindowGroupLimit: the rank<=1 filter runs BEFORE
+    // the exchange, so the shuffle carries at most one row per
+    // (input partition, key) — merging a 100 TB change log stays a
+    // keyed top-1, not a full-log sort.
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expected Partial and Final WindowGroupLimit stages")
+  }
+
   test("stream_join: user equi-join with time-range residual, not nested loop") {
     val p = finalPlan("stream_join")
     assert(p.contains("Join"), p.take(2000))
