@@ -128,8 +128,16 @@ object Bench {
         System.err.println(s"[bench] $name paid cache builds: ${built.toSeq.sorted.mkString(", ")}")
       }
       releaseAfter.getOrElse(name, Nil).foreach { tag =>
-        recordBucketStats(tag)
-        graft.queries.LlmQueries.release(spark, sfDir, tag)
+        // guard-rail work must never abort the sweep: if the bucket
+        // probe hits the same failure that already recorded this query
+        // as -1, log and move on — the run's JSON must still print.
+        try {
+          recordBucketStats(tag)
+          graft.queries.LlmQueries.release(spark, sfDir, tag)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] release/guard for '$tag' failed: ${e.getMessage}")
+        }
       }
       res
     }

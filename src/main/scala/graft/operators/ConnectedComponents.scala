@@ -55,11 +55,43 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   def minLabel(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30,
-      checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      checkpointDir: Option[String] = None): DataFrame =
+    withCheckpointDir(vertices, checkpointDir) { truncate =>
+      minLabelImpl(vertices, edges, maxIter, truncate)
+    }
+
+  /** Scoped checkpoint-dir override: sets the SparkContext checkpoint
+    * directory for the duration of `body` and restores any PREVIOUS
+    * directory afterwards, so this per-call parameter does not leak
+    * into the application's own checkpoint configuration. (Concurrent
+    * calls with different dirs on one context still race — that is a
+    * SparkContext-global setting; give such jobs separate sessions.)
+    * The truncator handed to `body` persists before a RELIABLE
+    * checkpoint so the round's lineage is computed once and the
+    * checkpoint files are written from the cached blocks — without it
+    * Spark recomputes the whole round a second time for the write —
+    * then drops the scratch cache; the local fast path stays the
+    * lazy localCheckpoint that rides the caller's own action.
+    */
+  private def withCheckpointDir[T](df: DataFrame, checkpointDir: Option[String])(
+      body: (DataFrame => DataFrame) => T): T = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def truncate(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        d.persist()
+        try d.checkpoint() // eager: computes once into cache, writes from it
+        finally d.unpersist()
+      } else d.localCheckpoint(eager = false)
+    try body(truncate)
+    // restore the caller's directory; Option(null) unsets, matching
+    // the pre-call state when none was configured
+    finally if (checkpointDir.isDefined) sc.setCheckpointDir(prev.orNull)
+  }
+
+  private def minLabelImpl(vertices: DataFrame, edges: DataFrame, maxIter: Int,
+      truncate: DataFrame => DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -94,7 +126,9 @@ object ConnectedComponents {
     // still rides the round's own labelSum job — lineage truncation
     // without the extra eager-checkpoint job per round the previous
     // formulation paid. (With `checkpointDir` set, truncation is a
-    // reliable checkpoint() instead — same lazy shape, fault-tolerant.)
+    // persist + eager reliable checkpoint() instead — one extra job
+    // per round, but compute-once and fault-tolerant; see
+    // withCheckpointDir.)
     val seed = vertices
       .join(sym.groupBy(col("src")).agg(min(col("dst")).as("nbr_min")),
         vertices("id") === col("src"), "left")
@@ -178,10 +212,14 @@ object ConnectedComponents {
     *         as [[minLabel]] (including `checkpointDir` semantics).
     */
   def alternatingStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      checkpointDir: Option[String] = None): DataFrame =
+    withCheckpointDir(vertices, checkpointDir) { reliableTruncate =>
+      alternatingStarImpl(vertices, edges, maxIter,
+        if (checkpointDir.isDefined) reliableTruncate else (d => d.localCheckpoint()))
+    }
+
+  private def alternatingStarImpl(vertices: DataFrame, edges: DataFrame, maxIter: Int,
+      truncate: DataFrame => DataFrame): DataFrame = {
     // canonical undirected pairs, self-loops dropped
     def canon(e: DataFrame): DataFrame = e
       .select(least(col("src"), col("dst")).as("lo"),

@@ -185,7 +185,16 @@ object IncrementalPipeline {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           val p = new org.apache.hadoop.fs.Path(outDir)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) {
+          // Run compaction when the output exists OR when only the
+          // `.compact_old` leftover of a compaction that crashed
+          // between its two renames exists: Sinks.compact's recovery
+          // preamble restores it. Skipping on a bare fs.exists(outDir)
+          // would let the next batch write recreate outDir, after
+          // which a LATER compaction's cleanup would delete
+          // .compact_old — the only remaining copy of the committed
+          // batches — silently.
+          val crashed = new org.apache.hadoop.fs.Path(outDir + ".compact_old")
+          if (fs.exists(p) || fs.exists(crashed)) {
             val (before, after) =
               graft.sources.Sinks.compact(spark, outDir, targetBytes,
                 partitionBy = Seq("load_batch_id"))

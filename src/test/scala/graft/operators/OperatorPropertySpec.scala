@@ -212,9 +212,16 @@ class OperatorPropertySpec extends SparkSpecBase {
     assert(l1 == s1)
     // reliable mode actually wrote checkpoint files (fault-tolerance
     // evidence — localCheckpoint leaves this directory empty)
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+    finally walk.close()
     assert(wrote > 0, s"no checkpoint files under $dir")
+    // the per-call checkpoint dir must not leak into the context:
+    // getCheckpointDir returns the resolved URI, so match on the
+    // unique temp-dir basename
+    assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(
+      java.nio.file.Paths.get(dir).getFileName.toString)),
+      s"checkpoint dir leaked: ${spark.sparkContext.getCheckpointDir}")
   }
 
   test("minLabel/alternatingStar return the PERSISTED result (contract pin)") {

@@ -128,8 +128,9 @@ class PlanSpec extends SparkSpecBase {
 
   test("pii_scrub: pure scan→project — no shuffle, no join, codegen'd") {
     val p = finalPlan("pii_scrub")
-    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
-      "scrub pass introduced a data shuffle") // only the ORDER BY may exchange
+    // only the presentation ORDER BY may exchange (rangepartitioning);
+    // a hashpartitioning exchange would mean a real data shuffle crept in
+    assert(!p.contains("hashpartitioning"), "scrub pass introduced a data shuffle")
     assert(!p.contains("Join"), "scrub pass should not join")
     assert(p.contains("WholeStageCodegen") || p.contains("*("), "not codegen'd")
   }

@@ -111,12 +111,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 5)
     // a RETRIED micro-batch replaces its own partition, not appends:
     // simulate a crashed attempt of batch 3 re-running post-compaction
+    // (replay the batch's ACTUAL rows — the file→batch assignment
+    // order is the source's business, not the test's)
     import org.apache.spark.sql.functions.lit
-    Seq((5L, "e")).toDF("id", "v").withColumn("load_batch_id", lit(3L))
+    val batch3 = spark.read.parquet(out)
+      .filter($"load_batch_id" === 3L).select($"id", $"v")
+      .as[(Long, String)].collect().toSeq
+    batch3.toDF("id", "v").withColumn("load_batch_id", lit(3L))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("load_batch_id").parquet(out)
-    assert(spark.read.parquet(out).count() == 5)
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
     assert(filesBefore >= 2) // the pre-compaction state really had piles
+
+    // simulate a compaction that crashed BETWEEN its two renames: the
+    // data dir is gone and only .compact_old remains. The next
+    // maintenance batch must recover it — not let the batch write
+    // recreate the dir and a later compaction delete the only copy.
+    Files.move(Paths.get(out), Paths.get(out + ".compact_old"))
+    land("b4.json", Seq((6L, "f")))
+    land("b5.json", Seq((7L, "g")))
+    run() // batch 4 fires the every-2 hook → recovery, then 4,5 write
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(!Files.exists(Paths.get(out + ".compact_old")))
   }
 
   test("upsertBatch only swallows the missing-table DELETE failure") {
