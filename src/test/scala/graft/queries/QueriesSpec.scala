@@ -23,6 +23,23 @@ class QueriesSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("memoized release: blocks freed, tag gone, later consumer rebuilds") {
+    // the bench's cache-lifecycle contract: release() must actually
+    // unpersist (not just forget the handle), and a released table's
+    // next consumer must transparently rebuild it
+    val t1 = LlmQueries.shingleTable(spark, sf)
+    t1.count()
+    assert(t1.storageLevel.useMemory, "memoized table not persisted")
+    assert(LlmQueries.memoizedTags(spark).contains("shingles"))
+    LlmQueries.release(spark, sf, "shingles")
+    assert(!t1.storageLevel.useMemory, "release() left the blocks cached")
+    assert(!LlmQueries.memoizedTags(spark).contains("shingles"))
+    val t2 = LlmQueries.shingleTable(spark, sf) // rebuilds, new entry
+    assert(LlmQueries.memoizedTags(spark).contains("shingles"))
+    assert(t2.count() == t1.count(), "rebuilt table differs")
+    LlmQueries.release(spark, sf, "shingles")
+  }
+
   // The test embeddings are geometrically random (label ⟂ cosine:
   // top-5 neighbors share the query's label at chance rate), so any
   // bucketed ANN is bounded near recall ≈ nprobe/k here. Assert the
