@@ -131,13 +131,16 @@ object Bench {
         // guard-rail work must never abort the sweep: if the bucket
         // probe hits the same failure that already recorded this query
         // as -1, log and move on — the run's JSON must still print.
-        try {
-          recordBucketStats(tag)
-          graft.queries.LlmQueries.release(spark, sfDir, tag)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] release/guard for '$tag' failed: ${e.getMessage}")
-        }
+        // The release itself runs in the finally so a failed probe
+        // cannot leave the table cached (that would reinstate the
+        // storage-pressure distortion this lifecycle exists to stop);
+        // NonFatal only — a VM error must still kill the run rather
+        // than record garbage timings from a corrupted JVM.
+        try recordBucketStats(tag)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] bucket guard for '$tag' failed: ${e.getMessage}")
+        } finally graft.queries.LlmQueries.release(spark, sfDir, tag)
       }
       res
     }

@@ -97,14 +97,11 @@ object Pipeline {
       workDir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val stagingDir = s"$workDir/staging"
-    // Existence must resolve through the same scheme-aware Hadoop
-    // FileSystem that compact uses: a java.io.File check is always
-    // false for hdfs:// or s3a:// workDirs, silently no-opping
-    // maintenance exactly where compaction matters most.
-    val stagingPath = new org.apache.hadoop.fs.Path(stagingDir)
-    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(stagingPath)) (0, 0)
-    else Sinks.compact(spark, stagingDir, targetBytes, partitionBy = Seq("file_key"))
+    // Unconditional: Sinks.compact no-ops when nothing is staged, and
+    // its recovery preamble restores a `.compact_old` left by a
+    // compaction that crashed between its two renames — a caller-side
+    // existence guard would skip exactly that recovery.
+    Sinks.compact(spark, stagingDir, targetBytes, partitionBy = Seq("file_key"))
   }
 
   /** One incremental run.

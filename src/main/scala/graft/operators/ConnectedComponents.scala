@@ -61,33 +61,42 @@ object ConnectedComponents {
     }
 
   /** Scoped checkpoint-dir override: sets the SparkContext checkpoint
-    * directory for the duration of `body` and restores any PREVIOUS
-    * directory afterwards, so this per-call parameter does not leak
-    * into the application's own checkpoint configuration. (Concurrent
-    * calls with different dirs on one context still race — that is a
-    * SparkContext-global setting; give such jobs separate sessions.)
+    * directory for the duration of `body` and afterwards restores the
+    * previous checkpoint ROOT (or unsets it), so this per-call
+    * parameter does not leak into the application's own checkpoint
+    * configuration. `getCheckpointDir` reports the RESOLVED location —
+    * root plus a per-set UUID subdirectory — so the restore re-sets
+    * the root, under which Spark mints a fresh UUID subdir; existing
+    * checkpointed RDDs keep their absolute paths and stay readable.
+    * (Concurrent calls with different dirs on one context still
+    * race — that is a SparkContext-global setting; give such jobs
+    * separate sessions.)
     * The truncator handed to `body` persists before a RELIABLE
     * checkpoint so the round's lineage is computed once and the
     * checkpoint files are written from the cached blocks — without it
     * Spark recomputes the whole round a second time for the write —
-    * then drops the scratch cache; the local fast path stays the
-    * lazy localCheckpoint that rides the caller's own action.
+    * then drops the scratch cache. The local fast path is
+    * localCheckpoint: lazy (riding the caller's own action) unless
+    * `localEager` asks for the eager variant.
     */
-  private def withCheckpointDir[T](df: DataFrame, checkpointDir: Option[String])(
-      body: (DataFrame => DataFrame) => T): T = {
+  private def withCheckpointDir[T](df: DataFrame, checkpointDir: Option[String],
+      localEager: Boolean = false)(body: (DataFrame => DataFrame) => T): T = {
     val sc = df.sparkSession.sparkContext
-    val prev = sc.getCheckpointDir
+    val prevRoot = sc.getCheckpointDir.map { resolved =>
+      val p = new org.apache.hadoop.fs.Path(resolved)
+      Option(p.getParent).map(_.toString).getOrElse(resolved)
+    }
     checkpointDir.foreach(sc.setCheckpointDir)
     def truncate(d: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         d.persist()
         try d.checkpoint() // eager: computes once into cache, writes from it
         finally d.unpersist()
-      } else d.localCheckpoint(eager = false)
+      } else d.localCheckpoint(eager = localEager)
     try body(truncate)
-    // restore the caller's directory; Option(null) unsets, matching
-    // the pre-call state when none was configured
-    finally if (checkpointDir.isDefined) sc.setCheckpointDir(prev.orNull)
+    // Option(null) unsets, matching the pre-call state when none was
+    // configured
+    finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevRoot.orNull)
   }
 
   private def minLabelImpl(vertices: DataFrame, edges: DataFrame, maxIter: Int,
@@ -213,9 +222,10 @@ object ConnectedComponents {
     */
   def alternatingStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame =
-    withCheckpointDir(vertices, checkpointDir) { reliableTruncate =>
-      alternatingStarImpl(vertices, edges, maxIter,
-        if (checkpointDir.isDefined) reliableTruncate else (d => d.localCheckpoint()))
+    // eager local truncation: this operator's convergence test
+    // materializes frames pairwise, so the lazy variant buys nothing
+    withCheckpointDir(vertices, checkpointDir, localEager = true) { truncate =>
+      alternatingStarImpl(vertices, edges, maxIter, truncate)
     }
 
   private def alternatingStarImpl(vertices: DataFrame, edges: DataFrame, maxIter: Int,

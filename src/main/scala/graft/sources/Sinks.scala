@@ -90,6 +90,13 @@ object Sinks {
       require(fs.rename(from, to), s"rename $from -> $to failed")
     if (!fs.exists(dir) && fs.exists(old)) // crashed between the two renames
       mv(old, dir)
+    // Nothing staged yet (and no crashed swap to recover): no-op, so
+    // callers can invoke compaction unconditionally instead of
+    // duplicating the existence/recovery probe — a caller-side
+    // fs.exists(dir) guard would SKIP the recovery above and let the
+    // next write recreate `dir`, after which this function's own
+    // cleanup would delete `old`, the only copy of the previous data.
+    if (!fs.exists(dir)) return (0, 0)
     // (file path, bytes) of every parquet leaf under p, via the
     // recursive listing (one LIST round-trip per thousand entries on
     // object stores, vs one per directory for a manual walk)

@@ -183,25 +183,20 @@ object IncrementalPipeline {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          val p = new org.apache.hadoop.fs.Path(outDir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // Run compaction when the output exists OR when only the
-          // `.compact_old` leftover of a compaction that crashed
-          // between its two renames exists: Sinks.compact's recovery
-          // preamble restores it. Skipping on a bare fs.exists(outDir)
-          // would let the next batch write recreate outDir, after
-          // which a LATER compaction's cleanup would delete
-          // .compact_old — the only remaining copy of the committed
-          // batches — silently.
-          val crashed = new org.apache.hadoop.fs.Path(outDir + ".compact_old")
-          if (fs.exists(p) || fs.exists(crashed)) {
-            val (before, after) =
-              graft.sources.Sinks.compact(spark, outDir, targetBytes,
-                partitionBy = Seq("load_batch_id"))
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .info(s"[stream-maintain] batch $batchId: compacted $outDir " +
-                s"$before -> $after files")
-          }
+          // Unconditional: Sinks.compact no-ops when nothing is
+          // staged, and — critically — its recovery preamble restores
+          // the `.compact_old` leftover of a compaction that crashed
+          // between its two renames. A caller-side fs.exists(outDir)
+          // guard here would skip that recovery and let this batch's
+          // write recreate outDir, after which a later compaction's
+          // cleanup would delete the only remaining copy of the
+          // committed batches.
+          val (before, after) =
+            graft.sources.Sinks.compact(spark, outDir, targetBytes,
+              partitionBy = Seq("load_batch_id"))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .info(s"[stream-maintain] batch $batchId: compacted $outDir " +
+              s"$before -> $after files")
         }
         batch.withColumn("load_batch_id", lit(batchId))
           .write.mode("overwrite")

@@ -197,6 +197,11 @@ class OperatorPropertySpec extends SparkSpecBase {
     val edges = ((0L until 9L).map(i => (i, i + 1)) ++ Seq((20L, 21L), (21L, 22L)))
       .toDF("src", "dst")
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    // an application-level checkpoint root set BEFORE the call — the
+    // per-call override must restore it (by root; the UUID subdir is
+    // setCheckpointDir's own implementation detail)
+    val appRoot = java.nio.file.Files.createTempDirectory("cc_app_ckpt").toString
+    spark.sparkContext.setCheckpointDir(appRoot)
     def run(ckpt: Option[String]) = {
       val local = ConnectedComponents.minLabel(vertices, edges, checkpointDir = ckpt)
       val star = ConnectedComponents.alternatingStar(vertices, edges, checkpointDir = ckpt)
@@ -218,10 +223,15 @@ class OperatorPropertySpec extends SparkSpecBase {
     assert(wrote > 0, s"no checkpoint files under $dir")
     // the per-call checkpoint dir must not leak into the context:
     // getCheckpointDir returns the resolved URI, so match on the
-    // unique temp-dir basename
-    assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(
+    // unique temp-dir basenames — the override's dir must be gone and
+    // the application's previously-set ROOT must be back
+    val after = spark.sparkContext.getCheckpointDir
+    assert(after.forall(!_.contains(
       java.nio.file.Paths.get(dir).getFileName.toString)),
-      s"checkpoint dir leaked: ${spark.sparkContext.getCheckpointDir}")
+      s"checkpoint dir leaked: $after")
+    assert(after.exists(_.contains(
+      java.nio.file.Paths.get(appRoot).getFileName.toString)),
+      s"application checkpoint root not restored: $after")
   }
 
   test("minLabel/alternatingStar return the PERSISTED result (contract pin)") {
