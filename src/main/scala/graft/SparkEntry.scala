@@ -31,7 +31,8 @@ object SparkEntry {
       SourceUdxQueries.defs ++
       ExtraQueries.defs ++
       CorpusOpsQueries.defs ++
-      LayoutQueries.defs
+      LayoutQueries.defs ++
+      AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -45,5 +46,6 @@ object SparkEntry {
       SourceUdxQueries.oracles ++
       ExtraQueries.oracles ++
       CorpusOpsQueries.oracles ++
-      LayoutQueries.oracles
+      LayoutQueries.oracles ++
+      AnalyticsQueries.oracles
 }

@@ -85,6 +85,14 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

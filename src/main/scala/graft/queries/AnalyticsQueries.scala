@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Flagship multi-operator analytics compositions — the shapes a
+  * warehouse user of the reference pipeline actually runs downstream
+  * of its star-schema load (`Scripts/transformation_job.py:19-34`
+  * produces exactly these fact/dim tables): the TPC-H-style pricing
+  * summary, a dims→fact revenue rollup, window-function
+  * sessionization, and an explicit Bloom-filter-pruned join.
+  *
+  * Scale/perf design:
+  *  - `tpch_pricing` is one scan → one partial-aggregated hash
+  *    aggregate (6 groups); sums run in exact decimal so any partition
+  *    order gives bit-identical doubles.
+  *  - `revenue_topn` joins the fact table against three broadcast
+  *    dimensions; only the customer⋈orders join shuffles, and both
+  *    sides shuffle on the join key (no replication).
+  *  - `sessionize_gaps` is the islands-and-gaps formulation: one
+  *    window shuffle keyed by user, two window passes (lag + running
+  *    sum), no self-join — the batch analog of session_window that
+  *    assigns each EVENT its session ordinal.
+  *  - `bloom_join` demonstrates the runtime-filter pattern: the
+  *    dimension's keys fold into an O(KB) Bloom sketch that prunes the
+  *    fact scan BEFORE the shuffle/join, the shape that saves the
+  *    network at 100 TB when the join is selective. The exact semi
+  *    join after the probe keeps the result identical (no false
+  *    negatives), so the oracle is the plain semi join.
+  */
+object AnalyticsQueries {
+
+  /** Exact decimal casts for money×rate arithmetic: price fits
+    * (12,2), discount/tax fit (4,2), so the 3-factor product stays
+    * ≤ decimal(22,6) — inside both engines' 38-digit ceiling, no
+    * precision-loss rounding anywhere.
+    */
+  private def d12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  private def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(4,2)")
+
+  val defs: Map[String, QueryFn] = Map(
+    // TPC-H Q1-shape pricing summary: the canonical full-scan
+    // aggregate benchmark. Decimal sums → deterministic doubles.
+    "tpch_pricing" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-12-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(d12($"l_extendedprice") * (d4(lit(1)) - d4($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(d12($"l_extendedprice") * (d4(lit(1)) - d4($"l_discount"))
+            * (d4(lit(1)) + d4($"l_tax")))
+            .cast("double").as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // TPC-H Q5-shape revenue rollup: fact⋈fact shuffle join on the
+    // key, then three broadcast dimension hops region→nation→customer.
+    "revenue_topn" -> ((s, d) => {
+      import s.implicits._
+      val rev = d12($"l_extendedprice") * (d4(lit(1)) - d4($"l_discount"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1999-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // Islands-and-gaps sessionization: per-event session ordinals via
+    // lag + running sum (30-minute gap, same >= semantics as
+    // stream_session's session_window). One shuffle keyed by user.
+    "sessionize_gaps" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" >= 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum($"new_sess").over(wRun))
+        .select($"user_id", $"event_id",
+          unix_millis($"ts").as("ts_ms"), $"sess_id")
+        .orderBy($"user_id", $"ts_ms", $"event_id")
+    }),
+
+    // Explicit runtime-filter join: high-value orders' keys fold into
+    // a Bloom sketch (distributed build, sketch-sized driver traffic)
+    // that prunes the lineitem scan before the exact semi join — see
+    // [[graft.plans.BloomFunctions]]. Output identical to the plain
+    // semi join (no false negatives), which is what the oracle runs.
+    "bloom_join" -> ((s, d) => {
+      import s.implicits._
+      val sel = Tables.orders(s, d)
+        .filter($"o_totalprice" > 450000.0)
+        .select($"o_orderkey")
+      // expected count from the actual selective cardinality (one
+      // metadata-scale job), not a guessed constant that would pin the
+      // false-positive rate to one scale factor
+      val expected = math.max(1000L, sel.count())
+      val bloom = lit(graft.plans.BloomFunctions.serialize(
+        sel.stat.bloomFilter("o_orderkey", expected, 0.01)))
+      graft.plans.BloomFunctions.register(s)
+      Tables.lineitem(s, d)
+        .filter(graft.plans.BloomFunctions.mightContain(bloom, $"l_orderkey"))
+        .join(sel, $"l_orderkey" === $"o_orderkey", "left_semi")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"l_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |   AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |   * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+        |   AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "revenue_topn" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |   AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // epoch_us comparisons floor to Spark's µs truncation of the
+    // nanosecond source timestamps (Q doc, stream_join precedent)
+    "sessionize_gaps" ->
+      """SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms, sess_id FROM (
+        | SELECT user_id, event_id, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        | FROM (
+        |  SELECT user_id, event_id, ts,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) f
+        |) t ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "bloom_join" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin
+  )
+}

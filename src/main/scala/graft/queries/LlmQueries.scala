@@ -833,6 +833,31 @@ object LlmQueries {
         .orderBy($"q_id", $"rn")
     }),
 
+    // Fixed-size token chunking with overlap — the doc→training-sample
+    // splitter every pretraining pipeline runs before packing: 32-token
+    // windows at stride 24 (8-token overlap). sequence+explode+slice is
+    // a narrow per-row expansion (no shuffle, no UDF, codegen'd); tail
+    // windows that would add no new tokens beyond the previous chunk
+    // are dropped. The chunk text itself ships as the payload — at
+    // scale this is the one op whose output is legitimately larger
+    // than its input, which is why it must stay scan-parallel.
+    "doc_chunk" -> ((s, d) => {
+      import s.implicits._
+      val CHUNK = 32
+      val STRIDE = 24
+      Tables.documents(s, d)
+        .filter(length(TF.normText($"text")) > 0)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+        .select($"doc_id", $"w",
+          explode(sequence(lit(0), size($"w") - 1, lit(STRIDE))).as("start"))
+        .filter($"start" === 0 || size($"w") - $"start" > (CHUNK - STRIDE))
+        .select($"doc_id",
+          ($"start" / STRIDE).cast("long").as("chunk_id"),
+          array_join(slice($"w", $"start" + 1, lit(CHUNK)), " ").as("chunk"),
+          least(lit(CHUNK), size($"w") - $"start").cast("long").as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // Multimodal column plumbing: binary payload + typed metadata
     // extraction (decode itself is stubbed deterministically — no
     // image libs in this container; see graft.operators.Multimodal
@@ -1111,6 +1136,17 @@ object LlmQueries {
          |  FROM probes p JOIN sigs e ON p.probe = e.sig AND p.q_id <> e.vec_id) t
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
     },
+
+    // DuckDB list slicing w[a:b] is 1-based inclusive and clamps at
+    // the list end — same semantics as Spark's slice(w, start+1, 32).
+    "doc_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents WHERE length($NORM) > 0),
+         |st AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM toks)
+         |SELECT doc_id, start // 24 AS chunk_id,
+         | array_to_string(w[start+1 : start+32], ' ') AS chunk,
+         | least(32, len(w) - start) AS n_tokens
+         |FROM st WHERE start = 0 OR len(w) - start > 8
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -175,4 +175,46 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "interval join degenerated to nested loop/cartesian")
   }
+
+  test("tpch_pricing: pushed date filter, pruned scan, partial aggregation") {
+    val p = finalPlan("tpch_pricing")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(!p.contains("l_partkey"), "unused column not pruned from scan")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+  }
+
+  test("revenue_topn: dimensions broadcast, no nested-loop anywhere") {
+    val p = finalPlan("revenue_topn")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "region/nation/customer dims should all broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "dim hop degenerated to nested loop/cartesian")
+  }
+
+  test("bloom_join: might_contain probe on the fact scan, exact semi join after") {
+    val p = finalPlan("bloom_join")
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("LeftSemi"), "exact semi join missing after the Bloom prune")
+    // the probe must sit scan-side: no shuffle may run before the
+    // filter, so the only hashpartitioning exchange feeds the final
+    // aggregate, not the probe
+    assert(p.contains("BroadcastHashJoin"), "pruned dim side should broadcast")
+  }
+
+  test("sessionize_gaps: one user-keyed shuffle feeds both window passes") {
+    val p = finalPlan("sessionize_gaps")
+    assert(!p.contains("Join"), "sessionization must not self-join")
+    val dataShuffles = "hashpartitioning".r.findAllIn(p).size
+    assert(dataShuffles >= 1, "expected the user_id window shuffle")
+    assert(p.contains("Window"), "no window operator in plan")
+  }
+
+  test("doc_chunk: narrow scan→explode expansion, no data shuffle, no join") {
+    val p = finalPlan("doc_chunk")
+    assert(p.contains("Generate"), "expected explode Generate node")
+    assert(!p.contains("Join"), "chunking must not join")
+    // only the presentation ORDER BY exchanges (rangepartitioning)
+    assert(!p.contains("hashpartitioning"), "chunk expansion introduced a data shuffle")
+  }
 }
