@@ -833,6 +833,84 @@ object LlmQueries {
         .orderBy($"q_id", $"rn")
     }),
 
+    // Product quantization (PQ) ANN — the memory-compression scale
+    // path: each 64-float vector (256 B) encodes as 8 subspace codes
+    // (8 B, 32× compression), and queries score the compressed corpus
+    // by ADC (asymmetric distance computation) — one 8×K lookup table
+    // per query, built once, then the scan touches only codes. This is
+    // what makes exhaustive search affordable when 100 TB of raw
+    // embeddings won't fit executor memory but their codes will.
+    // Codebooks are trained with one deterministic Lloyd iteration:
+    // the 64 lowest-id vectors seed each subspace's codebook, every
+    // subvector assigns to its nearest seed (fixed op order, code
+    // tiebreak), and the codebook is the decimal-exact per-dimension
+    // mean of each assignment group — data-driven like k-means, but
+    // reproducible in any engine, so the whole operator has a FULL
+    // DuckDB oracle. (Label-mean codebooks were tried first: same-label
+    // vectors collapsed to identical codes and recall@5 vs the exact
+    // dot-product top-5 was 0.13; seeded-Lloyd codebooks reach ~0.39
+    // at both sf0.001 and sf0.01.) The ADC score approximates the dot
+    // product Σ_m q_m·c_{code_m}; the final Σ over the 8 subspaces
+    // pivots to fixed columns so the IEEE addition order is
+    // engine-identical. QueriesSpec pins the recall floor and ranking
+    // discipline.
+    "knn_pq" -> ((s, d) => {
+      import s.implicits._
+      val M = 8
+      val SUB = 8
+      val K = 64
+      VecFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val subArr = array((0 until M).map(m => slice($"embedding", m * SUB + 1, SUB)): _*)
+      val sub = e.select($"vec_id", posexplode(subArr).as(Seq("m", "sub")))
+      // ‖x−c‖² in the fixed op order (x·x − 2·x·c) + c·c
+      def dist2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        VecFunctions.vecDot(x, x) - lit(2.0) * VecFunctions.vecDot(x, c) +
+          VecFunctions.vecDot(c, c)
+      val seeds = sub.filter($"vec_id" < K)
+        .select($"vec_id".as("code"), $"m", $"sub".as("cent"))
+      val asg = sub.join(broadcast(seeds), Seq("m"))
+        .select($"vec_id", $"m", $"code", dist2($"sub", $"cent").as("d2"))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"d2", $"code")).getField("code").as("code"))
+      // per-dim mean in exact decimal — but floats must be snapped to
+      // a 6dp grid (Q.rnd: pure IEEE ops, engine-identical) BEFORE the
+      // decimal cast: casting a raw float to decimal rounds Spark's
+      // shortest-string representation vs DuckDB's exact expansion,
+      // and the two disagree in the last decimal unit often enough to
+      // shift a centroid by one float ulp (measured: 9 of 17 elements
+      // in one assignment group). Grid points cast identically.
+      val cb = sub.join(asg, Seq("vec_id", "m"))
+        .select($"code", $"m", posexplode($"sub").as(Seq("pos", "v")))
+        .groupBy($"code", $"m", $"pos")
+        .agg((sum(rnd($"v".cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("cv"))
+        .groupBy($"code", $"m")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cv"))),
+          x => x.getField("cv").cast("float")).as("cent"))
+      val enc = sub.join(broadcast(cb), Seq("m"))
+        .select($"vec_id", $"m", $"code", dist2($"sub", $"cent").as("d2"))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"d2", $"code")).getField("code").as("code"))
+      // ADC table: per (query, subspace, code) partial dot product
+      val qtab = e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), posexplode(subArr).as(Seq("m", "qsub")))
+        .join(broadcast(cb), Seq("m"))
+        .select($"q_id", $"m", $"code", VecFunctions.vecDot($"qsub", $"cent").as("pdot"))
+      val ps = (0 until M).map(m => max(when($"m" === m, $"pdot")).as(s"p$m"))
+      val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+      enc.join(broadcast(qtab), Seq("m", "code"))
+        .filter($"q_id" =!= $"vec_id")
+        .groupBy($"q_id", $"vec_id")
+        .agg(ps.head, ps.tail: _*)
+        .select($"q_id", $"vec_id",
+          rnd((0 until M).map(m => col(s"p$m")).reduce(_ + _), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"score")
+        .orderBy($"q_id", $"rn")
+    }),
+
     // Fixed-size token chunking with overlap — the doc→training-sample
     // splitter every pretraining pipeline runs before packing: 32-token
     // windows at stride 24 (8-token overlap). sequence+explode+slice is
@@ -1134,6 +1212,73 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY p.q_id
          |      ORDER BY ${Q.duckRnd(duckCos("p.q_emb", "e.embedding"), 6)} DESC, e.vec_id) AS rn
          |  FROM probes p JOIN sigs e ON p.probe = e.sig AND p.q_id <> e.vec_id) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
+
+    // PQ is deterministic given the seeded-Lloyd codebooks, so it has
+    // a FULL oracle: DuckDB replays the seed assignment, recomputes
+    // every subspace centroid with the same decimal sums and REAL
+    // casts, replays the argmin encoding (same (x·x − 2·x·c) + c·c op
+    // order, same code tiebreak), builds the same ADC table, and sums
+    // the 8 partial dots in the same fixed column order.
+    "knn_pq" -> {
+      val d2 = s"${duckDot("s.sub", "s.sub")} - 2*${duckDot("s.sub", "c.cent")} + ${duckDot("c.cent", "c.cent")}"
+      val fixedSum = (0 until 8)
+        .map(m => s"max(CASE WHEN m = $m THEN pdot END)")
+        .mkString(" + ")
+      s"""WITH subq AS (
+         |  SELECT vec_id, label, m.range AS m,
+         |    embedding[m.range*8+1 : m.range*8+8] AS sub
+         |  FROM embeddings, range(0, 8) m
+         |),
+         |seeds AS (
+         |  SELECT vec_id AS code, m, sub AS cent FROM subq WHERE vec_id < 64
+         |),
+         |asg AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY $d2, c.code) AS rk
+         |    FROM subq s JOIN seeds c ON s.m = c.m) t
+         |  WHERE rk = 1
+         |),
+         |dims AS (
+         |  SELECT a.code, s.m, generate_subscripts(s.sub, 1) AS pos,
+         |    CAST(${Q.duckRnd("CAST(unnest(s.sub) AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS dv
+         |  FROM subq s JOIN asg a ON s.vec_id = a.vec_id AND s.m = a.m
+         |),
+         |cvs AS (
+         |  SELECT code, m, pos, CAST(sum(dv) AS DOUBLE) / count(*) AS cv
+         |  FROM dims GROUP BY code, m, pos
+         |),
+         |cb AS (
+         |  SELECT code, m, list(CAST(cv AS REAL) ORDER BY pos) AS cent
+         |  FROM cvs GROUP BY code, m
+         |),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY $d2, c.code) AS rk
+         |    FROM subq s JOIN cb c ON s.m = c.m) t
+         |  WHERE rk = 1
+         |),
+         |qtab AS (
+         |  SELECT s.vec_id AS q_id, s.m, c.code,
+         |    ${duckDot("s.sub", "c.cent")} AS pdot
+         |  FROM subq s JOIN cb c ON s.m = c.m WHERE s.vec_id < 100
+         |),
+         |sc AS (
+         |  SELECT q_id, vec_id, $fixedSum AS raw
+         |  FROM enc JOIN qtab USING (m, code)
+         |  WHERE q_id <> vec_id
+         |  GROUP BY q_id, vec_id
+         |)
+         |SELECT q_id, neighbor_id, rn, score FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, ${Q.duckRnd("raw", 6)} AS score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${Q.duckRnd("raw", 6)} DESC, vec_id) AS rn
+         |  FROM sc) t
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
     },
 

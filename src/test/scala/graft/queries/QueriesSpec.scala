@@ -100,6 +100,38 @@ class QueriesSpec extends SparkSpecBase {
       s"diff got-expected=${(got -- expected).take(5)} expected-got=${(expected -- got).take(5)}")
   }
 
+  // PQ quality runs at sf0.01: at sf0.001 the 50-vector corpus is
+  // smaller than the 64-seed codebook, so every vector is its own
+  // centroid and recall is trivially ~1 — no discrimination tested.
+  test("knn_pq: ADC recall floor vs exact dot top-5, ranking discipline") {
+    val dir = "/root/testdata/sf0.01"
+    val vecs = embVecs(dir)
+    val exact = vecs.keys.filter(_ < 100).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (v, vv) => (v, dot(qv, vv)) }
+        .sortBy { case (v, s2) => (-s2, v) }.take(5).map(_._1).toSet
+    }.toMap
+    val pq = SparkEntry.queries("knn_pq")(spark, dir)
+      .select($"q_id", $"neighbor_id", $"rn", $"score")
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = pq.groupBy(_._1)
+    assert(byQ.keySet == exact.keySet, "every query must produce results")
+    byQ.foreach { case (q, rows) =>
+      withClue(s"query $q: ") {
+        assert(rows.length == 5, "expected exactly 5 neighbors")
+        val ss = rows.sortBy(_._3).map(_._4)
+        assert(ss.zip(ss.tail).forall { case (a, b) => a >= b },
+          s"ADC score not non-increasing in rank: ${ss.toSeq}")
+      }
+    }
+    val recall = exact.map { case (q, ex) =>
+      byQ(q).map(_._2).toSet.intersect(ex).size
+    }.sum.toDouble / (exact.size * 5)
+    assert(recall >= 0.25,
+      s"recall@5 = $recall below floor (seeded-Lloyd codebooks measure ~0.37)")
+  }
+
   private def embVecs(dir: String): Map[Long, Array[Float]] =
     graft.Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
