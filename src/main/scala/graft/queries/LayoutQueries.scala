@@ -105,6 +105,26 @@ object LayoutQueries {
           bool_and($"value" >= 0).as("all_nonneg"),
           bool_or($"value" > 480).as("any_extreme"))
         .orderBy($"event_type")
+    }),
+
+    // Hive-style partition pruning end-to-end: write orders
+    // partitioned by priority, read back with a partition predicate —
+    // the scan must list ONLY the matching directory (PlanSpec asserts
+    // the PartitionFilters + selected-partition count). At 100 TB,
+    // directory-level pruning is the first and cheapest data-skipping
+    // tier, ahead of parquet row-group stats and Z-order clustering.
+    // The write side exercises the partitioned sink (dynamic partition
+    // directories) on every invocation.
+    "partition_prune" -> ((s, d) => {
+      import s.implicits._
+      val path = s"${Q.scratchDir}/orders_bypri_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      s.read.parquet(path)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
     })
   )
 
@@ -155,6 +175,14 @@ object LayoutQueries {
         | median(value) AS med_value,
         | bool_and(value >= 0) AS all_nonneg,
         | bool_or(value > 480) AS any_extreme
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the partitioned copy holds exactly the source rows, so the
+    // oracle filters the source table directly
+    "partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

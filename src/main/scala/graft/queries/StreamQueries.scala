@@ -15,7 +15,55 @@ import Q._
   */
 object StreamQueries {
 
+  /** Typed rows for the `stream_custom_state` group processor. */
+  case class SessEvent(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+  case class SessRow(
+      user_id: Long, sess_start: Long, sess_end: Long, n: Long, sum_value: Double)
+
   val defs: Map[String, QueryFn] = Map(
+    // The typed escape hatch of the streaming surface: per-user
+    // session aggregation written as arbitrary Scala over
+    // KeyValueGroupedDataset (the batch twin of the
+    // flatMapGroupsWithState processor in
+    // graft.streaming.IncrementalPipeline). Semantically IDENTICAL to
+    // stream_session's relational session_window formulation — the
+    // oracle is literally the same SQL — so the typed path is
+    // cross-checked against the declarative one. Determinism inside
+    // the lambda: events sort on (ts, event_id) and values sum as
+    // exact 2dp BigDecimals (the typed mirror of Q.dsum), so no
+    // iteration order leaks into the result. Scale: state is one
+    // user's events (bounded per key); the shuffle is the same single
+    // user-keyed exchange the window formulation pays. Use the
+    // relational form when windows can express the logic — this
+    // operator exists for session logic they can't.
+    "stream_custom_state" -> ((s, d) => {
+      import s.implicits._
+      val gapUs = 1800000000L
+      Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+        .as[SessEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[SessEvent]) =>
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+          var start = 0
+          def emit(lo: Int, hi: Int): Unit = {
+            val slice = evs.slice(lo, hi)
+            val sum = slice.iterator
+              .map(e => BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+              .sum
+            out += SessRow(uid, slice.head.ts_us / 1000,
+              slice.last.ts_us / 1000 + gapUs / 1000, slice.length.toLong, sum.toDouble)
+          }
+          for (i <- 1 until evs.length)
+            if (evs(i).ts_us - evs(i - 1).ts_us >= gapUs) { emit(start, i); start = i }
+          if (evs.nonEmpty) emit(start, evs.length)
+          out
+        }
+        .toDF()
+        .orderBy($"user_id", $"sess_start")
+    }),
+
     "stream_tumbling" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
@@ -95,7 +143,33 @@ object StreamQueries {
     })
   )
 
+  /** The lag+cumsum sessionization SQL — shared verbatim by
+    * `stream_session` (relational session_window) and
+    * `stream_custom_state` (typed group processor): one oracle, two
+    * independent engine paths.
+    */
+  private val sessionOracle: String =
+    """WITH flagged AS (
+      | SELECT user_id, epoch_us(ts) AS ts_us, value, event_id,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      | SELECT user_id, ts_us, value,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      | FROM flagged)
+      |SELECT user_id, min(ts_us) // 1000 AS sess_start,
+      | max(ts_us) // 1000 + 1800000 AS sess_end,
+      | count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "stream_custom_state" -> sessionOracle,
+
     "stream_tumbling" ->
       """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS w_start, event_type,
         | count(*) AS n,
@@ -111,24 +185,7 @@ object StreamQueries {
         | FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks) t
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
 
-    "stream_session" ->
-      """WITH flagged AS (
-        | SELECT user_id, epoch_us(ts) AS ts_us, value, event_id,
-        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
-        |       THEN 1 ELSE 0 END AS new_sess
-        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sessions AS (
-        | SELECT user_id, ts_us, value,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        | FROM flagged)
-        |SELECT user_id, min(ts_us) // 1000 AS sess_start,
-        | max(ts_us) // 1000 + 1800000 AS sess_end,
-        | count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sessions GROUP BY user_id, sess_id
-        |ORDER BY user_id, sess_start""".stripMargin,
+    "stream_session" -> sessionOracle,
 
     "stream_dedup" ->
       """SELECT user_id, event_type, event_id, epoch_ms(ts) AS first_ms FROM

@@ -210,6 +210,22 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), "no window operator in plan")
   }
 
+  test("partition_prune: directory-level pruning visible in the scan") {
+    val p = finalPlan("partition_prune")
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert(p.contains("o_orderpriority"), "partition predicate missing from scan")
+    // the predicate must NOT survive as a post-scan data filter on the
+    // partition column — pruning happens at file listing
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderpriority"),
+      "partition predicate leaked into data filters instead of pruning")
+  }
+
+  test("stream_custom_state: one user-keyed exchange feeds the typed processor") {
+    val p = finalPlan("stream_custom_state")
+    assert(p.contains("MapGroups"), "typed group processor missing from plan")
+    assert(!p.contains("Join"), "typed sessionization must not join")
+  }
+
   test("doc_chunk: narrow scan→explode expansion, no data shuffle, no join") {
     val p = finalPlan("doc_chunk")
     assert(p.contains("Generate"), "expected explode Generate node")
