@@ -945,8 +945,9 @@ object LlmQueries {
       val CHUNK = 32
       val STRIDE = 24
       Tables.documents(s, d)
-        .filter(length(TF.normText($"text")) > 0)
-        .select($"doc_id", TF.tokens($"text").as("w"))
+        .select($"doc_id", TF.normText($"text").as("nt"))
+        .filter(length($"nt") > 0)
+        .select($"doc_id", split($"nt", " ").as("w"))
         .select($"doc_id", $"w",
           explode(sequence(lit(0), size($"w") - 1, lit(STRIDE))).as("start"))
         .filter($"start" === 0 || size($"w") - $"start" > (CHUNK - STRIDE))
@@ -955,6 +956,29 @@ object LlmQueries {
           array_join(slice($"w", $"start" + 1, lit(CHUNK)), " ").as("chunk"),
           least(lit(CHUNK), size($"w") - $"start").cast("long").as("n_tokens"))
         .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // The higher-order-function surface (§2.8/2.9) declared as a
+    // query: lambda transforms/filters/folds over array columns —
+    // filter + size, a left-fold aggregate (same left-to-right double
+    // accumulation as FloatVecDot, per its bit-identity note),
+    // zip_with for the elementwise product, transform + array_max.
+    // These are the composable array primitives; the hot-path vector
+    // math uses the codegen'd vec_dot instead (HOFs evaluate
+    // interpreted) — this entry declares capability, not the fast
+    // path.
+    "hof_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"vec_id",
+          size(filter($"embedding", x => x > lit(0f))).cast("long").as("n_pos"),
+          rnd(aggregate($"embedding", lit(0.0), (acc, x) => acc + x.cast("double")), 6)
+            .as("sum_all"),
+          rnd(aggregate(zip_with($"embedding", $"embedding",
+            (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("norm2"),
+          array_max(transform($"embedding", x => abs(x))).cast("double").as("max_abs"))
+        .orderBy($"vec_id")
     }),
 
     // Multimodal column plumbing: binary payload + typed metadata
@@ -1302,6 +1326,14 @@ object LlmQueries {
          |  FROM sc) t
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
     },
+
+    "hof_funcs" ->
+      s"""SELECT vec_id,
+         | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+         | ${Q.duckRnd("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))", 6)} AS sum_all,
+         | ${Q.duckRnd("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 6)} AS norm2,
+         | CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // DuckDB list slicing w[a:b] is 1-based inclusive and clamps at
     // the list end — same semantics as Spark's slice(w, start+1, 32).

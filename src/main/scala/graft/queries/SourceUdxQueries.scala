@@ -50,6 +50,31 @@ object SourceUdxQueries {
         .orderBy($"file_name")
     }),
 
+    // Schema evolution on read — the engine-side answer to the
+    // reference's drift problem (SURVEY §2 J3 detects drift;
+    // this op INGESTS across it): two parquet batches with different
+    // schemas land in one dataset dir, and a mergeSchema read unions
+    // them — old rows surface the new column as NULL, no rewrite of
+    // historical files. At 100 TB rewriting history per schema change
+    // is a non-starter; union-on-read with per-file schemas is the
+    // pattern that scales (footer-only merge cost at planning time).
+    "schema_merge_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = s"${Q.scratchDir}/evolving_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = Tables.events(s, d)
+      ev.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"user_id", dec($"value").as("value"))
+        .write.mode("overwrite").parquet(path)
+      ev.filter($"event_id" % 2 =!= 0)
+        .select($"event_id", $"user_id", dec($"value").as("value"), $"event_type")
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce($"event_type", lit("pre_migration")).as("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value").cast("double").as("sum_value"))
+        .orderBy($"etype")
+    }),
+
     // Scala UDF example. Per-row double arithmetic is IEEE-exact, so
     // the oracle needs no rounding. (Built-ins beat UDFs — this exists
     // to declare the capability; the same expression appears as
@@ -89,6 +114,16 @@ object SourceUdxQueries {
         | ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
         | ('region.parquet'), ('supplier.parquet')) AS t(file_name)
         |ORDER BY file_name""".stripMargin,
+
+    "schema_merge_scan" ->
+      """SELECT coalesce(event_type, 'pre_migration') AS etype,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT NULL AS event_type, value FROM events WHERE event_id % 2 = 0
+        | UNION ALL
+        | SELECT event_type, value FROM events WHERE event_id % 2 <> 0) t
+        |GROUP BY etype ORDER BY etype""".stripMargin,
 
     "udf_scalar" ->
       """SELECT l_orderkey, l_linenumber,

@@ -60,4 +60,29 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head().getDouble(0)
     assert(d > 0.0)
   }
+
+  test("bloom_might_contain is callable from bare SQL and actually prunes") {
+    val fresh = spark.newSession()
+    Tables.registerViews(fresh, sf)
+    val sel = fresh.table("orders")
+      .filter($"o_totalprice" > 450000.0).select($"o_orderkey")
+    val bloom = graft.plans.BloomFunctions.serialize(
+      sel.stat.bloomFilter("o_orderkey", math.max(1000L, sel.count()), 0.01))
+    // the probe's bloom argument must be a CONSTANT in the expression
+    // (not an attribute), so bare SQL ships it as a hex binary literal
+    val hex = bloom.map("%02X".format(_)).mkString
+    val survivors = fresh.sql(
+      s"SELECT count(*) FROM lineitem WHERE bloom_might_contain(X'$hex', l_orderkey)")
+      .head().getLong(0)
+    val total = fresh.table("lineitem").count()
+    val trueMatches = fresh.table("lineitem")
+      .join(sel, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    // no false negatives: every true match survives the probe
+    assert(survivors >= trueMatches, "bloom probe dropped true matches")
+    // and the probe genuinely prunes: with fpp = 1%, survivors should
+    // be close to the true matches, far below the full table
+    assert(survivors <= trueMatches + (total * 0.05).toLong,
+      s"bloom probe barely pruned: $survivors of $total rows " +
+        s"survived for $trueMatches true matches")
+  }
 }
