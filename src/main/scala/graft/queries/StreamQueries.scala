@@ -130,6 +130,29 @@ object StreamQueries {
         .orderBy($"p_id", $"s_id")
     }),
 
+    // Stream-stream LEFT OUTER interval join, batch-oracled form: every
+    // purchase keeps its row even with no signup in the preceding hour
+    // (null s_id/signup_ms) — the attribution report that must also
+    // show UNattributed purchases. In the true streaming form the
+    // outer side emits its null row only when the watermark passes the
+    // interval bound (state can prove no match is coming); the
+    // equi-key + interval-residual plan is identical to stream_join's.
+    "stream_join_outer" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      val g = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("g_user"), $"event_id".as("s_id"), $"ts".as("s_ts"))
+      p.join(g, $"user_id" === $"g_user" &&
+          $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select($"user_id", $"p_id", $"s_id",
+          unix_millis($"p_ts").as("purchase_ms"),
+          unix_millis($"s_ts").as("signup_ms"))
+        .orderBy($"p_id", $"s_id")
+    }),
+
     // Watermark late-data drop, batch analog: keep events within 2h of
     // the max observed event time (scalar agg broadcast back).
     "stream_late_filter" -> ((s, d) => {
@@ -203,6 +226,17 @@ object StreamQueries {
         | epoch_us(g.ts) // 1000 AS signup_ms
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'signup') g
+        | ON p.user_id = g.user_id
+        | AND epoch_us(g.ts) <= epoch_us(p.ts)
+        | AND epoch_us(g.ts) >= epoch_us(p.ts) - 3600000000
+        |ORDER BY p_id, s_id""".stripMargin,
+
+    "stream_join_outer" ->
+      """SELECT p.user_id, p.event_id AS p_id, g.event_id AS s_id,
+        | epoch_us(p.ts) // 1000 AS purchase_ms,
+        | epoch_us(g.ts) // 1000 AS signup_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') g
         | ON p.user_id = g.user_id
         | AND epoch_us(g.ts) <= epoch_us(p.ts)
         | AND epoch_us(g.ts) >= epoch_us(p.ts) - 3600000000

@@ -174,6 +174,10 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Join"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "interval join degenerated to nested loop/cartesian")
+    val po = finalPlan("stream_join_outer")
+    assert(po.contains("LeftOuter"), "outer attribution join lost its outer-ness")
+    assert(!po.contains("BroadcastNestedLoopJoin") && !po.contains("CartesianProduct"),
+      "outer interval join degenerated to nested loop/cartesian")
   }
 
   test("tpch_pricing: pushed date filter, pruned scan, partial aggregation") {
