@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.WeightedMean
+import graft.functions.{TextFunctions => TF, WeightedMean}
 import graft.sources.ZipIngest
 import org.apache.spark.sql.functions._
 import Q._
@@ -48,6 +48,28 @@ object SourceUdxQueries {
       ZipIngest.listFiles(s, d, "*.parquet")
         .select($"file_name")
         .orderBy($"file_name")
+    }),
+
+    // Text source round-trip: one line per record (the rawest landing
+    // format — logs, crawls). Write side renders "doc_id<TAB>text";
+    // read side is spark.read.text (one `value` column), parsed with
+    // codegen'd split/substring. Line-oriented text splits by
+    // newline at any scale like CSV/JSON. Safe here because normText
+    // strips control characters; a general pipeline escapes newlines
+    // at landing time.
+    "text_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = s"${Q.scratchDir}/text_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.documents(s, d)
+        .select(concat($"doc_id".cast("string"), lit("\t"), TF.normText($"text")).as("line"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          substring_index($"value", "\t", 1).cast("long").as("doc_id"),
+          substring($"value", (instr($"value", "\t") + 1).cast("int"), lit(1000000))
+            .as("norm_text"))
+        .select($"doc_id", length($"norm_text").as("n_chars"))
+        .orderBy($"doc_id")
     }),
 
     // Schema evolution on read — the engine-side answer to the
@@ -114,6 +136,10 @@ object SourceUdxQueries {
         | ('nation.parquet'), ('orders.parquet'), ('part.parquet'),
         | ('region.parquet'), ('supplier.parquet')) AS t(file_name)
         |ORDER BY file_name""".stripMargin,
+
+    "text_scan" ->
+      s"""SELECT doc_id, CAST(length(${LlmQueries.NORM}) AS INTEGER) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "schema_merge_scan" ->
       """SELECT coalesce(event_type, 'pre_migration') AS etype,

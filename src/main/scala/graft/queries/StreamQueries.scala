@@ -20,6 +20,10 @@ object StreamQueries {
   case class SessRow(
       user_id: Long, sess_start: Long, sess_end: Long, n: Long, sum_value: Double)
 
+  /** Typed rows for the `typed_cogroup` two-sided processor. */
+  case class AttribRow(
+      user_id: Long, n_purchases: Long, n_signups: Long, n_attributed: Long)
+
   val defs: Map[String, QueryFn] = Map(
     // The typed escape hatch of the streaming surface: per-user
     // session aggregation written as arbitrary Scala over
@@ -130,6 +134,38 @@ object StreamQueries {
         .orderBy($"p_id", $"s_id")
     }),
 
+    // The TWO-sided typed escape hatch: KeyValueGroupedDataset.cogroup
+    // aligns each user's purchases and signups in one function call —
+    // per-key logic that would need a join + re-aggregate relationally
+    // (here: purchases attributed iff ANY signup precedes them within
+    // an hour). Both iterators are one user's rows (bounded state, same
+    // single keyed exchange per side a join would pay). Oracle rebuilds
+    // the same counts with EXISTS. Determinism: counts only — no
+    // iteration-order-sensitive arithmetic in the lambda.
+    "typed_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          $"value", $"event_type")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_us", $"event_id", $"value").as[SessEvent]
+      val g = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts_us", $"event_id", $"value").as[SessEvent]
+      p.groupByKey(_.user_id).cogroup(g.groupByKey(_.user_id)) {
+        (uid: Long, ps: Iterator[SessEvent], gs: Iterator[SessEvent]) =>
+          val purchases = ps.toArray
+          val signups = gs.map(_.ts_us).toArray
+          if (purchases.isEmpty && signups.isEmpty) Iterator.empty
+          else {
+            val attributed = purchases.count(pe =>
+              signups.exists(st => st <= pe.ts_us && st >= pe.ts_us - 3600000000L))
+            Iterator.single(AttribRow(
+              uid, purchases.length.toLong, signups.length.toLong, attributed.toLong))
+          }
+      }.toDF()
+        .orderBy($"user_id")
+    }),
+
     // Stream-stream LEFT OUTER interval join, batch-oracled form: every
     // purchase keeps its row even with no signup in the preceding hour
     // (null s_id/signup_ms) — the attribution report that must also
@@ -230,6 +266,22 @@ object StreamQueries {
         | AND epoch_us(g.ts) <= epoch_us(p.ts)
         | AND epoch_us(g.ts) >= epoch_us(p.ts) - 3600000000
         |ORDER BY p_id, s_id""".stripMargin,
+
+    "typed_cogroup" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'signup'),
+        |users AS (SELECT DISTINCT user_id FROM
+        |  (SELECT user_id FROM p UNION SELECT user_id FROM g) u)
+        |SELECT u.user_id,
+        | (SELECT count(*) FROM p WHERE p.user_id = u.user_id) AS n_purchases,
+        | (SELECT count(*) FROM g WHERE g.user_id = u.user_id) AS n_signups,
+        | (SELECT count(*) FROM p WHERE p.user_id = u.user_id
+        |   AND EXISTS (SELECT 1 FROM g WHERE g.user_id = u.user_id
+        |     AND g.ts_us <= p.ts_us
+        |     AND g.ts_us >= p.ts_us - 3600000000)) AS n_attributed
+        |FROM users u ORDER BY u.user_id""".stripMargin,
 
     "stream_join_outer" ->
       """SELECT p.user_id, p.event_id AS p_id, g.event_id AS s_id,
