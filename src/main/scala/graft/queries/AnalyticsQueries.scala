@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -38,8 +38,8 @@ object AnalyticsQueries {
     * ≤ decimal(22,6) — inside both engines' 38-digit ceiling, no
     * precision-loss rounding anywhere.
     */
-  private def d12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
-  private def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(4,2)")
+  private def d12(c: Column) = c.cast("decimal(12,2)")
+  private def d4(c: Column) = c.cast("decimal(4,2)")
 
   val defs: Map[String, QueryFn] = Map(
     // TPC-H Q1-shape pricing summary: the canonical full-scan
@@ -108,9 +108,14 @@ object AnalyticsQueries {
     // semi join (no false negatives), which is what the oracle runs.
     "bloom_join" -> ((s, d) => {
       import s.implicits._
+      // the filtered dimension feeds THREE consumers (count, bloom
+      // build, semi-join build side) — materialize it once instead of
+      // re-scanning orders per consumer; blocks are reclaimed by the
+      // ContextCleaner when the frame goes unreachable
       val sel = Tables.orders(s, d)
         .filter($"o_totalprice" > 450000.0)
         .select($"o_orderkey")
+        .localCheckpoint()
       // expected count from the actual selective cardinality (one
       // metadata-scale job), not a guessed constant that would pin the
       // false-positive rate to one scale factor

@@ -219,7 +219,7 @@ object CoreQueries {
     // splittable per line, so this parallelizes like any file scan.
     "json_scan" -> ((s, d) => {
       import s.implicits._
-      val path = s"${Q.scratchDir}/json_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = Q.scratchPath("json_scan", d)
       Tables.events(s, d)
         .select($"event_id", $"user_id", $"event_type", dec($"value").as("value"))
         .write.mode("overwrite").json(path)
@@ -236,7 +236,7 @@ object CoreQueries {
     // scan like any file source.
     "csv_scan" -> ((s, d) => {
       import s.implicits._
-      val path = s"${Q.scratchDir}/csv_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = Q.scratchPath("csv_scan", d)
       Tables.events(s, d)
         .select($"event_id", $"event_type", dec($"value").as("value"))
         .write.mode("overwrite").option("header", "true").csv(path)
@@ -253,7 +253,7 @@ object CoreQueries {
     // ORC reader (vectorized, predicate-pushdown-capable like parquet).
     "orc_scan" -> ((s, d) => {
       import s.implicits._
-      val path = s"${Q.scratchDir}/orc_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = Q.scratchPath("orc_scan", d)
       Tables.events(s, d)
         .select($"event_id", $"event_type", dec($"value").as("value"))
         .write.mode("overwrite").orc(path)

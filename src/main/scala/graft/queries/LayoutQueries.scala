@@ -117,7 +117,7 @@ object LayoutQueries {
     // directories) on every invocation.
     "partition_prune" -> ((s, d) => {
       import s.implicits._
-      val path = s"${Q.scratchDir}/orders_bypri_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = Q.scratchPath("orders_bypri", d)
       Tables.orders(s, d)
         .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
       s.read.parquet(path)

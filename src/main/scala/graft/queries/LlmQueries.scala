@@ -870,14 +870,19 @@ object LlmQueries {
       // cached dot is the same left-to-right accumulation the inline
       // form would run), so the oracle's inline formula still matches.
       val subX = sub.withColumn("xx", VecFunctions.vecDot($"sub", $"sub"))
-      def d2pre = $"xx" - lit(2.0) * VecFunctions.vecDot($"sub", $"cent") + $"cc"
+      val d2pre = $"xx" - lit(2.0) * VecFunctions.vecDot($"sub", $"cent") + $"cc"
+      // nearest-codebook-entry assignment, shared by Lloyd training
+      // (vs seeds) and final encoding (vs trained centroids) so the
+      // distance form and tiebreak can never diverge between them
+      def assign(codebook: DataFrame): DataFrame =
+        subX.join(broadcast(codebook.withColumn("cc", VecFunctions.vecDot($"cent", $"cent"))),
+            Seq("m"))
+          .select($"vec_id", $"m", $"code", d2pre.as("d2"))
+          .groupBy($"vec_id", $"m")
+          .agg(min(struct($"d2", $"code")).getField("code").as("code"))
       val seeds = sub.filter($"vec_id" < K)
         .select($"vec_id".as("code"), $"m", $"sub".as("cent"))
-        .withColumn("cc", VecFunctions.vecDot($"cent", $"cent"))
-      val asg = subX.join(broadcast(seeds), Seq("m"))
-        .select($"vec_id", $"m", $"code", d2pre.as("d2"))
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"d2", $"code")).getField("code").as("code"))
+      val asg = assign(seeds)
       // per-dim mean in exact decimal — but floats must be snapped to
       // a 6dp grid (Q.rnd: pure IEEE ops, engine-identical) BEFORE the
       // decimal cast: casting a raw float to decimal rounds Spark's
@@ -899,11 +904,7 @@ object LlmQueries {
       // per branch; blocks are reclaimed by the ContextCleaner when
       // the frame goes unreachable
       val cbL = cb.localCheckpoint()
-      val cbC = cbL.withColumn("cc", VecFunctions.vecDot($"cent", $"cent"))
-      val enc = subX.join(broadcast(cbC), Seq("m"))
-        .select($"vec_id", $"m", $"code", d2pre.as("d2"))
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"d2", $"code")).getField("code").as("code"))
+      val enc = assign(cbL)
       // ADC table: per (query, subspace, code) partial dot product —
       // Q·M·K rows, also materialized once for the 8 probe branches
       val qtab = e.filter($"vec_id" < 100)

@@ -33,6 +33,13 @@ object Q {
     d.getAbsolutePath
   }
 
+  /** Scratch subdir for one (query, sf-dir) pair — the shared
+    * sanitization for every query that materializes intermediate
+    * files, so a collision/cleanup policy change is one edit.
+    */
+  def scratchPath(prefix: String, d: String): String =
+    s"$scratchDir/${prefix}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
   /** Exact-sum cast: double → decimal(18,2) (test data carries 2dp). */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 

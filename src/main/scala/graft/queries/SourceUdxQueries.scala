@@ -16,7 +16,7 @@ object SourceUdxQueries {
     // out via binaryFile + ZipInputStream, report entry metadata.
     "unzip_fanout" -> ((s, d) => {
       import s.implicits._
-      val scratch = s"${Q.scratchDir}/zip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val scratch = Q.scratchPath("zip", d)
       val dir = new java.io.File(scratch)
       dir.mkdirs()
       val rows = Tables.documents(s, d)
@@ -59,15 +59,17 @@ object SourceUdxQueries {
     // at landing time.
     "text_scan" -> ((s, d) => {
       import s.implicits._
-      val path = s"${Q.scratchDir}/text_scan_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = Q.scratchPath("text_scan", d)
       Tables.documents(s, d)
         .select(concat($"doc_id".cast("string"), lit("\t"), TF.normText($"text")).as("line"))
         .write.mode("overwrite").text(path)
       s.read.text(path)
         .select(
           substring_index($"value", "\t", 1).cast("long").as("doc_id"),
-          substring($"value", (instr($"value", "\t") + 1).cast("int"), lit(1000000))
-            .as("norm_text"))
+          // exactly one tab per line (normText strips control chars and
+          // tabs), so "everything after the last tab" is the full text
+          // with no length cap
+          substring_index($"value", "\t", -1).as("norm_text"))
         .select($"doc_id", length($"norm_text").as("n_chars"))
         .orderBy($"doc_id")
     }),
@@ -82,7 +84,7 @@ object SourceUdxQueries {
     // pattern that scales (footer-only merge cost at planning time).
     "schema_merge_scan" -> ((s, d) => {
       import s.implicits._
-      val path = s"${Q.scratchDir}/evolving_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = Q.scratchPath("evolving", d)
       val ev = Tables.events(s, d)
       ev.filter($"event_id" % 2 === 0)
         .select($"event_id", $"user_id", dec($"value").as("value"))

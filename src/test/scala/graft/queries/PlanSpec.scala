@@ -209,8 +209,13 @@ class PlanSpec extends SparkSpecBase {
   test("sessionize_gaps: one user-keyed shuffle feeds both window passes") {
     val p = finalPlan("sessionize_gaps")
     assert(!p.contains("Join"), "sessionization must not self-join")
-    val dataShuffles = "hashpartitioning".r.findAllIn(p).size
-    assert(dataShuffles >= 1, "expected the user_id window shuffle")
+    // exactly ONE data exchange: both window passes share the user_id
+    // partitioning — a second hashpartitioning means the specs
+    // diverged. Count inside the AQE FINAL plan only (the plan string
+    // also embeds the Initial Plan section, which would double-count).
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1, s"expected exactly one user_id shuffle, got $exchanges")
     assert(p.contains("Window"), "no window operator in plan")
   }
 

@@ -100,11 +100,12 @@ class QueriesSpec extends SparkSpecBase {
       s"diff got-expected=${(got -- expected).take(5)} expected-got=${(expected -- got).take(5)}")
   }
 
-  // PQ quality runs at sf0.01: at sf0.001 the 50-vector corpus is
-  // smaller than the 64-seed codebook, so every vector is its own
-  // centroid and recall is trivially ~1 — no discrimination tested.
+  // The embeddings fixture is 500 vectors at BOTH sf0.001 and sf0.01
+  // (2000 at sf0.1), so the suite's standard sf0.001 dir already
+  // exercises real codebook discrimination (500 vectors vs 64 seeds);
+  // measured recall ~0.39 at both small SFs.
   test("knn_pq: ADC recall floor vs exact dot top-5, ranking discipline") {
-    val dir = "/root/testdata/sf0.01"
+    val dir = sf
     val vecs = embVecs(dir)
     val exact = vecs.keys.filter(_ < 100).map { q =>
       val qv = vecs(q)
