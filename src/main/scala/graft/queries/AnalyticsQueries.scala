@@ -101,6 +101,52 @@ object AnalyticsQueries {
         .orderBy($"user_id", $"ts_ms", $"event_id")
     }),
 
+    // Incremental materialized-aggregate maintenance: the existing
+    // corpus's aggregate MERGES with the new batch's aggregate instead
+    // of recomputing over history — count and decimal-sum are
+    // mergeable states, so the merge is exact and the result is
+    // bit-identical to the full recompute (which is what the oracle
+    // runs). At 100 TB this turns a daily full-history scan into a
+    // batch-sized one; the merge step touches |groups| rows.
+    "agg_incremental" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      def part(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        ev.filter(p($"event_id"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum(dec($"value")).as("sv"))
+      val existing = part(_ % 10 =!= 0)
+      val batch = part(_ % 10 === 0)
+      existing.unionByName(batch)
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n"), sum($"sv").cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    }),
+
+    // Version diff of a keyed table (the data-ops regression report):
+    // one full outer join on the key classifies every row as
+    // added / removed / changed, unchanged rows drop out. Exact
+    // decimal compare, so double noise can't fake a change.
+    "table_diff" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val v1 = o.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", dec($"o_totalprice").as("p1"))
+      val v2 = o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", (dec($"o_totalprice") +
+          when($"o_orderkey" % 9 === 0, dec(lit(1))).otherwise(dec(lit(0)))).as("p2"))
+      v1.join(v2, Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when($"p1".isNull, "added")
+            .when($"p2".isNull, "removed")
+            .when($"p1" =!= $"p2", "changed")
+            .otherwise("unchanged"))
+        .filter($"status" =!= "unchanged")
+        .select($"o_orderkey", $"status",
+          $"p1".cast("double").as("old_price"), $"p2".cast("double").as("new_price"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Explicit runtime-filter join: high-value orders' keys fold into
     // a Bloom sketch (distributed build, sketch-sized driver traffic)
     // that prunes the lineitem scan before the exact semi join — see
@@ -183,6 +229,32 @@ object AnalyticsQueries {
         |        THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) f
         |) t ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    // the oracle is the FULL recompute — the merge must be invisible
+    "agg_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "table_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p1
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) +
+        |         (CASE WHEN o_orderkey % 9 = 0 THEN CAST(1 AS DECIMAL(18,2))
+        |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS p2
+        |       FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey,
+        | CASE WHEN p1 IS NULL THEN 'added'
+        |      WHEN p2 IS NULL THEN 'removed'
+        |      WHEN p1 <> p2 THEN 'changed'
+        |      ELSE 'unchanged' END AS status,
+        | CAST(p1 AS DOUBLE) AS old_price, CAST(p2 AS DOUBLE) AS new_price
+        |FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+        |WHERE (CASE WHEN p1 IS NULL THEN 'added'
+        |            WHEN p2 IS NULL THEN 'removed'
+        |            WHEN p1 <> p2 THEN 'changed'
+        |            ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "bloom_join" ->
       """SELECT l_orderkey, count(*) AS n_items,

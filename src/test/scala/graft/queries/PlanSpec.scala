@@ -242,4 +242,26 @@ class PlanSpec extends SparkSpecBase {
     // only the presentation ORDER BY exchanges (rangepartitioning)
     assert(!p.contains("hashpartitioning"), "chunk expansion introduced a data shuffle")
   }
+
+  test("agg_incremental: both legs pre-aggregate before the merge union") {
+    val p = finalPlan("agg_incremental")
+    // The point of the operator: history and batch each collapse to
+    // |groups| rows BEFORE union+merge — at 100 TB the merge step
+    // never sees raw events. Partial+Final per leg plus the merge
+    // aggregate = at least 5 HashAggregate nodes in the final plan.
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(finalSection).size >= 5,
+      "expected per-leg partial aggregation before the merge")
+    assert(p.contains("Union"), "merge union missing")
+    assert(!p.contains("Join"), "incremental merge must not join")
+  }
+
+  test("table_diff: keyed full-outer merge join, not nested loop") {
+    val p = finalPlan("table_diff")
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "full-outer diff must plan a keyed join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "diff join degenerated to nested loop/cartesian")
+  }
 }
