@@ -32,7 +32,8 @@ object SparkEntry {
       ExtraQueries.defs ++
       CorpusOpsQueries.defs ++
       LayoutQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++
+      TimeSeriesQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -47,5 +48,6 @@ object SparkEntry {
       ExtraQueries.oracles ++
       CorpusOpsQueries.oracles ++
       LayoutQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++
+      TimeSeriesQueries.oracles
 }

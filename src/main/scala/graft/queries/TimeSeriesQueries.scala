@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Time-series / feature-engineering operators over the events stream —
+  * the per-entity sequence shapes (gap repair, coverage intervals,
+  * decay features, reproducible sampling) a feature pipeline runs
+  * downstream of sessionization.
+  *
+  * Scale/perf design:
+  *  - `locf_fill` and `ema_decay` are one user-keyed shuffle each; all
+  *    window passes share that single partitioning (no self-joins, no
+  *    second exchange).
+  *  - `interval_merge` is the islands formulation over intervals: a
+  *    running max-end + running group sum on one user-keyed exchange;
+  *    the closing aggregate groups by (user, group), which the user
+  *    partitioning already satisfies — still one shuffle total.
+  *  - `sample_reservoir` is a hash-rank top-k: per-partition heaps +
+  *    driver merge (TakeOrderedAndProject), never a global sort — the
+  *    fixed-size-sample plan that holds at any corpus size.
+  *
+  * Oracle-parity notes: ema weights are dyadic (2^-k), so the
+  * per-term multiply is an exponent shift (exact in IEEE), and both
+  * num and den are written as the same left-associated chain both
+  * engines evaluate in identical op order — the doubles are
+  * bit-identical with NO rounding step. locf copies input doubles
+  * verbatim; interval math is all int64.
+  */
+object TimeSeriesQueries {
+
+  private val GapMs = 600000L // 10-min hold per event
+
+  val defs: Map[String, QueryFn] = Map(
+    // Forward fill (last observation carried forward): sensor-dropout
+    // repair. Every 7th reading is nulled deterministically, then each
+    // user's series re-fills from its own past — `last(ignoreNulls)`
+    // over an unbounded-preceding frame, one window pass.
+    "locf_fill" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("raw", when($"event_id" % 7 === 0, lit(null)).otherwise($"value"))
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"), $"raw",
+          last($"raw", ignoreNulls = true).over(w).as("filled"))
+        .orderBy($"user_id", $"ts_ms", $"event_id")
+    }),
+
+    // Merge overlapping per-user hold intervals [ts, ts+10min) into
+    // coverage spans (the classic islands problem on intervals): a new
+    // span starts when an interval begins after the running max end of
+    // everything before it; touching spans merge.
+    "interval_merge" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_millis($"ts").as("st"))
+        .withColumn("en", $"st" + GapMs)
+        .withColumn("prev_max_en", max($"en").over(wPrev))
+        .withColumn("new_span",
+          when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1).otherwise(0))
+        .withColumn("span_id", sum($"new_span").over(wRun))
+        .groupBy($"user_id", $"span_id")
+        .agg(min($"st").as("cov_start"), max($"en").as("cov_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"cov_start")
+    }),
+
+    // Exponentially-decayed rolling average (α = 1/2, depth 8): the
+    // recency-weighted feature. Weights 2^-k make every multiply an
+    // IEEE exponent shift (exact), and num/den are fixed
+    // left-associated sums — the output double is bit-identical across
+    // engines with no rounding step, which the oracle check proves.
+    "ema_decay" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      def lagged(k: Int) = if (k == 0) $"value" else lag($"value", k).over(w)
+      val num = (0 until 8).map(k => coalesce(lagged(k) * lit(math.pow(0.5, k)), lit(0.0)))
+        .reduce(_ + _)
+      val den = (0 until 8).map(k =>
+          when(lagged(k).isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+          (num / den).as("ema"))
+        .orderBy($"user_id", $"ts_ms", $"event_id")
+    }),
+
+    // Deterministic fixed-size uniform sample: rank by a seeded hash of
+    // the key and keep the k smallest — the distributed reservoir
+    // (per-partition top-k heaps, driver merges k·P candidates), fully
+    // reproducible across runs/engines unlike rand()-based sampling.
+    "sample_reservoir" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", md5($"doc_id".cast("string")).as("h"))
+        .orderBy($"h", $"doc_id")
+        .limit(50)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "locf_fill" ->
+      """SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
+        | CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS raw,
+        | last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "interval_merge" ->
+      """SELECT user_id, span_id, min(st) AS cov_start, max(en) AS cov_end,
+        | count(*) AS n_events
+        |FROM (
+        | SELECT user_id, st, en,
+        |  CAST(sum(new_span) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+        | FROM (
+        |  SELECT user_id, event_id, st, en,
+        |   CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        THEN 1 ELSE 0 END AS new_span
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) // 1000 AS st,
+        |         epoch_us(ts) // 1000 + 600000 AS en FROM events) i) f
+        |) t GROUP BY user_id, span_id
+        |ORDER BY user_id, cov_start""".stripMargin,
+
+    "ema_decay" ->
+      """SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
+        | (coalesce(value * 1.0, 0.0) + coalesce(lag(value, 1) OVER w * 0.5, 0.0)
+        |  + coalesce(lag(value, 2) OVER w * 0.25, 0.0)
+        |  + coalesce(lag(value, 3) OVER w * 0.125, 0.0)
+        |  + coalesce(lag(value, 4) OVER w * 0.0625, 0.0)
+        |  + coalesce(lag(value, 5) OVER w * 0.03125, 0.0)
+        |  + coalesce(lag(value, 6) OVER w * 0.015625, 0.0)
+        |  + coalesce(lag(value, 7) OVER w * 0.0078125, 0.0))
+        | /
+        | (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |  + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |  + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |  + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        |  + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        |  + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
+        |  + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
+        | AS ema
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 50""".stripMargin)
+}

@@ -256,6 +256,34 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "incremental merge must not join")
   }
 
+  test("locf_fill/ema_decay: one user-keyed shuffle, single window pass, no join") {
+    for (q <- Seq("locf_fill", "ema_decay")) {
+      val p = finalPlan(q)
+      assert(!p.contains("Join"), s"$q: gap repair must not self-join")
+      val finalSection = p.split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+      assert(exchanges == 1, s"$q: expected exactly one user_id shuffle, got $exchanges")
+      assert("Window".r.findAllIn(finalSection).size == 1,
+        s"$q: all window functions must share one Window pass")
+    }
+  }
+
+  test("interval_merge: closing aggregate reuses the window's user partitioning") {
+    val p = finalPlan("interval_merge")
+    assert(!p.contains("Join"), "interval merge must not self-join")
+    // groupBy(user_id, span_id) is satisfied by hashpartitioning(user_id)
+    // from the window stage — one data exchange total (plus the
+    // presentation rangepartitioning).
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1, s"expected the span aggregate to reuse the user shuffle, got $exchanges")
+  }
+
+  test("sample_reservoir: fixed-size sample plans as top-k, not global sort") {
+    val p = plan("sample_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("table_diff: keyed full-outer merge join, not nested loop") {
     val p = finalPlan("table_diff")
     assert(p.contains("FullOuter"), p.take(2000))
