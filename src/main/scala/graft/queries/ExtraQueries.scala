@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -210,6 +211,41 @@ object ExtraQueries {
           |ORDER BY status, priority""".stripMargin)
     }),
 
+    // Bitwise aggregate family (bit_and/bit_or/bit_xor) — the bitmap
+    // building blocks (feature-flag masks, permission sets, bitmap
+    // indexes). Each is a mergeable state: partial aggregation
+    // map-side-combines like any sum.
+    "agg_bitwise" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(expr("bit_and(l_suppkey)").as("band"),
+          expr("bit_or(l_suppkey)").as("bor"),
+          expr("bit_xor(l_suppkey)").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Exact mode per group with a DETERMINISTIC tiebreak (highest
+    // count, then lexicographically smallest value) — Spark's built-in
+    // `mode()` breaks ties arbitrarily, which can never pass a
+    // cross-engine hash check. Count-then-rank is two hash aggregates
+    // plus a tiny windowed top-1; the window input is |priorities ×
+    // statuses| rows, not the fact table.
+    "agg_mode" -> ((s, d) => {
+      import s.implicits._
+      val cnt = Tables.orders(s, d)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"c".desc, $"o_orderstatus")
+      cnt.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_orderpriority", $"o_orderstatus".as("mode_status"),
+          $"c".as("mode_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "math_funcs" -> ((s, d) => {
       import s.implicits._
       // libm-free selection: abs/sign/floor/ceil/pmod/sqrt are
@@ -369,6 +405,20 @@ object ExtraQueries {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
+
+    "agg_bitwise" ->
+      """SELECT l_returnflag, bit_and(l_suppkey) AS band,
+        | bit_or(l_suppkey) AS bor, bit_xor(l_suppkey) AS bxor,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT o_orderpriority, mode_status, mode_count FROM (
+        | SELECT o_orderpriority, o_orderstatus AS mode_status, count(*) AS mode_count,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY count(*) DESC, o_orderstatus) AS rn
+        | FROM orders GROUP BY o_orderpriority, o_orderstatus) t
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag, n,

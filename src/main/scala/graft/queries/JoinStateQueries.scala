@@ -190,6 +190,25 @@ object JoinStateQueries {
         .orderBy($"r_name", $"s_name")
     }),
 
+    // Null-safe equality join (`<=>`): NULL keys match each other
+    // instead of dropping — the semantics dimension-conforming joins
+    // need when "unknown" is itself a bucket. EqualNullSafe is a valid
+    // hash-join key in Spark, so this still plans as a broadcast hash
+    // join, never a nested loop (PlanSpec pins it). Region 4 is
+    // nulled on both sides to exercise the NULL↔NULL match.
+    "join_nullsafe" -> ((s, d) => {
+      import s.implicits._
+      def nullify(c: org.apache.spark.sql.Column) =
+        when(c === 4, lit(null)).otherwise(c)
+      val nat = Tables.nation(s, d)
+        .select($"n_nationkey", $"n_name", nullify($"n_regionkey").as("rk"))
+      val reg = Tables.region(s, d)
+        .select(nullify($"r_regionkey").as("rk2"), $"r_name")
+      nat.join(broadcast(reg), $"rk" <=> $"rk2")
+        .select($"n_nationkey", $"n_name", $"rk".as("regionkey"), $"r_name")
+        .orderBy($"n_nationkey")
+    }),
+
     // As-of join via the generic operator (operators/AsOfJoin): one
     // window pass over the tagged union keyed by user — no per-key
     // subquery, no N² join. For each purchase, the latest signup at
@@ -213,6 +232,16 @@ object JoinStateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_nullsafe" ->
+      """SELECT n_nationkey, n_name,
+        | CASE WHEN n_regionkey = 4 THEN NULL ELSE n_regionkey END AS regionkey,
+        | r_name
+        |FROM nation n JOIN region r
+        | ON (CASE WHEN n_regionkey = 4 THEN NULL ELSE n_regionkey END
+        |     IS NOT DISTINCT FROM
+        |     CASE WHEN r_regionkey = 4 THEN NULL ELSE r_regionkey END)
+        |ORDER BY n_nationkey""".stripMargin,
+
     "scd2_apply" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to FROM (
         | SELECT c_custkey, c_acctbal, c_mktsegment,

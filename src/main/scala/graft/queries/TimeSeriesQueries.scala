@@ -91,6 +91,29 @@ object TimeSeriesQueries {
         .orderBy($"user_id", $"ts_ms", $"event_id")
     }),
 
+    // Date-spine gap fill: each user's daily activity with missing days
+    // zero-filled — the spine generates [first_day, last_day] per user
+    // (sequence+explode: |days| rows, no cross join against a global
+    // calendar) and left-joins the daily aggregate. Both inputs derive
+    // from one events scan; at 100 TB the spine side is tiny (users ×
+    // avg span) next to the fact aggregate.
+    "gap_fill" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", date_trunc("day", $"ts").as("day"), $"value")
+      val daily = ev.groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      val spine = ev.groupBy($"user_id")
+        .agg(min($"day").as("dmin"), max($"day").as("dmax"))
+        .select($"user_id",
+          explode(sequence($"dmin", $"dmax", expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", unix_millis($"day").as("day_ms"),
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"sum_value", lit(0.0)).as("sum_value"))
+        .orderBy($"user_id", $"day_ms")
+    }),
+
     // Deterministic fixed-size uniform sample: rank by a seeded hash of
     // the key and keep the k smallest — the distributed reservoir
     // (per-partition top-k heaps, driver merges k·P candidates), fully
@@ -152,6 +175,21 @@ object TimeSeriesQueries {
         | AS ema
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "gap_fill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day, value FROM events),
+        |daily AS (SELECT user_id, day, count(*) AS n_events,
+        |           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |          FROM ev GROUP BY user_id, day),
+        |spine AS (SELECT user_id,
+        |           unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS day
+        |          FROM (SELECT user_id, min(day) AS dmin, max(day) AS dmax
+        |                FROM ev GROUP BY user_id) t)
+        |SELECT s.user_id, epoch_us(s.day) // 1000 AS day_ms,
+        | coalesce(d.n_events, 0) AS n_events,
+        | coalesce(d.sum_value, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, day_ms""".stripMargin,
 
     "sample_reservoir" ->
       """SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h

@@ -284,6 +284,29 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("join_nullsafe: null-safe equality still plans a broadcast hash join") {
+    val p = plan("join_nullsafe")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "null-safe equality fell back to nested loop")
+  }
+
+  test("gap_fill: spine left-joins the daily aggregate with keyed joins only") {
+    val p = finalPlan("gap_fill")
+    assert(p.contains("LeftOuter"), "spine join lost its outer-ness")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "spine join degenerated to nested loop/cartesian")
+    assert(p.contains("Generate"), "expected sequence+explode spine Generate node")
+  }
+
+  test("agg_mode: window top-1 runs over group counts, not the fact table") {
+    val p = finalPlan("agg_mode")
+    assert(p.contains("HashAggregate"), "count aggregate missing")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      "ranked tiebreak missing")
+    assert(!p.contains("Join"), "mode must not self-join")
+  }
+
   test("table_diff: keyed full-outer merge join, not nested loop") {
     val p = finalPlan("table_diff")
     assert(p.contains("FullOuter"), p.take(2000))
