@@ -212,6 +212,24 @@ object CoreQueries {
         .orderBy($"event_type")
     }),
 
+    // VARIANT ingestion path (Spark 4): parse once into the binary
+    // variant encoding, then typed extraction — at scale the parse
+    // happens at ingest and every downstream read is a cheap typed
+    // get instead of re-parsing JSON text per access. try_variant_get
+    // on an absent path yields NULL (probed: the count must be 0).
+    "variant_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type", parse_json($"props").as("v"))
+        .select($"event_type",
+          variant_get($"v", "$.k", "long").as("k"),
+          try_variant_get($"v", "$.missing", "string").as("miss"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), max($"k").as("max_k"),
+          count($"miss").as("n_missing_hits"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
     // JSON source capability: dump a projection as JSONL, re-read with
     // schema inference (multiLine=false is correct for JSONL; the
     // reference's pretty-printed-file case uses multiLine=true — see
@@ -410,6 +428,14 @@ object CoreQueries {
       """SELECT event_type,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "variant_funcs" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | count(json_extract_string(props, '$.missing')) AS n_missing_hits,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -113,6 +113,26 @@ object SourceUdxQueries {
         .orderBy($"l_orderkey", $"l_linenumber", $"eff_price")
     }),
 
+    // Typed flatMap UDTF — the table-function leg of the §2.9 UDF /
+    // UDAF / UDTF triple: arbitrary per-row Scala logic expanding one
+    // row into many (here a bounded tokenizer emitting the first 5
+    // tokens with ordinals). Runs as a narrow map-partitions stage —
+    // no shuffle until the presentation sort — and unlike explode it
+    // can carry any imperative logic. For expansions expressible as
+    // expressions, prefer doc_chunk's explode form (codegen'd).
+    "udtf_flatmap" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.split(" ", -1).iterator.take(5).zipWithIndex.map {
+            case (t, i) => (id, i + 1L, t)
+          }
+        }
+        .toDF("doc_id", "idx", "tok")
+        .orderBy($"doc_id", $"idx")
+    }),
+
     // Typed Aggregator UDAF: weighted mean with exact decimal buffer.
     "udaf_agg" -> ((s, d) => {
       import s.implicits._
@@ -157,6 +177,13 @@ object SourceUdxQueries {
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS eff_price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, eff_price""".stripMargin,
+
+    "udtf_flatmap" ->
+      """SELECT doc_id, CAST(idx AS BIGINT) AS idx, tok FROM (
+        | SELECT doc_id, generate_subscripts(toks, 1) AS idx, unnest(toks) AS tok
+        | FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS toks
+        |       FROM documents) a) b
+        |ORDER BY doc_id, idx""".stripMargin,
 
     "udaf_agg" ->
       """SELECT o_orderstatus,

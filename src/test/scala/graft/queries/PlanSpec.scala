@@ -307,6 +307,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "mode must not self-join")
   }
 
+  test("udtf_flatmap: typed expansion is a narrow stage, no data shuffle") {
+    val p = finalPlan("udtf_flatmap")
+    assert(p.contains("MapPartitions") || p.contains("MapElements"),
+      "typed flatMap stage missing")
+    assert(!p.contains("hashpartitioning"),
+      "typed expansion introduced a data shuffle")
+    assert(!p.contains("Join"), "expansion must not join")
+  }
+
+  test("variant_funcs: one scan, one aggregate, variant extraction inline") {
+    val p = finalPlan("variant_funcs")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    assert(!p.contains("Join"), "variant extraction must not join")
+    assert(p.toLowerCase.contains("variant_get"), "variant extraction not in plan")
+  }
+
   test("table_diff: keyed full-outer merge join, not nested loop") {
     val p = finalPlan("table_diff")
     assert(p.contains("FullOuter"), p.take(2000))
