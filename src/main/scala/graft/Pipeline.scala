@@ -174,10 +174,21 @@ object Pipeline {
         .map(n => s"$extractedDir/${globEscape(n)}").toSeq
       val allMatches = Cricsheet.readMatchFiles(spark, newPaths)
       // corrupt files degrade to null rows (PERMISSIVE) — filter them
-      // out of staging and surface the count instead of failing the run
+      // out of staging and surface the count instead of failing the run.
+      // Both counters ride ONE scan via observe (CollectMetrics): a
+      // separate total count + valid count would read every new file
+      // twice — at 100 TB the monitoring must not double the ingest IO.
+      val validFlag =
+        if (allMatches.columns.contains("innings"))
+          when(col("innings").isNotNull, 1L).otherwise(0L)
+        else lit(0L)
+      val validity = org.apache.spark.sql.Observation()
+      val observed = allMatches.observe(validity,
+        count(lit(1)).as("n_total"), coalesce(sum(validFlag), lit(0L)).as("n_valid"))
+      observed.count() // the single materializing action; metrics land in `validity`
+      val nValid = validity.get("n_valid").asInstanceOf[Long]
+      val nCorrupt = validity.get("n_total").asInstanceOf[Long] - nValid
       val matches = Cricsheet.validMatches(allMatches)
-      val nValid = matches.count()
-      val nCorrupt = allMatches.count() - nValid
 
       // 3b. drift check = the reference's crawler + compare_schema
       //     stage: INFER the schema of the new files (the explicit
