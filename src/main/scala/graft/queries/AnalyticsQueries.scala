@@ -147,6 +147,32 @@ object AnalyticsQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Order-independent table fingerprint — the migration/replication
+    // validator: after copying a 100 TB table, both sides compute
+    // count + XOR + bounded-sum of per-row content hashes and compare
+    // constant-size signatures instead of rows. XOR and sum commute,
+    // so the signature is independent of partitioning and row order;
+    // doubles are canonicalized through decimal(18,2) strings so both
+    // engines hash identical bytes. One scan, one partial-aggregated
+    // hash aggregate, three signature rows out.
+    "table_checksum" -> ((s, d) => {
+      import s.implicits._
+      val rowStr = concat_ws("|",
+        $"l_orderkey", $"l_linenumber",
+        dec($"l_quantity").cast("string"),
+        dec($"l_extendedprice").cast("string"),
+        $"l_returnflag", $"l_linestatus")
+      // first 15 hex digits of md5 → 60-bit int (fits long exactly)
+      val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", h.as("h"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sig"),
+          sum(pmod($"h", lit(1000000000L))).as("sum_sig"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Explicit runtime-filter join: high-value orders' keys fold into
     // a Bloom sketch (distributed build, sketch-sized driver traffic)
     // that prunes the lineitem scan before the exact semi join — see
@@ -255,6 +281,20 @@ object AnalyticsQueries {
         |            WHEN p1 <> p2 THEN 'changed'
         |            ELSE 'unchanged' END) <> 'unchanged'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "table_checksum" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | bit_xor(h) AS xor_sig,
+        | CAST(sum(h % 1000000000) AS BIGINT) AS sum_sig
+        |FROM (
+        | SELECT l_returnflag,
+        |  CAST(('0x' || substr(md5(concat_ws('|',
+        |    l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS h
+        | FROM lineitem) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "bloom_join" ->
       """SELECT l_orderkey, count(*) AS n_items,

@@ -323,6 +323,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.toLowerCase.contains("variant_get"), "variant extraction not in plan")
   }
 
+  test("table_checksum: one scan, partial-aggregated signature, no join") {
+    val p = finalPlan("table_checksum")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(finalSection).size >= 2,
+      "expected partial+final aggregation of the signature")
+    assert(!p.contains("Join"), "checksum must not join")
+    assert("Scan parquet".r.findAllIn(finalSection).size == 1,
+      "signature must come from exactly one scan")
+  }
+
   test("table_diff: keyed full-outer merge join, not nested loop") {
     val p = finalPlan("table_diff")
     assert(p.contains("FullOuter"), p.take(2000))
