@@ -45,6 +45,40 @@ object ExtraQueries {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Correlated LATERAL subquery with LIMIT — per-customer top-2
+    // orders as the SQL front end writes it. Catalyst decorrelates
+    // the lateral into a ranked join (no per-row re-execution), so the
+    // shape scales like window_topn rather than a nested loop.
+    "sql_lateral" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_lat c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+    }),
+
+    // Recursive CTE (Spark 4): ancestor chains over a real edge
+    // relation (order k → order 2k where both exist). The doubling
+    // graph is acyclic with unique predecessors, so UNION ALL
+    // recursion terminates without dedup and the reachability set has
+    // a closed deterministic oracle.
+    "sql_recursive" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+      s.sql(
+        """WITH RECURSIVE reach(src, dst, depth) AS (
+          | SELECT a.o_orderkey, b.o_orderkey, 1
+          | FROM orders_rec a JOIN orders_rec b ON b.o_orderkey = a.o_orderkey * 2
+          | WHERE a.o_orderkey > 0
+          | UNION ALL
+          | SELECT r.src, b.o_orderkey, r.depth + 1
+          | FROM reach r JOIN orders_rec b ON b.o_orderkey = r.dst * 2)
+          |SELECT src, dst, depth FROM reach ORDER BY src, dst""".stripMargin)
+    }),
+
     // Data-quality profiling: per-column counts/nulls/distincts/range/
     // sum for the numeric lineitem measures — ONE pass over the table
     // (a single 24-metric aggregate, unpivoted with stack), not one
@@ -405,6 +439,24 @@ object ExtraQueries {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+
+    "sql_recursive" ->
+      """WITH RECURSIVE reach(src, dst, depth) AS (
+        | SELECT a.o_orderkey, b.o_orderkey, 1
+        | FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey * 2
+        | WHERE a.o_orderkey > 0
+        | UNION ALL
+        | SELECT r.src, b.o_orderkey, r.depth + 1
+        | FROM reach r JOIN orders b ON b.o_orderkey = r.dst * 2)
+        |SELECT src, dst, CAST(depth AS INT) AS depth FROM reach ORDER BY src, dst""".stripMargin,
 
     "agg_bitwise" ->
       """SELECT l_returnflag, bit_and(l_suppkey) AS band,

@@ -333,6 +333,14 @@ class PlanSpec extends SparkSpecBase {
       "signature must come from exactly one scan")
   }
 
+  test("sql_lateral: decorrelated to a ranked join, not per-row re-execution") {
+    val p = finalPlan("sql_lateral")
+    assert(p.contains("WindowGroupLimit"),
+      "correlated LIMIT should decorrelate to a pruned group top-k")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "lateral degenerated to nested loop/cartesian")
+  }
+
   test("table_diff: keyed full-outer merge join, not nested loop") {
     val p = finalPlan("table_diff")
     assert(p.contains("FullOuter"), p.take(2000))
