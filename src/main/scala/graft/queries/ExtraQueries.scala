@@ -79,6 +79,21 @@ object ExtraQueries {
           |SELECT src, dst, depth FROM reach ORDER BY src, dst""".stripMargin)
     }),
 
+    // ANSI error-safety surface: try_divide / try_cast /
+    // try_element_at turn would-be runtime errors (divide by zero, bad
+    // cast, index out of bounds) into NULLs — the semantics a 100 TB
+    // batch needs where one malformed row must not kill a 6-hour job,
+    // while plain ANSI mode would. All stay codegen'd expressions.
+    "try_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          try_divide($"o_totalprice", ($"o_orderkey" % 3).cast("double")).as("safe_div"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_num"),
+          try_element_at(split($"o_orderpriority", "-"), lit(5)).as("missing_part"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Data-quality profiling: per-column counts/nulls/distincts/range/
     // sum for the numeric lineitem measures — ONE pass over the table
     // (a single 24-metric aggregate, unpivoted with stack), not one
@@ -457,6 +472,13 @@ object ExtraQueries {
         | SELECT r.src, b.o_orderkey, r.depth + 1
         | FROM reach r JOIN orders b ON b.o_orderkey = r.dst * 2)
         |SELECT src, dst, CAST(depth AS INT) AS depth FROM reach ORDER BY src, dst""".stripMargin,
+
+    "try_funcs" ->
+      """SELECT o_orderkey,
+        | o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS safe_div,
+        | TRY_CAST(o_orderpriority AS INT) AS prio_num,
+        | (string_split(o_orderpriority, '-'))[5] AS missing_part
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "agg_bitwise" ->
       """SELECT l_returnflag, bit_and(l_suppkey) AS band,

@@ -24,6 +24,37 @@ object StreamQueries {
   case class AttribRow(
       user_id: Long, n_purchases: Long, n_signups: Long, n_attributed: Long)
 
+  /** `stream_tws`'s StatefulProcessor: gap-sessionization identical to
+    * the `stream_custom_state` lambda, expressed in the
+    * transformWithState lifecycle. Deterministic for the same reasons:
+    * events sort on (ts, event_id), values sum as exact 2dp
+    * BigDecimals.
+    */
+  class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessEvent, SessRow] {
+    private val gapUs = 1800000000L
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {}
+    override def handleInputRows(uid: Long, rows: Iterator[SessEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessRow] = {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+      var start = 0
+      def emit(lo: Int, hi: Int): Unit = {
+        val slice = evs.slice(lo, hi)
+        val sum = slice.iterator
+          .map(e => BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        out += SessRow(uid, slice.head.ts_us / 1000,
+          slice.last.ts_us / 1000 + gapUs / 1000, slice.length.toLong, sum.toDouble)
+      }
+      for (i <- 1 until evs.length)
+        if (evs(i).ts_us - evs(i - 1).ts_us >= gapUs) { emit(start, i); start = i }
+      if (evs.nonEmpty) emit(start, evs.length)
+      out.iterator
+    }
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // The typed escape hatch of the streaming surface: per-user
     // session aggregation written as arbitrary Scala over
@@ -64,6 +95,30 @@ object StreamQueries {
           if (evs.nonEmpty) emit(start, evs.length)
           out
         }
+        .toDF()
+        .orderBy($"user_id", $"sess_start")
+    }),
+
+    // The same session logic through Spark 4's transformWithState —
+    // the successor API to [flat]mapGroupsWithState (explicit
+    // StatefulProcessor lifecycle, typed state vars, timers). Third
+    // implementation of the ONE session oracle: relational
+    // session_window, flatMapGroups, and the stateful processor all
+    // cross-check each other. Batch mode delivers each key's rows in
+    // a single handleInputRows call (state spans micro-batches only
+    // in a real stream); the state-store coordinator endpoint is
+    // only registered lazily by streaming starts, so the bridge
+    // touches it first (GraftStateBridge).
+    "stream_tws" -> ((s, d) => {
+      import s.implicits._
+      org.apache.spark.sql.GraftStateBridge.ensureStateStoreCoordinator(s)
+      Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+        .as[SessEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
         .toDF()
         .orderBy($"user_id", $"sess_start")
     }),
@@ -228,6 +283,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_custom_state" -> sessionOracle,
+    "stream_tws" -> sessionOracle,
 
     "stream_tumbling" ->
       """SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS w_start, event_type,
