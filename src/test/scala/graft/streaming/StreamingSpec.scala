@@ -252,4 +252,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == keys)
     assert(spark.table("dedup_out").count() == keys)
   }
+
+  test("transformWithState sessionizes a real stream, matching the batch result") {
+    import org.apache.spark.sql.functions.unix_micros
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val sf = "/root/testdata/sf0.001"
+    val stage = tmpDir("events_tws_stage")
+    Tables.events(spark, sf).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+
+    // transformWithState streaming requires the RocksDB state store
+    // (the HDFS-backed default is rejected for this operator)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = spark.readStream.schema(schema).parquet(stage)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+        .as[graft.queries.StreamQueries.SessEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.queries.StreamQueries.SessionProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = stream.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("tws_sessions")
+        .option("checkpointLocation", tmpDir("tws_cp"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("tws_sessions")
+        .orderBy($"user_id", $"sess_start")
+        .collect().toSeq
+      val want = graft.SparkEntry.queries("stream_tws")(spark, sf).collect().toSeq
+      assert(got == want, s"stream (${got.size} rows) != batch (${want.size} rows)")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
