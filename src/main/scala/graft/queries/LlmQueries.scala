@@ -611,6 +611,47 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Ranked vocabulary with assigned ids — the tokenizer-training
+    // step: term/document frequencies from the memoized term relation,
+    // top-1000 by frequency (deterministic tiebreak), contiguous ids.
+    // The global sort is a TakeOrdered top-k (per-partition heaps);
+    // the id-assigning single-partition window runs on the 1000
+    // SURVIVORS only — bounded regardless of corpus size.
+    "vocab_build" -> ((s, d) => {
+      import s.implicits._
+      val counts = termTable(s, d)
+        .groupBy($"term")
+        .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      val top = counts.orderBy($"tf".desc, $"term").limit(1000)
+      val w = Window.orderBy($"tf".desc, $"term")
+      top.withColumn("token_id", row_number().over(w).cast("long") - 1)
+        .select($"token_id", $"term", $"tf", $"df")
+        .orderBy($"token_id")
+    }),
+
+    // Bigram language-model estimation: adjacent-token pairs via an
+    // index explode over the token array (scan-parallel, no join to
+    // build pairs), then two hash aggregates; the conditional
+    // probability P(w2|w1) = c12/c1 is one double division over exact
+    // integer counts. Top-200 bigrams by count — a TakeOrdered top-k,
+    // not a global sort.
+    "bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val pairs = toks
+        .select(explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+        .select(element_at($"w", $"i").as("w1"), element_at($"w", $"i" + 1).as("w2"))
+      val c12 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      c12.join(c1, Seq("w1"))
+        .select($"w1", $"w2", $"c12", $"c1",
+          ($"c12".cast("double") / $"c1".cast("double")).as("p"))
+        .orderBy($"c12".desc, $"w1", $"w2")
+        .limit(200)
+    }),
+
     // MinHash + LSH over the persisted signature table; docs sharing a
     // band key become candidate pairs via a keyed self-join.
     "minhash_dedup" -> ((s, d) => {
@@ -1082,6 +1123,26 @@ object LlmQueries {
          |    AS mean_df_frac
          |FROM t JOIN df USING (term)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "vocab_build" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |      FROM t WHERE term <> '' GROUP BY term),
+         |top AS (SELECT term, tf, df FROM c ORDER BY tf DESC, term LIMIT 1000)
+         |SELECT row_number() OVER (ORDER BY tf DESC, term) - 1 AS token_id,
+         | term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         |FROM top ORDER BY token_id""".stripMargin,
+
+    "bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+         |idx AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2),
+         |pairs AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
+         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+         | CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+         |FROM c12 JOIN c1 USING (w1)
+         |ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
 
     "minhash_dedup" ->
       s"""WITH $duckCandidateCtes

@@ -341,6 +341,16 @@ class PlanSpec extends SparkSpecBase {
       "lateral degenerated to nested loop/cartesian")
   }
 
+  test("vocab_build/bigram_lm: global rank is top-k, never a full sort") {
+    for (q <- Seq("vocab_build", "bigram_lm")) {
+      val p = finalPlan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected top-k plan, got:\n" + p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to nested loop/cartesian")
+    }
+  }
+
   test("table_diff: keyed full-outer merge join, not nested loop") {
     val p = finalPlan("table_diff")
     assert(p.contains("FullOuter"), p.take(2000))
