@@ -45,16 +45,22 @@ class IngestSpec extends SparkSpecBase {
     val landing = tmpDir("ingest_conc_landing")
     Files.write(Paths.get(src, "p.zip"), "same-bytes".getBytes("UTF-8"))
     val url = fileUrl(s"$src/p.zip")
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val landed = Await.result(
-      Future.sequence((1 to 8).map(_ =>
-        Future(Ingest.downloadToLanding(url, landing)))),
-      60.seconds)
-    assert(landed.count(_.isDefined) == 1, s"landed: $landed")
+    // dedicated pool: the shared global EC can be starved by earlier
+    // suites' stragglers, which turns this into a timeout flake
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val landed =
+      try Await.result(
+        Future.sequence((1 to 8).map(_ =>
+          Future(Ingest.downloadToLanding(url, landing)))),
+        120.seconds)
+      finally pool.shutdown()
+    val dirList = new java.io.File(landing).list().toSeq.sorted
+    assert(landed.count(_.isDefined) == 1, s"landed: $landed; dir: $dirList")
     val ledger = Files.readAllLines(Paths.get(landing, Ingest.LedgerName))
-    assert(ledger.size() == 1)
+    assert(ledger.size() == 1, s"ledger: $ledger; dir: $dirList")
   }
 
   test("a failed download leaves no partial file and no ledger entry") {
