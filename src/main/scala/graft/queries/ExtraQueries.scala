@@ -79,6 +79,21 @@ object ExtraQueries {
           |SELECT src, dst, depth FROM reach ORDER BY src, dst""".stripMargin)
     }),
 
+    // Ordered string aggregation (Spark 4 listagg / SQL:2016 WITHIN
+    // GROUP): the report-formatting aggregate. The explicit ORDER BY
+    // inside the group is what makes the result deterministic — an
+    // unordered listagg varies with partitioning. Output size grows
+    // with group cardinality, so this belongs on bounded groups
+    // (dimensions), never on fact-table keys.
+    "agg_listagg" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_la")
+      s.sql(
+        """SELECT n_regionkey,
+          | listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+          | count(*) AS n
+          |FROM nation_la GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // ANSI error-safety surface: try_divide / try_cast /
     // try_element_at turn would-be runtime errors (divide by zero, bad
     // cast, index out of bounds) into NULLs — the semantics a 100 TB
@@ -472,6 +487,12 @@ object ExtraQueries {
         | SELECT r.src, b.o_orderkey, r.depth + 1
         | FROM reach r JOIN orders b ON b.o_orderkey = r.dst * 2)
         |SELECT src, dst, CAST(depth AS INT) AS depth FROM reach ORDER BY src, dst""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS names,
+        | count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "try_funcs" ->
       """SELECT o_orderkey,
