@@ -79,6 +79,22 @@ object ExtraQueries {
           |SELECT src, dst, depth FROM reach ORDER BY src, dst""".stripMargin)
     }),
 
+    // SQL:2003 FILTER (WHERE ...) aggregate clause — conditional
+    // aggregation without CASE scaffolding, still one scan and one
+    // hash aggregate: the pivoted-metrics shape (counts and sums per
+    // segment as columns) a reporting layer generates constantly.
+    "agg_filter_clause" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_fc")
+      s.sql(
+        """SELECT o_orderpriority,
+          | count(*) AS n,
+          | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+          | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+          |FROM orders_fc GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Ordered string aggregation (Spark 4 listagg / SQL:2016 WITHIN
     // GROUP): the report-formatting aggregate. The explicit ORDER BY
     // inside the group is what makes the result deterministic — an
@@ -487,6 +503,15 @@ object ExtraQueries {
         | SELECT r.src, b.o_orderkey, r.depth + 1
         | FROM reach r JOIN orders b ON b.o_orderkey = r.dst * 2)
         |SELECT src, dst, CAST(depth AS INT) AS depth FROM reach ORDER BY src, dst""".stripMargin,
+
+    "agg_filter_clause" ->
+      """SELECT o_orderpriority,
+        | count(*) AS n,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_listagg" ->
       """SELECT n_regionkey,
