@@ -313,6 +313,27 @@ object CoreQueries {
         .orderBy($"event_id")
     }),
 
+    // Map-typed higher-order functions (transform_values / map_filter /
+    // map_zip_with) — the lambda surface over MapType columns,
+    // complementing hof_funcs' array lambdas. All codegen-friendly
+    // expressions; the oracle replays the same arithmetic on the
+    // extracted scalar (the test map is single-keyed by construction).
+    "map_hof_funcs" -> ((s, d) => {
+      import s.implicits._
+      val m = from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+      Tables.events(s, d)
+        .select($"event_id", m.as("m"))
+        .select($"event_id",
+          element_at(transform_values($"m", (_, v) => v * 2), "k").as("k_doubled"),
+          size(map_filter($"m", (_, v) => v > 50)).as("n_hi"),
+          element_at(
+            map_zip_with($"m", transform_values($"m", (_, v) => v * 2),
+              (_, v1, v2) => v1 + v2), "k").as("k_tripled"))
+        .orderBy($"event_id")
+    }),
+
     // -- flatten exercised end-to-end ----------------------------------
     "flatten_full" -> ((s, d) => {
       import s.implicits._
@@ -482,6 +503,14 @@ object CoreQueries {
         | len(json_keys(props)) AS n_keys,
         | array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
         | CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"') AS INTEGER) AS first_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "map_hof_funcs" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+        | CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |      THEN 1 ELSE 0 END AS n_hi,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) * 3 AS k_tripled
         |FROM events ORDER BY event_id""".stripMargin,
 
     "flatten_full" ->
