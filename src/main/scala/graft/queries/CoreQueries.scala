@@ -505,11 +505,15 @@ object CoreQueries {
         | CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"') AS INTEGER) AS first_val
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // n_hi mirrors the map_filter SEMANTICS (count over ALL keys via a
+    // list_filter lambda), not the current single-key data shape — the
+    // oracle must not encode an assumption the Spark query doesn't make
     "map_hof_funcs" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
-        | CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
-        |      THEN 1 ELSE 0 END AS n_hi,
+        | CAST(len(list_filter(json_keys(props),
+        |   kk -> CAST(json_extract_string(props, '$."' || kk || '"') AS INTEGER) > 50))
+        |  AS INTEGER) AS n_hi,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) * 3 AS k_tripled
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -644,7 +644,10 @@ object LlmQueries {
         .select(explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
         .select(element_at($"w", $"i").as("w1"), element_at($"w", $"i" + 1).as("w2"))
       val c12 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-      val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      // c1 folds from the bigram counts (Σ c12 per w1) — |bigram types|
+      // input rows instead of a second tokenize+explode pass over the
+      // corpus; exact same integers as counting pairs directly
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
       c12.join(c1, Seq("w1"))
         .select($"w1", $"w2", $"c12", $"c1",
           ($"c12".cast("double") / $"c1".cast("double")).as("p"))

@@ -122,7 +122,11 @@ object SourceUdxQueries {
     // expressions, prefer doc_chunk's explode form (codegen'd).
     "udtf_flatmap" -> ((s, d) => {
       import s.implicits._
+      // NULL text is filtered relationally (the typed lambda would NPE
+      // on a null String — unlike Column functions, typed code sees
+      // raw nulls); the oracle filters identically
       Tables.documents(s, d)
+        .filter($"text".isNotNull)
         .select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) =>
           text.split(" ", -1).iterator.take(5).zipWithIndex.map {
@@ -182,7 +186,7 @@ object SourceUdxQueries {
       """SELECT doc_id, CAST(idx AS BIGINT) AS idx, tok FROM (
         | SELECT doc_id, generate_subscripts(toks, 1) AS idx, unnest(toks) AS tok
         | FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS toks
-        |       FROM documents) a) b
+        |       FROM documents WHERE text IS NOT NULL) a) b
         |ORDER BY doc_id, idx""".stripMargin,
 
     "udaf_agg" ->

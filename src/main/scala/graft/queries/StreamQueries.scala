@@ -24,35 +24,51 @@ object StreamQueries {
   case class AttribRow(
       user_id: Long, n_purchases: Long, n_signups: Long, n_attributed: Long)
 
-  /** `stream_tws`'s StatefulProcessor: gap-sessionization identical to
-    * the `stream_custom_state` lambda, expressed in the
-    * transformWithState lifecycle. Deterministic for the same reasons:
-    * events sort on (ts, event_id), values sum as exact 2dp
-    * BigDecimals.
+  /** The ONE gap-sessionization body shared by `stream_custom_state`
+    * (flatMapGroups) and `stream_tws` (StatefulProcessor): both paths
+    * must stay bit-identical for the shared session oracle to hold,
+    * so the logic exists exactly once. Deterministic: events sort on
+    * (ts, event_id), values sum as exact 2dp BigDecimals (the typed
+    * mirror of Q.dsum) — no iteration order leaks into the result.
+    */
+  private[queries] def sessionize(uid: Long, rows: Iterator[SessEvent]): Iterator[SessRow] = {
+    val gapUs = 1800000000L
+    val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+    var start = 0
+    def emit(lo: Int, hi: Int): Unit = {
+      val slice = evs.slice(lo, hi)
+      val sum = slice.iterator
+        .map(e => BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      out += SessRow(uid, slice.head.ts_us / 1000,
+        slice.last.ts_us / 1000 + gapUs / 1000, slice.length.toLong, sum.toDouble)
+    }
+    for (i <- 1 until evs.length)
+      if (evs(i).ts_us - evs(i - 1).ts_us >= gapUs) { emit(start, i); start = i }
+    if (evs.nonEmpty) emit(start, evs.length)
+    out.iterator
+  }
+
+  /** `stream_tws`'s StatefulProcessor around [[sessionize]].
+    *
+    * SCOPE: this processor keeps no cross-batch state — it sessionizes
+    * the rows of ONE handleInputRows call, which is complete in batch
+    * execution (all of a key's rows arrive in one call) and in any
+    * single-micro-batch stream drain (the StreamingSpec test asserts
+    * its run was exactly one batch). A production stream whose keys
+    * span micro-batches needs ListState accumulation plus event-time
+    * timers (emit a session only when the watermark passes its close);
+    * that variant is out of scope here — use the watermarked
+    * session_window path (stream_session) for cross-batch streams.
     */
   class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, SessEvent, SessRow] {
-    private val gapUs = 1800000000L
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {}
     override def handleInputRows(uid: Long, rows: Iterator[SessEvent],
-        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessRow] = {
-      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
-      var start = 0
-      def emit(lo: Int, hi: Int): Unit = {
-        val slice = evs.slice(lo, hi)
-        val sum = slice.iterator
-          .map(e => BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
-          .sum
-        out += SessRow(uid, slice.head.ts_us / 1000,
-          slice.last.ts_us / 1000 + gapUs / 1000, slice.length.toLong, sum.toDouble)
-      }
-      for (i <- 1 until evs.length)
-        if (evs(i).ts_us - evs(i - 1).ts_us >= gapUs) { emit(start, i); start = i }
-      if (evs.nonEmpty) emit(start, evs.length)
-      out.iterator
-    }
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessRow] =
+      sessionize(uid, rows)
   }
 
   val defs: Map[String, QueryFn] = Map(
@@ -73,28 +89,11 @@ object StreamQueries {
     // operator exists for session logic they can't.
     "stream_custom_state" -> ((s, d) => {
       import s.implicits._
-      val gapUs = 1800000000L
       Tables.events(s, d)
         .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
         .as[SessEvent]
         .groupByKey(_.user_id)
-        .flatMapGroups { (uid: Long, it: Iterator[SessEvent]) =>
-          val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
-          var start = 0
-          def emit(lo: Int, hi: Int): Unit = {
-            val slice = evs.slice(lo, hi)
-            val sum = slice.iterator
-              .map(e => BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
-              .sum
-            out += SessRow(uid, slice.head.ts_us / 1000,
-              slice.last.ts_us / 1000 + gapUs / 1000, slice.length.toLong, sum.toDouble)
-          }
-          for (i <- 1 until evs.length)
-            if (evs(i).ts_us - evs(i - 1).ts_us >= gapUs) { emit(start, i); start = i }
-          if (evs.nonEmpty) emit(start, evs.length)
-          out
-        }
+        .flatMapGroups((uid: Long, it: Iterator[SessEvent]) => sessionize(uid, it))
         .toDF()
         .orderBy($"user_id", $"sess_start")
     }),

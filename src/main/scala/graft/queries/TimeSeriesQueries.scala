@@ -33,6 +33,27 @@ object TimeSeriesQueries {
 
   private val GapMs = 600000L // 10-min hold per event
 
+  /** The interval-merge core, shared by the `interval_merge` query and
+    * TimeSeriesPropertySpec (so the property test exercises THIS code,
+    * not a copy): input (user_id, event_id, st), hold applied here;
+    * output one row per coverage span. One user-keyed data shuffle —
+    * the closing (user, span) aggregate reuses the window partitioning.
+    */
+  private[queries] def mergeSpans(
+      df: org.apache.spark.sql.DataFrame, holdMs: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("en", col("st") + holdMs)
+      .withColumn("prev_max_en", max(col("en")).over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(wRun))
+      .groupBy(col("user_id"), col("span_id"))
+      .agg(min(col("st")).as("cov_start"), max(col("en")).as("cov_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Forward fill (last observation carried forward): sensor-dropout
     // repair. Every 7th reading is nulled deterministically, then each
@@ -55,19 +76,10 @@ object TimeSeriesQueries {
     // everything before it; touching spans merge.
     "interval_merge" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
-      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select($"user_id", $"event_id", unix_millis($"ts").as("st"))
-        .withColumn("en", $"st" + GapMs)
-        .withColumn("prev_max_en", max($"en").over(wPrev))
-        .withColumn("new_span",
-          when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1).otherwise(0))
-        .withColumn("span_id", sum($"new_span").over(wRun))
-        .groupBy($"user_id", $"span_id")
-        .agg(min($"st").as("cov_start"), max($"en").as("cov_end"),
-          count(lit(1)).as("n_events"))
+      mergeSpans(
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_millis($"ts").as("st")),
+        GapMs)
         .orderBy($"user_id", $"cov_start")
     }),
 
@@ -87,7 +99,11 @@ object TimeSeriesQueries {
         .reduce(_ + _)
       Tables.events(s, d)
         .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
-          (num / den).as("ema"))
+          // den = 0 (current value and all 7 lags NULL) must be NULL in
+          // BOTH engines: Spark's non-ANSI 0-divide yields NULL while
+          // DuckDB's IEEE float divide yields NaN, so the guard is
+          // explicit on both sides
+          when(den === 0.0, lit(null)).otherwise(num / den).as("ema"))
         .orderBy($"user_id", $"ts_ms", $"event_id")
     }),
 
@@ -155,25 +171,26 @@ object TimeSeriesQueries {
         |ORDER BY user_id, cov_start""".stripMargin,
 
     "ema_decay" ->
-      """SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
-        | (coalesce(value * 1.0, 0.0) + coalesce(lag(value, 1) OVER w * 0.5, 0.0)
-        |  + coalesce(lag(value, 2) OVER w * 0.25, 0.0)
-        |  + coalesce(lag(value, 3) OVER w * 0.125, 0.0)
-        |  + coalesce(lag(value, 4) OVER w * 0.0625, 0.0)
-        |  + coalesce(lag(value, 5) OVER w * 0.03125, 0.0)
-        |  + coalesce(lag(value, 6) OVER w * 0.015625, 0.0)
-        |  + coalesce(lag(value, 7) OVER w * 0.0078125, 0.0))
-        | /
-        | (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END
-        |  + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
-        |  + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
-        |  + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
-        |  + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
-        |  + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
-        |  + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
-        |  + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
-        | AS ema
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      """SELECT user_id, event_id, ts_ms,
+        | CASE WHEN den = 0.0 THEN NULL ELSE num / den END AS ema
+        |FROM (
+        | SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
+        |  (coalesce(value * 1.0, 0.0) + coalesce(lag(value, 1) OVER w * 0.5, 0.0)
+        |   + coalesce(lag(value, 2) OVER w * 0.25, 0.0)
+        |   + coalesce(lag(value, 3) OVER w * 0.125, 0.0)
+        |   + coalesce(lag(value, 4) OVER w * 0.0625, 0.0)
+        |   + coalesce(lag(value, 5) OVER w * 0.03125, 0.0)
+        |   + coalesce(lag(value, 6) OVER w * 0.015625, 0.0)
+        |   + coalesce(lag(value, 7) OVER w * 0.0078125, 0.0)) AS num,
+        |  (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |   + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |   + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |   + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        |   + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        |   + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
+        |   + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END) AS den
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
 
     "gap_fill" ->

@@ -351,6 +351,15 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bigram_lm: c1 folds from c12 — one corpus scan, reused exchange") {
+    val p = finalPlan("bigram_lm")
+    val finalSection = p.split("== Initial Plan ==").head
+    // the tokenize+explode lineage must execute once: the c1 branch
+    // reuses c12's (w1,w2) shuffle instead of re-scanning documents
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 1, s"expected one documents scan, got $scans")
+  }
+
   test("table_diff: keyed full-outer merge join, not nested loop") {
     val p = finalPlan("table_diff")
     assert(p.contains("FullOuter"), p.take(2000))

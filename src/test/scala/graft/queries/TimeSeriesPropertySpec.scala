@@ -49,19 +49,9 @@ class TimeSeriesPropertySpec extends SparkSpecBase {
       val df = rows.zipWithIndex
         .map { case ((u, st), i) => (u, i.toLong, st) }
         .toDF("user_id", "event_id", "st")
-        .withColumn("en", $"st" + HoldMs)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"st", $"event_id")
-      val got = df
-        .withColumn("prev_max_en",
-          max($"en").over(w.rowsBetween(Long.MinValue, -1)))
-        .withColumn("new_span",
-          when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1).otherwise(0))
-        .withColumn("span_id",
-          sum($"new_span").over(w.rowsBetween(Long.MinValue, 0)))
-        .groupBy($"user_id", $"span_id")
-        .agg(min($"st").as("cov_start"), max($"en").as("cov_end"),
-          count(lit(1)).as("n_events"))
+      // the PRODUCTION merge pipeline — not a re-implementation
+      val got = TimeSeriesQueries.mergeSpans(df, HoldMs)
+        .select($"user_id", $"span_id", $"cov_start", $"cov_end", $"n_events")
         .as[(Long, Long, Long, Long, Long)]
         .collect()
         .map { case (u, sid, st, en, c) => (u, sid) -> (st, en, c) }

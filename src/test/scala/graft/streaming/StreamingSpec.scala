@@ -278,7 +278,14 @@ class StreamingSpec extends SparkSpecBase {
         .option("checkpointLocation", tmpDir("tws_cp"))
         .start()
       q.processAllAvailable()
+      // SessionProcessor's documented scope: complete sessions only
+      // when each key's rows arrive within one micro-batch — assert
+      // this drain really was a single batch, so the equality below
+      // can't silently pass a multi-batch run the processor doesn't
+      // support (cross-batch needs ListState + event-time timers).
+      val batches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
+      assert(batches == 1, s"expected a single-batch drain, saw $batches input batches")
 
       val got = spark.table("tws_sessions")
         .orderBy($"user_id", $"sess_start")
