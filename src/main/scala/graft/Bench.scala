@@ -49,7 +49,12 @@ object Bench {
       "dedup_incremental", "contamination_check",
       "tfidf_topk", "bm25_topk", "unigram_surprise",
       "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
-      "semdedup_clusters")
+      "semdedup_clusters",
+      // knn_pq joined the memoized family when its codebook became a
+      // persisted model artifact (pq_codebook) — it runs here, not in
+      // the cache-free block, so its cached table never taxes
+      // unrelated queries and its build cost is attributed below.
+      "knn_pq")
     // A renamed query silently vanishing from this list would shrink
     // bench coverage without an error — fail loudly on drift instead.
     val drifted = corpusFamily.filterNot(SparkEntry.queries.contains)
@@ -84,7 +89,8 @@ object Bench {
       "dedup_incremental" -> Seq("bands"),
       "contamination_check" -> Seq("shingles_distinct"),
       "unigram_surprise" -> Seq("term_rows"),
-      "dedup_clusters" -> Seq("candidate_pairs"))
+      "dedup_clusters" -> Seq("candidate_pairs"),
+      "knn_pq" -> Seq("pq_codebook"))
     // Band-bucket health guard: the documented LSH/SimHash hazard is a
     // degenerate band key whose bucket holds a large corpus fraction
     // (Σ bucket² blows up the candidate self-join). Measure the largest
@@ -111,17 +117,48 @@ object Bench {
     // family keeps shifting build costs between members across code
     // changes; without this, per-query deltas are unreadable.
     val cacheBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    // Contention-immune companion metrics: executor task CPU time and
+    // task JVM GC time per query, summed by a listener and snapshotted
+    // around each run (the bus is drained between queries so events
+    // land on the query that produced them). Wall time alone cannot
+    // distinguish "this query got slower" from "the machine was busy":
+    // real work moves BOTH wall and cpu; external contention moves
+    // wall while cpu stays flat; GC pressure shows up in gc. Round 5's
+    // unexplained same-code wall-time spikes motivated recording all
+    // three.
+    val cpuNsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMsTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          cpuNsTotal.addAndGet(m.executorCpuTime)
+          gcMsTotal.addAndGet(m.jvmGCTime)
+        }
+      }
+    })
+    def drained[A](body: => A): A = {
+      val r = body
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      r
+    }
+    val cpuSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.map { case (name, fn) =>
       val tagsBefore = graft.queries.LlmQueries.memoizedTags(spark)
+      val cpu0 = cpuNsTotal.get()
+      val gc0 = gcMsTotal.get()
       val t0 = System.nanoTime()
       val res = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        drained { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
       }
+      cpuSec(name) = (cpuNsTotal.get() - cpu0) / 1e9
+      gcSec(name) = (gcMsTotal.get() - gc0) / 1e3
       val built = graft.queries.LlmQueries.memoizedTags(spark).diff(tagsBefore)
       if (built.nonEmpty) {
         cacheBuilds(name) = built.toSeq.sorted
@@ -150,9 +187,12 @@ object Bench {
     }
     // Locale.ROOT: the default-locale f-interpolator would render
     // comma decimal separators (invalid JSON) on e.g. de_DE JVMs
-    val qs = results.map { case (k, v) =>
+    def secMapJson(m: Iterable[(String, Double)]): String = m.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
+    val qs = secMapJson(results)
+    val cpuJson = secMapJson(cpuSec)
+    val gcJson = secMapJson(gcSec)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -167,8 +207,12 @@ object Bench {
     // whole inside the recorder's ~2000-char stdout tail window — so a
     // consumer grepping for it can never double-count or pick the
     // truncated head of this long line.
+    val cpuTotalStr = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(cpuSec.values.sum))
+    val gcTotalStr = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(gcSec.values.sum))
     val full =
-      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,"gc_sec":$gcJson,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"sf":"$sfDir"}"""
     println(full)
     // The harness that records this output keeps only the LAST ~2000
     // characters of stdout, and with ~100 queries the full line above
@@ -181,10 +225,8 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not persist full results: ${e.getMessage}") }
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15).map { case (k, v) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in BENCH_LOCAL_LATEST.json and the total_full line above","bucket_stats":$bucketsJson,"failed":$failed,"sf":"$sfDir"}""")
+    val slowest = secMapJson(results.filter(_._2 >= 0).sortBy(-_._2).take(15))
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in BENCH_LOCAL_LATEST.json and the total_full line above","cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"bucket_stats":$bucketsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

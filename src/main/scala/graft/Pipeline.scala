@@ -115,12 +115,22 @@ object Pipeline {
     *   otherwise accrete an unbounded driver array; past the bound the
     *   run fails LOUDLY with the batching remedy instead of slowly
     *   OOMing the driver.
+    * @param notifyDrift drift-notification transport — the reference emails
+    *   the same report via SNS (`notifyChanges`,
+    *   /root/reference/airflow-setup/Scripts/compare_schema.py:106-124);
+    *   here the transport is the caller's choice (email, chat webhook,
+    *   ticket). Invoked with the rendered report exactly when the run
+    *   detects drift; the default logs to stderr. A notifier failure
+    *   must not fail the run (the reference's publish is likewise
+    *   outside its DAG's critical path), so exceptions are caught and
+    *   logged.
     */
   def runOnce(
       spark: SparkSession,
       landingDir: String,
       workDir: String,
-      maxDriverRows: Long = 100000L): RunResult = {
+      maxDriverRows: Long = 100000L,
+      notifyDrift: String => Unit = msg => System.err.println(s"[pipeline] $msg")): RunResult = {
     import spark.implicits._
     val extractedDir = s"$workDir/extracted"
     val stagingDir = s"$workDir/staging"
@@ -216,6 +226,13 @@ object Pipeline {
       val diff = SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF())
       val (hadDrift, driftMsg) =
         DriftReport.render(diff.filter(col("change") =!= "dropped"), "ipl_matches")
+      if (hadDrift) {
+        try notifyDrift(driftMsg)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[pipeline] drift notifier failed: ${e.getMessage}")
+        }
+      }
       val newNames = newCols.map(_.name).toSet
       val unionCols = newCols ++ oldCols.filterNot(c => newNames.contains(c.name))
       unionCols.toDF().write.mode("overwrite").parquet(schemaPath)

@@ -182,15 +182,20 @@ object AnalyticsQueries {
       import s.implicits._
       // the filtered dimension feeds THREE consumers (count, bloom
       // build, semi-join build side) — materialize it once instead of
-      // re-scanning orders per consumer; blocks are reclaimed by the
-      // ContextCleaner when the frame goes unreachable
+      // re-scanning orders per consumer. persist (not localCheckpoint):
+      // persist keeps the lineage, so on a real cluster a lost
+      // executor's blocks recompute from the orders scan, where a
+      // localCheckpoint (blocks only, no lineage) would make the frame
+      // unrecoverable mid-query. Blocks are reclaimed by the
+      // ContextCleaner when the frame goes unreachable.
       val sel = Tables.orders(s, d)
         .filter($"o_totalprice" > 450000.0)
         .select($"o_orderkey")
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // expected count from the actual selective cardinality (one
-      // metadata-scale job), not a guessed constant that would pin the
-      // false-positive rate to one scale factor
+      // metadata-scale job that also materializes the cache), not a
+      // guessed constant that would pin the false-positive rate to one
+      // scale factor
       val expected = math.max(1000L, sel.count())
       val bloom = lit(graft.plans.BloomFunctions.serialize(
         sel.stat.bloomFilter("o_orderkey", expected, 0.01)))

@@ -81,10 +81,17 @@ object CoreQueries {
     // scan, where exact percentiles shuffle every value.
     "agg_approx_percentile" -> ((s, d) => {
       import s.implicits._
+      // One sketch per group, projected into two scalar columns: the
+      // array output form is equivalent but harder on downstream tools
+      // that expect flat columns.
       Tables.events(s, d)
         .groupBy($"event_type")
         .agg(percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(1000))
-          .as("p50_p95"))
+          .as("ps"))
+        .select(
+          $"event_type",
+          $"ps".getItem(0).as("p50"),
+          $"ps".getItem(1).as("p95"))
         .orderBy($"event_type")
     }),
 

@@ -479,6 +479,93 @@ object LlmQueries {
       .filter(col("cos_sim") > 0.8)
   }
 
+  // ---- product quantization (PQ) model --------------------------------
+
+  /** PQ layout: 64-dim vectors → [[PqM]] subspaces of [[PqSubDim]]
+    * dims, [[PqK]] codebook entries per subspace (8 B codes per
+    * vector, 32× compression vs 256 B of raw floats).
+    */
+  private[queries] val PqM = 8
+  private[queries] val PqSubDim = 8
+  private[queries] val PqK = 64
+
+  /** (vec_id, m, sub): each embedding split into its M subvectors. */
+  private def pqSubvectors(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    VecFunctions.register(s)
+    val subArr = array((0 until PqM).map(m =>
+      slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(subArr).as(Seq("m", "sub")))
+  }
+
+  /** [[pqSubvectors]] with ‖x‖² precomputed once per subvector — the
+    * left side of every nearest-centroid assignment.
+    */
+  private def pqSubX(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    pqSubvectors(s, d)
+      .withColumn("xx", VecFunctions.vecDot(col("sub"), col("sub")))
+
+  /** Nearest-codebook-entry assignment, shared by Lloyd training (vs
+    * seeds) and final encoding (vs trained centroids) so the distance
+    * form (‖x−c‖² as x·x − 2·x·c + c·c, fixed op order) and the code
+    * tiebreak can never diverge between them. ‖x‖² and ‖c‖² are
+    * precomputed once per subvector/centroid instead of once per
+    * (subvector, candidate-code) pair: K× fewer dot products, and
+    * bit-identical values (the cached dot is the same left-to-right
+    * accumulation the inline form would run), so the oracle's inline
+    * formula still matches.
+    */
+  private def pqAssign(subX: DataFrame, codebook: DataFrame): DataFrame = {
+    val d2 = col("xx") -
+      lit(2.0) * VecFunctions.vecDot(col("sub"), col("cent")) + col("cc")
+    subX.join(
+        broadcast(codebook.withColumn("cc", VecFunctions.vecDot(col("cent"), col("cent")))),
+        Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+  }
+
+  /** Memoized trained PQ codebook (code, m, cent) — the model
+    * ARTIFACT, not a query subtree: trained once per (session, dir)
+    * via one deterministic Lloyd iteration (the [[PqK]] lowest-id
+    * vectors seed each subspace, every subvector assigns to its
+    * nearest seed, the codebook is the decimal-exact per-dimension
+    * mean of each assignment group — data-driven like k-means, but
+    * reproducible in any engine, so `knn_pq` keeps a FULL DuckDB
+    * oracle). Living in the memoized family (like [[sigTable]]/
+    * [[bandTable]]) means re-invocations encode and scan without
+    * retraining — at 100 TB the codebook is a persisted model a
+    * training job refreshes on its own cadence, never a per-query
+    * cost. The bench attributes the one-time build (`cache_builds`)
+    * and releases it after its last consumer.
+    *
+    * Per-dim mean in exact decimal — but floats must be snapped to a
+    * 6dp grid (Q.rnd: pure IEEE ops, engine-identical) BEFORE the
+    * decimal cast: casting a raw float to decimal rounds Spark's
+    * shortest-string representation vs DuckDB's exact expansion, and
+    * the two disagree in the last decimal unit often enough to shift
+    * a centroid by one float ulp (measured: 9 of 17 elements in one
+    * assignment group). Grid points cast identically.
+    */
+  private[graft] def pqCodebook(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "pq_codebook") {
+      val sub = pqSubvectors(s, d)
+      val seeds = sub.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("code"), col("m"), col("sub").as("cent"))
+      val asg = pqAssign(pqSubX(s, d), seeds)
+      sub.join(asg, Seq("vec_id", "m"))
+        .select(col("code"), col("m"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("code"), col("m"), col("pos"))
+        .agg((sum(rnd(col("v").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("cv"))
+        .groupBy(col("code"), col("m"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv").cast("float")).as("cent"))
+    }
+
   val defs: Map[String, QueryFn] = Map(
     "text_stats" -> ((s, d) => {
       import s.implicits._
@@ -884,76 +971,31 @@ object LlmQueries {
     // per query, built once, then the scan touches only codes. This is
     // what makes exhaustive search affordable when 100 TB of raw
     // embeddings won't fit executor memory but their codes will.
-    // Codebooks are trained with one deterministic Lloyd iteration:
-    // the 64 lowest-id vectors seed each subspace's codebook, every
-    // subvector assigns to its nearest seed (fixed op order, code
-    // tiebreak), and the codebook is the decimal-exact per-dimension
-    // mean of each assignment group — data-driven like k-means, but
-    // reproducible in any engine, so the whole operator has a FULL
-    // DuckDB oracle. (Label-mean codebooks were tried first: same-label
-    // vectors collapsed to identical codes and recall@5 vs the exact
-    // dot-product top-5 was 0.13; seeded-Lloyd codebooks reach ~0.39
-    // at both sf0.001 and sf0.01.) The ADC score approximates the dot
-    // product Σ_m q_m·c_{code_m}; the final Σ over the 8 subspaces
-    // pivots to fixed columns so the IEEE addition order is
-    // engine-identical. QueriesSpec pins the recall floor and ranking
-    // discipline.
+    // Codebooks come from the memoized [[pqCodebook]] model artifact
+    // (deterministic seeded-Lloyd training, full DuckDB oracle) —
+    // trained once per (session, dir), so re-invocations encode and
+    // scan without paying the training scan. (Label-mean codebooks
+    // were tried first: same-label vectors collapsed to identical
+    // codes and recall@5 vs the exact dot-product top-5 was 0.13;
+    // seeded-Lloyd codebooks reach ~0.39 at both sf0.001 and sf0.01.)
+    // The ADC score approximates the dot product Σ_m q_m·c_{code_m};
+    // the final Σ over the 8 subspaces pivots to fixed columns so the
+    // IEEE addition order is engine-identical. QueriesSpec pins the
+    // recall floor and ranking discipline.
     "knn_pq" -> ((s, d) => {
       import s.implicits._
-      val M = 8
-      val SUB = 8
-      val K = 64
       VecFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      val subArr = array((0 until M).map(m => slice($"embedding", m * SUB + 1, SUB)): _*)
-      val sub = e.select($"vec_id", posexplode(subArr).as(Seq("m", "sub")))
-      // ‖x−c‖² in the fixed op order (x·x − 2·x·c) + c·c — with x·x
-      // and c·c precomputed once per subvector/centroid instead of
-      // once per (subvector, candidate-code) pair: K× fewer dot
-      // products in the argmin joins, and bit-identical values (the
-      // cached dot is the same left-to-right accumulation the inline
-      // form would run), so the oracle's inline formula still matches.
-      val subX = sub.withColumn("xx", VecFunctions.vecDot($"sub", $"sub"))
-      val d2pre = $"xx" - lit(2.0) * VecFunctions.vecDot($"sub", $"cent") + $"cc"
-      // nearest-codebook-entry assignment, shared by Lloyd training
-      // (vs seeds) and final encoding (vs trained centroids) so the
-      // distance form and tiebreak can never diverge between them
-      def assign(codebook: DataFrame): DataFrame =
-        subX.join(broadcast(codebook.withColumn("cc", VecFunctions.vecDot($"cent", $"cent"))),
-            Seq("m"))
-          .select($"vec_id", $"m", $"code", d2pre.as("d2"))
-          .groupBy($"vec_id", $"m")
-          .agg(min(struct($"d2", $"code")).getField("code").as("code"))
-      val seeds = sub.filter($"vec_id" < K)
-        .select($"vec_id".as("code"), $"m", $"sub".as("cent"))
-      val asg = assign(seeds)
-      // per-dim mean in exact decimal — but floats must be snapped to
-      // a 6dp grid (Q.rnd: pure IEEE ops, engine-identical) BEFORE the
-      // decimal cast: casting a raw float to decimal rounds Spark's
-      // shortest-string representation vs DuckDB's exact expansion,
-      // and the two disagree in the last decimal unit often enough to
-      // shift a centroid by one float ulp (measured: 9 of 17 elements
-      // in one assignment group). Grid points cast identically.
-      val cb = sub.join(asg, Seq("vec_id", "m"))
-        .select($"code", $"m", posexplode($"sub").as(Seq("pos", "v")))
-        .groupBy($"code", $"m", $"pos")
-        .agg((sum(rnd($"v".cast("double"), 6).cast("decimal(18,6)"))
-          .cast("double") / count(lit(1))).as("cv"))
-        .groupBy($"code", $"m")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cv"))),
-          x => x.getField("cv").cast("float")).as("cent"))
-      // the codebook is referenced by the encoder AND all 8 ADC probe
-      // branches below — localCheckpoint materializes it once (K·M
-      // rows, KBs) so the seed→assign→mean pipeline doesn't re-run
-      // per branch; blocks are reclaimed by the ContextCleaner when
-      // the frame goes unreachable
-      val cbL = cb.localCheckpoint()
-      val enc = assign(cbL)
+      val cb = pqCodebook(s, d)
+      val enc = pqAssign(pqSubX(s, d), cb)
       // ADC table: per (query, subspace, code) partial dot product —
-      // Q·M·K rows, also materialized once for the 8 probe branches
-      val qtab = e.filter($"vec_id" < 100)
+      // Q·M·K rows, materialized once for the join below (the
+      // codebook behind it is already cached, so this is a flat scan
+      // of 100 query vectors)
+      val subArr = array((0 until PqM).map(m =>
+        slice($"embedding", m * PqSubDim + 1, PqSubDim)): _*)
+      val qtab = Tables.embeddings(s, d).filter($"vec_id" < 100)
         .select($"vec_id".as("q_id"), posexplode(subArr).as(Seq("m", "qsub")))
-        .join(broadcast(cbL), Seq("m"))
+        .join(broadcast(cb), Seq("m"))
         .select($"q_id", $"m", $"code", VecFunctions.vecDot($"qsub", $"cent").as("pdot"))
         .localCheckpoint()
       // ADC scan: one broadcast of the lookup table against the code
@@ -963,14 +1005,14 @@ object LlmQueries {
       // 8-way broadcast-join-per-subspace variant was measured slower
       // here: per-branch job/broadcast overhead beat the aggregate it
       // saved.
-      val ps = (0 until M).map(m => max(when($"m" === m, $"pdot")).as(s"p$m"))
+      val ps = (0 until PqM).map(m => max(when($"m" === m, $"pdot")).as(s"p$m"))
       val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
       enc.join(broadcast(qtab), Seq("m", "code"))
         .filter($"q_id" =!= $"vec_id")
         .groupBy($"q_id", $"vec_id")
         .agg(ps.head, ps.tail: _*)
         .select($"q_id", $"vec_id",
-          rnd((0 until M).map(m => col(s"p$m")).reduce(_ + _), 6).as("score"))
+          rnd((0 until PqM).map(m => col(s"p$m")).reduce(_ + _), 6).as("score"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
         .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"score")

@@ -60,8 +60,12 @@ object SourceUdxQueries {
     "text_scan" -> ((s, d) => {
       import s.implicits._
       val path = Q.scratchPath("text_scan", d)
+      // null text coalesces to '' (udtf_flatmap's convention): concat
+      // would otherwise yield a NULL line, which the text datasource
+      // write rejects — a single null-text doc must not fail the dump
       Tables.documents(s, d)
-        .select(concat($"doc_id".cast("string"), lit("\t"), TF.normText($"text")).as("line"))
+        .select(concat($"doc_id".cast("string"), lit("\t"),
+          TF.normText(coalesce($"text", lit("")))).as("line"))
         .write.mode("overwrite").text(path)
       s.read.text(path)
         .select(
@@ -164,7 +168,9 @@ object SourceUdxQueries {
         |ORDER BY file_name""".stripMargin,
 
     "text_scan" ->
-      s"""SELECT doc_id, CAST(length(${LlmQueries.NORM}) AS INTEGER) AS n_chars
+      s"""SELECT doc_id, CAST(length(${
+        LlmQueries.NORM.replace("lower(text)", "lower(coalesce(text, ''))")
+      }) AS INTEGER) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "schema_merge_scan" ->

@@ -52,23 +52,41 @@ object StreamQueries {
 
   /** `stream_tws`'s StatefulProcessor around [[sessionize]].
     *
-    * SCOPE: this processor keeps no cross-batch state — it sessionizes
-    * the rows of ONE handleInputRows call, which is complete in batch
-    * execution (all of a key's rows arrive in one call) and in any
-    * single-micro-batch stream drain (the StreamingSpec test asserts
-    * its run was exactly one batch). A production stream whose keys
-    * span micro-batches needs ListState accumulation plus event-time
-    * timers (emit a session only when the watermark passes its close);
-    * that variant is out of scope here — use the watermarked
-    * session_window path (stream_session) for cross-batch streams.
+    * SCOPE: this processor keeps no cross-batch SESSION state — it
+    * sessionizes the rows of ONE handleInputRows call, which is
+    * complete in batch execution (all of a key's rows arrive in one
+    * call) and in any single-micro-batch stream drain (the
+    * StreamingSpec test asserts its run was exactly one batch). A
+    * production stream whose keys span micro-batches needs ListState
+    * accumulation plus event-time timers (emit a session only when
+    * the watermark passes its close); that variant is out of scope
+    * here — use the watermarked session_window path (stream_session)
+    * for cross-batch streams. The scope is ENFORCED, not just
+    * documented: a per-key seen flag (the one piece of state the
+    * processor does keep) makes a key arriving in a second call —
+    * exactly the misuse that would silently emit split sessions —
+    * throw instead.
     */
   class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, SessEvent, SessRow] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {}
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(uid: Long, rows: Iterator[SessEvent],
-        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessRow] =
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessRow] = {
+      if (seen.exists())
+        throw new IllegalStateException(
+          s"SessionProcessor: key $uid arrived in a second handleInputRows call — " +
+            "this processor sessionizes one call's rows and is only correct when " +
+            "each key's events arrive together (batch mode, or a single-micro-batch " +
+            "drain). For streams whose keys span micro-batches, use the watermarked " +
+            "session_window path (stream_session).")
+      seen.update(true)
       sessionize(uid, rows)
+    }
   }
 
   val defs: Map[String, QueryFn] = Map(

@@ -95,6 +95,45 @@ class PipelineSpec extends SparkSpecBase {
     assert(r9.stagedRows == before) // overwrote their partitions, not appended
   }
 
+  test("drift notifier fires exactly when drift is detected, and a failing one cannot fail the run") {
+    val landing = tmpDir("pipe_notify_landing")
+    val work = tmpDir("pipe_notify_work")
+    val tiny = Files.readAllBytes(Paths.get(fixture("match_tiny.json")))
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    val capture: String => Unit = sent += _
+
+    // first run records the baseline schema: no drift, no notification
+    zipOf(landing, "batch1.zip", Map("m1.json" -> tiny))
+    val r1 = Pipeline.runOnce(spark, landing, work, notifyDrift = capture)
+    assert(!r1.hadDrift && sent.isEmpty)
+
+    // same schema again: still silent
+    zipOf(landing, "batch2.zip", Map("m2.json" -> tiny))
+    val r2 = Pipeline.runOnce(spark, landing, work, notifyDrift = capture)
+    assert(!r2.hadDrift && sent.isEmpty)
+
+    // a new leaf appears: exactly one notification, carrying the report
+    val drifted = new String(tiny, "UTF-8").replace(
+      "\"balls_per_over\": 6,",
+      "\"balls_per_over\": 6, \"forfeited_overs\": 2,")
+    zipOf(landing, "batch3.zip", Map("m3.json" -> drifted.getBytes("UTF-8")))
+    val r3 = Pipeline.runOnce(spark, landing, work, notifyDrift = capture)
+    assert(r3.hadDrift)
+    assert(sent.toSeq == Seq(r3.driftReport))
+    assert(sent.head.contains("info.forfeited_overs"))
+
+    // a throwing transport is contained: the run completes, drift is
+    // still reported in the result (the notification is best-effort,
+    // the pipeline is not)
+    val drifted2 = new String(tiny, "UTF-8").replace(
+      "\"balls_per_over\": 6,",
+      "\"balls_per_over\": 6, \"reserve_umpires\": 1,")
+    zipOf(landing, "batch4.zip", Map("m4.json" -> drifted2.getBytes("UTF-8")))
+    val r4 = Pipeline.runOnce(spark, landing, work,
+      notifyDrift = _ => throw new RuntimeException("SNS down"))
+    assert(r4.hadDrift && r4.newFiles == 1)
+  }
+
   test("S1 ingest: download (file:// URL) -> landing -> runOnce end-to-end") {
     // the reference's full story: download_and_upload_to_s3 lands the
     // archive, then the DAG fans it out — here Ingest + runOnce

@@ -86,7 +86,8 @@ class SimilaritySpec extends SparkSpecBase {
     val ev = graft.Tables.events(spark, sf).select($"event_type", $"value")
     val groups = ev.select($"event_type").distinct().as[String].collect()
     val approx = graft.SparkEntry.queries("agg_approx_percentile")(spark, sf)
-      .as[(String, Seq[Double])].collect().toMap
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p50, p95) => g -> Seq(p50, p95) }.toMap
     for (g <- groups) {
       val vals = ev.filter($"event_type" === g).select($"value")
         .as[Double].collect().sorted

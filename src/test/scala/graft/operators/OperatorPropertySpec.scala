@@ -72,6 +72,63 @@ class OperatorPropertySpec extends SparkSpecBase {
     }, 20)
   }
 
+  test("scd2Merge folded over batches preserves full, non-overlapping history") {
+    // The documented contract (StateMerge.scd2Merge): applying update
+    // batches ONE AT A TIME preserves full history — per key the
+    // intervals chain without gaps or overlaps, exactly one row stays
+    // open, and the open row carries the latest batch's winning value
+    // (latest ts, then attribute desc, per the operator's tie-break).
+    // The single-batch oracle (scd2_apply) can't see fold bugs like a
+    // re-closed historical row or a lost intermediate version; this
+    // property folds random 0-3 batch sequences and compares against
+    // a driver-side model of the whole chain.
+    val keyGen = Gen.choose(0L, 5L)
+    def updGen(lo: Long, hi: Long): Gen[List[(Long, String, Long)]] =
+      Gen.listOf(for {
+        k <- keyGen
+        t <- Gen.choose(lo, hi)
+        v <- Gen.choose(0, 99)
+      } yield (k, f"v$v%02d", t))
+    // batch ts ranges are disjoint and increasing — SCD2 feeds are
+    // time-ordered; within a batch, ts ties are free to collide
+    val scenarioGen = for {
+      initKeys <- Gen.someOf(0L to 5L)
+      b1 <- updGen(11, 19)
+      b2 <- updGen(21, 29)
+      b3 <- updGen(31, 39)
+      n <- Gen.choose(0, 3)
+    } yield (initKeys.toList.sorted, List(b1, b2, b3).take(n))
+    check(Prop.forAll(scenarioGen) { case (initKeys, batches) =>
+      val init = initKeys.map(k => (k, f"i$k%02d", 0L, Option.empty[Long]))
+      var hist = init.toDF("key", "attr", "valid_from", "valid_to")
+      for (b <- batches if b.nonEmpty)
+        hist = StateMerge.scd2Merge(hist, b.toDF("key", "attr", "ts"), "key", "ts")
+      val got = hist.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sortBy(x => (x._1, x._3)).toList
+      // model: per batch, the winner per key is max by (ts, attr) —
+      // the operator's row_number tie-break; the history chain is the
+      // initial row (if any) followed by each touching batch's winner,
+      // each closed at the next link's ts
+      val winners = batches.filter(_.nonEmpty).map { b =>
+        b.groupBy(_._1).map { case (k, us) =>
+          val w = us.maxBy(u => (u._3, u._2))
+          k -> (w._2, w._3)
+        }
+      }
+      val expected = (initKeys ++ batches.flatten.map(_._1)).distinct.sorted.flatMap { k =>
+        val chain = (if (initKeys.contains(k)) List((f"i$k%02d", 0L)) else Nil) ++
+          winners.flatMap(_.get(k))
+        chain.zipWithIndex.map { case ((a, t), i) =>
+          (k, a, t, if (i < chain.size - 1) Some(chain(i + 1)._2) else None)
+        }
+      }
+      // exact-set equality implies: one open row per live key, no
+      // overlapping or gapped intervals, no lost versions
+      got == expected
+    }, 15)
+  }
+
   test("asof join equals the per-row model; null right times are invisible") {
     val keyGen = Gen.oneOf("a", "b", "c")
     val leftGen = Gen.listOf(for {

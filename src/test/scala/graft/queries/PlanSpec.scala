@@ -368,4 +368,57 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "diff join degenerated to nested loop/cartesian")
   }
+
+  // ---- round-5 driver-bench cost leaders -----------------------------
+  // These five queries spiked in the round-5 driver bench on unchanged
+  // code; pinning their executed shapes rules plan drift OUT in one
+  // read whenever wall time moves again (the per-query cpu_sec/gc_sec
+  // columns in the bench JSON cover the environmental side).
+
+  test("state_merge: ONE keyed full-outer join, no nested loop, no extra scans") {
+    val p = finalPlan("state_merge")
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "state merge degenerated to nested loop/cartesian")
+    val joins = "Join".r.findAllIn(p.split("== Initial Plan ==").head).size
+    assert(joins >= 1, "no join in plan")
+    // state side scans orders once, updates side scans lineitem once
+    val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==").head).size
+    assert(scans == 2, s"expected exactly 2 table scans, got $scans")
+  }
+
+  test("profile_table: 24-metric profile runs in ONE scan of lineitem") {
+    val p = finalPlan("profile_table")
+    val finalSection = p.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 1, s"per-column profiling re-scanned the table: $scans scans")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), "no aggregate in plan")
+    assert(p.contains("Expand"), "multi-countDistinct should plan one Expand, not N scans")
+    assert(!p.contains("Join"), "profiling must not join")
+  }
+
+  test("try_funcs: pure scan→project→sort — no join, no aggregate") {
+    val p = finalPlan("try_funcs")
+    assert(!p.contains("Join"), "try_funcs must not join")
+    assert(!p.contains("HashAggregate"), "try_funcs must not aggregate")
+    val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==").head).size
+    assert(scans == 1, s"expected one orders scan, got $scans")
+  }
+
+  test("unpivot_melt: Expand over a 6-row aggregate, one scan, no join") {
+    val p = finalPlan("unpivot_melt")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("Expand"), "unpivot should plan as Expand")
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 1, s"expected one lineitem scan, got $scans")
+    assert(!p.contains("Join"), "unpivot must not join")
+  }
+
+  test("sql_subquery: scalar subquery broadcasts as a one-row subquery node") {
+    val p = plan("sql_subquery")
+    assert(p.contains("Subquery"), p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "scalar subquery degenerated to cartesian")
+  }
 }
