@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep harness for the heavy dedup/ANN family: generates a
+  * documents/embeddings corpus `factor`× the sf0.1 fixtures and runs
+  * the memoized-family queries against it, so the sub-linear-probing
+  * and band-bucket-sanity claims are MEASURED above bench scale
+  * instead of extrapolated from sf0.1.
+  *
+  * `sbt "runMain graft.tools.ScaleSweep [baseDir] [factor] [outDir]"`
+  * prints one JSON line: per-query seconds, corpus sizes, and the
+  * LSH/SimHash band-bucket guards at the scaled size.
+  *
+  * The corpus is BENCHMARK data, not oracle data (correctness stays
+  * pinned to the driver fixtures): documents are seeded-PRNG token
+  * sequences over the real corpus vocabulary — deterministic per
+  * doc_id, so reruns measure the same corpus — with a controlled
+  * 5% exact-duplicate and 5% near-duplicate fraction so the dedup
+  * family does real work; embeddings are label-clustered vectors
+  * (center per label + per-vector noise), so label-blocked and
+  * bucketed kNN paths see realistic cluster structure.
+  */
+object ScaleSweep {
+
+  /** Deterministic per-entity PRNG — Knuth multiplicative seed so
+    * consecutive ids decorrelate.
+    */
+  private def rngFor(id: Long): java.util.Random =
+    new java.util.Random(id * 2654435761L + 1013904223L)
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse("target/scale_corpus")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftSparkExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- corpus generation ------------------------------------------
+    val baseDocs = graft.Tables.documents(spark, base)
+    val nBase = baseDocs.count()
+    val nDocs = nBase * factor
+    // real vocabulary, frequency-ranked: generated docs share the
+    // fixtures' token distribution shape (head-heavy), which is what
+    // the tf/df and shingle paths are sensitive to
+    val vocab = baseDocs
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .orderBy($"count".desc, $"t").limit(20000)
+      .select($"t").as[String].collect()
+    require(vocab.nonEmpty, s"no vocabulary extracted from $base/documents.parquet")
+    val bVocab = spark.sparkContext.broadcast(vocab)
+    val langs = Array("en", "de", "fr", "es")
+    val docs = spark.range(nDocs).select($"id".as("doc_id"))
+      .as[Long]
+      .map { docId =>
+        // 5% exact dups, 5% near dups: both regenerate the text of a
+        // canonical earlier doc (determinism makes copy-free dup
+        // injection possible — no self-join at generation time)
+        val mod = docId % 20
+        val cid = if (mod == 7 && docId >= 7) docId - 7
+          else if (mod == 13 && docId >= 13) docId - 13 else docId
+        val rng = rngFor(cid)
+        val v = bVocab.value
+        val len = 20 + rng.nextInt(120)
+        // Zipf-ish rank sampling over the frequency-ranked vocab:
+        // square a uniform to bias toward head ranks
+        val sb = new StringBuilder
+        var i = 0
+        while (i < len) {
+          val u = rng.nextDouble()
+          if (i > 0) sb.append(' ')
+          sb.append(v(((u * u) * v.length).toInt.min(v.length - 1)))
+          i += 1
+        }
+        if (mod == 13 && docId >= 13) sb.append(" zq").append((docId % 97).toString)
+        val text = sb.toString
+        (docId, text, langs((cid % langs.length).toInt), "synthetic", text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val nBaseVec = graft.Tables.embeddings(spark, base).count()
+    val nVecs = nBaseVec * factor
+    val dim = 64
+    val nLabels = 50
+    val embs = spark.range(nVecs).select($"id".as("vec_id")).as[Long]
+      .map { vecId =>
+        val label = (vecId % nLabels).toInt
+        val cRng = rngFor(1000000L + label)
+        val vRng = rngFor(vecId)
+        val vec = Array.tabulate(dim) { _ =>
+          (cRng.nextGaussian() + 0.25 * vRng.nextGaussian()).toFloat
+        }
+        (vecId, vec, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+    embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // ---- the heavy family at scale ----------------------------------
+    // Bench's corpus run order (producers before consumers) plus the
+    // kNN family; each memoized table released after its last consumer
+    val family = Seq(
+      "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
+      "ngram_jaccard", "dup_ngram_frac", "fuzzy_match", "graph_degree_dist",
+      "dedup_incremental", "contamination_check",
+      "tfidf_topk", "bm25_topk", "unigram_surprise",
+      "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
+      "semdedup_clusters", "embedding_neardup",
+      "knn_bruteforce", "cosine_topk", "knn_ivf", "knn_lsh", "knn_pq",
+      "exact_dedup", "text_stats", "lang_id", "doc_chunk")
+    val releaseAfter: Map[String, Seq[String]] = Map(
+      "minhash_est" -> Seq("minhash_sigs"),
+      "simhash_neardup" -> Seq("simhash"),
+      "dup_ngram_frac" -> Seq("shingles"),
+      "dedup_incremental" -> Seq("bands"),
+      "contamination_check" -> Seq("shingles_distinct"),
+      "unigram_surprise" -> Seq("term_rows"),
+      "dedup_clusters" -> Seq("candidate_pairs"),
+      "knn_pq" -> Seq("pq_codebook"))
+    val bucketStats = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def maxBucket(g: org.apache.spark.sql.DataFrame): Long =
+      g.agg(max("count")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val results = family.map { name =>
+      val t0 = System.nanoTime()
+      val sec = try {
+        graft.SparkEntry.queries(name)(spark, outDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scale] $name failed: ${e.getMessage}")
+          -1.0
+      }
+      System.err.println(f"[scale] $name%-22s ${sec}%8.2f s")
+      releaseAfter.getOrElse(name, Nil).foreach { tag =>
+        try {
+          if (tag == "bands")
+            bucketStats("lsh_max_band_bucket") = maxBucket(
+              graft.queries.LlmQueries.bandTable(spark, outDir).groupBy("band", "key").count())
+          if (tag == "simhash")
+            bucketStats("simhash_max_band_bucket") = maxBucket(
+              graft.queries.LlmQueries.simhashBands(spark, outDir).groupBy("band", "key").count())
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scale] bucket guard '$tag' failed: ${e.getMessage}")
+        } finally graft.queries.LlmQueries.release(spark, outDir, tag)
+      }
+      name -> sec
+    }
+    graft.queries.LlmQueries.clearCaches(Some(spark))
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val buckets = bucketStats.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"scale_sweep","value":${fmt(total)},"unit":"sec","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$qs,"failed":$failed,"bucket_stats":$buckets,"base":"$base"}""")
+    spark.stop()
+  }
+}
