@@ -742,6 +742,59 @@ object LlmQueries {
         .limit(200)
     }),
 
+    // LM-typicality document scoring — the perplexity-filter analog
+    // (CCNet-style: score every doc under a corpus LM, gate on the
+    // score) restated without transcendentals so the whole operator
+    // keeps an exact DuckDB oracle: per doc, the mean and minimum of
+    // its bigrams' corpus-LM probabilities p(w2|w1) = c12/c1. Low
+    // mean_p = the doc's transitions are rare corpus-wide (gibberish,
+    // boilerplate soup, wrong-language fragments); min_p = its single
+    // most surprising transition. Every doc bigram exists in the LM
+    // by construction (the LM is built from the same corpus), so
+    // there is no OOV path. Scale: the LM is |bigram types| (vocab²-
+    // bounded, far smaller than the corpus); doc bigrams and LM
+    // co-partition on (w1,w2) — the same shuffle key the LM aggregate
+    // itself uses, so Catalyst reuses one exchange for both the count
+    // and the probability join; per-doc reduction then shuffles once
+    // on doc_id. Determinism: p is one IEEE division of exact
+    // integers; the per-doc mean sums 6dp-snapped p as decimal
+    // (order-free) and divides once; min is order-free.
+    "lm_score" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val pairs = toks
+        .select($"doc_id", explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+        .select($"doc_id",
+          element_at($"w", $"i").as("w1"), element_at($"w", $"i" + 1).as("w2"))
+      val c12 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      // c1 as a window sum OVER the bigram counts (not a groupBy +
+      // self-join): the join formulation re-plans the whole
+      // tokenize→count subtree on its second reference inside the
+      // broadcast stage (a third corpus scan); the window touches only
+      // the |bigram types| rows already aggregated — same exact
+      // integers, one corpus scan for the LM
+      val lm = c12
+        .withColumn("c1", sum($"c12").over(Window.partitionBy($"w1")))
+        .select($"w1", $"w2",
+          ($"c12".cast("double") / $"c1".cast("double")).as("p"))
+      // the LM side broadcasts, NEVER the pairs side: left to its size
+      // estimates Catalyst picks the raw pairs relation as the build
+      // side here (it looks smaller pre-aggregation), which at corpus
+      // scale would ship every bigram occurrence to every executor —
+      // the LM is the |bigram types|-bounded relation this join exists
+      // to probe
+      pairs.join(broadcast(lm), Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          (sum(rnd($"p", 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_p"),
+          min(rnd($"p", 6)).as("min_p"))
+        .orderBy($"doc_id")
+    }),
+
     // MinHash + LSH over the persisted signature table; docs sharing a
     // band key become candidate pairs via a keyed self-join.
     "minhash_dedup" -> ((s, d) => {
@@ -1019,6 +1072,42 @@ object LlmQueries {
         .orderBy($"q_id", $"rn")
     }),
 
+    // The IVF coarse quantizer as a first-class operator: one Lloyd
+    // ASSIGNMENT step over full vectors — every embedding assigns to
+    // its nearest of K=50 seeded centroids (lowest-id vectors, same
+    // deterministic convention as knn_ivf/knn_pq), output is the
+    // per-cluster profile (size, mean squared distance) a partitioned
+    // ANN index build or a clustering-health check reads. Scale: the
+    // K centroids broadcast (K is bounded, vectors never shuffle for
+    // the assignment — an N×K narrow expansion reduced map-side by
+    // the min-struct aggregate), then one K-group aggregate; the
+    // corpus is scanned once. Determinism: same ‖x−c‖² op order and
+    // cluster-id tiebreak as [[pqAssign]]; per-cluster mean sums
+    // 6dp-snapped distances as decimal (order-free) and divides once.
+    "kmeans_assign" -> ((s, d) => {
+      import s.implicits._
+      VecFunctions.register(s)
+      val K = 50
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter($"vec_id" < K)
+        .select($"vec_id".as("cluster_id"), $"embedding".as("cent"))
+        .withColumn("cc", VecFunctions.vecDot($"cent", $"cent"))
+      val d2 = $"xx" - lit(2.0) * VecFunctions.vecDot($"embedding", $"cent") + $"cc"
+      e.withColumn("xx", VecFunctions.vecDot($"embedding", $"embedding"))
+        .crossJoin(broadcast(cents))
+        .select($"vec_id", $"cluster_id", d2.as("d2"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2", $"cluster_id")).as("m"))
+        .select($"vec_id", $"m".getField("cluster_id").as("cluster_id"),
+          rnd($"m".getField("d2"), 6).as("d2"))
+        .groupBy($"cluster_id")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          (sum($"d2".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_d2"))
+        .orderBy($"cluster_id")
+    }),
+
     // Fixed-size token chunking with overlap — the doc→training-sample
     // splitter every pretraining pipeline runs before packing: 32-token
     // windows at stride 24 (8-token overlap). sequence+explode+slice is
@@ -1188,6 +1277,39 @@ object LlmQueries {
          | CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
          |FROM c12 JOIN c1 USING (w1)
          |ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    "lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2),
+         |pairs AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+         |lm AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+         |       FROM c12 JOIN c1 USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | CAST(sum(CAST(${Q.duckRnd("p", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+         |   / count(*) AS mean_p,
+         | min(${Q.duckRnd("p", 6)}) AS min_p
+         |FROM pairs JOIN lm USING (w1, w2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH c AS (SELECT vec_id AS cluster_id, embedding AS cent
+         |           FROM embeddings WHERE vec_id < 50),
+         |a AS (SELECT e.vec_id, c.cluster_id,
+         |  ${duckDot("e.embedding", "e.embedding")}
+         |    - 2*${duckDot("e.embedding", "c.cent")}
+         |    + ${duckDot("c.cent", "c.cent")} AS d2
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, cluster_id, d2,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+         |  FROM a)
+         |SELECT cluster_id, count(*) AS n_vecs,
+         | CAST(sum(CAST(${Q.duckRnd("d2", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+         |   / count(*) AS mean_d2
+         |FROM r WHERE rn = 1
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "minhash_dedup" ->
       s"""WITH $duckCandidateCtes

@@ -421,4 +421,29 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       "scalar subquery degenerated to cartesian")
   }
+
+  test("lm_score: LM broadcasts (never the corpus pairs), two scans total") {
+    val p = finalPlan("lm_score")
+    val finalSection = p.split("== Initial Plan ==").head
+    // pairs side streams; the |bigram types|-bounded LM is the build
+    // side — a pairs-side broadcast would ship every bigram occurrence
+    assert(finalSection.contains("BuildRight"), p.take(2000))
+    assert(!finalSection.contains("BuildLeft"),
+      "corpus pairs chosen as broadcast build side")
+    // tokenize+explode runs twice (pairs + LM counts), not three times
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 2, s"expected 2 documents scans, got $scans")
+  }
+
+  test("kmeans_assign: centroids broadcast, map-side argmin before the one shuffle") {
+    val p = finalPlan("kmeans_assign")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastExchange"), p.take(2000))
+    // the N×K expansion reduces to one row per vector BEFORE the
+    // vec_id exchange — partial min(struct) is the map-side combine
+    assert(finalSection.contains("partial_min(struct"),
+      "assignment shuffles the full N×K expansion")
+    assert(finalSection.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"),
+      "centroid filter not pushed to the parquet scan")
+  }
 }
