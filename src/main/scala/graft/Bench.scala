@@ -2,6 +2,99 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Shared between [[Bench]] and [[graft.tools.ScaleSweep]]: the
+  * memoized-family run order, its cache-release schedule, and the
+  * band-bucket degeneracy guard. One definition, two mains — a new
+  * memoized table registered here reaches both harnesses, instead of
+  * a forgotten copy silently reinstating the storage-pressure
+  * distortion the release lifecycle exists to prevent.
+  */
+object BenchShared {
+
+  /** Queries that share the memoized/persisted table family
+    * (LlmQueries.memoized), in producers-before-consumers order: run
+    * them LAST (cache-free queries first against an empty storage
+    * pool) so each table's build cost lands on its natural owner.
+    * knn_pq joined when its codebook became a persisted model
+    * artifact (pq_codebook).
+    */
+  val corpusFamily: Seq[String] = Seq(
+    "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
+    "ngram_jaccard", "dup_ngram_frac", "fuzzy_match", "graph_degree_dist",
+    "dedup_incremental", "contamination_check",
+    "tfidf_topk", "bm25_topk", "unigram_surprise",
+    "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
+    "semdedup_clusters",
+    "knn_pq")
+
+  /** Cache lifecycle: each memoized table is released right after its
+    * LAST consumer in [[corpusFamily]] order, so peak storage is one
+    * or two live tables, not all of them accreted to end-of-run. A
+    * released table a later query still wants is simply rebuilt.
+    */
+  val releaseAfter: Map[String, Seq[String]] = Map(
+    "minhash_est" -> Seq("minhash_sigs"),
+    "simhash_neardup" -> Seq("simhash"),
+    "dup_ngram_frac" -> Seq("shingles"),
+    "dedup_incremental" -> Seq("bands"),
+    "contamination_check" -> Seq("shingles_distinct"),
+    "unigram_surprise" -> Seq("term_rows"),
+    "dedup_clusters" -> Seq("candidate_pairs"),
+    "knn_pq" -> Seq("pq_codebook"))
+
+  private def maxBucket(grouped: org.apache.spark.sql.DataFrame): Long =
+    grouped.agg(org.apache.spark.sql.functions.max("count")).head() match {
+      case r if r.isNullAt(0) => 0L // empty table
+      case r => r.getLong(0)
+    }
+
+  /** Band-bucket health guard: the documented LSH/SimHash hazard is a
+    * degenerate band key whose bucket holds a large corpus fraction
+    * (Σ bucket² blows up the candidate self-join). Measures the
+    * largest bucket while the tables are still cached, so the hazard
+    * is caught at bench scale, not at 100×.
+    */
+  def recordBucketStats(
+      spark: SparkSession, sfDir: String, tag: String,
+      into: scala.collection.mutable.Map[String, Long]): Unit = tag match {
+    case "bands" =>
+      val b = graft.queries.LlmQueries.bandTable(spark, sfDir)
+      into("lsh_max_band_bucket") = maxBucket(b.groupBy("band", "key").count())
+    case "simhash" =>
+      val bands = graft.queries.LlmQueries.simhashBands(spark, sfDir)
+      into("simhash_max_band_bucket") = maxBucket(bands.groupBy("band", "key").count())
+    case _ => ()
+  }
+
+  /** Release `tag`'s cache after optionally recording its bucket
+    * guard. Guard-rail work must never abort a sweep: probe failures
+    * log and move on (NonFatal only — a VM error must still kill the
+    * run), and the release runs in the finally so a failed probe
+    * cannot leave the table cached.
+    */
+  def guardAndRelease(
+      spark: SparkSession, sfDir: String, tag: String,
+      into: scala.collection.mutable.Map[String, Long],
+      label: String): Unit = {
+    try recordBucketStats(spark, sfDir, tag, into)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[$label] bucket guard for '$tag' failed: ${e.getMessage}")
+    } finally graft.queries.LlmQueries.release(spark, sfDir, tag)
+  }
+
+  /** Drain the listener bus so queued task-end events settle before a
+    * metric snapshot. A timeout (the bus's internal 10 s bound) is a
+    * bookkeeping lag, never a failure — log and continue.
+    */
+  def drainQuiet(spark: SparkSession): Unit =
+    try org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bench] listener-bus drain timed out; cpu/gc attribution may lag")
+    }
+}
+
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract → BENCH_r{N}.json).
   *
@@ -34,7 +127,7 @@ object Bench {
     // silently understate the total or hide from the recorded JSON.
     //
     // Run order isolates the memoized-table family: the dedup/corpus
-    // queries share seven persisted tables (shingles, signatures,
+    // queries share the persisted tables (shingles, signatures,
     // bands, terms, cluster labels — see LlmQueries.memoized), and in
     // a plain alphabetical sweep those cached blocks sat in storage
     // memory while UNRELATED queries ran, costing map_funcs/date_funcs/
@@ -43,18 +136,7 @@ object Bench {
     // the family runs last (producers before consumers, so each
     // table's build cost lands on its natural owner), and the caches
     // are dropped as soon as the family finishes.
-    val corpusFamily = Seq(
-      "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
-      "ngram_jaccard", "dup_ngram_frac", "fuzzy_match", "graph_degree_dist",
-      "dedup_incremental", "contamination_check",
-      "tfidf_topk", "bm25_topk", "unigram_surprise",
-      "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
-      "semdedup_clusters",
-      // knn_pq joined the memoized family when its codebook became a
-      // persisted model artifact (pq_codebook) — it runs here, not in
-      // the cache-free block, so its cached table never taxes
-      // unrelated queries and its build cost is attributed below.
-      "knn_pq")
+    val corpusFamily = BenchShared.corpusFamily
     // A renamed query silently vanishing from this list would shrink
     // bench coverage without an error — fail loudly on drift instead.
     val drifted = corpusFamily.filterNot(SparkEntry.queries.contains)
@@ -76,43 +158,12 @@ object Bench {
       (SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => corpusFamily.contains(q._1)) ++
         corpusFamily.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
         .filter(q => only.forall(_.contains(q._1)))
-    // Cache lifecycle: each memoized family table is released right
-    // after its LAST consumer in the run order above, so peak storage
-    // is one or two live tables, not all eight accreted to end-of-run
-    // (storage pressure taxes every later query with GC; on a loaded
-    // machine that tax measured 3-6× on family members in round 4).
-    // A released table a later query still wants is simply rebuilt.
-    val releaseAfter: Map[String, Seq[String]] = Map(
-      "minhash_est" -> Seq("minhash_sigs"),
-      "simhash_neardup" -> Seq("simhash"),
-      "dup_ngram_frac" -> Seq("shingles"),
-      "dedup_incremental" -> Seq("bands"),
-      "contamination_check" -> Seq("shingles_distinct"),
-      "unigram_surprise" -> Seq("term_rows"),
-      "dedup_clusters" -> Seq("candidate_pairs"),
-      "knn_pq" -> Seq("pq_codebook"))
-    // Band-bucket health guard: the documented LSH/SimHash hazard is a
-    // degenerate band key whose bucket holds a large corpus fraction
-    // (Σ bucket² blows up the candidate self-join). Measure the largest
-    // bucket HERE, at bench scale, while the tables are still cached —
-    // so the hazard is caught at sf0.1, not at 100×.
+    // Cache lifecycle + band-bucket guard: shared with ScaleSweep via
+    // BenchShared (storage pressure taxes every later query with GC;
+    // on a loaded machine that tax measured 3-6× on family members in
+    // round 4).
+    val releaseAfter = BenchShared.releaseAfter
     val bucketStats = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def maxBucket(grouped: org.apache.spark.sql.DataFrame): Long =
-      grouped.agg(org.apache.spark.sql.functions.max("count")).head() match {
-        case r if r.isNullAt(0) => 0L // empty table
-        case r => r.getLong(0)
-      }
-    def recordBucketStats(tag: String): Unit = tag match {
-      case "bands" =>
-        val b = graft.queries.LlmQueries.bandTable(spark, sfDir)
-        bucketStats("lsh_max_band_bucket") =
-          maxBucket(b.groupBy("band", "key").count())
-      case "simhash" =>
-        val bands = graft.queries.LlmQueries.simhashBands(spark, sfDir)
-        bucketStats("simhash_max_band_bucket") =
-          maxBucket(bands.groupBy("band", "key").count())
-      case _ => ()
-    }
     // Attribution: which query paid each one-time memoized build. The
     // family keeps shifting build costs between members across code
     // changes; without this, per-query deltas are unreadable.
@@ -137,26 +188,32 @@ object Bench {
         }
       }
     })
-    def drained[A](body: => A): A = {
-      val r = body
-      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
-      r
-    }
     val cpuSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.map { case (name, fn) =>
       val tagsBefore = graft.queries.LlmQueries.memoizedTags(spark)
+      // drain BEFORE the snapshot, not just after the query body:
+      // straggler events from the previous query's bucket-guard jobs
+      // (which run after its cpu read) or from a failed query (whose
+      // in-flight drain never ran) must settle into the baseline, not
+      // get charged to this query. A drain timeout is a bookkeeping
+      // lag, never a query failure — it only blurs attribution.
+      BenchShared.drainQuiet(spark)
       val cpu0 = cpuNsTotal.get()
       val gc0 = gcMsTotal.get()
       val t0 = System.nanoTime()
       val res = try {
-        drained { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
       }
+      // flush this query's events (success OR failure) before reading
+      // its deltas; runs outside the timed region so the wall number
+      // stays pure query time
+      BenchShared.drainQuiet(spark)
       cpuSec(name) = (cpuNsTotal.get() - cpu0) / 1e9
       gcSec(name) = (gcMsTotal.get() - gc0) / 1e3
       val built = graft.queries.LlmQueries.memoizedTags(spark).diff(tagsBefore)
@@ -164,21 +221,8 @@ object Bench {
         cacheBuilds(name) = built.toSeq.sorted
         System.err.println(s"[bench] $name paid cache builds: ${built.toSeq.sorted.mkString(", ")}")
       }
-      releaseAfter.getOrElse(name, Nil).foreach { tag =>
-        // guard-rail work must never abort the sweep: if the bucket
-        // probe hits the same failure that already recorded this query
-        // as -1, log and move on — the run's JSON must still print.
-        // The release itself runs in the finally so a failed probe
-        // cannot leave the table cached (that would reinstate the
-        // storage-pressure distortion this lifecycle exists to stop);
-        // NonFatal only — a VM error must still kill the run rather
-        // than record garbage timings from a corrupted JVM.
-        try recordBucketStats(tag)
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] bucket guard for '$tag' failed: ${e.getMessage}")
-        } finally graft.queries.LlmQueries.release(spark, sfDir, tag)
-      }
+      releaseAfter.getOrElse(name, Nil).foreach(tag =>
+        BenchShared.guardAndRelease(spark, sfDir, tag, bucketStats, "bench"))
       res
     }
     graft.queries.LlmQueries.clearCaches(Some(spark))

@@ -34,11 +34,17 @@ import Q._
 object LlmQueries {
 
   // ---- shared DuckDB oracle fragments --------------------------------
-  /** DuckDB replica of TextFunctions.normText (note: DuckDB
-    * regexp_replace needs the 'g' flag; Spark replaces all matches).
+  /** DuckDB replica of TextFunctions.normText over an arbitrary input
+    * expression (note: DuckDB regexp_replace needs the 'g' flag; Spark
+    * replaces all matches). Parameterized so callers that pre-coalesce
+    * nulls (text_scan) compose the SAME normalization instead of
+    * patching the SQL string — a silent-divergence hazard if the
+    * expression ever changes.
     */
-  private[queries] val NORM =
-    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+  private[queries] def normOf(input: String): String =
+    s"""trim(regexp_replace(regexp_replace(lower($input), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"""
+
+  private[queries] val NORM = normOf("text")
   private[queries] val TOKS = s"string_split($NORM, ' ')"
   private[queries] val NTOK = s"(CASE WHEN length($NORM) = 0 THEN 0 ELSE len($TOKS) END)"
 

@@ -169,7 +169,7 @@ object SourceUdxQueries {
 
     "text_scan" ->
       s"""SELECT doc_id, CAST(length(${
-        LlmQueries.NORM.replace("lower(text)", "lower(coalesce(text, ''))")
+        LlmQueries.normOf("coalesce(text, '')")
       }) AS INTEGER) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -34,9 +34,10 @@ object ScaleSweep {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse("target/scale_corpus")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftSparkExtensions)
@@ -106,32 +107,18 @@ object ScaleSweep {
     embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     // ---- the heavy family at scale ----------------------------------
-    // Bench's corpus run order (producers before consumers) plus the
-    // kNN family; each memoized table released after its last consumer
-    val family = Seq(
-      "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
-      "ngram_jaccard", "dup_ngram_frac", "fuzzy_match", "graph_degree_dist",
-      "dedup_incremental", "contamination_check",
-      "tfidf_topk", "bm25_topk", "unigram_surprise",
-      "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
-      "semdedup_clusters", "embedding_neardup",
-      "knn_bruteforce", "cosine_topk", "knn_ivf", "knn_lsh", "knn_pq",
+    // Bench's shared corpus run order + release schedule (BenchShared,
+    // one definition for both harnesses) plus the embedding/ANN and
+    // scan-bound text queries that also exercise the scaled corpus
+    val family = graft.BenchShared.corpusFamily ++ Seq(
+      "embedding_neardup",
+      "knn_bruteforce", "cosine_topk", "knn_ivf", "knn_lsh",
+      "kmeans_assign", "lm_score",
       "exact_dedup", "text_stats", "lang_id", "doc_chunk")
-    val releaseAfter: Map[String, Seq[String]] = Map(
-      "minhash_est" -> Seq("minhash_sigs"),
-      "simhash_neardup" -> Seq("simhash"),
-      "dup_ngram_frac" -> Seq("shingles"),
-      "dedup_incremental" -> Seq("bands"),
-      "contamination_check" -> Seq("shingles_distinct"),
-      "unigram_surprise" -> Seq("term_rows"),
-      "dedup_clusters" -> Seq("candidate_pairs"),
-      "knn_pq" -> Seq("pq_codebook"))
+    val drifted = family.filterNot(graft.SparkEntry.queries.contains)
+    require(drifted.isEmpty,
+      s"family names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
     val bucketStats = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def maxBucket(g: org.apache.spark.sql.DataFrame): Long =
-      g.agg(max("count")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
     val results = family.map { name =>
       val t0 = System.nanoTime()
       val sec = try {
@@ -144,19 +131,8 @@ object ScaleSweep {
           -1.0
       }
       System.err.println(f"[scale] $name%-22s ${sec}%8.2f s")
-      releaseAfter.getOrElse(name, Nil).foreach { tag =>
-        try {
-          if (tag == "bands")
-            bucketStats("lsh_max_band_bucket") = maxBucket(
-              graft.queries.LlmQueries.bandTable(spark, outDir).groupBy("band", "key").count())
-          if (tag == "simhash")
-            bucketStats("simhash_max_band_bucket") = maxBucket(
-              graft.queries.LlmQueries.simhashBands(spark, outDir).groupBy("band", "key").count())
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[scale] bucket guard '$tag' failed: ${e.getMessage}")
-        } finally graft.queries.LlmQueries.release(spark, outDir, tag)
-      }
+      graft.BenchShared.releaseAfter.getOrElse(name, Nil).foreach(tag =>
+        graft.BenchShared.guardAndRelease(spark, outDir, tag, bucketStats, "scale"))
       name -> sec
     }
     graft.queries.LlmQueries.clearCaches(Some(spark))
