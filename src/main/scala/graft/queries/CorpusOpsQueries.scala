@@ -294,6 +294,82 @@ object CorpusOpsQueries {
         .filter($"rk" === 1)
         .select($"doc_id", $"cluster", $"source", $"quality", $"n_tokens")
         .orderBy($"doc_id")
+    }),
+
+    // Corpus mixture report — the table a pretraining run reads to
+    // decide sampling weights: per-source doc/token counts, token
+    // share, and the cumulative share in descending-token order (how
+    // much of the corpus the top-k sources cover). One hash aggregate
+    // over the corpus; the global window runs over S source rows
+    // (bounded — sources are a catalog, not data), so the
+    // single-partition window is fine at any corpus size.
+    "source_mix" -> ((s, d) => {
+      import s.implicits._
+      val bySrc = Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.nTokens($"text").cast("long")).as("tokens"))
+      val tot = bySrc.agg(sum($"tokens").as("total"))
+      val w = Window.orderBy($"tokens".desc, $"source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bySrc.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"tokens",
+          ($"tokens".cast("double") / $"total".cast("double")).as("share"),
+          (sum($"tokens").over(w).cast("double") / $"total".cast("double"))
+            .as("cum_share"))
+        .orderBy($"tokens".desc, $"source")
+    }),
+
+    // Temperature-reweighted mixture sampling (α = 0.5): each source's
+    // sampling weight is √tokens (the classic temperature flattening —
+    // α = 1 reproduces natural proportions, α → 0 uniform), scaled so
+    // the expected kept-token budget is τ·total. Per-doc keep decision
+    // is the seeded md5 uniform vs the source's rate — one broadcast
+    // join of S rates against the corpus, single scan, no shuffle of
+    // document rows. √ is IEEE-correctly-rounded in both engines and
+    // the weight sum is 6dp-snapped decimal (order-free), so the rate
+    // is bit-identical and the op keeps a full oracle.
+    "mixture_sample" -> ((s, d) => {
+      import s.implicits._
+      val tau = 0.25
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", TF.nTokens($"text").cast("long").as("n_tok"))
+      val bySrc = docs.groupBy($"source").agg(sum($"n_tok").as("src_tok"))
+        .withColumn("w6", rnd(sqrt($"src_tok".cast("double")), 6))
+      val tot = bySrc.agg(sum($"src_tok").as("total_tok"),
+        sum($"w6".cast("decimal(28,6)")).cast("double").as("w_sum"))
+      val rates = bySrc.crossJoin(broadcast(tot))
+        .select($"source",
+          least(lit(1.0),
+            lit(tau) * $"total_tok".cast("double") * $"w6" / $"w_sum"
+              / $"src_tok".cast("double")).as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("u", hashUniform($"doc_id"))
+        .filter($"u" < $"rate")
+        .select($"doc_id", $"source", $"n_tok", $"u", $"rate")
+        .orderBy($"doc_id")
+    }),
+
+    // Per-document lexical-diversity profile: type-token ratio and the
+    // Simpson concentration index Σcᵢ²/n² — the transcendental-free
+    // repetition signal (a doc that repeats one phrase concentrates
+    // mass; Simpson → 1). Polynomial in integer counts + one IEEE
+    // division per output, so it is bit-identical across engines with
+    // no rounding. Two hash aggregates over the shared term relation;
+    // at 100 TB this is the same shape as the tf stage of tfidf.
+    "token_diversity" -> ((s, d) => {
+      import s.implicits._
+      val counts = LlmQueries.termTable(s, d)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      counts.groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum($"c" * $"c").as("sum_c2"))
+        .select($"doc_id", $"n_tokens", $"n_types",
+          ($"n_types".cast("double") / $"n_tokens".cast("double")).as("ttr"),
+          ($"sum_c2".cast("double") / ($"n_tokens" * $"n_tokens").cast("double"))
+            .as("simpson"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -490,6 +566,52 @@ object CorpusOpsQueries {
          |    row_number() OVER (PARTITION BY c.cluster
          |      ORDER BY g.quality DESC, g.doc_id) AS rk
          |  FROM gated g JOIN clusters c USING (doc_id)) x
-         |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "source_mix" ->
+      s"""WITH t AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(${LlmQueries.NTOK}) AS BIGINT) AS tokens
+         | FROM documents GROUP BY source),
+         |s AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM t)
+         |SELECT source, n_docs, tokens,
+         | CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         | CAST(sum(tokens) OVER (ORDER BY tokens DESC, source
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |   / CAST(total AS DOUBLE) AS cum_share
+         |FROM t CROSS JOIN s ORDER BY tokens DESC, source""".stripMargin,
+
+    "mixture_sample" -> {
+      val hv = LlmQueries.duckHex8ToBigint("h")
+      val w6 = Q.duckRnd("sqrt(CAST(src_tok AS DOUBLE))", 6)
+      s"""WITH docs AS (SELECT doc_id, source,
+         |  CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok FROM documents),
+         |bysrc AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok,
+         |  $w6 AS w6 FROM docs GROUP BY source),
+         |tot AS (SELECT CAST(sum(src_tok) AS BIGINT) AS total_tok,
+         |  CAST(sum(CAST(w6 AS DECIMAL(28,6))) AS DOUBLE) AS w_sum FROM bysrc),
+         |rates AS (SELECT source,
+         |  least(1.0, 0.25 * CAST(total_tok AS DOUBLE) * w6 / w_sum
+         |    / CAST(src_tok AS DOUBLE)) AS rate
+         | FROM bysrc CROSS JOIN tot)
+         |SELECT doc_id, source, n_tok, u, rate FROM (
+         |  SELECT d.doc_id, d.source, d.n_tok,
+         |    ($hv) / 4294967296.0 AS u, r.rate
+         |  FROM (SELECT doc_id, source, n_tok,
+         |          md5('smp:' || CAST(doc_id AS VARCHAR)) AS h FROM docs) d
+         |  JOIN rates r USING (source)) t
+         |WHERE u < rate ORDER BY doc_id""".stripMargin
+    },
+
+    "token_diversity" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         |c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sum_c2
+         | FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         | CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         | CAST(sum_c2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+         |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -145,6 +145,70 @@ object LlmQueries {
     s"(CASE WHEN $nn = 0 THEN 0.0 ELSE ${duckDot(a, b)} / $nn END)"
   }
 
+  /** ‖x−c‖² between a PQ subvector `s.sub` and codebook entry `c.cent`
+    * — same (x·x − 2·x·c) + c·c op order as [[pqAssign]].
+    */
+  private val duckPqD2: String =
+    s"${duckDot("s.sub", "s.sub")} - 2*${duckDot("s.sub", "c.cent")} + ${duckDot("c.cent", "c.cent")}"
+
+  /** ADC score pivot: the 8 per-subspace partial dots re-assembled in
+    * fixed column order (engine-identical IEEE addition order).
+    */
+  private val duckPqFixedSum: String = (0 until 8)
+    .map(m => s"max(CASE WHEN m = $m THEN pdot END)")
+    .mkString(" + ")
+
+  /** Shared PQ replay CTE chain (subvector split → seed assignment →
+    * decimal-exact codebook → encode → per-query ADC table) — ONE
+    * definition consumed by both the `knn_pq` and `knn_ivfpq` oracles
+    * so the codebook replay can never drift between them. Mirrors
+    * [[pqCodebook]]/[[pqAssign]] exactly (same d2 op order, same code
+    * tiebreak, same 6dp-snap-before-decimal mean).
+    */
+  private val duckPqCtes: String =
+    s"""subq AS (
+       |  SELECT vec_id, label, m.range AS m,
+       |    embedding[m.range*8+1 : m.range*8+8] AS sub
+       |  FROM embeddings, range(0, 8) m
+       |),
+       |seeds AS (
+       |  SELECT vec_id AS code, m, sub AS cent FROM subq WHERE vec_id < 64
+       |),
+       |asg AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $duckPqD2, c.code) AS rk
+       |    FROM subq s JOIN seeds c ON s.m = c.m) t
+       |  WHERE rk = 1
+       |),
+       |dims AS (
+       |  SELECT a.code, s.m, generate_subscripts(s.sub, 1) AS pos,
+       |    CAST(${Q.duckRnd("CAST(unnest(s.sub) AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS dv
+       |  FROM subq s JOIN asg a ON s.vec_id = a.vec_id AND s.m = a.m
+       |),
+       |cvs AS (
+       |  SELECT code, m, pos, CAST(sum(dv) AS DOUBLE) / count(*) AS cv
+       |  FROM dims GROUP BY code, m, pos
+       |),
+       |cb AS (
+       |  SELECT code, m, list(CAST(cv AS REAL) ORDER BY pos) AS cent
+       |  FROM cvs GROUP BY code, m
+       |),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $duckPqD2, c.code) AS rk
+       |    FROM subq s JOIN cb c ON s.m = c.m) t
+       |  WHERE rk = 1
+       |),
+       |qtab AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.code,
+       |    ${duckDot("s.sub", "c.cent")} AS pdot
+       |  FROM subq s JOIN cb c ON s.m = c.m WHERE s.vec_id < 100
+       |)""".stripMargin
+
   // ---- Spark-side shared builders ------------------------------------
 
   /** 3-gram shingle rows (doc_id, sh): posexplode tokens, window lead
@@ -1179,6 +1243,158 @@ object LlmQueries {
             .when(octet_length($"text") % 3 === 1, "jpg")
             .otherwise("webp").as("fmt"))
         .orderBy($"doc_id")
+    }),
+
+    // Jaccard CONTAINMENT over the LSH candidate pairs:
+    // |A∩B| / min(|A|,|B|) — the asymmetric-duplication signal
+    // symmetric Jaccard misses (a doc pasted inside a much longer doc
+    // scores ~1.0 containment but low Jaccard, so a Jaccard-gated
+    // dedup keeps both copies). Same relational shingle-row
+    // intersection as ngram_jaccard over the same memoized candidate
+    // graph — O(1) payload per row, keyed joins only; the verify cost
+    // is bounded by candidate-pair count, not corpus size.
+    "minhash_containment" -> ((s, d) => {
+      import s.implicits._
+      val dsh = distinctShingleTable(s, d)
+      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = pairTable(s, d)
+        .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
+      // zero-intersection candidates drop out of `inter`: containment
+      // 0 can never pass the >= 0.5 threshold
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_int",
+          ($"n_int".cast("double") / least($"n_a", $"n_b").cast("double"))
+            .as("containment"))
+        .filter($"containment" >= 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion: a lexical
+    // more-like-this ranking (idf-weighted rare-term overlap) and a
+    // semantic ranking (embedding cosine) each produce a top-20 per
+    // query doc, and RRF (k = 60) fuses them — the standard way to
+    // combine rankers whose scores aren't commensurable. Scale: the
+    // lexical join is keyed on DISCRIMINATIVE terms only (df ≤ N/10),
+    // so its fan-out is bounded by rare-term posting lists — the
+    // stop-word explosion never reaches the join; the semantic side
+    // here is the brute-force contrast case (swap in knn_lsh/knn_pq
+    // at scale — any ranker that emits (q_id, doc_id, rank) fuses
+    // identically). Rank arithmetic 1/(60+r) is a single IEEE
+    // division, so the fused score needs no rounding.
+    "rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val RrfK = 60
+      // retrieval corpus: documents that carry an embedding (shared
+      // id space; at every sf embeddings ⊆ documents)
+      val emb = withNorm(Tables.embeddings(s, d))
+      val n = memoizedCount(s, d, "embeddings_count")(
+        Tables.embeddings(s, d).count())
+      val maxDf = math.max(2L, n / 10)
+      val t = termTable(s, d)
+        .join(emb.select($"vec_id".as("doc_id")), Seq("doc_id"))
+        .select($"doc_id", $"term").distinct()
+      val rare = t.groupBy($"term").agg(count(lit(1)).as("df"))
+        .filter($"df" <= maxDf)
+      val lex = t.filter($"doc_id" < 20).select($"doc_id".as("q_id"), $"term")
+        .join(t, Seq("term"))
+        .join(broadcast(rare), Seq("term"))
+        .filter($"q_id" =!= $"doc_id")
+        .select($"q_id", $"doc_id",
+          rnd(lit(n + 1).cast("double") / ($"df" + 1).cast("double"), 6).as("idf6"))
+        .groupBy($"q_id", $"doc_id")
+        .agg(sum($"idf6".cast("decimal(18,6)")).cast("double").as("lex_score"))
+      val wl = Window.partitionBy($"q_id").orderBy($"lex_score".desc, $"doc_id")
+      val lexTop = lex.withColumn("r_lex", row_number().over(wl))
+        .filter($"r_lex" <= 20).select($"q_id", $"doc_id", $"r_lex")
+      val q = broadcast(emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm")))
+      val ws = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"doc_id")
+      val semTop = q.join(emb, $"q_id" =!= $"vec_id")
+        .select($"q_id", $"vec_id".as("doc_id"),
+          rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+        .withColumn("r_sem", row_number().over(ws))
+        .filter($"r_sem" <= 20).select($"q_id", $"doc_id", $"r_sem")
+      val wf = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+      lexTop.join(semTop, Seq("q_id", "doc_id"), "full_outer")
+        .select($"q_id", $"doc_id",
+          (when($"r_lex".isNotNull, lit(1.0) / ($"r_lex" + RrfK).cast("double"))
+            .otherwise(lit(0.0))
+            + when($"r_sem".isNotNull, lit(1.0) / ($"r_sem" + RrfK).cast("double"))
+              .otherwise(lit(0.0))).as("rrf"),
+          coalesce($"r_lex", lit(0)).cast("long").as("r_lex"),
+          coalesce($"r_sem", lit(0)).cast("long").as("r_sem"))
+        .withColumn("rn", row_number().over(wf))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"doc_id", $"rn", $"r_lex", $"r_sem", $"rrf")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    // IVF-PQ — the two scale paths COMPOSED, the shape a billion-vector
+    // index actually runs: the coarse quantizer (K = 50 seeded
+    // centroids, same assignment math as kmeans_assign) partitions the
+    // corpus into cells, each query probes its nprobe = 2 nearest
+    // cells, and within the probed cells scoring is ADC over the
+    // memoized pqCodebook codes (by_residual = false, FAISS's
+    // IVFPQ-no-residual variant — reusing the corpus-trained codebook
+    // keeps the cell store one artifact instead of K). Per query the
+    // scan touches ~nprobe/K of the CODES (8 B/vector), never raw
+    // floats: candidate count and memory both shrink multiplicatively.
+    // Fully deterministic given the seeded centroids + codebook →
+    // full DuckDB oracle; QueriesSpec pins the probe discipline and
+    // recall floor.
+    "knn_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      VecFunctions.register(s)
+      val K = 50
+      val e = Tables.embeddings(s, d)
+      val cents = broadcast(e.filter($"vec_id" < K)
+        .select($"vec_id".as("cell"), $"embedding".as("cent"))
+        .withColumn("cc", VecFunctions.vecDot($"cent", $"cent")))
+      val d2 = $"xx" - lit(2.0) * VecFunctions.vecDot($"embedding", $"cent") + $"cc"
+      // cell assignment for every vector — same op order and tiebreak
+      // as kmeans_assign, so the two operators can never disagree on
+      // the partition a vector lives in
+      val cells = e.withColumn("xx", VecFunctions.vecDot($"embedding", $"embedding"))
+        .crossJoin(cents)
+        .select($"vec_id", $"cell", d2.as("d2"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2", $"cell")).getField("cell").as("cell"))
+      val wc = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
+      val probes = e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .withColumn("xx", VecFunctions.vecDot($"q_emb", $"q_emb"))
+        .crossJoin(cents)
+        .select($"q_id", $"cell",
+          ($"xx" - lit(2.0) * VecFunctions.vecDot($"q_emb", $"cent") + $"cc").as("d2"))
+        .withColumn("cr", row_number().over(wc))
+        .filter($"cr" <= 2)
+        .select($"q_id", $"cell")
+      val cb = pqCodebook(s, d)
+      val enc = pqAssign(pqSubX(s, d), cb).join(cells, Seq("vec_id"))
+      val subArr = array((0 until PqM).map(m =>
+        slice($"embedding", m * PqSubDim + 1, PqSubDim)): _*)
+      val qtab = e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), posexplode(subArr).as(Seq("m", "qsub")))
+        .join(broadcast(cb), Seq("m"))
+        .select($"q_id", $"m", $"code", VecFunctions.vecDot($"qsub", $"cent").as("pdot"))
+        .localCheckpoint()
+      val ps = (0 until PqM).map(m => max(when($"m" === m, $"pdot")).as(s"p$m"))
+      val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+      enc.join(broadcast(probes), Seq("cell"))
+        .filter($"q_id" =!= $"vec_id")
+        .join(broadcast(qtab), Seq("q_id", "m", "code"))
+        .groupBy($"q_id", $"vec_id")
+        .agg(ps.head, ps.tail: _*)
+        .select($"q_id", $"vec_id",
+          rnd((0 until PqM).map(m => col(s"p$m")).reduce(_ + _), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"score")
+        .orderBy($"q_id", $"rn")
     })
   )
 
@@ -1501,55 +1717,10 @@ object LlmQueries {
     // casts, replays the argmin encoding (same (x·x − 2·x·c) + c·c op
     // order, same code tiebreak), builds the same ADC table, and sums
     // the 8 partial dots in the same fixed column order.
-    "knn_pq" -> {
-      val d2 = s"${duckDot("s.sub", "s.sub")} - 2*${duckDot("s.sub", "c.cent")} + ${duckDot("c.cent", "c.cent")}"
-      val fixedSum = (0 until 8)
-        .map(m => s"max(CASE WHEN m = $m THEN pdot END)")
-        .mkString(" + ")
-      s"""WITH subq AS (
-         |  SELECT vec_id, label, m.range AS m,
-         |    embedding[m.range*8+1 : m.range*8+8] AS sub
-         |  FROM embeddings, range(0, 8) m
-         |),
-         |seeds AS (
-         |  SELECT vec_id AS code, m, sub AS cent FROM subq WHERE vec_id < 64
-         |),
-         |asg AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT s.vec_id, s.m, c.code,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY $d2, c.code) AS rk
-         |    FROM subq s JOIN seeds c ON s.m = c.m) t
-         |  WHERE rk = 1
-         |),
-         |dims AS (
-         |  SELECT a.code, s.m, generate_subscripts(s.sub, 1) AS pos,
-         |    CAST(${Q.duckRnd("CAST(unnest(s.sub) AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS dv
-         |  FROM subq s JOIN asg a ON s.vec_id = a.vec_id AND s.m = a.m
-         |),
-         |cvs AS (
-         |  SELECT code, m, pos, CAST(sum(dv) AS DOUBLE) / count(*) AS cv
-         |  FROM dims GROUP BY code, m, pos
-         |),
-         |cb AS (
-         |  SELECT code, m, list(CAST(cv AS REAL) ORDER BY pos) AS cent
-         |  FROM cvs GROUP BY code, m
-         |),
-         |enc AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT s.vec_id, s.m, c.code,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY $d2, c.code) AS rk
-         |    FROM subq s JOIN cb c ON s.m = c.m) t
-         |  WHERE rk = 1
-         |),
-         |qtab AS (
-         |  SELECT s.vec_id AS q_id, s.m, c.code,
-         |    ${duckDot("s.sub", "c.cent")} AS pdot
-         |  FROM subq s JOIN cb c ON s.m = c.m WHERE s.vec_id < 100
-         |),
+    "knn_pq" ->
+      s"""WITH $duckPqCtes,
          |sc AS (
-         |  SELECT q_id, vec_id, $fixedSum AS raw
+         |  SELECT q_id, vec_id, $duckPqFixedSum AS raw
          |  FROM enc JOIN qtab USING (m, code)
          |  WHERE q_id <> vec_id
          |  GROUP BY q_id, vec_id
@@ -1559,8 +1730,7 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY ${Q.duckRnd("raw", 6)} DESC, vec_id) AS rn
          |  FROM sc) t
-         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-    },
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "hof_funcs" ->
       s"""SELECT vec_id,
@@ -1590,6 +1760,96 @@ object LlmQueries {
         | CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
         |      WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpg'
         |      ELSE 'webp' END AS fmt
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "minhash_containment" ->
+      s"""WITH $duckCandidateCtes
+         |SELECT doc_a, doc_b, n_a, n_b, n_int, containment FROM (
+         | SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_distinct(sa.sh)) AS BIGINT) AS n_a,
+         |  CAST(len(list_distinct(sb.sh)) AS BIGINT) AS n_b,
+         |  CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS BIGINT) AS n_int,
+         |  CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |   / least(len(list_distinct(sa.sh)), len(list_distinct(sb.sh))) AS containment
+         | FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b) t
+         |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "rrf_fusion" -> {
+      val idf6 = Q.duckRnd("CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)", 6)
+      s"""WITH tt AS (SELECT d.doc_id, unnest(string_split(${normOf("d.text")}, ' ')) AS term
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |t AS (SELECT DISTINCT doc_id, term FROM tt WHERE term <> ''),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |rare AS (SELECT term, count(*) AS df FROM t CROSS JOIN nn
+         |  GROUP BY term, n HAVING count(*) <= greatest(2, n // 10)),
+         |lex AS (SELECT a.doc_id AS q_id, b.doc_id AS doc_id,
+         |   CAST(sum(CAST($idf6 AS DECIMAL(18,6))) AS DOUBLE) AS lex_score
+         |  FROM t a JOIN t b USING (term) JOIN rare USING (term) CROSS JOIN nn
+         |  WHERE a.doc_id < 20 AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |lextop AS (SELECT q_id, doc_id, r_lex FROM (
+         |   SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY lex_score DESC, doc_id) AS r_lex FROM lex) x
+         |  WHERE r_lex <= 20),
+         |sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+         |   ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} AS cos_sim
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+         |  WHERE q.vec_id < 20),
+         |semtop AS (SELECT q_id, doc_id, r_sem FROM (
+         |   SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY cos_sim DESC, doc_id) AS r_sem FROM sem) x
+         |  WHERE r_sem <= 20),
+         |f AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+         |   coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex AS rl, s.r_sem AS rs
+         |  FROM lextop l FULL OUTER JOIN semtop s
+         |   ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+         |r AS (SELECT q_id, doc_id,
+         |   (CASE WHEN rl IS NOT NULL THEN 1.0 / CAST(rl + 60 AS DOUBLE) ELSE 0.0 END)
+         |   + (CASE WHEN rs IS NOT NULL THEN 1.0 / CAST(rs + 60 AS DOUBLE) ELSE 0.0 END) AS rrf,
+         |   coalesce(rl, 0) AS r_lex, coalesce(rs, 0) AS r_sem FROM f)
+         |SELECT q_id, doc_id, rn, r_lex, r_sem, rrf FROM (
+         |  SELECT q_id, doc_id, r_lex, r_sem, rrf,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM r) x
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
+
+    // knn_pq's replay CTEs plus the coarse-quantizer replay: cell
+    // assignment and query probes rank the same full-vector d2 with
+    // the same cell tiebreak as the Spark side, then the ADC scan is
+    // restricted to the probed cells before scoring.
+    "knn_ivfpq" -> {
+      val cellD2 = s"${duckDot("e.embedding", "e.embedding")} - 2*${duckDot("e.embedding", "c.cent")} + ${duckDot("c.cent", "c.cent")}"
+      s"""WITH $duckPqCtes,
+         |cents AS (SELECT vec_id AS cell, embedding AS cent
+         |  FROM embeddings WHERE vec_id < 50),
+         |cellasg AS (SELECT vec_id, cell FROM (
+         |   SELECT e.vec_id, c.cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY $cellD2, c.cell) AS rk
+         |   FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rk = 1),
+         |probes AS (SELECT q_id, cell FROM (
+         |   SELECT e.vec_id AS q_id, c.cell,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY $cellD2, c.cell) AS cr
+         |   FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 100) t
+         |  WHERE cr <= 2),
+         |sc AS (
+         |  SELECT q_id, vec_id, $duckPqFixedSum AS raw
+         |  FROM enc JOIN cellasg USING (vec_id)
+         |   JOIN probes USING (cell) JOIN qtab USING (q_id, m, code)
+         |  WHERE q_id <> vec_id
+         |  GROUP BY q_id, vec_id
+         |)
+         |SELECT q_id, neighbor_id, rn, score FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, ${Q.duckRnd("raw", 6)} AS score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${Q.duckRnd("raw", 6)} DESC, vec_id) AS rn
+         |  FROM sc) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    }
   )
 }

@@ -446,4 +446,42 @@ class PlanSpec extends SparkSpecBase {
     assert(finalSection.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"),
       "centroid filter not pushed to the parquet scan")
   }
+
+  test("knn_ivfpq: probes/ADC table broadcast, scan side keyed — no cartesian scoring") {
+    val p = finalPlan("knn_ivfpq")
+    val finalSection = p.split("== Initial Plan ==").head
+    // the ADC scoring join is keyed on (cell) then (q_id,m,code) with
+    // the small sides broadcast — the corpus code rows never cross a
+    // cartesian; the only nested-loop joins are the bounded K=50
+    // centroid broadcasts of the coarse quantizer
+    assert(finalSection.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!finalSection.contains("CartesianProduct"), "cartesian in ADC scoring")
+    assert(finalSection.toLowerCase.contains("floatvecdot"),
+      "codegen'd vec_dot missing from the plan")
+    assert(finalSection.contains("partial_min(struct"),
+      "cell assignment shuffles the full N×K expansion")
+  }
+
+  test("rrf_fusion: lexical side keyed on rare terms — exactly one declared brute-force NLJ") {
+    val p = finalPlan("rrf_fusion")
+    val finalSection = p.split("== Initial Plan ==").head
+    // the semantic side is the declared brute-force contrast case
+    // (one BroadcastNestedLoopJoin of the 20 query vectors); the
+    // lexical side must join keyed on term — a second NLJ would mean
+    // the posting-list join degenerated
+    val nlj = finalSection.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(nlj == 1, s"expected exactly 1 nested-loop join, found $nlj")
+    assert(!finalSection.contains("CartesianProduct"), "cartesian in fusion")
+    assert(finalSection.contains("BroadcastHashJoin"), "rare-term join not broadcast-keyed")
+  }
+
+  test("mixture_sample: per-source rates broadcast onto a single corpus scan") {
+    val p = finalPlan("mixture_sample")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!finalSection.contains("SortMergeJoin"),
+      "rate join shuffled the corpus instead of broadcasting S rates")
+    assert(!finalSection.contains("CartesianProduct"), "cartesian in sampling")
+  }
 }

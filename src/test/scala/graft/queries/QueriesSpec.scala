@@ -239,4 +239,180 @@ class QueriesSpec extends SparkSpecBase {
     }
     assert(fr.zip(fr.tail).forall { case (a, b) => b < a }, s"fractions $fr not decreasing")
   }
+
+  // IVF-PQ composes the coarse quantizer with ADC: every returned
+  // neighbor must live in one of the query's nprobe=2 probed cells
+  // (cells replayed on the driver with the same d2 op order and
+  // tiebreak), ranking must be non-increasing in the ADC score, and
+  // recall keeps a floor vs the exact top-5 (measured 0.35 at
+  // sf0.001 — barely below knn_pq's full-scan ~0.37: with nprobe=2
+  // of 50 cells the restriction rarely evicts a true neighbor).
+  test("knn_ivfpq: probe discipline, ranking order, recall floor") {
+    val vecs = embVecs(sf)
+    val cents = vecs.filter(_._1 < 50)
+    def d2(x: Array[Float], c: Array[Float]): Double =
+      dot(x, x) - 2.0 * dot(x, c) + dot(c, c)
+    val cellOf = vecs.map { case (id, e) =>
+      id -> cents.toSeq.map { case (cid, ce) => (d2(e, ce), cid) }.min._2
+    }
+    val probesOf = vecs.keys.filter(_ < 100).map { q =>
+      q -> cents.toSeq.map { case (cid, ce) => (d2(vecs(q), ce), cid) }
+        .sorted.take(2).map(_._2).toSet
+    }.toMap
+    val got = SparkEntry.queries("knn_ivfpq")(spark, sf)
+      .select($"q_id", $"neighbor_id", $"rn", $"score")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, _, _) =>
+      withClue(s"query $q neighbor $n cell ${cellOf(n)} probes ${probesOf(q)}: ")(
+        assert(probesOf(q).contains(cellOf(n))))
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val ss = rows.sortBy(_._3).map(_._4)
+      withClue(s"query $q: ")(
+        assert(ss.zip(ss.tail).forall { case (a, b) => a >= b }))
+    }
+    val exact = vecs.keys.filter(_ < 100).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q).map { case (v, vv) => (v, dot(vecs(q), vv)) }
+        .sortBy { case (v, s2) => (-s2, v) }.take(5).map(_._1).toSet
+    }.toMap
+    val byQ = got.groupBy(_._1)
+    val recall = exact.map { case (q, ex) =>
+      byQ.getOrElse(q, Array()).map(_._2).toSet.intersect(ex).size
+    }.sum.toDouble / (exact.size * 5)
+    assert(recall >= 0.2, s"recall@5 = $recall below floor (measured 0.35)")
+  }
+
+  // RRF output is self-certifying: the fused score must equal the
+  // reciprocal-rank arithmetic of its own rank columns (exact doubles
+  // — same op order), ranks stay within the top-20 truncation, and a
+  // row with both ranks 0 cannot exist (it would have rrf 0 and come
+  // from neither ranker).
+  test("rrf_fusion: fused score arithmetic, rank bounds, ordering") {
+    val rows = SparkEntry.queries("rrf_fusion")(spark, sf)
+      .select($"q_id", $"doc_id", $"rn", $"r_lex", $"r_sem", $"rrf")
+      .as[(Long, Long, Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, d, rn, rl, rs, rrf) =>
+      withClue(s"row ($q,$d): ") {
+        assert(rl >= 0 && rl <= 20 && rs >= 0 && rs <= 20)
+        assert(rl > 0 || rs > 0, "fused row from neither ranker")
+        val expected = (if (rl > 0) 1.0 / (rl + 60).toDouble else 0.0) +
+          (if (rs > 0) 1.0 / (rs + 60).toDouble else 0.0)
+        assert(rrf == expected, s"rrf $rrf != $expected")
+        assert(rn >= 1 && rn <= 5)
+      }
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val scores = rs.sortBy(_._3).map(_._6)
+      withClue(s"query $q: ")(
+        assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }))
+    }
+  }
+
+  // Full driver replay of the temperature sampler: recompute every
+  // source rate (same √-weight, 6dp-snap, decimal weight sum, and
+  // double op order) and every doc's md5 uniform, and demand the kept
+  // SET matches exactly — the determinism contract that makes the
+  // sample reproducible on any engine.
+  test("mixture_sample: kept set equals exact driver replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.nTokens($"text").cast("long"))
+      .as[(Long, String, Long)].collect()
+    val bySrc = docs.groupBy(_._2).map { case (src, rows) =>
+      src -> rows.map(_._3).sum
+    }
+    def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val w6 = bySrc.map { case (s, t) => s -> rnd6(math.sqrt(t.toDouble)) }
+    val wSum = w6.values
+      .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val total = bySrc.values.sum
+    val rate = bySrc.map { case (s, t) =>
+      s -> math.min(1.0, 0.25 * total.toDouble * w6(s) / wSum / t.toDouble)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uniform(id: Long): Double = {
+      val h = md.digest(s"smp:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    val expected = docs.filter { case (id, src, _) => uniform(id) < rate(src) }
+      .map(_._1).toSet
+    val got = SparkEntry.queries("mixture_sample")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected,
+      s"diff got-exp=${(got -- expected).take(5)} exp-got=${(expected -- got).take(5)}")
+    assert(got.nonEmpty && got.size < docs.length,
+      "sample should be a proper subset")
+  }
+
+  // Containment dominates Jaccard on every shared candidate pair
+  // (|A∩B|/min ≥ |A∩B|/|A∪B|), and the asymmetric signal is the
+  // point: pairs can pass the 0.5 containment gate while failing the
+  // 0.4 Jaccard gate, never the reverse at these thresholds.
+  test("minhash_containment: dominates Jaccard, bounds, intersection sanity") {
+    val cont = SparkEntry.queries("minhash_containment")(spark, sf)
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_int", $"containment")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(cont.nonEmpty)
+    cont.foreach { case (a, b, na, nb, ni, c) =>
+      withClue(s"pair ($a,$b): ") {
+        assert(ni >= 1 && ni <= math.min(na, nb))
+        assert(c > 0.0 && c <= 1.0)
+        assert(c == ni.toDouble / math.min(na, nb).toDouble)
+      }
+    }
+    val jacc = SparkEntry.queries("ngram_jaccard")(spark, sf)
+      .select($"doc_a", $"doc_b", $"jacc")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val contMap = cont.map { case (a, b, _, _, _, c) => (a, b) -> c }.toMap
+    jacc.foreach { case (pair, j) =>
+      contMap.get(pair).foreach { c =>
+        withClue(s"pair $pair: ")(assert(c >= j - 1e-12, s"containment $c < jaccard $j"))
+      }
+    }
+  }
+
+  // The mixture report must be internally consistent: shares recompute
+  // exactly from the row's own counts, cumulative share is
+  // non-decreasing in the declared order and ends at exactly 1.0
+  // (total/total is an exact IEEE division).
+  test("source_mix: shares exact, cumulative monotone to 1.0") {
+    val rows = SparkEntry.queries("source_mix")(spark, sf)
+      .select($"source", $"n_docs", $"tokens", $"share", $"cum_share")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    rows.foreach { case (s, _, t, share, _) =>
+      withClue(s"source $s: ")(
+        assert(share == t.toDouble / total.toDouble))
+    }
+    val cums = rows.map(_._5)
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "cum not monotone")
+    assert(cums.last == 1.0, s"cumulative share ends at ${cums.last}")
+    assert(rows.map(_._2).sum ==
+      graft.Tables.documents(spark, sf).count(), "doc counts must cover corpus")
+  }
+
+  // Diversity profile invariants: ttr and simpson recompute exactly
+  // from the row's integer counts, and both live in their theoretical
+  // ranges (simpson ≥ 1/n_types is the uniform-distribution floor).
+  test("token_diversity: exact ratios and theoretical bounds") {
+    val rows = SparkEntry.queries("token_diversity")(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_types", $"ttr", $"simpson")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, ty, ttr, simp) =>
+      withClue(s"doc $id: ") {
+        assert(ty >= 1 && ty <= n)
+        assert(ttr == ty.toDouble / n.toDouble)
+        assert(simp <= 1.0 + 1e-12)
+        assert(simp >= 1.0 / ty.toDouble - 1e-12,
+          s"simpson $simp below uniform floor with $ty types")
+      }
+    }
+  }
 }
