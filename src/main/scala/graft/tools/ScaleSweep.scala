@@ -113,7 +113,7 @@ object ScaleSweep {
     val family = graft.BenchShared.corpusFamily ++ Seq(
       "embedding_neardup",
       "knn_bruteforce", "cosine_topk", "knn_ivf", "knn_lsh",
-      "kmeans_assign", "lm_score",
+      "lm_score",
       "exact_dedup", "text_stats", "lang_id", "doc_chunk")
     val drifted = family.filterNot(graft.SparkEntry.queries.contains)
     require(drifted.isEmpty,
