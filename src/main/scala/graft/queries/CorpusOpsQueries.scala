@@ -350,6 +350,29 @@ object CorpusOpsQueries {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic shard planning — the "write N balanced output
+    // shards" step before a training run: each doc lands in one of 16
+    // shards via the seeded md5 uniform (engine-reproducible, stable
+    // under re-partitioning and re-runs), and the report is per-shard
+    // docs/tokens plus the balance ratio vs the ideal tokens/S. One
+    // scan, one S-group aggregate; the balance check is what a
+    // pipeline alerts on before committing a shard layout.
+    "shard_plan" -> ((s, d) => {
+      import s.implicits._
+      val S = 16
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", TF.nTokens($"text").cast("long").as("n_tok"),
+          floor(hashUniform($"doc_id") * S).cast("int").as("shard"))
+      val tot = docs.agg(sum($"n_tok").as("total_tok"))
+      docs.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"))
+        .crossJoin(broadcast(tot))
+        .select($"shard", $"n_docs", $"tokens",
+          ($"tokens".cast("double") / ($"total_tok".cast("double") / lit(16.0)))
+            .as("balance"))
+        .orderBy($"shard")
+    }),
+
     // Per-document lexical-diversity profile: type-token ratio and the
     // Simpson concentration index Σcᵢ²/n² — the transcendental-free
     // repetition signal (a doc that repeats one phrase concentrates
@@ -600,6 +623,21 @@ object CorpusOpsQueries {
          |          md5('smp:' || CAST(doc_id AS VARCHAR)) AS h FROM docs) d
          |  JOIN rates r USING (source)) t
          |WHERE u < rate ORDER BY doc_id""".stripMargin
+    },
+
+    "shard_plan" -> {
+      val hv = LlmQueries.duckHex8ToBigint("h")
+      s"""WITH docs AS (SELECT doc_id,
+         |  CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok,
+         |  CAST(floor((($hv) / 4294967296.0) * 16) AS INTEGER) AS shard
+         | FROM (SELECT doc_id, text,
+         |         md5('smp:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) t),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM docs)
+         |SELECT shard, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS tokens,
+         | CAST(sum(n_tok) AS DOUBLE) / (CAST(total_tok AS DOUBLE) / 16.0) AS balance
+         |FROM docs CROSS JOIN tot
+         |GROUP BY shard, total_tok ORDER BY shard""".stripMargin
     },
 
     "token_diversity" ->

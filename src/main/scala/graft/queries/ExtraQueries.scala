@@ -397,6 +397,43 @@ object ExtraQueries {
         .select($"doc_id", $"n_frames",
           explode(sequence(lit(0), $"n_frames" - 1, lit(step))).as("frame_idx"))
         .orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // The regex surface (§2.8) as a declared query: group extraction,
+    // non-overlapping match counting, anchored matching, global
+    // replacement, and first/all-match extraction — all RE2-common
+    // syntax so Java regex (Spark codegen) and DuckDB's RE2 agree
+    // match-for-match. No-match conventions differ per function and
+    // are pinned here: extract-group yields '' in both; the
+    // all-matches list indexes to NULL in both.
+    "regex_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_extract($"source", "([a-z]+)([0-9]+)", 2).as("src_num"),
+          regexp_count($"text", lit("\\bthe\\b")).cast("long").as("n_the"),
+          regexp_like($"lang", lit("^(en|de)$")).as("is_ende"),
+          substring(regexp_replace($"text", "[aeiou]", ""), 1, 12).as("devoweled12"),
+          get(regexp_extract_all($"text", lit("[a-z]{8,}"), lit(0)), lit(0))
+            .as("first_long"),
+          size(regexp_extract_all($"text", lit("[a-z]{8,}"), lit(0))).cast("long").as("n_long"))
+        .orderBy($"doc_id")
+    }),
+
+    // The generator surface (§2.9) as a declared query: a computed
+    // sequence exploded WITH ordinality, including the empty-array
+    // edge — posexplode_outer must keep the parent row with NULL
+    // (pos, v) where a plain posexplode would drop it. Narrow per-row
+    // expansion, no shuffle before the output sort.
+    "generator_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          when(($"n_chars" % 4) === 0, array().cast("array<bigint>"))
+            .otherwise(sequence(lit(1L), $"n_chars" % 4)).as("seq"))
+        .select($"doc_id", size($"seq").cast("long").as("n_items"),
+          posexplode_outer($"seq").as(Seq("pos", "v")))
+        .orderBy($"doc_id", $"pos")
     })
   )
 
@@ -620,6 +657,35 @@ object ExtraQueries {
         |FROM (SELECT doc_id,
         |   octet_length(encode(text)) % 30 + 1 AS n_frames
         |  FROM documents) t
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "regex_funcs" ->
+      """SELECT doc_id,
+        | regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS src_num,
+        | CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+        | regexp_matches(lang, '^(en|de)$') AS is_ende,
+        | substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 12) AS devoweled12,
+        | (regexp_extract_all(text, '[a-z]{8,}'))[1] AS first_long,
+        | CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // outer-unnest emulation: empty sequences pad to [NULL] so the
+    // parent row survives the unnest, then (pos, v) null out.
+    "generator_funcs" ->
+      """SELECT doc_id, n_items,
+        | CASE WHEN n_items = 0 THEN NULL ELSE pos END AS pos,
+        | CASE WHEN n_items = 0 THEN NULL ELSE v END AS v
+        |FROM (
+        | SELECT doc_id, CAST(len(seq) AS BIGINT) AS n_items,
+        |  generate_subscripts(seq2, 1) - 1 AS pos, unnest(seq2) AS v
+        | FROM (
+        |  SELECT doc_id, seq,
+        |   CASE WHEN len(seq) = 0 THEN [NULL] ELSE seq END AS seq2
+        |  FROM (
+        |   SELECT doc_id,
+        |    CASE WHEN n_chars % 4 = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE range(1, n_chars % 4 + 1) END AS seq
+        |   FROM documents) t0) t1) t2
+        |ORDER BY doc_id, pos""".stripMargin
   )
 }

@@ -397,6 +397,62 @@ class QueriesSpec extends SparkSpecBase {
       graft.Tables.documents(spark, sf).count(), "doc counts must cover corpus")
   }
 
+  // Shard plan invariants: every doc lands in exactly one of the 16
+  // shards (counts cover the corpus), and the balance column is the
+  // exact ratio of the row's own tokens to the ideal share — balance
+  // sums to 16 by construction.
+  test("shard_plan: full coverage, exact balance arithmetic") {
+    val rows = SparkEntry.queries("shard_plan")(spark, sf)
+      .select($"shard", $"n_docs", $"tokens", $"balance")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf((0 until 16).toSet))
+    assert(rows.map(_._2).sum == graft.Tables.documents(spark, sf).count())
+    val total = rows.map(_._3).sum
+    rows.foreach { case (sh, _, t, b) =>
+      withClue(s"shard $sh: ")(
+        assert(b == t.toDouble / (total.toDouble / 16.0)))
+    }
+    assert(math.abs(rows.map(_._4).sum - 16.0) < 1e-9)
+  }
+
+  // Generator edge semantics: posexplode_outer keeps empty-sequence
+  // parents as a single (null, null) row; non-empty sequences emit
+  // exactly n_items rows with contiguous 0-based positions.
+  test("generator_funcs: outer-explode null row, ordinality contiguous") {
+    val rows = SparkEntry.queries("generator_funcs")(spark, sf)
+      .select($"doc_id", $"n_items", $"pos", $"v")
+      .as[(Long, Long, Option[Int], Option[Long])].collect()
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      withClue(s"doc $id: ") {
+        val n = rs.head._2
+        if (n == 0) {
+          assert(rs.length == 1 && rs.head._3.isEmpty && rs.head._4.isEmpty)
+        } else {
+          assert(rs.length == n)
+          assert(rs.flatMap(_._3).sorted.toSeq == (0 until n.toInt))
+          assert(rs.flatMap(_._4).sorted.toSeq == (1L to n))
+        }
+      }
+    }
+    assert(rows.exists(_._2 == 0), "fixture should exercise the empty edge")
+  }
+
+  // Regex surface self-consistency: match count and first-match
+  // presence agree, and the global vowel replacement really removed
+  // every vowel from the prefix.
+  test("regex_funcs: count/presence agreement, replacement completeness") {
+    val rows = SparkEntry.queries("regex_funcs")(spark, sf)
+      .select($"doc_id", $"first_long", $"n_long", $"devoweled12")
+      .as[(Long, Option[String], Long, String)].collect()
+    rows.foreach { case (id, first, n, dev) =>
+      withClue(s"doc $id: ") {
+        assert(first.isDefined == (n > 0))
+        assert(!dev.exists("aeiou".contains(_)), s"vowel survived in '$dev'")
+        first.foreach(f => assert(f.length >= 8 && f.forall(_.isLower)))
+      }
+    }
+  }
+
   // Diversity profile invariants: ttr and simpson recompute exactly
   // from the row's integer counts, and both live in their theoretical
   // ranges (simpson ≥ 1/n_types is the uniform-distribution floor).
