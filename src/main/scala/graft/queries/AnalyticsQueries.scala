@@ -206,6 +206,29 @@ object AnalyticsQueries {
         .groupBy($"l_orderkey")
         .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
         .orderBy($"l_orderkey")
+    }),
+
+    // Winsorization — clip a measure to its per-group [p10, p90] exact
+    // percentiles, the standard robust-stats cleanup before training a
+    // model on heavy-tailed data. Two passes sharing one scan shape:
+    // the tiny per-group bound table (one row per returnflag) computes
+    // with exact interpolated percentiles and BROADCASTS back onto the
+    // fact scan — the fact table itself never shuffles for the clip.
+    // Bounds are 4dp-snapped (Q.rnd) so the clip thresholds are
+    // engine-identical; clipping picks one of {lo, x, hi}, all exact.
+    "winsorize" -> ((s, d) => {
+      import s.implicits._
+      val bounds = broadcast(Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(rnd(expr("percentile(l_extendedprice, 0.1)"), 4).as("lo"),
+          rnd(expr("percentile(l_extendedprice, 0.9)"), 4).as("hi")))
+      Tables.lineitem(s, d)
+        .join(bounds, Seq("l_returnflag"))
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice",
+          least(greatest($"l_extendedprice", $"lo"), $"hi").as("clipped"),
+          ($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi").as("was_clipped"))
+        .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
     })
   )
 
@@ -308,6 +331,18 @@ object AnalyticsQueries {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |GROUP BY l_orderkey
-        |ORDER BY l_orderkey""".stripMargin
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "winsorize" ->
+      s"""WITH b AS (SELECT l_returnflag,
+         |  ${Q.duckRnd("quantile_cont(l_extendedprice, 0.1)", 4)} AS lo,
+         |  ${Q.duckRnd("quantile_cont(l_extendedprice, 0.9)", 4)} AS hi
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+         | l.l_extendedprice,
+         | least(greatest(l.l_extendedprice, b.lo), b.hi) AS clipped,
+         | (l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi) AS was_clipped
+         |FROM lineitem l JOIN b USING (l_returnflag)
+         |ORDER BY l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_extendedprice""".stripMargin
   )
 }

@@ -1270,6 +1270,64 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style composite quality filter: the published heuristic
+    // rule set (token-count range, mean-word-length range, stopword
+    // presence, symbol-ratio cap) evaluated in ONE codegen'd pass with
+    // a per-rule reason flag — a curation run needs to know WHY a doc
+    // failed, not just that it did. Mean word length is computed
+    // rationally ((chars − separators) / tokens — no transcendentals);
+    // every rule is a pure column predicate, so the whole filter is a
+    // single scan→project at any corpus size.
+    "gopher_filter" -> ((s, d) => {
+      import s.implicits._
+      val nt = TF.nTokens($"text")
+      val norm = TF.normText($"text")
+      val meanW = when(nt === 0, lit(0.0))
+        .otherwise((length(norm) - (nt - 1)).cast("double") / nt.cast("double"))
+      val stopCnt = regexp_count(norm,
+        lit("\\b(" + TF.stopwords.mkString("|") + ")\\b")).cast("long")
+      val punct = TF.punctRatio($"text")
+      Tables.documents(s, d)
+        .select($"doc_id", nt.cast("long").as("n_tok"),
+          rnd(meanW, 6).as("mean_wlen"), stopCnt.as("stop_cnt"),
+          rnd(punct, 4).as("punct_ratio"),
+          (nt >= 5 && nt <= 10000).as("r_len"),
+          (meanW >= 2.0 && meanW <= 12.0).as("r_wlen"),
+          (stopCnt >= 1L).as("r_stop"),
+          (punct <= 0.3).as("r_punct"))
+        .withColumn("pass", $"r_len" && $"r_wlen" && $"r_stop" && $"r_punct")
+        .orderBy($"doc_id")
+    }),
+
+    // Vocabulary application — the doc→id-sequence encode step between
+    // vocab_build and pack_sequences: every token maps to its rank-id
+    // in the top-1000 vocabulary (OOV → −1), preserving position. The
+    // vocabulary broadcasts (it is bounded by construction); the only
+    // corpus shuffle is the per-doc reassembly, whose payload is the
+    // id STRING (ids joined by ','), never a nested array — the output
+    // stays checker-safe and O(doc length). At 100 TB this is the
+    // tokenize stage of a preprocessing run: one scan, one broadcast
+    // join, one keyed aggregate.
+    "tokenizer_apply" -> ((s, d) => {
+      import s.implicits._
+      val counts = termTable(s, d).groupBy($"term").agg(count(lit(1)).as("tf"))
+      val w = Window.orderBy($"tf".desc, $"term")
+      val vocab = broadcast(counts.orderBy($"tf".desc, $"term").limit(1000)
+        .withColumn("token_id", row_number().over(w).cast("long") - 1)
+        .select($"term", $"token_id"))
+      Tables.documents(s, d)
+        .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "tok")))
+        .filter($"tok" =!= "")
+        .join(vocab, $"tok" === $"term", "left")
+        .select($"doc_id", $"pos", coalesce($"token_id", lit(-1L)).as("id"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"id" === -1L, 1L).otherwise(0L)).as("n_oov"),
+          array_join(transform(array_sort(collect_list(struct($"pos", $"id"))),
+            x => x.getField("id").cast("string")), ",").as("ids"))
+        .orderBy($"doc_id")
+    }),
+
     // Jaccard CONTAINMENT over the LSH candidate pairs:
     // |A∩B| / min(|A|,|B|) — the asymmetric-duplication signal
     // symmetric Jaccard misses (a doc pasted inside a much longer doc
@@ -1781,6 +1839,42 @@ object LlmQueries {
         |      WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpg'
         |      ELSE 'webp' END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "gopher_filter" -> {
+      val stopPat = "\\b(" + TF.stopwords.mkString("|") + ")\\b"
+      val meanW = s"(CASE WHEN $NTOK = 0 THEN 0.0 ELSE CAST(length($NORM) - ($NTOK - 1) AS DOUBLE) / $NTOK END)"
+      val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
+      val stopCnt = s"CAST(len(regexp_extract_all($NORM, '$stopPat')) AS BIGINT)"
+      s"""SELECT doc_id, CAST($NTOK AS BIGINT) AS n_tok,
+         | ${Q.duckRnd(meanW, 6)} AS mean_wlen,
+         | $stopCnt AS stop_cnt,
+         | ${Q.duckRnd(punct, 4)} AS punct_ratio,
+         | ($NTOK >= 5 AND $NTOK <= 10000) AS r_len,
+         | ($meanW >= 2.0 AND $meanW <= 12.0) AS r_wlen,
+         | ($stopCnt >= 1) AS r_stop,
+         | ($punct <= 0.3) AS r_punct,
+         | (($NTOK >= 5 AND $NTOK <= 10000) AND ($meanW >= 2.0 AND $meanW <= 12.0)
+         |  AND ($stopCnt >= 1) AND ($punct <= 0.3)) AS pass
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "tokenizer_apply" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+         |tr AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+         |        unnest(w) AS tok FROM toks),
+         |t AS (SELECT doc_id, pos, tok FROM tr WHERE tok <> ''),
+         |c AS (SELECT term, count(*) AS tf
+         |      FROM (SELECT unnest($TOKS) AS term FROM documents) x
+         |      WHERE term <> '' GROUP BY term),
+         |top AS (SELECT term,
+         |         row_number() OVER (ORDER BY tf DESC, term) - 1 AS token_id
+         |        FROM (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 1000) v),
+         |j AS (SELECT t.doc_id, t.pos, coalesce(top.token_id, -1) AS id
+         |      FROM t LEFT JOIN top ON t.tok = top.term)
+         |SELECT doc_id, count(*) AS n_tok,
+         | CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         | array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS ids
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "minhash_containment" ->
       s"""WITH $duckCandidateCtes
