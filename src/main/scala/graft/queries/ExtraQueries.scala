@@ -420,6 +420,28 @@ object ExtraQueries {
         .orderBy($"doc_id")
     }),
 
+    // URL parsing — the first operation every web-corpus pipeline runs
+    // on its source metadata: host / path / query / named-parameter
+    // extraction via Spark's codegen'd parse_url, plus the registrable
+    // domain the dedup-by-domain and robots policies key on. URLs are
+    // synthesized deterministically from the fixture columns; the
+    // oracle reconstructs each component from the same inputs, pinning
+    // parse_url's semantics on this URL shape.
+    "url_funcs" -> ((s, d) => {
+      import s.implicits._
+      val url = concat(lit("https://"), $"source", lit(".example.org/"),
+        $"lang", lit("/doc/"), $"doc_id".cast("string"),
+        lit("?ref="), $"source", lit("&x="), ($"n_chars" % 7).cast("string"))
+      Tables.documents(s, d)
+        .select($"doc_id", url.as("url"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY")).as("query"),
+          parse_url(url, lit("QUERY"), lit("ref")).as("ref_param"),
+          substring_index(parse_url(url, lit("HOST")), ".", -2).as("reg_domain"))
+        .orderBy($"doc_id")
+    }),
+
     // The generator surface (§2.9) as a declared query: a computed
     // sequence exploded WITH ordinality, including the empty-array
     // edge — posexplode_outer must keep the parent row with NULL
@@ -667,6 +689,18 @@ object ExtraQueries {
         | substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 12) AS devoweled12,
         | (regexp_extract_all(text, '[a-z]{8,}'))[1] AS first_long,
         | CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "url_funcs" ->
+      """SELECT doc_id,
+        | 'https://' || source || '.example.org/' || lang || '/doc/' ||
+        |   CAST(doc_id AS VARCHAR) || '?ref=' || source || '&x=' ||
+        |   CAST(n_chars % 7 AS VARCHAR) AS url,
+        | source || '.example.org' AS host,
+        | '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+        | 'ref=' || source || '&x=' || CAST(n_chars % 7 AS VARCHAR) AS query,
+        | source AS ref_param,
+        | 'example.org' AS reg_domain
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // outer-unnest emulation: empty sequences pad to [NULL] so the

@@ -94,6 +94,31 @@ object WindowSetQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Rolling exact median over a bounded 5-row frame — the robust
+    // moving-average replacement. Spark's median/percentile aggregates
+    // reject bounded window frames, so the frame materializes as a
+    // ≤5-element sorted list and the midpoint interpolates explicitly
+    // ((lo + hi) / 2) — the SAME formula the oracle runs, sidestepping
+    // engine-specific median interpolation entirely. The full sort key
+    // includes the measured column, so rows tying on every key carry
+    // equal values and any tie order yields the same frame multiset →
+    // deterministic at every sf. The frame payload is O(frame), never
+    // O(partition).
+    "window_median" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"l_partkey", $"l_quantity", $"l_extendedprice")
+        .rowsBetween(-4, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+          array_sort(collect_list($"l_extendedprice").over(w)).as("srt"))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+          rnd((get($"srt", ((size($"srt") - 1) / 2).cast("int"))
+            + get($"srt", (size($"srt") / 2).cast("int"))) / 2.0, 4).as("med5"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    }),
+
     "set_union" -> ((s, d) => {
       import s.implicits._
       val a = Tables.customer(s, d).filter($"c_mktsegment" === "AUTOMOBILE")
@@ -164,6 +189,19 @@ object WindowSetQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "window_median" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         | ${Q.duckRnd("(srt[((len(srt)-1)//2)+1] + srt[(len(srt)//2)+1]) / 2.0", 4)} AS med5
+         |FROM (
+         | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         |  list_sort(list(l_extendedprice) OVER w) AS srt
+         | FROM lineitem
+         | WINDOW w AS (PARTITION BY l_suppkey
+         |  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+         |           l_partkey, l_quantity, l_extendedprice
+         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) t
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "window_first_last" ->
       """SELECT o_custkey, o_orderkey,
