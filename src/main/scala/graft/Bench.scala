@@ -22,11 +22,11 @@ object BenchShared {
     "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
     "ngram_jaccard", "minhash_containment", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
-    "tfidf_topk", "bm25_topk", "token_diversity", "rrf_fusion",
-    "unigram_surprise",
+    "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
+    "rrf_fusion", "unigram_surprise",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
-    "knn_pq", "knn_ivfpq", "kmeans_assign")
+    "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign")
 
   /** Cache lifecycle: each memoized table is released right after its
     * LAST consumer in [[corpusFamily]] order, so peak storage is one
@@ -41,7 +41,7 @@ object BenchShared {
     "contamination_check" -> Seq("shingles_distinct"),
     "unigram_surprise" -> Seq("term_rows"),
     "dedup_clusters" -> Seq("candidate_pairs"),
-    "knn_ivfpq" -> Seq("pq_codebook"),
+    "knn_rerank" -> Seq("pq_codebook"),
     "kmeans_assign" -> Seq("ivf_cells"))
 
   private def maxBucket(grouped: org.apache.spark.sql.DataFrame): Long =

@@ -1270,6 +1270,52 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Two-stage retrieve-then-rerank — the production ANN serving
+    // shape: stage 1 scores the WHOLE corpus by ADC over the memoized
+    // codebook (compressed codes only, top-50 candidates per query);
+    // stage 2 re-ranks just those candidates with the exact cosine
+    // over raw embeddings. At 100 TB the expensive exact math touches
+    // 50 vectors per query instead of the corpus — the compressed scan
+    // provides recall, the rerank provides precision, and both stages
+    // reuse artifacts (pq_codebook) and plan shapes already in the
+    // engine. Deterministic end-to-end → full DuckDB oracle;
+    // QueriesSpec pins that reranking improves recall over raw ADC.
+    "knn_rerank" -> ((s, d) => {
+      import s.implicits._
+      VecFunctions.register(s)
+      val cb = pqCodebook(s, d)
+      val enc = pqAssign(pqSubX(s, d), cb)
+      val subArr = array((0 until PqM).map(m =>
+        slice($"embedding", m * PqSubDim + 1, PqSubDim)): _*)
+      val qtab = Tables.embeddings(s, d).filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), posexplode(subArr).as(Seq("m", "qsub")))
+        .join(broadcast(cb), Seq("m"))
+        .select($"q_id", $"m", $"code", VecFunctions.vecDot($"qsub", $"cent").as("pdot"))
+        .localCheckpoint()
+      val ps = (0 until PqM).map(m => max(when($"m" === m, $"pdot")).as(s"p$m"))
+      val wAdc = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
+      val cand = enc.join(broadcast(qtab), Seq("m", "code"))
+        .filter($"q_id" =!= $"vec_id")
+        .groupBy($"q_id", $"vec_id")
+        .agg(ps.head, ps.tail: _*)
+        .select($"q_id", $"vec_id",
+          rnd((0 until PqM).map(m => col(s"p$m")).reduce(_ + _), 6).as("adc"))
+        .withColumn("ar", row_number().over(wAdc))
+        .filter($"ar" <= 50)
+        .select($"q_id", $"vec_id")
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = broadcast(e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm")))
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+      cand.join(e, Seq("vec_id")).join(q, Seq("q_id"))
+        .select($"q_id", $"vec_id",
+          rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id".as("neighbor_id"), $"rn", $"cos_sim")
+        .orderBy($"q_id", $"rn")
+    }),
+
     // Gopher-style composite quality filter: the published heuristic
     // rule set (token-count range, mean-word-length range, stopword
     // presence, symbol-ratio cap) evaluated in ONE codegen'd pass with
@@ -1839,6 +1885,30 @@ object LlmQueries {
         |      WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpg'
         |      ELSE 'webp' END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "knn_rerank" ->
+      s"""WITH $duckPqCtes,
+         |sc AS (
+         |  SELECT q_id, vec_id, $duckPqFixedSum AS raw
+         |  FROM enc JOIN qtab USING (m, code)
+         |  WHERE q_id <> vec_id
+         |  GROUP BY q_id, vec_id
+         |),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${Q.duckRnd("raw", 6)} DESC, vec_id) AS ar
+         |  FROM sc) t
+         | WHERE ar <= 50)
+         |SELECT q_id, neighbor_id, rn, cos_sim FROM (
+         |  SELECT c.q_id, c.vec_id AS neighbor_id,
+         |    ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} AS cos_sim,
+         |    row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} DESC, c.vec_id) AS rn
+         |  FROM cand c
+         |   JOIN embeddings e ON e.vec_id = c.vec_id
+         |   JOIN embeddings q ON q.vec_id = c.q_id) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "gopher_filter" -> {
       val stopPat = "\\b(" + TF.stopwords.mkString("|") + ")\\b"

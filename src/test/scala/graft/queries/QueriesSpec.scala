@@ -283,6 +283,45 @@ class QueriesSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"recall@5 = $recall below floor (measured 0.35)")
   }
 
+  // The rerank stage exists to buy precision back from the compressed
+  // scan: exact-cosine reranking of the ADC top-50 must beat the raw
+  // ADC top-5 on recall vs the true exact top-5, and every reranked
+  // neighbor must carry a truthful exact cosine (non-increasing in
+  // rank).
+  test("knn_rerank: recall dominates raw ADC, ranking discipline") {
+    val vecs = embVecs(sf)
+    def cosOf(a: Long, b: Long): Double = {
+      val na = math.sqrt(dot(vecs(a), vecs(a)))
+      val nb = math.sqrt(dot(vecs(b), vecs(b)))
+      if (na * nb == 0.0) 0.0 else dot(vecs(a), vecs(b)) / (na * nb)
+    }
+    val exact = vecs.keys.filter(_ < 100).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, math.floor(cosOf(q, v) * 1e6 + 0.5) / 1e6))
+        .sortBy { case (v, s2) => (-s2, v) }.take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(name: String): Double = {
+      val byQ = SparkEntry.queries(name)(spark, sf)
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+      exact.map { case (q, ex) =>
+        byQ.getOrElse(q, Array()).map(_._2).toSet.intersect(ex).size
+      }.sum.toDouble / (exact.size * 5)
+    }
+    val rPq = recallOf("knn_pq")
+    val rRerank = recallOf("knn_rerank")
+    assert(rRerank >= rPq,
+      s"rerank recall $rRerank below raw ADC recall $rPq")
+    assert(rRerank >= 0.6, s"rerank recall $rRerank below floor")
+    val rows = SparkEntry.queries("knn_rerank")(spark, sf)
+      .select($"q_id", $"neighbor_id", $"rn", $"cos_sim")
+      .as[(Long, Long, Int, Double)].collect()
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ss = rs.sortBy(_._3).map(_._4)
+      withClue(s"query $q: ")(
+        assert(ss.zip(ss.tail).forall { case (a, b) => a >= b }))
+    }
+  }
+
   // RRF output is self-certifying: the fused score must equal the
   // reciprocal-rank arithmetic of its own rank columns (exact doubles
   // — same op order), ranks stay within the top-20 truncation, and a
