@@ -23,7 +23,7 @@ object BenchShared {
     "ngram_jaccard", "minhash_containment", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
-    "rrf_fusion", "unigram_surprise",
+    "heavy_hitters", "rrf_fusion", "unigram_surprise",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
     "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign")

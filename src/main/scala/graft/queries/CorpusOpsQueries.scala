@@ -350,6 +350,47 @@ object CorpusOpsQueries {
         .orderBy($"doc_id")
     }),
 
+    // Exact heavy hitters WITHOUT a full-vocabulary shuffle — the
+    // two-pass Misra–Gries pattern: pass 1 builds a k=400 MG summary
+    // per partition (pure per-partition imperative sketch — the
+    // documented mapPartitions use case) whose union is a GUARANTEED
+    // superset of every term with global frequency > N/400 (pigeonhole
+    // over partition counts); pass 2 exact-counts only those
+    // candidates (broadcast semi-join) and keeps terms above the
+    // N/200 report threshold. The output is EXACT — the sketch is an
+    // invisible optimization — so the op keeps a plain HAVING oracle.
+    // At 100 TB this replaces a full term groupBy (vocabulary-sized
+    // shuffle) with a bounded candidate set per partition; the
+    // threshold compare is integer (cnt·200 > N), no division.
+    "heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val K = 400
+      val terms = LlmQueries.termTable(s, d)
+      val n = LlmQueries.memoizedCount(s, d, "term_rows_count")(terms.count())
+      val cands = terms.select($"term").as[String].mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (m.contains(t) || m.size < K) m.update(t, m.getOrElse(t, 0L) + 1L)
+          else {
+            // Misra–Gries decrement step: all counters down one,
+            // zeros evicted (the arriving term is absorbed by it)
+            val dead = List.newBuilder[String]
+            m.foreach { case (k0, v) =>
+              if (v == 1L) dead += k0 else m.update(k0, v - 1L)
+            }
+            dead.result().foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }.distinct().toDF("term")
+      terms.join(broadcast(cands), Seq("term"), "left_semi")
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * 200 > n)
+        .select($"term", $"cnt",
+          ($"cnt".cast("double") / lit(n).cast("double")).as("share"))
+        .orderBy($"cnt".desc, $"term")
+    }),
+
     // Deterministic shard planning — the "write N balanced output
     // shards" step before a training run: each doc lands in one of 16
     // shards via the seeded md5 uniform (engine-reproducible, stable
@@ -624,6 +665,16 @@ object CorpusOpsQueries {
          |  JOIN rates r USING (source)) t
          |WHERE u < rate ORDER BY doc_id""".stripMargin
     },
+
+    "heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |tt AS (SELECT term FROM t WHERE term <> ''),
+         |n AS (SELECT count(*) AS n FROM tt)
+         |SELECT term, count(*) AS cnt,
+         | CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE) AS share
+         |FROM tt CROSS JOIN n
+         |GROUP BY term, n HAVING count(*) * 200 > n
+         |ORDER BY cnt DESC, term""".stripMargin,
 
     "shard_plan" -> {
       val hv = LlmQueries.duckHex8ToBigint("h")

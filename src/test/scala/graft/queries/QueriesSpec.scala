@@ -436,6 +436,30 @@ class QueriesSpec extends SparkSpecBase {
       graft.Tables.documents(spark, sf).count(), "doc counts must cover corpus")
   }
 
+  // The Misra–Gries candidate stage must be invisible in the output:
+  // heavy_hitters equals the exact driver-side computation (every
+  // term with cnt·200 > N, exact counts), proving the sketch is a
+  // guaranteed-superset optimization and never a lossy approximation.
+  test("heavy_hitters: equals exact driver recomputation") {
+    val norm = graft.functions.TextFunctions
+    val terms = graft.Tables.documents(spark, sf)
+      .select(norm.tokens($"text").as("w")).as[Seq[String]].collect()
+      .flatten.filter(_.nonEmpty)
+    val n = terms.length.toLong
+    val exact = terms.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      .filter { case (_, c) => c * 200 > n }
+    val got = SparkEntry.queries("heavy_hitters")(spark, sf)
+      .select($"term", $"cnt", $"share")
+      .as[(String, Long, Double)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == exact,
+      s"got ${got.length} terms, expected ${exact.size}")
+    got.foreach { case (t, c, sh) =>
+      withClue(s"term $t: ")(assert(sh == c.toDouble / n.toDouble))
+    }
+    val cnts = got.map(_._2)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "not sorted")
+  }
+
   // Shard plan invariants: every doc lands in exactly one of the 16
   // shards (counts cover the corpus), and the balance column is the
   // exact ratio of the row's own tokens to the ideal share — balance
