@@ -350,6 +350,35 @@ object CorpusOpsQueries {
         .orderBy($"doc_id")
     }),
 
+    // The corpus datasheet — the per-language summary a dataset card
+    // publishes: volume (docs, tokens, token share), quality (exact
+    // mean and median of the 4dp quality score), document shape (mean
+    // tokens/doc), and the gopher-rule pass rate. One scan computes
+    // every per-doc column; one L-group aggregate + a one-row
+    // broadcast total. All means divide exact decimal sums; the
+    // median is the exact interpolated percentile.
+    "dataset_card" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = Tables.documents(s, d)
+        .select($"lang", TF.nTokens($"text").cast("long").as("n_tok"),
+          TF.qualityScore($"text").as("q"),
+          LlmQueries.gopherPass($"text").cast("long").as("pass"))
+      val tot = perDoc.agg(sum($"n_tok").as("total_tok"))
+      perDoc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("tokens"),
+          (sum($"n_tok").cast("double") / count(lit(1))).as("mean_doc_tokens"),
+          (sum($"q".cast("decimal(18,4)")).cast("double") / count(lit(1)))
+            .as("mean_quality"),
+          rnd(expr("percentile(q, 0.5)"), 4).as("median_quality"),
+          (sum($"pass").cast("double") / count(lit(1))).as("gopher_pass_rate"))
+        .crossJoin(broadcast(tot))
+        .withColumn("token_share",
+          $"tokens".cast("double") / $"total_tok".cast("double"))
+        .drop("total_tok")
+        .orderBy($"lang")
+    }),
+
     // Exact heavy hitters WITHOUT a full-vocabulary shuffle — the
     // two-pass Misra–Gries pattern: pass 1 builds a k=400 MG summary
     // per partition (pure per-partition imperative sketch — the
@@ -665,6 +694,23 @@ object CorpusOpsQueries {
          |  JOIN rates r USING (source)) t
          |WHERE u < rate ORDER BY doc_id""".stripMargin
     },
+
+    "dataset_card" ->
+      s"""WITH perdoc AS (SELECT lang,
+         |  CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok,
+         |  ${LlmQueries.duckQuality} AS q,
+         |  (CASE WHEN ${LlmQueries.duckGopherPass} THEN 1 ELSE 0 END) AS pass
+         | FROM documents),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM perdoc)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS tokens,
+         | CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_doc_tokens,
+         | CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_quality,
+         | ${Q.duckRnd("quantile_cont(q, 0.5)", 4)} AS median_quality,
+         | CAST(sum(pass) AS DOUBLE) / count(*) AS gopher_pass_rate,
+         | CAST(sum(n_tok) AS DOUBLE) / CAST(total_tok AS DOUBLE) AS token_share
+         |FROM perdoc CROSS JOIN tot
+         |GROUP BY lang, total_tok ORDER BY lang""".stripMargin,
 
     "heavy_hitters" ->
       s"""WITH t AS (SELECT unnest(${LlmQueries.TOKS}) AS term FROM documents),

@@ -673,6 +673,41 @@ object LlmQueries {
           rnd(col("m").getField("d2"), 6).as("d2"))
     }
 
+  /** Rational mean word length: (chars − separators) / tokens. */
+  private[queries] def gopherMeanW(text: Column): Column = {
+    val nt = TF.nTokens(text)
+    when(nt === 0, lit(0.0))
+      .otherwise((length(TF.normText(text)) - (nt - 1)).cast("double") / nt.cast("double"))
+  }
+
+  /** Non-overlapping stopword occurrence count over normalized text. */
+  private[queries] def gopherStopCnt(text: Column): Column =
+    regexp_count(TF.normText(text),
+      lit("\\b(" + TF.stopwords.mkString("|") + ")\\b"))
+
+  /** The gopher_filter verdict as one reusable predicate — shared by
+    * the filter query (which also reports per-rule flags) and the
+    * dataset_card pass-rate so the two can never disagree.
+    */
+  private[queries] def gopherPass(text: Column): Column = {
+    val nt = TF.nTokens(text)
+    (nt >= 5 && nt <= 10000) &&
+      (gopherMeanW(text) >= 2.0 && gopherMeanW(text) <= 12.0) &&
+      (gopherStopCnt(text) >= 1) && (TF.punctRatio(text) <= 0.3)
+  }
+
+  /** DuckDB replica of [[gopherPass]] (same fragments as the
+    * gopher_filter oracle).
+    */
+  private[queries] val duckGopherPass: String = {
+    val stopPat = "\\b(" + TF.stopwords.mkString("|") + ")\\b"
+    val meanW = s"(CASE WHEN $NTOK = 0 THEN 0.0 ELSE CAST(length($NORM) - ($NTOK - 1) AS DOUBLE) / $NTOK END)"
+    val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
+    val stopCnt = s"len(regexp_extract_all($NORM, '$stopPat'))"
+    s"(($NTOK >= 5 AND $NTOK <= 10000) AND ($meanW >= 2.0 AND $meanW <= 12.0)" +
+      s" AND ($stopCnt >= 1) AND ($punct <= 0.3))"
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "text_stats" -> ((s, d) => {
       import s.implicits._
@@ -1327,19 +1362,16 @@ object LlmQueries {
     "gopher_filter" -> ((s, d) => {
       import s.implicits._
       val nt = TF.nTokens($"text")
-      val norm = TF.normText($"text")
-      val meanW = when(nt === 0, lit(0.0))
-        .otherwise((length(norm) - (nt - 1)).cast("double") / nt.cast("double"))
-      val stopCnt = regexp_count(norm,
-        lit("\\b(" + TF.stopwords.mkString("|") + ")\\b")).cast("long")
+      val meanW = gopherMeanW($"text")
+      val stopCnt = gopherStopCnt($"text")
       val punct = TF.punctRatio($"text")
       Tables.documents(s, d)
         .select($"doc_id", nt.cast("long").as("n_tok"),
-          rnd(meanW, 6).as("mean_wlen"), stopCnt.as("stop_cnt"),
+          rnd(meanW, 6).as("mean_wlen"), stopCnt.cast("long").as("stop_cnt"),
           rnd(punct, 4).as("punct_ratio"),
           (nt >= 5 && nt <= 10000).as("r_len"),
           (meanW >= 2.0 && meanW <= 12.0).as("r_wlen"),
-          (stopCnt >= 1L).as("r_stop"),
+          (stopCnt >= 1).as("r_stop"),
           (punct <= 0.3).as("r_punct"))
         .withColumn("pass", $"r_len" && $"r_wlen" && $"r_stop" && $"r_punct")
         .orderBy($"doc_id")
@@ -1372,6 +1404,26 @@ object LlmQueries {
           array_join(transform(array_sort(collect_list(struct($"pos", $"id"))),
             x => x.getField("id").cast("string")), ",").as("ids"))
         .orderBy($"doc_id")
+    }),
+
+    // Cross-corpus near-dup pairs — the dedup-across-crawls /
+    // batch-vs-batch shape: the shared LSH candidate graph restricted
+    // to pairs whose endpoints live in DIFFERENT sub-corpora (source
+    // parity stands in for two crawls). Reuses the memoized pair
+    // table; the side lookup is a broadcast-scale dimension join, so
+    // cross-corpus screening costs two keyed joins beyond the graph
+    // every other dedup consumer already shares.
+    "cross_corpus_pairs" -> ((s, d) => {
+      import s.implicits._
+      val par = Tables.documents(s, d)
+        .select($"doc_id",
+          (regexp_extract($"source", "([0-9]+)$", 1).cast("int") % 2).as("side"))
+      pairTable(s, d)
+        .join(par.select($"doc_id".as("doc_a"), $"side".as("side_a")), Seq("doc_a"))
+        .join(par.select($"doc_id".as("doc_b"), $"side".as("side_b")), Seq("doc_b"))
+        .filter($"side_a" =!= $"side_b")
+        .select($"doc_a", $"doc_b", $"side_a", $"side_b")
+        .orderBy($"doc_a", $"doc_b")
     }),
 
     // Jaccard CONTAINMENT over the LSH candidate pairs:
@@ -1945,6 +1997,18 @@ object LlmQueries {
          | CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          | array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS ids
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "cross_corpus_pairs" ->
+      s"""WITH $duckCandidateCtes,
+         |par AS (SELECT doc_id,
+         |  CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 2 AS side
+         | FROM documents)
+         |SELECT c.doc_a, c.doc_b, a.side AS side_a, b.side AS side_b
+         |FROM cand c
+         | JOIN par a ON a.doc_id = c.doc_a
+         | JOIN par b ON b.doc_id = c.doc_b
+         |WHERE a.side <> b.side
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
     "minhash_containment" ->
       s"""WITH $duckCandidateCtes

