@@ -22,8 +22,11 @@ only = pos[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in flags:
+    # pass the name subset through to Verify so a one-query iteration
+    # dumps one query instead of all of them
+    names = (" " + " ".join(only)) if only else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{names}'],
         cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:

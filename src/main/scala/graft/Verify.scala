@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional name filter (dev iteration): dump only these queries
+    // optional name filter (dev iteration): dump only these queries.
+    // Unknown names fail loudly — a typo must not silently dump
+    // nothing and surface later as an unrelated compare error.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"no such queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

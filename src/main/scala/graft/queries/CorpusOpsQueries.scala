@@ -31,6 +31,11 @@ import Q._
   */
 object CorpusOpsQueries {
 
+  /** Training-shard fan-out for shard_plan (one knob, mirrored into
+    * its oracle so Spark and DuckDB can never disagree on S).
+    */
+  private val ShardCount = 16
+
   /** Converged component table (doc_id, lbl) over the LSH candidate
     * graph — [[graft.operators.ConnectedComponents.minLabel]] applied
     * to the candidate pairs, memoized+persisted per (session, dir)
@@ -53,8 +58,8 @@ object CorpusOpsQueries {
     * the seeded, engine-reproducible analog of rand(seed) (Spark's
     * rand is partition-dependent and unreproducible elsewhere).
     */
-  private def hashUniform(idCol: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit("smp:"), idCol.cast("string"))), 1, 8), 16, 10)
+  private def hashUniform(idCol: org.apache.spark.sql.Column, seed: String = "smp") =
+    conv(substring(md5(concat(lit(seed + ":"), idCol.cast("string"))), 1, 8), 16, 10)
       .cast("long").cast("double") / 4294967296.0
 
   val defs: Map[String, QueryFn] = Map(
@@ -338,11 +343,15 @@ object CorpusOpsQueries {
         .withColumn("w6", rnd(sqrt($"src_tok".cast("double")), 6))
       val tot = bySrc.agg(sum($"src_tok").as("total_tok"),
         sum($"w6".cast("decimal(28,6)")).cast("double").as("w_sum"))
+      // a zero-token source would make the rate 0/0 = NaN (and Spark's
+      // least() treats NaN as largest → keep-all); pin it to 0.0 —
+      // sampling an empty stratum yields nothing in every engine
       val rates = bySrc.crossJoin(broadcast(tot))
         .select($"source",
-          least(lit(1.0),
-            lit(tau) * $"total_tok".cast("double") * $"w6" / $"w_sum"
-              / $"src_tok".cast("double")).as("rate"))
+          when($"src_tok" === 0, lit(0.0)).otherwise(
+            least(lit(1.0),
+              lit(tau) * $"total_tok".cast("double") * $"w6" / $"w_sum"
+                / $"src_tok".cast("double"))).as("rate"))
       docs.join(broadcast(rates), Seq("source"))
         .withColumn("u", hashUniform($"doc_id"))
         .filter($"u" < $"rate")
@@ -426,19 +435,24 @@ object CorpusOpsQueries {
     // under re-partitioning and re-runs), and the report is per-shard
     // docs/tokens plus the balance ratio vs the ideal tokens/S. One
     // scan, one S-group aggregate; the balance check is what a
-    // pipeline alerts on before committing a shard layout.
+    // pipeline alerts on before committing a shard layout. The shard
+    // uniform uses its OWN seed prefix ("shard:"), not the sampling
+    // ops' "smp:" — with a shared seed, every doc kept by
+    // mixture_sample (u < rate ≈ 0.25) would land in shards 0-3 and
+    // the balance guarantee would collapse exactly when the two
+    // stages compose into one pipeline.
     "shard_plan" -> ((s, d) => {
       import s.implicits._
-      val S = 16
+      val S = ShardCount
       val docs = Tables.documents(s, d)
         .select($"doc_id", TF.nTokens($"text").cast("long").as("n_tok"),
-          floor(hashUniform($"doc_id") * S).cast("int").as("shard"))
+          floor(hashUniform($"doc_id", "shard") * S).cast("int").as("shard"))
       val tot = docs.agg(sum($"n_tok").as("total_tok"))
       docs.groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"))
         .crossJoin(broadcast(tot))
         .select($"shard", $"n_docs", $"tokens",
-          ($"tokens".cast("double") / ($"total_tok".cast("double") / lit(16.0)))
+          ($"tokens".cast("double") / ($"total_tok".cast("double") / lit(S.toDouble)))
             .as("balance"))
         .orderBy($"shard")
     }),
@@ -683,8 +697,9 @@ object CorpusOpsQueries {
          |tot AS (SELECT CAST(sum(src_tok) AS BIGINT) AS total_tok,
          |  CAST(sum(CAST(w6 AS DECIMAL(28,6))) AS DOUBLE) AS w_sum FROM bysrc),
          |rates AS (SELECT source,
-         |  least(1.0, 0.25 * CAST(total_tok AS DOUBLE) * w6 / w_sum
-         |    / CAST(src_tok AS DOUBLE)) AS rate
+         |  (CASE WHEN src_tok = 0 THEN 0.0 ELSE
+         |    least(1.0, 0.25 * CAST(total_tok AS DOUBLE) * w6 / w_sum
+         |      / CAST(src_tok AS DOUBLE)) END) AS rate
          | FROM bysrc CROSS JOIN tot)
          |SELECT doc_id, source, n_tok, u, rate FROM (
          |  SELECT d.doc_id, d.source, d.n_tok,
@@ -724,15 +739,16 @@ object CorpusOpsQueries {
 
     "shard_plan" -> {
       val hv = LlmQueries.duckHex8ToBigint("h")
+      val s16 = ShardCount
       s"""WITH docs AS (SELECT doc_id,
          |  CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok,
-         |  CAST(floor((($hv) / 4294967296.0) * 16) AS INTEGER) AS shard
+         |  CAST(floor((($hv) / 4294967296.0) * $s16) AS INTEGER) AS shard
          | FROM (SELECT doc_id, text,
-         |         md5('smp:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) t),
+         |         md5('shard:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) t),
          |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM docs)
          |SELECT shard, count(*) AS n_docs,
          | CAST(sum(n_tok) AS BIGINT) AS tokens,
-         | CAST(sum(n_tok) AS DOUBLE) / (CAST(total_tok AS DOUBLE) / 16.0) AS balance
+         | CAST(sum(n_tok) AS DOUBLE) / (CAST(total_tok AS DOUBLE) / $s16.0) AS balance
          |FROM docs CROSS JOIN tot
          |GROUP BY shard, total_tok ORDER BY shard""".stripMargin
     },

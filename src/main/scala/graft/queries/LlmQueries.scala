@@ -654,14 +654,25 @@ object LlmQueries {
     * tiebreak as [[pqAssign]]; the broadcast N×K expansion reduces
     * map-side via min(struct) before the single vec_id shuffle.
     */
+  /** Broadcast K-centroid table (cell, cent, cc) — ONE builder shared
+    * by [[ivfCells]] (assignment) and knn_ivfpq's query probes, so
+    * the seeding convention and the precomputed ‖c‖² can never drift
+    * between the index and the probe side.
+    */
+  private def ivfCents(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    VecFunctions.register(s)
+    broadcast(Tables.embeddings(s, d).filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cell"), col("embedding").as("cent"))
+      .withColumn("cc", VecFunctions.vecDot(col("cent"), col("cent"))))
+  }
+
   private[graft] def ivfCells(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     memoized(s, d, "ivf_cells") {
       VecFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val cents = broadcast(e.filter(col("vec_id") < IvfK)
-        .select(col("vec_id").as("cell"), col("embedding").as("cent"))
-        .withColumn("cc", VecFunctions.vecDot(col("cent"), col("cent"))))
+      val cents = ivfCents(s, d)
       val d2 = col("xx") -
         lit(2.0) * VecFunctions.vecDot(col("embedding"), col("cent")) + col("cc")
       e.withColumn("xx", VecFunctions.vecDot(col("embedding"), col("embedding")))
@@ -696,17 +707,26 @@ object LlmQueries {
       (gopherStopCnt(text) >= 1) && (TF.punctRatio(text) <= 0.3)
   }
 
-  /** DuckDB replica of [[gopherPass]] (same fragments as the
-    * gopher_filter oracle).
+  /** DuckDB gopher-rule fragments — ONE definition composed by both
+    * [[duckGopherPass]] (dataset_card) and the gopher_filter oracle,
+    * mirroring the Scala-side sharing of [[gopherMeanW]] etc.
     */
-  private[queries] val duckGopherPass: String = {
+  private[queries] val duckGopherMeanW: String =
+    s"(CASE WHEN $NTOK = 0 THEN 0.0 ELSE CAST(length($NORM) - ($NTOK - 1) AS DOUBLE) / $NTOK END)"
+
+  private[queries] val duckGopherPunct: String =
+    s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
+
+  private[queries] val duckGopherStopCnt: String = {
     val stopPat = "\\b(" + TF.stopwords.mkString("|") + ")\\b"
-    val meanW = s"(CASE WHEN $NTOK = 0 THEN 0.0 ELSE CAST(length($NORM) - ($NTOK - 1) AS DOUBLE) / $NTOK END)"
-    val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
-    val stopCnt = s"len(regexp_extract_all($NORM, '$stopPat'))"
-    s"(($NTOK >= 5 AND $NTOK <= 10000) AND ($meanW >= 2.0 AND $meanW <= 12.0)" +
-      s" AND ($stopCnt >= 1) AND ($punct <= 0.3))"
+    s"len(regexp_extract_all($NORM, '$stopPat'))"
   }
+
+  /** DuckDB replica of [[gopherPass]]. */
+  private[queries] val duckGopherPass: String =
+    s"(($NTOK >= 5 AND $NTOK <= 10000)" +
+      s" AND ($duckGopherMeanW >= 2.0 AND $duckGopherMeanW <= 12.0)" +
+      s" AND ($duckGopherStopCnt >= 1) AND ($duckGopherPunct <= 0.3))"
 
   val defs: Map[String, QueryFn] = Map(
     "text_stats" -> ((s, d) => {
@@ -1415,9 +1435,14 @@ object LlmQueries {
     // every other dedup consumer already shares.
     "cross_corpus_pairs" -> ((s, d) => {
       import s.implicits._
+      // try_cast, not cast: under ANSI mode a source with no digit
+      // suffix would make regexp_extract return '' and the cast THROW;
+      // try_cast yields NULL and the side inequality drops the row —
+      // the same empty-set behavior as the oracle's TRY_CAST
       val par = Tables.documents(s, d)
         .select($"doc_id",
-          (regexp_extract($"source", "([0-9]+)$", 1).cast("int") % 2).as("side"))
+          (expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS INT)") % 2)
+            .as("side"))
       pairTable(s, d)
         .join(par.select($"doc_id".as("doc_a"), $"side".as("side_a")), Seq("doc_a"))
         .join(par.select($"doc_id".as("doc_b"), $"side".as("side_b")), Seq("doc_b"))
@@ -1531,9 +1556,7 @@ object LlmQueries {
       import s.implicits._
       VecFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val cents = broadcast(e.filter($"vec_id" < IvfK)
-        .select($"vec_id".as("cell"), $"embedding".as("cent"))
-        .withColumn("cc", VecFunctions.vecDot($"cent", $"cent")))
+      val cents = ivfCents(s, d)
       // cell assignment from the memoized ivfCells index artifact —
       // same op order and tiebreak as kmeans_assign BY CONSTRUCTION
       // (one definition), so the two operators can never disagree on
@@ -1962,23 +1985,17 @@ object LlmQueries {
          |   JOIN embeddings q ON q.vec_id = c.q_id) t
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
-    "gopher_filter" -> {
-      val stopPat = "\\b(" + TF.stopwords.mkString("|") + ")\\b"
-      val meanW = s"(CASE WHEN $NTOK = 0 THEN 0.0 ELSE CAST(length($NORM) - ($NTOK - 1) AS DOUBLE) / $NTOK END)"
-      val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
-      val stopCnt = s"CAST(len(regexp_extract_all($NORM, '$stopPat')) AS BIGINT)"
+    "gopher_filter" ->
       s"""SELECT doc_id, CAST($NTOK AS BIGINT) AS n_tok,
-         | ${Q.duckRnd(meanW, 6)} AS mean_wlen,
-         | $stopCnt AS stop_cnt,
-         | ${Q.duckRnd(punct, 4)} AS punct_ratio,
+         | ${Q.duckRnd(duckGopherMeanW, 6)} AS mean_wlen,
+         | CAST($duckGopherStopCnt AS BIGINT) AS stop_cnt,
+         | ${Q.duckRnd(duckGopherPunct, 4)} AS punct_ratio,
          | ($NTOK >= 5 AND $NTOK <= 10000) AS r_len,
-         | ($meanW >= 2.0 AND $meanW <= 12.0) AS r_wlen,
-         | ($stopCnt >= 1) AS r_stop,
-         | ($punct <= 0.3) AS r_punct,
-         | (($NTOK >= 5 AND $NTOK <= 10000) AND ($meanW >= 2.0 AND $meanW <= 12.0)
-         |  AND ($stopCnt >= 1) AND ($punct <= 0.3)) AS pass
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         | ($duckGopherMeanW >= 2.0 AND $duckGopherMeanW <= 12.0) AS r_wlen,
+         | ($duckGopherStopCnt >= 1) AS r_stop,
+         | ($duckGopherPunct <= 0.3) AS r_punct,
+         | $duckGopherPass AS pass
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tokenizer_apply" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),
@@ -2001,7 +2018,7 @@ object LlmQueries {
     "cross_corpus_pairs" ->
       s"""WITH $duckCandidateCtes,
          |par AS (SELECT doc_id,
-         |  CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 2 AS side
+         |  TRY_CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 2 AS side
          | FROM documents)
          |SELECT c.doc_a, c.doc_b, a.side AS side_a, b.side AS side_b
          |FROM cand c

@@ -84,7 +84,13 @@ object ScaleSweep {
         }
         if (mod == 13 && docId >= 13) sb.append(" zq").append((docId % 97).toString)
         val text = sb.toString
-        (docId, text, langs((cid % langs.length).toInt), "synthetic", text.length.toLong)
+        // digit-suffixed source ids mirror the fixture convention
+        // ("src0".."src19") — source_mix/mixture_sample/dataset_card
+        // need real strata and cross_corpus_pairs parses the numeric
+        // suffix for its crawl-parity split; a single "synthetic"
+        // source would silently degenerate all four at scale
+        (docId, text, langs((cid % langs.length).toInt),
+          "src" + (cid % 20).toString, text.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")

@@ -369,7 +369,8 @@ class QueriesSpec extends SparkSpecBase {
       .sum.toDouble
     val total = bySrc.values.sum
     val rate = bySrc.map { case (s, t) =>
-      s -> math.min(1.0, 0.25 * total.toDouble * w6(s) / wSum / t.toDouble)
+      s -> (if (t == 0) 0.0
+            else math.min(1.0, 0.25 * total.toDouble * w6(s) / wSum / t.toDouble))
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     def uniform(id: Long): Double = {
