@@ -589,6 +589,20 @@ class QueriesSpec extends SparkSpecBase {
     // the sf0.001 fixture vocabulary fits inside the top-1000 (no OOV
     // by construction) — assert in-vocab coverage instead
     assert(rows.exists(r => r._2 > r._3), "no in-vocabulary tokens at all")
+
+    // round trip: decoding the id string through vocab_build's
+    // (token_id, term) map must reproduce the original token stream
+    // for every OOV-free doc — encode is lossless, not just counted
+    val vocab = SparkEntry.queries("vocab_build")(spark, sf)
+      .select($"token_id", $"term").as[(Long, String)].collect().toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.filter(_._3 == 0).foreach { case (id, _, _, ids) =>
+      val decoded = ids.split(",").map(i => vocab(i.toLong)).toSeq
+      val expected = texts(id).filter(_.nonEmpty)
+      withClue(s"doc $id: ")(assert(decoded == expected, "round trip failed"))
+    }
   }
 
   // Winsorization invariants: clipping is idempotent and flagged
