@@ -21,7 +21,7 @@ object BenchShared {
   val corpusFamily: Seq[String] = Seq(
     "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
     "ngram_jaccard", "minhash_containment", "cross_corpus_pairs",
-    "dup_ngram_frac", "fuzzy_match",
+    "pagerank_lite", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
     "heavy_hitters", "rrf_fusion", "unigram_surprise",

@@ -359,6 +359,41 @@ object CorpusOpsQueries {
         .orderBy($"doc_id")
     }),
 
+    // PageRank (5 fixed power iterations, damping 0.85) over the
+    // shared near-dup candidate graph — the canonical iterative graph
+    // op beyond connected components: per iteration ONE keyed join
+    // (ranks → symmetrized edges, contribution r/deg) and one
+    // aggregate, the same per-round shape as ConnectedComponents, so
+    // it scales the same way (no adjacency on the driver, no
+    // cross join). Determinism across engines: contributions snap to
+    // a 12dp grid and sum as DECIMAL (order-free); the damping update
+    // is a fixed double op order; output snaps to 8dp. Fixed
+    // iteration count keeps the oracle expressible as unrolled CTEs.
+    "pagerank_lite" -> ((s, d) => {
+      import s.implicits._
+      val iters = 5
+      val docs = Tables.documents(s, d).select($"doc_id")
+      val n = LlmQueries.memoizedCount(s, d, "documents_count")(docs.count())
+      val e = LlmQueries.pairTable(s, d)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      var r = docs.select($"doc_id", rnd(lit(1.0) / lit(n.toDouble), 12).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = r.join(sym, $"doc_id" === $"src")
+          .join(deg, Seq("src"))
+          .select($"dst",
+            rnd($"r" / $"deg".cast("double"), 12).cast("decimal(28,12)").as("c"))
+          .groupBy($"dst").agg(sum($"c").cast("double").as("inflow"))
+        r = docs.join(contrib, $"doc_id" === $"dst", "left")
+          .select($"doc_id",
+            rnd(lit(0.15) / lit(n.toDouble)
+              + lit(0.85) * coalesce($"inflow", lit(0.0)), 12).as("r"))
+      }
+      r.select($"doc_id", rnd($"r", 8).as("rank"))
+        .orderBy($"doc_id")
+    }),
+
     // The corpus datasheet — the per-language summary a dataset card
     // publishes: volume (docs, tokens, token share), quality (exact
     // mean and median of the 4dp quality score), document shape (mean
@@ -708,6 +743,35 @@ object CorpusOpsQueries {
          |          md5('smp:' || CAST(doc_id AS VARCHAR)) AS h FROM docs) d
          |  JOIN rates r USING (source)) t
          |WHERE u < rate ORDER BY doc_id""".stripMargin
+    },
+
+    // 5 unrolled power iterations mirroring the Spark recurrence
+    // exactly (12dp contribution snap, DECIMAL inflow sum, fixed
+    // damping op order, 8dp output snap).
+    "pagerank_lite" -> {
+      val iterCtes = (1 to 5).map { k =>
+        val prev = s"r${k - 1}"
+        val contrib = Q.duckRnd(s"$prev.r / CAST(deg.deg AS DOUBLE)", 12)
+        val upd = Q.duckRnd("0.15 / nn.n + 0.85 * coalesce(c.inflow, 0.0)", 12)
+        s"""c$k AS (SELECT e.dst,
+           |  CAST(sum(CAST($contrib AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+           | FROM $prev JOIN edges e ON $prev.doc_id = e.src
+           |  JOIN deg ON deg.src = e.src
+           | GROUP BY e.dst),
+           |r$k AS (SELECT d.doc_id, $upd AS r
+           | FROM documents d CROSS JOIN nn
+           |  LEFT JOIN c$k c ON c.dst = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |r0 AS (SELECT doc_id, ${Q.duckRnd("1.0 / nn.n", 12)} AS r
+         |       FROM documents CROSS JOIN nn),
+         |$iterCtes
+         |SELECT doc_id, ${Q.duckRnd("r", 8)} AS rank
+         |FROM r5 ORDER BY doc_id""".stripMargin
     },
 
     "dataset_card" ->

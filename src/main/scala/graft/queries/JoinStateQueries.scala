@@ -228,6 +228,29 @@ object JoinStateQueries {
           unix_millis($"ts").as("purchase_ms"),
           unix_millis($"asof_s_ts").as("signup_ms"))
         .orderBy($"event_id")
+    }),
+
+    // As-of join with a match-window TOLERANCE (pandas merge_asof
+    // semantics): the native exec still selects the last signup
+    // at-or-before each purchase, then matches older than 3 days null
+    // out. Tolerance is a pure projection over the unchanged native
+    // operator — select-then-check equals check-then-select here
+    // because the as-of match is the MAXIMUM qualifying time — so the
+    // zero-exchange bucketed execution path is untouched.
+    "join_asof_tol" -> ((s, d) => {
+      import s.implicits._
+      val TolMs = 259200000L // 3 days
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("s_ts"))
+      graft.operators.AsOfJoin.asofJoinNative(purchases, signups, "user_id", "ts", "s_ts")
+        .select($"event_id", $"user_id",
+          unix_millis($"ts").as("purchase_ms"),
+          when(unix_millis($"ts") - unix_millis($"asof_s_ts") <= TolMs,
+            unix_millis($"asof_s_ts")).as("signup_ms"))
+        .orderBy($"event_id")
     })
   )
 
@@ -363,6 +386,20 @@ object JoinStateQueries {
         |          ORDER BY ts, (CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ms
         |  FROM events WHERE event_type IN ('signup', 'purchase')) t
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "join_asof_tol" ->
+      """SELECT event_id, user_id, purchase_ms,
+        | CASE WHEN purchase_ms - signup_ms <= 259200000 THEN signup_ms END AS signup_ms
+        |FROM (
+        | SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms, signup_ms, event_type FROM
+        |  (SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+        |     OVER (PARTITION BY user_id
+        |           ORDER BY ts, (CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END), event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ms
+        |   FROM events WHERE event_type IN ('signup', 'purchase')) t
+        | WHERE event_type = 'purchase') p
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -437,6 +437,56 @@ class QueriesSpec extends SparkSpecBase {
       graft.Tables.documents(spark, sf).count(), "doc counts must cover corpus")
   }
 
+  // Tolerance is a projection over the SAME native as-of match:
+  // row-for-row, join_asof_tol keeps join_asof's signup exactly when
+  // it is within 3 days and nulls it otherwise — and the fixture
+  // exercises both branches.
+  test("join_asof_tol: agrees with join_asof under the tolerance mask") {
+    val TolMs = 259200000L
+    val base = SparkEntry.queries("join_asof")(spark, sf)
+      .select($"event_id", $"purchase_ms", $"signup_ms")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val tol = SparkEntry.queries("join_asof_tol")(spark, sf)
+      .select($"event_id", $"purchase_ms", $"signup_ms")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(tol.nonEmpty && tol.length == base.size)
+    tol.foreach { case (id, pms, sms) =>
+      val (bp, bs) = base(id)
+      withClue(s"event $id: ") {
+        assert(pms == bp)
+        val expected = bs.filter(s => pms - s <= TolMs)
+        assert(sms == expected)
+      }
+    }
+    assert(tol.exists(_._3.isDefined) && tol.exists(r =>
+      r._3.isEmpty && base(r._1)._2.isDefined),
+      "fixture should exercise both kept and tolerance-nulled matches")
+  }
+
+  // PageRank invariants: every rank at least the damping base
+  // (isolated docs sit exactly at it), total mass bounded by 1, and
+  // near-dup cluster members (graph nodes with edges) outrank
+  // isolated docs.
+  test("pagerank_lite: base floor, bounded mass, connected docs outrank") {
+    val rows = SparkEntry.queries("pagerank_lite")(spark, sf)
+      .select($"doc_id", $"rank").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    def rnd12(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    val floorRank = math.floor(rnd12(0.15 / n) * 1e8 + 0.5) / 1e8
+    rows.foreach { case (id, r) =>
+      withClue(s"doc $id: ")(assert(r >= floorRank - 1e-12))
+    }
+    assert(rows.map(_._2).sum <= 1.0 + 1e-6, "rank mass exceeds 1")
+    val connected = SparkEntry.queries("minhash_dedup")(spark, sf)
+      .select($"doc_a").as[Long].collect().toSet
+    val rankOf = rows.toMap
+    connected.headOption.foreach { c =>
+      assert(rankOf(c) > floorRank, s"connected doc $c not above base")
+    }
+  }
+
   // Datasheet invariants: shares sum to 1, every rate is a valid
   // fraction, and the pass rate agrees with a direct gopher_filter
   // count per language.
