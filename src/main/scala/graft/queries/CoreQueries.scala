@@ -242,6 +242,36 @@ object CoreQueries {
     // reference's pretty-printed-file case uses multiLine=true — see
     // Flatten/IngestSpec), aggregate. At scale the JSON scan is
     // splittable per line, so this parallelizes like any file scan.
+    // Corrupt-record quarantine — the "one bad row must not kill a
+    // 6-hour job" read path: a JSONL landing file with deliberately
+    // malformed lines (every event_id % 13 == 0) reads under
+    // PERMISSIVE mode with a corrupt-record column; bad rows carry
+    // their raw line in quarantine instead of failing the scan, and
+    // the output is the per-disposition audit (row count + value sum,
+    // NULL for the quarantined side). The disposition split is pure
+    // column logic over the scan — no second pass over the file.
+    "quarantine_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = Q.scratchPath("quarantine_scan", d)
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", dec($"value").as("value"))
+        .select(when($"event_id" % 13 === 0,
+            concat(lit("{\"event_id\":"), $"event_id", lit(",BROKEN")))
+          .otherwise(to_json(struct($"event_id", $"event_type", $"value")))
+          .as("line"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, event_type STRING, value DOUBLE, _bad STRING")
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .groupBy($"_bad".isNotNull.as("quarantined"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy($"quarantined")
+    }),
+
     "json_scan" -> ((s, d) => {
       import s.implicits._
       val path = Q.scratchPath("json_scan", d)
@@ -466,6 +496,18 @@ object CoreQueries {
         | count(json_extract_string(props, '$.missing')) AS n_missing_hits,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the oracle recomputes the audit from the source rows (the
+    // corruption rule is deterministic), mirroring json_scan's
+    // round-trip convention
+    "quarantine_scan" ->
+      """SELECT quarantined, count(*) AS n,
+        | CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM (SELECT (event_id % 13 = 0) AS quarantined,
+        |        CASE WHEN event_id % 13 = 0 THEN NULL
+        |             ELSE CAST(value AS DECIMAL(18,2)) END AS v
+        |      FROM events) t
+        |GROUP BY quarantined ORDER BY quarantined""".stripMargin,
 
     "json_scan" ->
       """SELECT event_type,
