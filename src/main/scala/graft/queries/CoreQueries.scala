@@ -244,12 +244,20 @@ object CoreQueries {
     // splittable per line, so this parallelizes like any file scan.
     // Corrupt-record quarantine — the "one bad row must not kill a
     // 6-hour job" read path: a JSONL landing file with deliberately
-    // malformed lines (every event_id % 13 == 0) reads under
-    // PERMISSIVE mode with a corrupt-record column; bad rows carry
-    // their raw line in quarantine instead of failing the scan, and
-    // the output is the per-disposition audit (row count + value sum,
-    // NULL for the quarantined side). The disposition split is pure
-    // column logic over the scan — no second pass over the file.
+    // malformed lines (every event_id % 13 == 0) is read as TEXT and
+    // parsed with from_json under PERMISSIVE mode with a
+    // corrupt-record column; bad rows carry their raw line in
+    // quarantine instead of failing the scan, and the output is the
+    // per-disposition audit (row count + value sum, NULL for the
+    // quarantined side). Text+from_json (not a raw .json scan with a
+    // corrupt column) is deliberate: a raw JSON scan whose consumer
+    // prunes to ONLY the corrupt column hits Spark's
+    // UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. a
+    // plain count() after this groupBy, where Catalyst drops the
+    // unused sum and leaves `_bad` the only referenced field. The
+    // text scan has no such restriction and stays one splittable
+    // pass; the disposition split is pure column logic — no second
+    // pass over the file.
     "quarantine_scan" -> ((s, d) => {
       import s.implicits._
       val path = Q.scratchPath("quarantine_scan", d)
@@ -262,10 +270,11 @@ object CoreQueries {
         .write.mode("overwrite").text(path)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "event_id LONG, event_type STRING, value DOUBLE, _bad STRING")
-      s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_bad")
-        .json(path)
+      s.read.text(path)
+        .select(from_json($"value", schema,
+          Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_bad")).as("r"))
+        .select($"r.*")
         .groupBy($"_bad".isNotNull.as("quarantined"))
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -675,8 +675,11 @@ object LlmQueries {
       val cents = ivfCents(s, d)
       val d2 = col("xx") -
         lit(2.0) * VecFunctions.vecDot(col("embedding"), col("cent")) + col("cc")
+      // broadcast pinned HERE as well as inside ivfCents: the K-row
+      // centroid table must never fall back to a cartesian shuffle
+      // even under a tuned-down autoBroadcastJoinThreshold
       e.withColumn("xx", VecFunctions.vecDot(col("embedding"), col("embedding")))
-        .crossJoin(cents)
+        .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cell"), d2.as("d2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cell"))).as("m"))
@@ -1566,7 +1569,7 @@ object LlmQueries {
       val probes = e.filter($"vec_id" < 100)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
         .withColumn("xx", VecFunctions.vecDot($"q_emb", $"q_emb"))
-        .crossJoin(cents)
+        .crossJoin(broadcast(cents))
         .select($"q_id", $"cell",
           ($"xx" - lit(2.0) * VecFunctions.vecDot($"q_emb", $"cent") + $"cc").as("d2"))
         .withColumn("cr", row_number().over(wc))

@@ -77,6 +77,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), "intersection should be a count aggregate")
   }
 
+  test("knn_ivfpq: centroid probe broadcasts — never a cartesian shuffle") {
+    // the K-row centroid table is crossJoin'd against queries and the
+    // corpus; both sites pin broadcast(...) so the plan must show a
+    // broadcast nested-loop, and a CartesianProduct anywhere means the
+    // hint was dropped and a full shuffle cartesian crept in
+    val p = plan("knn_ivfpq")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "centroid probe fell back to a cartesian shuffle")
+  }
+
   test("contamination_check: benchmark shingle side broadcasts") {
     val p = finalPlan("contamination_check")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
