@@ -62,7 +62,13 @@ object BenchShared {
       into: scala.collection.mutable.Map[String, Long]): Unit = tag match {
     case "bands" =>
       val b = graft.queries.LlmQueries.bandTable(spark, sfDir)
-      into("lsh_max_band_bucket") = maxBucket(b.groupBy("band", "key").count())
+      val counts = b.groupBy("band", "key").count()
+      into("lsh_max_band_bucket") = maxBucket(counts)
+      // how many band keys tripped the candidatePairs mega-bucket
+      // guard this run (0 = every bucket was pairwise-verified)
+      into("lsh_capped_buckets") = counts
+        .filter(org.apache.spark.sql.functions.col("count") >
+          graft.queries.LlmQueries.LshBucketCap).count()
     case "simhash" =>
       val bands = graft.queries.LlmQueries.simhashBands(spark, sfDir)
       into("simhash_max_band_bucket") = maxBucket(bands.groupBy("band", "key").count())

@@ -33,6 +33,24 @@ import Q._
   */
 object LlmQueries {
 
+  /** Target mean bucket occupancy for the LSH signature: enough bits
+    * that the average bucket holds ~this many vectors. (Declared
+    * before the oracle fragments: both constants interpolate into
+    * val-initialized SQL strings below.)
+    */
+  private[graft] val LshTargetBucket = 32L
+
+  /** Mega-bucket threshold for [[candidatePairs]]: the N-derived
+    * expected occupancy ([[LshTargetBucket]] — the layout knobs hold
+    * the MEAN bucket near this as N grows) times a slack factor of 8.
+    * A bucket past 8× expectation is not near-dup structure, it is a
+    * degenerate key (boilerplate, empty-ish docs), and its all-pairs
+    * cost is pure waste; 8× leaves genuine dup clusters (tens of
+    * docs) fully pairwise-verified. Declared as a val so the DuckDB
+    * oracle fragment inlines the SAME constant.
+    */
+  private[graft] val LshBucketCap = 8L * LshTargetBucket
+
   // ---- shared DuckDB oracle fragments --------------------------------
   /** DuckDB replica of TextFunctions.normText over an arbitrary input
     * expression (note: DuckDB regexp_replace needs the 'g' flag; Spark
@@ -84,7 +102,10 @@ object LlmQueries {
     s"${duckMinhash(sh, 2 * b)} || '|' || ${duckMinhash(sh, 2 * b + 1)}"
 
   /** Candidate-pair CTEs shared by minhash_dedup / ngram_jaccard /
-    * dedup_clusters.
+    * dedup_clusters — including the [[LshBucketCap]] mega-bucket
+    * guard, mirrored verbatim from [[candidatePairs]]: buckets at or
+    * under the cap pair all-vs-all, oversized buckets emit star edges
+    * to their min-doc_id representative. One policy, two engines.
     */
   private[queries] val duckCandidateCtes: String = {
     val bandCases = (0 until 4)
@@ -94,9 +115,18 @@ object LlmQueries {
        |bands AS (SELECT doc_id, b.band,
        |  CASE b.band $bandCases END AS key
        | FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+       |bstat AS (SELECT band, key, count(*) AS bn, min(doc_id) AS rep
+       | FROM bands GROUP BY band, key),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN bstat s ON s.band = a.band AND s.key = a.key
+       |  WHERE s.bn <= $LshBucketCap
+       | UNION ALL
+       | SELECT s.rep AS doc_a, b.doc_id AS doc_b
+       |  FROM bands b JOIN bstat s ON s.band = b.band AND s.key = b.key
+       |  WHERE s.bn > $LshBucketCap AND b.doc_id <> s.rep) u)""".stripMargin
   }
 
   /** DuckDB decode of one md5 hex digit (0-based position k) to 0-15. */
@@ -449,13 +479,45 @@ object LlmQueries {
         .as(Seq("band", "key")))
   }
 
-  /** Candidate near-dup pairs from the persisted band table. */
-  private[queries] def candidatePairs(bands: DataFrame): DataFrame =
-    bands.as("a")
-      .join(bands.as("b"), Seq("band", "key"))
+  /** Candidate near-dup pairs from the persisted band table, with the
+    * mega-bucket guard built in: the all-pairs self-join runs only on
+    * band keys whose bucket holds at most `cap` docs, and oversized
+    * buckets (a boilerplate band key — a certainty at corpus scale)
+    * degrade to STAR edges against the bucket's min-doc_id
+    * representative instead of the quadratic pair listing. Σ bucket²
+    * is thereby bounded by cap × Σ bucket on the pairwise side and the
+    * mega side is linear in bucket size, so one degenerate key can no
+    * longer blow up every downstream pair consumer (the measured 10×
+    * hazard: max bucket 905 → 409k pairs from one key under all-pairs,
+    * 904 under the guard). Connectivity is preserved exactly — a star
+    * spans the same component the complete graph does — so cluster
+    * resolution (dedup_clusters et al.) sees identical components;
+    * pairwise verifiers (ngram_jaccard, fuzzy_match) score the star
+    * pairs only, which is the declared direct-cluster policy for
+    * boilerplate buckets rather than a recall bug: members of a
+    * capped bucket share a full MinHash band by construction, and
+    * the representative edge carries the verification signal for the
+    * bucket. The cap mirrors into [[duckCandidateCtes]] so both
+    * engines implement ONE policy at every scale.
+    */
+  private[queries] def candidatePairs(
+      bands: DataFrame, cap: Long = LshBucketCap): DataFrame = {
+    val stats = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+    val flagged = bands.join(stats, Seq("band", "key"))
+    val small = flagged.filter(col("bn") <= cap)
+      .select(col("band"), col("key"), col("doc_id"))
+    val allPairs = small.as("a")
+      .join(small.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // rep = min(doc_id) of the bucket, so rep < doc_id holds for every
+    // emitted star edge and the doc_a < doc_b invariant is preserved
+    val megaStars = flagged
+      .filter(col("bn") > cap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.union(megaStars).distinct()
+  }
 
   /** Memoized + persisted distinct candidate pairs over the MinHash
     * band table — the candidate GRAPH every downstream consumer walks
@@ -471,11 +533,6 @@ object LlmQueries {
     }
 
   // ---- random-hyperplane LSH (sign of projection) ---------------------
-
-  /** Target mean bucket occupancy for the LSH signature: enough bits
-    * that the average bucket holds ~this many vectors.
-    */
-  private[graft] val LshTargetBucket = 32L
 
   /** Signature width as a function of corpus size — the knob that keeps
     * multi-probe LSH sub-linear as N grows. Each query probes its own
