@@ -11,11 +11,66 @@ class MultimodalSpec extends SparkSpecBase {
     val meta = Multimodal.extractMeta(Multimodal.withPayload(docs))
     assert(meta.count() == 50)
     val joined = meta.toDF().join(docs, Seq("doc_id"))
-    // stub decode is deterministic from byte length
+    // text bytes are not an image: no reader claims them, so every row
+    // takes the deterministic fallback and is flagged undecoded
+    assert(meta.filter($"decoded").count() == 0)
     assert(joined.filter($"n_bytes" =!= octet_length($"text")).count() == 0)
     assert(joined.filter($"checksum" =!= md5($"text".cast("binary"))).count() == 0)
     val m = meta.filter($"doc_id" === 0).head()
     assert(m.width == (m.n_bytes % 640 + 1) && m.height == (m.n_bytes % 480 + 1))
+  }
+
+  // -- real codec path ----------------------------------------------------
+
+  private def gradientImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / math.max(1, w - 1)) << 16) |
+        ((y * 255 / math.max(1, h - 1)) << 8) | 0x40)
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG bytes decode to real dimensions, channels, and format") {
+    val png = encode(gradientImage(32, 20), "png")
+    val jpg = encode(gradientImage(48, 16), "jpg")
+    val junk = Array.tabulate[Byte](999)(i => (i * 7 % 256).toByte)
+    val payload = Seq((1L, png), (2L, jpg), (3L, junk)).toDF("doc_id", "payload")
+    val meta = Multimodal.extractMeta(payload).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(1L).decoded && meta(1L).width == 32 && meta(1L).height == 20)
+    assert(meta(1L).channels == 3 && meta(1L).format == "png")
+    assert(meta(2L).decoded && meta(2L).width == 48 && meta(2L).height == 16)
+    assert(meta(2L).channels == 3 && meta(2L).format.startsWith("jp"))
+    assert(!meta(3L).decoded && meta(3L).channels == 0)
+
+    // resize really rescales: output re-decodes at the target size
+    val resized = Multimodal.resizeAll(payload, 10, 8)
+      .as[(Long, Array[Byte])].collect().toMap
+    for (id <- Seq(1L, 2L)) {
+      val out = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resized(id)))
+      assert(out.getWidth == 10 && out.getHeight == 8, s"doc $id")
+    }
+    // undecodable payload falls back to the byte-level stub
+    assert(resized(3L).length == 10 * 8 / 4)
+
+    // features histogram REAL pixels: a uniform black image puts all
+    // mass in bin 0, and every histogram is a probability vector
+    val black = encode(new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB), "png")
+    val feats = Multimodal.extractFeatures(
+      Seq((1L, png), (4L, black)).toDF("doc_id", "payload"), dim = 16)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(feats(4L)(0) == 1.0f && feats(4L).drop(1).forall(_ == 0.0f))
+    assert(math.abs(feats(1L).map(_.toDouble).sum - 1.0) < 1e-6)
+    assert(feats(1L).count(_ > 0f) > 1, "gradient should spread across bins")
   }
 
   test("feature extraction yields fixed-dim deterministic embeddings") {
