@@ -6,14 +6,16 @@ import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the declared operator inventory (SURVEY.md §2); each
-  * entry with a key in `oracleSql` is hash-checked against DuckDB on
-  * the same parquet tables. The single key without oracle SQL
-  * (`agg_approx_distinct`: an HLL++ sketch, genuinely
-  * non-reproducible outside Spark) gets a rows-only check plus a
-  * ScalaTest error bound. `knn_ivf`/`knn_lsh` are approximate vs the
-  * true top-k but deterministic given their seeded centroids/planes,
-  * so they carry full oracles.
+  * `queries` is the declared operator inventory (SURVEY.md §2); every
+  * entry is hash-checked against DuckDB on the same parquet tables.
+  * The three sketch queries (`agg_approx_distinct`,
+  * `agg_approx_percentile`, `sketch_union`) emit engine-independent
+  * exact columns plus within-contract-bound booleans, with oracles
+  * asserting the exact values and literal TRUE — an affirmative
+  * driver check where the raw estimate itself would be
+  * non-reproducible outside Spark. `knn_ivf`/`knn_lsh` are
+  * approximate vs the true top-k but deterministic given their seeded
+  * centroids/planes, so they carry full value oracles.
   */
 object SparkEntry {
 

@@ -64,34 +64,70 @@ object CoreQueries {
         .orderBy($"l_returnflag")
     }),
 
-    // HLL++ sketch — no SQL oracle (approximate); driver records a
-    // rows-only check. ScalaTest asserts relative error vs exact.
+    // HLL++ sketch, surfaced to the driver as an AFFIRMATIVE check:
+    // the estimate itself is engine-specific (no DuckDB equivalent),
+    // so the dumped row carries the exact distinct count (oracled
+    // directly) plus `approx_ok` = the sketch landing within the 10%
+    // bound SimilaritySpec pins — the oracle emits literal TRUE, so a
+    // drifting sketch hash-mismatches instead of hiding in a
+    // rows-only record. The exact countDistinct here exists only for
+    // this harness; the production shape at 100 TB is the sketch
+    // alone (order-insensitive HLL merge, no value shuffle).
     "agg_approx_distinct" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx"),
+          countDistinct($"l_partkey").as("n_exact"))
+        .select(
+          $"l_returnflag", $"n_exact",
+          (abs($"approx" - $"n_exact").cast("double") / $"n_exact" <= 0.10)
+            .as("approx_ok"))
         .orderBy($"l_returnflag")
     }),
 
-    // KLL/GK-style quantile sketch — no SQL oracle (approximate);
-    // driver records a rows-only check. ScalaTest pins the rank error
-    // vs the exact percentiles. The sketch is mergeable, which is the
-    // 100 TB property: map-side sketches combine without a second
-    // scan, where exact percentiles shuffle every value.
+    // KLL/GK-style quantile sketch, surfaced affirmatively: the
+    // sketch value is not engine-reproducible, but its CONTRACT is —
+    // percentile_approx(accuracy=1000) returns an element whose rank
+    // sits within n/1000 of the target. The query joins the sketch
+    // answers back to the group rows and verifies the rank span
+    // [count(<v), count(<=v)] intersects the tolerance window (same
+    // bound SimilaritySpec pins: rel tol = max(0.002, 2/n)); the
+    // oracle emits TRUE per group plus the exact n. The sketch stays
+    // mergeable — the 100 TB property: map-side sketches combine
+    // without a second scan, where exact percentiles shuffle every
+    // value; the rank-check join exists only in this harness.
     "agg_approx_percentile" -> ((s, d) => {
       import s.implicits._
-      // One sketch per group, projected into two scalar columns: the
-      // array output form is equivalent but harder on downstream tools
-      // that expect flat columns.
-      Tables.events(s, d)
+      val ev = Tables.events(s, d).select($"event_type", $"value")
+      val ap = ev
         .groupBy($"event_type")
         .agg(percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(1000))
           .as("ps"))
         .select(
-          $"event_type",
-          $"ps".getItem(0).as("p50"),
-          $"ps".getItem(1).as("p95"))
+          $"event_type".as("g"),
+          $"ps".getItem(0).as("ap50"),
+          $"ps".getItem(1).as("ap95"))
+      // 5 groups → broadcast; one scan of events computes every
+      // rank count. tol is RELATIVE rank tolerance.
+      val ranked = ev.join(broadcast(ap), $"event_type" === $"g")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"value" < $"ap50", 1L).otherwise(0L)).as("lt50"),
+          sum(when($"value" <= $"ap50", 1L).otherwise(0L)).as("le50"),
+          sum(when($"value" < $"ap95", 1L).otherwise(0L)).as("lt95"),
+          sum(when($"value" <= $"ap95", 1L).otherwise(0L)).as("le95"))
+      val tol = greatest(lit(0.002), lit(2.0) / $"n")
+      def okAt(q: Double, lt: String, le: String) =
+        (col(lt).cast("double") / $"n" <= lit(q) + tol) &&
+          (col(le).cast("double") / $"n" >= lit(q) - tol)
+      ranked
+        .select(
+          $"event_type", $"n",
+          okAt(0.50, "lt50", "le50").as("ok50"),
+          okAt(0.95, "lt95", "le95").as("ok95"))
         .orderBy($"event_type")
     }),
 
@@ -99,19 +135,30 @@ object CoreQueries {
     // per-group DataSketches HLL sketches built once, then UNIONED to
     // a corpus-wide estimate — the shape of a materialized sketch
     // store, where per-partition/per-day sketches persist and any
-    // rollup merges them without rescanning data. No DuckDB oracle
-    // (sketch binaries are engine-specific, like agg_approx_distinct);
-    // QueriesSpec pins the error bound AND that the merged estimate
-    // equals the direct whole-corpus sketch (HLL union is lossless at
-    // equal lgK).
+    // rollup merges them without rescanning data. Surfaced
+    // affirmatively like agg_approx_distinct: the dumped row carries
+    // the exact counts plus `union_lossless` (merged per-group
+    // sketches == direct whole-corpus sketch, exact at equal lgK) and
+    // `est_ok` (estimate within the 5% bound QueriesSpec pins); the
+    // oracle emits the exact counts and literal TRUEs.
     "sketch_union" -> ((s, d) => {
       import s.implicits._
-      val perType = Tables.events(s, d)
+      val ev = Tables.events(s, d)
+      val perType = ev
         .groupBy($"event_type")
         .agg(hll_sketch_agg($"user_id").as("sk"), count(lit(1)).as("n"))
-      perType.agg(
+      val merged = perType.agg(
         hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"),
         sum($"n").as("n_events"))
+      val direct = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg($"user_id")).as("direct_users"),
+        countDistinct($"user_id").as("n_users_exact"))
+      // two 1-row aggregates — the join is a 1×1 broadcast
+      merged.crossJoin(broadcast(direct)).select(
+        $"n_events", $"n_users_exact",
+        ($"est_users" === $"direct_users").as("union_lossless"),
+        (abs($"est_users" - $"n_users_exact").cast("double") / $"n_users_exact" <= 0.05)
+          .as("est_ok"))
     }),
 
     "agg_rollup" -> ((s, d) => {
@@ -429,6 +476,27 @@ object CoreQueries {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Sketch queries: the estimate is engine-specific, so the oracle
+    // checks the exact columns directly and the bound flags as
+    // literal TRUE — a sketch drifting outside its contract
+    // hash-mismatches instead of hiding behind `no_oracle`.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_exact,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        | TRUE AS ok50, TRUE AS ok95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_union" ->
+      """SELECT count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users_exact,
+        | TRUE AS union_lossless, TRUE AS est_ok
+        |FROM events""".stripMargin,
 
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
