@@ -18,15 +18,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects outright. Read nanos as long (legacy flag) and floor to
-    * microseconds (integer DIV — a double-typed division would lose
-    * precision above 2^53 ns). DuckDB oracles match by flooring
-    * epoch_us/epoch_ms the same way.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects
+    * outright — read nanos as long via the legacy flag and floor to
+    * microseconds with integer DIV; a double division would lose
+    * precision above 2^53 ns) and plain timestamp[us] without a
+    * timezone (read as TIMESTAMP_NTZ). Normalize both to session-tz
+    * TimestampType so every downstream query sees one type. Sessions
+    * pin `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is the
+    * identity on the epoch values, and DuckDB oracles flooring
+    * epoch_us/epoch_ms match bit-for-bit in both encodings.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already session-tz timestamp
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -85,13 +85,29 @@ class SimilaritySpec extends SparkSpecBase {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, sf).select($"event_type", $"value")
     val groups = ev.select($"event_type").distinct().as[String].collect()
-    val approx = graft.SparkEntry.queries("agg_approx_percentile")(spark, sf)
-      .as[(String, Double, Double)].collect()
-      .map { case (g, p50, p95) => g -> Seq(p50, p95) }.toMap
+    // the query self-reports per-group within-bound flags (so the
+    // driver's oracle can hash-check them); every flag must hold and
+    // n must equal an exact recount
+    val reported = graft.SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .as[(String, Long, Boolean, Boolean)].collect()
+      .map { case (g, n, ok50, ok95) => g -> ((n, ok50, ok95)) }.toMap
+    assert(reported.keySet == groups.toSet)
+    // independent re-derivation: rerun the raw sketch here and locate
+    // its answers' RANKS among the sorted group values — the same
+    // bound the query computes, but via a driver-side sort instead of
+    // the query's count-based window, so a bug in the query's rank
+    // arithmetic cannot vacuously confirm itself
+    val approx = ev
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(1000)).as("ps"))
+      .as[(String, Seq[Double])].collect().toMap
     for (g <- groups) {
       val vals = ev.filter($"event_type" === g).select($"value")
         .as[Double].collect().sorted
       val n = vals.length
+      val (nRep, ok50, ok95) = reported(g)
+      assert(nRep == n && ok50 && ok95,
+        s"group $g: query reported n=$nRep ok50=$ok50 ok95=$ok95 (exact n=$n)")
       for ((q, got) <- Seq(0.5, 0.95).zip(approx(g))) {
         val rank = vals.count(_ <= got).toDouble / n
         assert(math.abs(rank - q) <= math.max(0.002, 2.0 / n),
