@@ -497,6 +497,104 @@ object CorpusOpsQueries {
     // repetition signal (a doc that repeats one phrase concentrates
     // mass; Simpson → 1). Polynomial in integer counts + one IEEE
     // division per output, so it is bit-identical across engines with
+    // DSIR-style data selection (Data Selection via Importance
+    // Resampling, Xie et al. 2023 — public): documents scored by how
+    // target-like their hashed-bigram feature distribution is. Bigrams
+    // hash into K=1024 buckets (md5-hex, the engine's cross-engine
+    // hash); per-bucket Laplace-smoothed probabilities are estimated
+    // on the target slice (lang='en' — in production a held-out
+    // high-quality corpus) and on the full raw corpus, and each doc's
+    // weight is the mean smoothed probability RATIO over its features.
+    // The paper takes log-importance weights; the ratio mean is the
+    // oracle-deterministic surrogate (ln differs between engines in
+    // the last ulp), identical in structure: weight > 1 ⇔ the doc's
+    // features are more probable under the target model.
+    //
+    // 100 TB shape: feature extraction is one codegen'd scan-explode;
+    // BOTH count aggregates land on K=1024 buckets (bounded state,
+    // map-side partial agg does nearly all the work); the ratio table
+    // is ≤ K rows and BROADCASTS to the scoring join, so the only
+    // full-size shuffle is the final per-doc aggregate. Nothing about
+    // the plan grows with corpus size except the scans.
+    "dsir_select" -> ((s, d) => {
+      import s.implicits._
+      val K = 1024
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"lang", TF.tokens($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val feats = toks
+        .select($"doc_id", $"lang",
+          explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+        .select($"doc_id", $"lang",
+          (conv(substring(md5(concat_ws(" ",
+            element_at($"w", $"i"), element_at($"w", $"i" + 1))), 1, 8), 16, 10)
+            .cast("long") % K).as("b"))
+      val raw = feats.groupBy($"b").agg(count(lit(1)).as("cr"))
+      val tgt = feats.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
+      val totals = feats.agg(
+        count(lit(1)).as("n_raw"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
+      // every op here is a fixed-order IEEE sequence over exact
+      // integers (two divisions, one division of the quotients), so
+      // the pre-round doubles are bit-identical across engines
+      val ratios = raw
+        .join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totals))
+        .select($"b", rnd(
+          (($"ct" + 1).cast("double") / ($"n_tgt" + K).cast("double")) /
+            (($"cr" + 1).cast("double") / ($"n_raw" + K).cast("double")), 6).as("r"))
+      feats.join(broadcast(ratios), Seq("b"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          (sum($"r".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("w"))
+        .withColumn("selected", $"w" > 1.0)
+        .orderBy($"doc_id")
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 — public):
+    // per-language head/middle/tail terciles by language-model score,
+    // the partition CCNet uses to keep head, inspect middle, drop
+    // tail. The LM is the corpus's own bigram model (lm_score's exact
+    // pipeline — in production a pretrained external LM); higher
+    // mean bigram probability = "lower perplexity" = head.
+    //
+    // 100 TB shape: identical to lm_score (bounded LM broadcast, one
+    // per-doc aggregate) plus ONE window over per-doc score rows —
+    // a per-language sort of (doc_id, mean_p) pairs, tiny rows, the
+    // ranking CCNet fundamentally requires. Skew note: a dominant
+    // language concentrates its sort in one partition; a range-
+    // partitioned rank (percent_rank over range partitions) is the
+    // swap-in if one language is most of the corpus.
+    "ccnet_buckets" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"lang", TF.tokens($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val pairs = toks
+        .select($"doc_id", $"lang",
+          explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+        .select($"doc_id", $"lang",
+          element_at($"w", $"i").as("w1"), element_at($"w", $"i" + 1).as("w2"))
+      val c12 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      // window-sum c1 over the aggregated bigram types (lm_score's
+      // one-scan formulation), never a self-join re-planning the scan
+      val lm = c12
+        .withColumn("c1", sum($"c12").over(Window.partitionBy($"w1")))
+        .select($"w1", $"w2", ($"c12".cast("double") / $"c1".cast("double")).as("p"))
+      val scored = pairs.join(broadcast(lm), Seq("w1", "w2"))
+        .groupBy($"doc_id", $"lang")
+        .agg((sum(rnd($"p", 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_p"))
+      val byLang = Window.partitionBy($"lang").orderBy($"mean_p".desc, $"doc_id")
+      scored.withColumn("t", ntile(3).over(byLang))
+        .select($"doc_id", $"lang", $"mean_p",
+          when($"t" === 1, "head").when($"t" === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy($"doc_id")
+    }),
+
     // no rounding. Two hash aggregates over the shared term relation;
     // at 100 TB this is the same shape as the tf stage of tfidf.
     "token_diversity" -> ((s, d) => {
@@ -516,6 +614,48 @@ object CorpusOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same hashed-bigram buckets (md5 hex → int, identical bytes),
+    // same smoothed-ratio op order, same 6dp round + decimal sum
+    "dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang, ${LlmQueries.TOKS} AS w FROM documents),
+         |idx AS (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2),
+         |feats AS (SELECT doc_id, lang,
+         |  ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::BIGINT % 1024 AS b
+         |  FROM idx),
+         |raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+         |tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT count(*) AS n_raw,
+         |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt FROM feats),
+         |ratios AS (SELECT b, ${Q.duckRnd(
+             "(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(n_tgt + 1024 AS DOUBLE)) / " +
+               "(CAST(cr + 1 AS DOUBLE) / CAST(n_raw + 1024 AS DOUBLE))", 6)} AS r
+         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_feats,
+         |  CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS w,
+         |  (CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*)) > 1.0 AS selected
+         |FROM feats JOIN ratios USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, lang, ${LlmQueries.TOKS} AS w FROM documents),
+         |idx AS (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2),
+         |pairs AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+         |lm AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+         |       FROM c12 JOIN c1 USING (w1)),
+         |scored AS (SELECT doc_id, lang,
+         |  CAST(sum(CAST(${Q.duckRnd("p", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*) AS mean_p
+         |  FROM pairs JOIN lm USING (w1, w2)
+         |  GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, mean_p,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_p DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     // Transitive closure via recursive CTE: min reachable doc_id ==
     // the propagated min label. Tiny closures at test scale; the
     // Spark side is the one that has to scale.

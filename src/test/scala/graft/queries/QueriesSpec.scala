@@ -683,6 +683,54 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  // DSIR selection invariants: the importance weight must actually
+  // discriminate — target-language docs score higher ON AVERAGE than
+  // non-target docs (their features ARE the target distribution), and
+  // `selected` recomputes exactly from the weight.
+  test("dsir_select: target docs outscore non-target on average; selected == w>1") {
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    val rows = SparkEntry.queries("dsir_select")(spark, sf)
+      .select($"doc_id", $"n_feats", $"w", $"selected")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, w, sel) =>
+      withClue(s"doc $id: ") {
+        assert(nf >= 1)
+        assert(w > 0.0) // smoothed ratios are strictly positive
+        assert(sel == (w > 1.0))
+      }
+    }
+    val (en, rest) = rows.partition { case (id, _, _, _) => docs(id) == "en" }
+    assert(en.nonEmpty && rest.nonEmpty, "fixture lost its language mix")
+    val meanEn = en.map(_._3).sum / en.length
+    val meanRest = rest.map(_._3).sum / rest.length
+    assert(meanEn > meanRest,
+      f"target-lang mean weight $meanEn%.4f not above non-target $meanRest%.4f")
+  }
+
+  // CCNet bucketing invariants: within each language the terciles are
+  // balanced to within one doc, and the score ordering is respected —
+  // every head doc's mean_p >= every tail doc's mean_p.
+  test("ccnet_buckets: balanced per-lang terciles that respect score order") {
+    val rows = SparkEntry.queries("ccnet_buckets")(spark, sf)
+      .select($"doc_id", $"lang", $"mean_p", $"bucket")
+      .as[(Long, String, Double, String)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      withClue(s"lang $lang: ") {
+        val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+        assert(sizes.keySet == Set("head", "middle", "tail"))
+        assert(sizes.values.max - sizes.values.min <= 1,
+          s"tercile sizes $sizes not balanced")
+        val minHead = rs.filter(_._4 == "head").map(_._3).min
+        val maxTail = rs.filter(_._4 == "tail").map(_._3).max
+        assert(minHead >= maxTail,
+          f"head floor $minHead%.6f below tail ceiling $maxTail%.6f")
+      }
+    }
+  }
+
   // Diversity profile invariants: ttr and simpson recompute exactly
   // from the row's integer counts, and both live in their theoretical
   // ranges (simpson ≥ 1/n_types is the uniform-distribution floor).
