@@ -23,6 +23,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails here silently vanishes from the driver's
+    // correctness record (its row simply never appears) — round 7 lost
+    // 37 queries to one loader regression with only stderr lines as
+    // evidence. Persist every failure to a manifest next to the dumps
+    // so the gap arrives WITH its diagnosis.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -30,6 +36,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // loud, but rc stays 0: the driver must still run its compare over
+    // the partial dump — the green subset is evidence worth keeping
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED to dump " +
+        s"(missing from the correctness record): ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -495,4 +495,26 @@ class PlanSpec extends SparkSpecBase {
       "rate join shuffled the corpus instead of broadcasting S rates")
     assert(!finalSection.contains("CartesianProduct"), "cartesian in sampling")
   }
+
+  test("dsir_select: bounded ratio table broadcasts onto the scoring join") {
+    // the K=1024-bucket ratio table must BROADCAST to the per-feature
+    // scoring join — a sort-merge there shuffles every bigram
+    // occurrence of the corpus by bucket, exactly the full-size
+    // shuffle the bounded-bucket design exists to avoid
+    val p = finalPlan("dsir_select")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!finalSection.contains("CartesianProduct"),
+      "scalar totals join fell back to a cartesian shuffle")
+  }
+
+  test("ccnet_buckets: LM broadcasts; exactly one c1 window + one tercile window") {
+    val ops = physicalOps("ccnet_buckets")
+    assert(ops.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "bigram LM not broadcast to the scoring join")
+    val windows = ops.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows == 2, s"expected c1-sum + tercile windows, got $windows")
+  }
 }
