@@ -208,6 +208,35 @@ object AnalyticsQueries {
         .orderBy($"l_orderkey")
     }),
 
+    // MAD-based robust outlier detection — the heavy-tail-proof
+    // complement of outlier_zscore: median/MAD break down at 50%
+    // contamination where mean/stddev break at one bad row. Two tiny
+    // per-group statistic tables (exact interpolated medians, 4dp
+    // Q.rnd-snapped so both engines clip on identical thresholds —
+    // winsorize's bounds pattern) BROADCAST back onto the event scan;
+    // the fact table never shuffles. Threshold 4.4478 = 3σ-equivalent
+    // (3 × 1.4826, the normal-consistency constant) as one literal in
+    // both engines. Output is the per-group audit (n, med, mad,
+    // outlier count/fraction), the shape a data-quality monitor
+    // ingests.
+    "anomaly_mad" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"event_id", $"value")
+      val med = broadcast(ev.groupBy($"event_type")
+        .agg(rnd(expr("percentile(value, 0.5)"), 4).as("med")))
+      val dev = ev.join(med, Seq("event_type"))
+        .withColumn("dev", abs($"value" - $"med"))
+      val mad = broadcast(dev.groupBy($"event_type")
+        .agg(rnd(expr("percentile(dev, 0.5)"), 4).as("mad")))
+      dev.join(mad, Seq("event_type"))
+        .groupBy($"event_type", $"med", $"mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"dev" > lit(4.4478) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+        .select($"event_type", $"n", $"med", $"mad", $"n_outliers",
+          ($"n_outliers".cast("double") / $"n".cast("double")).as("outlier_frac"))
+        .orderBy($"event_type")
+    }),
+
     // Winsorization — clip a measure to its per-group [p10, p90] exact
     // percentiles, the standard robust-stats cleanup before training a
     // model on heavy-tailed data. Two passes sharing one scan shape:
@@ -332,6 +361,23 @@ object AnalyticsQueries {
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
+
+    "anomaly_mad" ->
+      s"""WITH m AS (SELECT event_type,
+         |  ${Q.duckRnd("quantile_cont(value, 0.5)", 4)} AS med
+         | FROM events GROUP BY event_type),
+         |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+         |      FROM events e JOIN m USING (event_type)),
+         |md AS (SELECT event_type, ${Q.duckRnd("quantile_cont(dev, 0.5)", 4)} AS mad
+         |       FROM d GROUP BY event_type)
+         |SELECT d.event_type, count(*) AS n, d.med, md.mad,
+         | CAST(sum(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_outliers,
+         | CAST(sum(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS outlier_frac
+         |FROM d JOIN md USING (event_type)
+         |GROUP BY d.event_type, d.med, md.mad
+         |ORDER BY d.event_type""".stripMargin,
 
     "winsorize" ->
       s"""WITH b AS (SELECT l_returnflag,

@@ -731,6 +731,38 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  // MAD audit invariants: every statistic recomputes exactly from a
+  // driver-side re-derivation (sorted-median with the same 4dp snap),
+  // and the outlier count matches a direct recount at the threshold.
+  test("anomaly_mad: stats equal a driver-side recomputation") {
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      (s((n - 1) / 2) + s(n / 2)) / 2.0
+    }
+    val events = graft.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val rows = SparkEntry.queries("anomaly_mad")(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val byType = events.groupBy(_._1)
+    assert(rows.map(_._1).toSet == byType.keySet)
+    rows.foreach { case (g, n, med, mad, nOut, frac) =>
+      withClue(s"group $g: ") {
+        val vals = byType(g).map(_._2)
+        assert(n == vals.length)
+        val wantMed = rnd4(medianOf(vals))
+        assert(med == wantMed, s"median $med != $wantMed")
+        val devs = vals.map(v => math.abs(v - wantMed))
+        val wantMad = rnd4(medianOf(devs))
+        assert(mad == wantMad, s"mad $mad != $wantMad")
+        assert(nOut == devs.count(_ > 4.4478 * wantMad))
+        assert(frac == nOut.toDouble / n.toDouble)
+      }
+    }
+  }
+
   // Diversity profile invariants: ttr and simpson recompute exactly
   // from the row's integer counts, and both live in their theoretical
   // ranges (simpson ≥ 1/n_types is the uniform-distribution floor).
