@@ -938,6 +938,48 @@ object LlmQueries {
         .orderBy($"token_id")
     }),
 
+    // BPE merge-rule training (Sennrich et al. 2016 — public): the
+    // real tokenizer-training step vocab_build stops short of. The
+    // corpus collapses to its frequency-weighted word table (top-200
+    // by tf, deterministic tiebreak — the ONLY corpus-scale stage;
+    // real BPE trains on exactly this word-frequency table, so at
+    // 100 TB the iteration runs on a vocabulary-bounded relation no
+    // matter the corpus size). Words start as space-joined character
+    // symbols with sentinel spaces; each of 5 steps counts adjacent
+    // symbol pairs (tf-weighted), picks the argmax (count desc, pair
+    // asc), and merges every non-overlapping occurrence via literal
+    // replace(' a b ' → ' ab ') — left-to-right greedy, the reference
+    // BPE semantics, and identical string semantics in both engines.
+    // Sentinel spaces make the pattern match whole symbols only (a
+    // multi-char symbol ending in 'l' can never false-match pair
+    // 'l …'). Output is the trained artifact: the 5 merge rules.
+    // The oracle unrolls the 5 iterations as CTE stages (the
+    // pagerank_lite precedent).
+    "bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val top = termTable(s, d)
+        .groupBy($"term").agg(count(lit(1)).as("tf"))
+        .orderBy($"tf".desc, $"term").limit(200)
+      var words = top.select($"term", $"tf",
+        concat(lit(" "), regexp_replace($"term", "(.)", "$1 ")).as("sym"))
+      val rules = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      for (step <- 1 to 5) {
+        val pairs = words.withColumn("w", split($"sym", " "))
+          .select($"tf", explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+          .select($"tf",
+            element_at($"w", $"i").as("a"), element_at($"w", $"i" + 1).as("b"))
+          .filter($"a" =!= "" && $"b" =!= "")
+          .groupBy($"a", $"b").agg(sum($"tf").as("cnt"))
+        val best = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
+        rules += best.select(lit(step).cast("long").as("step"), $"a", $"b", $"cnt")
+        words = words.crossJoin(broadcast(best.select($"a", $"b")))
+          .withColumn("sym", expr(
+            "replace(sym, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"))
+          .select($"term", $"tf", $"sym")
+      }
+      rules.reduce(_ unionAll _).orderBy($"step")
+    }),
+
     // Bigram language-model estimation: adjacent-token pairs via an
     // index explode over the token array (scan-parallel, no join to
     // build pairs), then two hash aggregates; the conditional
@@ -1738,6 +1780,36 @@ object LlmQueries {
          |    AS mean_df_frac
          |FROM t JOIN df USING (term)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 5 merge iterations unrolled as CTE stages (pagerank_lite
+    // precedent): each stage re-splits the symbol strings, counts
+    // tf-weighted adjacent pairs, takes the deterministic argmax, and
+    // rewrites via the same literal non-overlapping replace Spark runs
+    "bpe_merges" -> {
+      def stage(i: Int): String =
+        s"""s$i AS (SELECT term, tf, string_split(sym, ' ') AS w FROM w${i - 1}),
+           |i$i AS (SELECT tf, w, unnest(range(1, len(w))) AS i FROM s$i),
+           |p$i AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cnt
+           |        FROM (SELECT tf, w[i] AS a, w[i + 1] AS b FROM i$i) q
+           |        WHERE a <> '' AND b <> '' GROUP BY a, b),
+           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$i AS (SELECT term, tf,
+           |  replace(sym,
+           |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+           |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS sym
+           |  FROM w${i - 1})""".stripMargin
+      s"""WITH t AS (SELECT unnest($TOKS) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS tf FROM t WHERE term <> '' GROUP BY term),
+         |top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 200),
+         |w0 AS (SELECT term, tf,
+         |  ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym FROM top),
+         |${(1 to 5).map(stage).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 5).map(i =>
+             s"  SELECT CAST($i AS BIGINT) AS step, a, b, cnt FROM b$i")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY step""".stripMargin
+    },
 
     "vocab_build" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),

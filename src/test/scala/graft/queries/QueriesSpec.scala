@@ -731,6 +731,38 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  // BPE training equals a from-scratch driver-side reference: greedy
+  // left-to-right merges over the same frequency-weighted word table,
+  // implemented with plain Scala collections (no string replace — the
+  // symbol LISTS merge pairwise), so a subtle boundary bug in the
+  // relational replace() formulation cannot confirm itself.
+  test("bpe_merges: rules equal a reference BPE over the same word table") {
+    import org.apache.spark.sql.functions.explode
+    val tf = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .orderBy($"count".desc, $"t").limit(200)
+      .as[(String, Long)].collect()
+    var words: Array[(List[String], Long)] =
+      tf.map { case (w, n) => (w.map(_.toString).toList, n) }
+    def mergeAll(sym: List[String], a: String, b: String): List[String] = sym match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeAll(rest, a, b)
+      case x :: rest => x :: mergeAll(rest, a, b)
+      case Nil => Nil
+    }
+    val want = (1 to 5).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, n) <- words; p <- sym.zip(sym.tail))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.map { case (sym, n) => (mergeAll(sym, a, b), n) }
+      (step.toLong, a, b, cnt)
+    }
+    val got = SparkEntry.queries("bpe_merges")(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   // MAD audit invariants: every statistic recomputes exactly from a
   // driver-side re-derivation (sorted-median with the same 4dp snap),
   // and the outlier count matches a direct recount at the threshold.
