@@ -66,6 +66,33 @@ object LlmQueries {
   private[queries] val TOKS = s"string_split($NORM, ' ')"
   private[queries] val NTOK = s"(CASE WHEN length($NORM) = 0 THEN 0 ELSE len($TOKS) END)"
 
+  /** BPE training as unrolled CTE stages (through w5/b1..b5): the
+    * frequency-weighted top-200 word table, then 5 iterations of
+    * tf-weighted pair counting → deterministic argmax (b$i) → literal
+    * non-overlapping merge. Shared by the bpe_merges and bpe_apply
+    * oracles so train and apply can never diverge on the rules.
+    */
+  private val duckBpeTrainCtes: String = {
+    def stage(i: Int): String =
+      s"""s$i AS (SELECT term, tf, string_split(sym, ' ') AS w FROM w${i - 1}),
+         |i$i AS (SELECT tf, w, unnest(range(1, len(w))) AS i FROM s$i),
+         |p$i AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cnt
+         |        FROM (SELECT tf, w[i] AS a, w[i + 1] AS b FROM i$i) q
+         |        WHERE a <> '' AND b <> '' GROUP BY a, b),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT term, tf,
+         |  replace(sym,
+         |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS sym
+         |  FROM w${i - 1})""".stripMargin
+    s"""t AS (SELECT unnest($TOKS) AS term FROM documents),
+       |c AS (SELECT term, count(*) AS tf FROM t WHERE term <> '' GROUP BY term),
+       |top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 200),
+       |w0 AS (SELECT term, tf,
+       |  ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym FROM top),
+       |${(1 to 5).map(stage).mkString(",\n")}""".stripMargin
+  }
+
   /** DuckDB 3-gram shingle list from a token list column `w`. */
   private def duckShingles(w: String): String =
     s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
@@ -980,6 +1007,44 @@ object LlmQueries {
       rules.reduce(_ unionAll _).orderBy($"step")
     }),
 
+    // BPE ENCODING with the trained rules — the apply half of the
+    // bpe_merges train/apply pair (vocab_build→tokenizer_apply's
+    // shape). The 5 merge rules pivot to ONE row (a1..b5) that
+    // cross-join-broadcasts onto the token scan; each token re-derives
+    // its character symbols and applies the rules in training order as
+    // 5 chained literal replaces — one codegen'd projection, no
+    // shuffle until the per-doc aggregate. Output is the per-doc
+    // compression audit (char symbols vs BPE symbols), the number a
+    // tokenizer team actually tracks. One replace pass per rule merges
+    // every non-overlapping occurrence left-to-right — exactly the
+    // semantics training used, so apply is consistent with train.
+    "bpe_apply" -> ((s, d) => {
+      import s.implicits._
+      val rules = defs("bpe_merges")(s, d) // (step, a, b, cnt), 5 rows
+      val ruleRow = broadcast(rules.groupBy().pivot("step", 1 to 5)
+        .agg(first($"a").as("a"), first($"b").as("b")))
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(TF.tokens($"text")).as("t"))
+        .filter($"t" =!= "")
+      val start = concat(lit(" "), regexp_replace($"t", "(.)", "$1 "))
+      val merged = (1 to 5).foldLeft(start) { (sym, i) =>
+        org.apache.spark.sql.functions.call_function("replace", sym,
+          concat(lit(" "), col(s"${i}_a"), lit(" "), col(s"${i}_b"), lit(" ")),
+          concat(lit(" "), col(s"${i}_a"), col(s"${i}_b"), lit(" ")))
+      }
+      toks.crossJoin(ruleRow)
+        .select($"doc_id", length($"t").as("n_char"),
+          (size(split(merged, " ")) - 2).cast("long").as("n_sym"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"n_char").as("char_symbols"),
+          sum($"n_sym").as("bpe_symbols"))
+        .select($"doc_id", $"n_tokens", $"char_symbols", $"bpe_symbols",
+          ($"bpe_symbols".cast("double") / $"char_symbols".cast("double"))
+            .as("compression"))
+        .orderBy($"doc_id")
+    }),
+
     // Bigram language-model estimation: adjacent-token pairs via an
     // index explode over the token array (scan-parallel, no join to
     // build pairs), then two hash aggregates; the conditional
@@ -1785,30 +1850,32 @@ object LlmQueries {
     // precedent): each stage re-splits the symbol strings, counts
     // tf-weighted adjacent pairs, takes the deterministic argmax, and
     // rewrites via the same literal non-overlapping replace Spark runs
-    "bpe_merges" -> {
-      def stage(i: Int): String =
-        s"""s$i AS (SELECT term, tf, string_split(sym, ' ') AS w FROM w${i - 1}),
-           |i$i AS (SELECT tf, w, unnest(range(1, len(w))) AS i FROM s$i),
-           |p$i AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cnt
-           |        FROM (SELECT tf, w[i] AS a, w[i + 1] AS b FROM i$i) q
-           |        WHERE a <> '' AND b <> '' GROUP BY a, b),
-           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-           |w$i AS (SELECT term, tf,
-           |  replace(sym,
-           |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
-           |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS sym
-           |  FROM w${i - 1})""".stripMargin
-      s"""WITH t AS (SELECT unnest($TOKS) AS term FROM documents),
-         |c AS (SELECT term, count(*) AS tf FROM t WHERE term <> '' GROUP BY term),
-         |top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 200),
-         |w0 AS (SELECT term, tf,
-         |  ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS sym FROM top),
-         |${(1 to 5).map(stage).mkString(",\n")}
+    "bpe_merges" ->
+      s"""WITH $duckBpeTrainCtes
          |SELECT * FROM (
          |${(1 to 5).map(i =>
              s"  SELECT CAST($i AS BIGINT) AS step, a, b, cnt FROM b$i")
              .mkString("\n  UNION ALL\n")}
-         |) ORDER BY step""".stripMargin
+         |) ORDER BY step""".stripMargin,
+
+    // the same training CTE chain supplies the rules; every document
+    // token re-derives its char symbols and applies the 5 rules in
+    // training order as nested literal replaces
+    "bpe_apply" -> {
+      val sym = (1 to 5).foldLeft(
+        "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')") { (e, i) =>
+        s"replace($e, ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' '," +
+          s" ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ')"
+      }
+      s"""WITH $duckBpeTrainCtes,
+         |dt AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+         |enc AS (SELECT doc_id, tok, $sym AS sym FROM dt WHERE tok <> '')
+         |SELECT doc_id, count(*) AS n_tokens,
+         | CAST(sum(length(tok)) AS BIGINT) AS char_symbols,
+         | CAST(sum(len(string_split(sym, ' ')) - 2) AS BIGINT) AS bpe_symbols,
+         | CAST(sum(len(string_split(sym, ' ')) - 2) AS DOUBLE)
+         |   / CAST(sum(length(tok)) AS DOUBLE) AS compression
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "vocab_build" ->

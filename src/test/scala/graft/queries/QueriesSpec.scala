@@ -763,6 +763,42 @@ class QueriesSpec extends SparkSpecBase {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  // bpe_apply equals driver-side encoding with the trained rules: each
+  // token list-merges through the 5 rules in order and the per-doc
+  // symbol totals must match exactly; compression recomputes from the
+  // row's own integers.
+  test("bpe_apply: per-doc symbol totals equal driver-side encoding") {
+    import org.apache.spark.sql.functions.explode
+    val rules = SparkEntry.queries("bpe_merges")(spark, sf)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .map { case (_, a, b, _) => (a, b) }
+    def mergeAll(sym: List[String], a: String, b: String): List[String] = sym match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeAll(rest, a, b)
+      case x :: rest => x :: mergeAll(rest, a, b)
+      case Nil => Nil
+    }
+    def encode(tok: String): Int =
+      rules.foldLeft(tok.map(_.toString).toList) {
+        case (sym, (a, b)) => mergeAll(sym, a, b) }.length
+    val toks = graft.Tables.documents(spark, sf)
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "").as[(Long, String)].collect()
+    val want = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> ((ts.length.toLong,
+        ts.map(_._2.length.toLong).sum, ts.map(t => encode(t._2).toLong).sum))
+    }
+    val got = SparkEntry.queries("bpe_apply")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSet == want.keySet)
+    got.foreach { case (id, nTok, nChar, nBpe, comp) =>
+      withClue(s"doc $id: ") {
+        assert((nTok, nChar, nBpe) == want(id))
+        assert(nBpe <= nChar)
+        assert(comp == nBpe.toDouble / nChar.toDouble)
+      }
+    }
+  }
+
   // MAD audit invariants: every statistic recomputes exactly from a
   // driver-side re-derivation (sorted-median with the same 4dp snap),
   // and the outlier count matches a direct recount at the threshold.
