@@ -24,7 +24,11 @@ object BenchShared {
     "pagerank_lite", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
-    "heavy_hitters", "rrf_fusion", "unigram_surprise",
+    "heavy_hitters", "rrf_fusion",
+    // term_rows consumers run before unigram_surprise (its release
+    // point); candidate_pairs consumers before dedup_clusters (same)
+    "bpe_merges", "bpe_apply", "unigram_surprise",
+    "triangle_count",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
     "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign")

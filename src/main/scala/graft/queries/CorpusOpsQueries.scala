@@ -189,6 +189,31 @@ object CorpusOpsQueries {
         .orderBy($"degree")
     }),
 
+    // Triangle counting over the near-dup candidate graph — the
+    // clustering-coefficient ingredient that distinguishes a tight
+    // paraphrase CLIQUE from a hub-and-spoke boilerplate star (stars
+    // have zero triangles; template families are triangle-dense).
+    // Standard distributed edge-orientation scheme: edges already
+    // arrive oriented (doc_a < doc_b from the LSH pair table), wedges
+    // form at the low endpoint (two edges sharing doc_a, second
+    // endpoints ordered), and one more keyed join closes each wedge.
+    // Work is Σ deg² over the candidate graph — exactly the quantity
+    // the band-bucket cap already bounds; no shuffle carries more
+    // than (wedge, node) rows. Per-node triangle participation, not
+    // one scalar, so the output stays hash-checkable row by row.
+    "triangle_count" -> ((s, d) => {
+      import s.implicits._
+      val e = LlmQueries.pairTable(s, d).select($"doc_a".as("u"), $"doc_b".as("v"))
+      val wedges = e.join(e.select($"u", $"v".as("w")), Seq("u"))
+        .filter($"v" < $"w")
+      val tri = wedges.join(e.select($"u".as("v"), $"v".as("w")), Seq("v", "w"))
+      tri.select($"u".as("node"))
+        .unionAll(tri.select($"v".as("node")))
+        .unionAll(tri.select($"w".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+        .orderBy($"node")
+    }),
+
     // Deterministic stratified Bernoulli sampling for training-data
     // mixes: per-language keep rates, seeded-hash uniform per doc —
     // reproducible across runs, engines, partitionings.
@@ -757,6 +782,19 @@ object CorpusOpsQueries {
          |SELECT doc_id FROM exact_sur
          |WHERE doc_id NOT IN (SELECT doc_id FROM nearhit)
          |ORDER BY doc_id""".stripMargin,
+
+    "triangle_count" ->
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cand),
+         |tri AS (
+         | SELECT w1.u, w1.v, w1.w FROM (
+         |  SELECT a.u, a.v, b.v AS w FROM e a JOIN e b ON a.u = b.u AND a.v < b.v) w1
+         | JOIN e c ON c.u = w1.v AND c.v = w1.w)
+         |SELECT node, count(*) AS n_tri FROM (
+         | SELECT u AS node FROM tri
+         | UNION ALL SELECT v AS node FROM tri
+         | UNION ALL SELECT w AS node FROM tri) t
+         |GROUP BY node ORDER BY node""".stripMargin,
 
     "graph_degree_dist" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},

@@ -799,6 +799,23 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  // Triangle participation equals a brute-force driver recount over
+  // the same candidate edges (adjacency-set intersection per edge).
+  test("triangle_count: per-node counts equal a driver-side recount") {
+    val edges = LlmQueries.pairTable(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a).intersect(adj(b)) if a < b && b < c) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val got = SparkEntry.queries("triangle_count")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == triCount.toMap,
+      s"got ${got.toSeq.sorted}\nwant ${triCount.toSeq.sorted}")
+  }
+
   // MAD audit invariants: every statistic recomputes exactly from a
   // driver-side re-derivation (sorted-median with the same 4dp snap),
   // and the outlier count matches a direct recount at the threshold.
