@@ -88,6 +88,40 @@ object TimeSeriesQueries {
     // IEEE exponent shift (exact), and num/den are fixed
     // left-associated sums — the output double is bit-identical across
     // engines with no rounding step, which the oracle check proves.
+    // Classical additive seasonal decomposition over the hourly event
+    // series (trend = centered 24-point moving average, seasonal =
+    // per-hour-of-day mean of the detrended series, residual = the
+    // rest) — the data-drift primitive a feature pipeline runs before
+    // alerting on "volume looks wrong". Transcendental-free: every
+    // statistic is a decimal-summed mean of 6dp-snapped doubles, so
+    // both engines produce bit-identical components. The corpus-scale
+    // aggregate happens FIRST (events → one row per hour); every
+    // window then runs on the time-bounded hourly series — a relation
+    // whose size depends on the time span, never the event count, so
+    // the single-partition ordered window is safe at any corpus size.
+    "seasonal_decompose" -> ((s, d) => {
+      import s.implicits._
+      val ms = unix_millis($"ts")
+      val hourly = Tables.events(s, d)
+        .select((ms - pmod(ms, lit(3600000L))).as("hr"), $"value")
+        .groupBy($"hr")
+        .agg(count(lit(1)).as("n"), rnd(davg($"value"), 6).as("y"))
+      val w = Window.orderBy($"hr").rowsBetween(-11, 12)
+      val withTrend = hourly.withColumn("trend",
+        sum($"y".cast("decimal(18,6)")).over(w).cast("double") /
+          count($"y").over(w).cast("double"))
+        .withColumn("det", rnd($"y" - $"trend", 6))
+        .withColumn("hod", expr("(hr div 3600000) % 24"))
+      val s_ = Window.partitionBy($"hod")
+      withTrend.withColumn("seas",
+        sum($"det".cast("decimal(18,6)")).over(s_).cast("double") /
+          count($"det").over(s_).cast("double"))
+        .select($"hr", $"n", $"y", rnd($"trend", 6).as("trend"),
+          rnd($"seas", 6).as("seasonal"),
+          rnd($"det" - rnd($"seas", 6), 6).as("resid"))
+        .orderBy($"hr")
+    }),
+
     "ema_decay" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -169,6 +203,30 @@ object TimeSeriesQueries {
         |         epoch_us(ts) // 1000 + 600000 AS en FROM events) i) f
         |) t GROUP BY user_id, span_id
         |ORDER BY user_id, cov_start""".stripMargin,
+
+    "seasonal_decompose" ->
+      s"""WITH h AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hr, value
+         |           FROM events),
+         |a AS (SELECT hr, count(*) AS n,
+         |  ${Q.duckRnd(
+             "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)" +
+               " / CAST(count(value) AS DOUBLE)", 6)} AS y
+         |  FROM h GROUP BY hr),
+         |c AS (SELECT hr, n, y,
+         |  CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    / CAST(count(y) OVER w AS DOUBLE) AS trend
+         |  FROM a
+         |  WINDOW w AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+         |d AS (SELECT hr, n, y, trend, ${Q.duckRnd("y - trend", 6)} AS det,
+         |  (hr // 3600000) % 24 AS hod FROM c),
+         |e AS (SELECT hr, n, y, trend, det,
+         |  CAST(sum(CAST(det AS DECIMAL(18,6))) OVER s AS DOUBLE)
+         |    / CAST(count(det) OVER s AS DOUBLE) AS seas
+         |  FROM d WINDOW s AS (PARTITION BY hod))
+         |SELECT hr, n, y, ${Q.duckRnd("trend", 6)} AS trend,
+         | ${Q.duckRnd("seas", 6)} AS seasonal,
+         | ${Q.duckRnd(s"det - ${Q.duckRnd("seas", 6)}", 6)} AS resid
+         |FROM e ORDER BY hr""".stripMargin,
 
     "ema_decay" ->
       """SELECT user_id, event_id, ts_ms,

@@ -68,6 +68,30 @@ class TimeSeriesPropertySpec extends SparkSpecBase {
     }, 20)
   }
 
+  test("seasonal_decompose: components reconstruct y; seasonal constant per hour-of-day") {
+    val rows = graft.SparkEntry.queries("seasonal_decompose")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // additive identity within the stacked 6dp rounding tolerance:
+    // det = rnd(y - trend_raw), resid = rnd(det - rnd(seas)), and the
+    // emitted trend is itself rounded — three ±5e-7 snaps
+    rows.foreach { case (hr, n, y, trend, seas, resid) =>
+      assert(n > 0)
+      assert(math.abs(y - (trend + seas + resid)) < 5e-6,
+        s"hr $hr: $y != $trend + $seas + $resid")
+    }
+    // the seasonal component is a per-hour-of-day CONSTANT by
+    // construction — every row of one hod must carry the same value
+    rows.groupBy { case (hr, _, _, _, _, _) => (hr / 3600000) % 24 }
+      .foreach { case (hod, rs) =>
+        assert(rs.map(_._5).distinct.length == 1,
+          s"hod $hod has non-constant seasonal: ${rs.map(_._5).distinct.toSeq}")
+      }
+    // total hourly n equals the event count
+    val total = graft.Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("ema_decay: weights renormalize (constant series → that constant)") {
     // for a constant series the decayed average must return the
     // constant exactly at every position — the den renormalization is
