@@ -120,7 +120,11 @@ object ScaleSweep {
       "embedding_neardup",
       "knn_bruteforce", "cosine_topk", "knn_ivf", "knn_lsh",
       "lm_score",
-      "exact_dedup", "text_stats", "lang_id", "doc_chunk")
+      "exact_dedup", "text_stats", "lang_id", "doc_chunk",
+      // round-8 corpus ops (documents-table only — the scale corpus
+      // has no events table, so anomaly_mad/seasonal_decompose stay
+      // bench-only)
+      "dsir_select", "ccnet_buckets")
     val drifted = family.filterNot(graft.SparkEntry.queries.contains)
     require(drifted.isEmpty,
       s"family names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
