@@ -44,6 +44,7 @@ object BenchShared {
     "dup_ngram_frac" -> Seq("shingles"),
     "dedup_incremental" -> Seq("bands"),
     "contamination_check" -> Seq("shingles_distinct"),
+    "bpe_apply" -> Seq("bpe_words"),
     "unigram_surprise" -> Seq("term_rows"),
     "dedup_clusters" -> Seq("candidate_pairs"),
     "knn_rerank" -> Seq("pq_codebook"),

@@ -554,18 +554,25 @@ object CorpusOpsQueries {
           (conv(substring(md5(concat_ws(" ",
             element_at($"w", $"i"), element_at($"w", $"i" + 1))), 1, 8), 16, 10)
             .cast("long") % K).as("b"))
-      val raw = feats.groupBy($"b").agg(count(lit(1)).as("cr"))
-      val tgt = feats.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
-      val totals = feats.agg(
-        count(lit(1)).as("n_raw"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
+      // ONE stats pass: raw and target bucket counts ride the same
+      // aggregate (conditional sum ≡ the filtered count, same
+      // integers), and the corpus totals are sums over the K-row
+      // stats table — so the whole query reads the corpus exactly
+      // twice (stats + scoring) instead of four times
+      val stats = feats.groupBy($"b").agg(
+        count(lit(1)).as("cr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      // corpus totals as window sums OVER the K-row stats table (an
+      // aggregate-of-stats would re-execute the stats lineage — a
+      // third corpus scan); the unpartitioned window moves 1024 rows,
+      // not the corpus
+      val all = Window.partitionBy()
       // every op here is a fixed-order IEEE sequence over exact
       // integers (two divisions, one division of the quotients), so
       // the pre-round doubles are bit-identical across engines
-      val ratios = raw
-        .join(tgt, Seq("b"), "left")
-        .na.fill(0L, Seq("ct"))
-        .crossJoin(broadcast(totals))
+      val ratios = stats
+        .withColumn("n_raw", sum($"cr").over(all))
+        .withColumn("n_tgt", sum($"ct").over(all))
         .select($"b", rnd(
           (($"ct" + 1).cast("double") / ($"n_tgt" + K).cast("double")) /
             (($"cr" + 1).cast("double") / ($"n_raw" + K).cast("double")), 6).as("r"))

@@ -1,34 +1,40 @@
 package graft.tools
 
-import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Regenerates the raw material for PLANS.md:
-  * `sbt "runMain graft.tools.PlanDump [sfDir] [query ...]"` prints the
-  * formatted executed plan of each named query (default: the headline
-  * set) after execution, so AQE/codegen decisions are final.
+/** Executed-plan skeleton dump for named queries — the audit loop
+  * behind PLANS.md: run each query on a small sf dir, then print only
+  * the plan lines that matter for the scale review (exchanges, joins,
+  * aggregates, windows, scans), so broadcast-vs-shuffle decisions and
+  * exchange counts are readable at a glance.
+  *
+  * `sbt "runMain graft.tools.PlanDump [sfDir] q1 q2 ..."` — with no
+  * query names, dumps every declared query.
   */
 object PlanDump {
-  private val headline = Seq(
-    "agg_group", "join_inner", "join_range", "minhash_dedup",
-    "knn_bruteforce", "window_running_sum", "sort_desc")
-
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else headline
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"no such queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftSparkExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("Exchange", "Broadcast", "HashAggregate", "Window",
+      "Scan parquet", "Join", "TakeOrdered", "Sort ", "InMemoryTableScan")
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      df.collect()
-      println(s"===== $n")
-      println(df.queryExecution.executedPlan.toString)
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      df.collect() // execute so AQE finalizes the plan
+      println(s"==== $n ====")
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => interesting.exists(l.contains))
+        .take(30).foreach(println)
     }
     spark.stop()
   }
