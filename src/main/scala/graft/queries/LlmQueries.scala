@@ -1507,6 +1507,66 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // REAL image codec round-trip, driver-oracled: each doc gets a
+    // deterministic solid-color 8×6 PNG (channel values derived from
+    // doc_id), ENCODED and then DECODED through javax.imageio on the
+    // executors in the mapPartitions batch shape Multimodal.scala
+    // documents — and because a solid-color image's channel means ARE
+    // its color, the oracle recomputes every output by arithmetic
+    // alone. A broken reader (wrong dims, channel order, color
+    // management) hash-mismatches in the driver's correctness file
+    // instead of hiding behind a spec. Scan-parallel; the only
+    // shuffle is the final ORDER BY.
+    "image_decode_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // once per partition
+          it.map { id =>
+            val (w, h) = (8, 6)
+            val rgb = (((id * 37) % 256) << 16 | ((id * 57) % 256) << 8 |
+              ((id * 77) % 256)).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, bytes) =>
+            // the REAL decode under test — same reader path as
+            // Multimodal.decodeImage
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toLong
+            (id, bytes.length.toLong, w.toLong, h.toLong, sr / n, sg / n, sb / n)
+          }
+        }
+        .toDF("doc_id", "n_png_bytes", "width", "height", "mean_r", "mean_g", "mean_b")
+        .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+        .orderBy($"doc_id")
+    }),
+
     // Two-stage retrieve-then-rerank — the production ANN serving
     // shape: stage 1 scores the WHOLE corpus by ADC over the memoized
     // codebook (compressed codes only, top-50 candidates per query);
@@ -2173,6 +2233,16 @@ object LlmQueries {
         | CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
         |      WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpg'
         |      ELSE 'webp' END AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // a solid-color image's decoded channel means equal its generating
+    // color — pure arithmetic, no decode needed on the oracle side
+    "image_decode_stats" ->
+      """SELECT doc_id,
+        | CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        | (doc_id * 37) % 256 AS mean_r,
+        | (doc_id * 57) % 256 AS mean_g,
+        | (doc_id * 77) % 256 AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "knn_rerank" ->
