@@ -278,13 +278,19 @@ object Bench {
     // so nothing parses. Persist the full line to a file, then print a
     // compact summary line (same shape, slowest-15 queries only) that
     // fits whole inside the tail window and parses on its own.
+    // A SPARK_GRAFT_ONLY subset run must not clobber the committed
+    // full-sweep snapshot (round 7's ADVICE flagged exactly that
+    // failure mode: a partial/contended run overwriting the clean
+    // baseline of record) — subsets persist to their own file.
+    val snapshotFile =
+      if (only.isDefined) "BENCH_LOCAL_SUBSET.json" else "BENCH_LOCAL_LATEST.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL_LATEST.json"),
+      java.nio.file.Paths.get(snapshotFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not persist full results: ${e.getMessage}") }
     val slowest = secMapJson(results.filter(_._2 >= 0).sortBy(-_._2).take(15))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in BENCH_LOCAL_LATEST.json and the total_full line above","cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"bucket_stats":$bucketsJson,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in $snapshotFile and the total_full line above","cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"bucket_stats":$bucketsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
