@@ -85,11 +85,44 @@ object LlmQueries {
           concat(lit(" "), regexp_replace($"term", "(.)", "$1 ")).as("sym"))
     }
 
+  /** Greedy left-to-right BPE pair merge over a sentinel-spaced
+    * symbol string — exact Sennrich merge-all semantics: scan the
+    * symbols once, merge (a,b)→ab, resume AFTER the merged symbol.
+    * A string-accumulator fold (aggregate HOF) rather than a literal
+    * replace(' a b '→' ab '): single-pass replace shares the sentinel
+    * space between back-to-back occurrences and skips every second
+    * one (' d i n i n g ' with rule (i,n) must give [d,in,in,g], not
+    * [d,in,i,n,g]). Mirrored in the oracle via DuckDB list_reduce
+    * (duckBpeMerge) so both engines carry reference semantics.
+    */
+  private def bpeMergeStep(sym: Column, a: Column, b: Column): Column = {
+    val toks = filter(split(sym, " "), t => t =!= "")
+    val folded = aggregate(toks, lit(""), (acc, x) =>
+      when(acc === "", x)
+        .when(x === b && (acc === a || acc.endsWith(concat(lit(" "), a))),
+          concat(acc.substr(lit(1), length(acc) - length(a)), a, b))
+        .otherwise(concat(acc, lit(" "), x)))
+    concat(lit(" "), folded, lit(" "))
+  }
+
+  /** DuckDB twin of bpeMergeStep: greedy merge fold via list_reduce.
+    * `sym` is a SQL expression for the sentinel-spaced symbol string;
+    * `a`/`b` are SQL expressions for the rule columns (must be plain
+    * column references visible in the enclosing FROM — lambdas can
+    * reference correlated columns but not scalar subqueries).
+    */
+  private def duckBpeMerge(sym: String, a: String, b: String): String =
+    s"""' ' || list_reduce(list_filter(string_split($sym, ' '), x -> x <> ''),
+       |  (acc, x) -> CASE WHEN x = $b AND (acc = $a OR ends_with(acc, ' ' || $a))
+       |    THEN substr(acc, 1, length(acc) - length($a)) || $a || $b
+       |    ELSE acc || ' ' || x END) || ' '""".stripMargin
+
   /** BPE training as unrolled CTE stages (through w5/b1..b5): the
     * frequency-weighted top-200 word table, then 5 iterations of
-    * tf-weighted pair counting → deterministic argmax (b$i) → literal
-    * non-overlapping merge. Shared by the bpe_merges and bpe_apply
-    * oracles so train and apply can never diverge on the rules.
+    * tf-weighted pair counting → deterministic argmax (b$i) → greedy
+    * left-to-right merge (duckBpeMerge). Shared by the bpe_merges and
+    * bpe_apply oracles so train and apply can never diverge on the
+    * rules.
     */
   private val duckBpeTrainCtes: String = {
     def stage(i: Int): String =
@@ -100,10 +133,8 @@ object LlmQueries {
          |        WHERE a <> '' AND b <> '' GROUP BY a, b),
          |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
          |w$i AS (SELECT term, tf,
-         |  replace(sym,
-         |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
-         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS sym
-         |  FROM w${i - 1})""".stripMargin
+         |  ${duckBpeMerge("sym", s"r$i.a", s"r$i.b")} AS sym
+         |  FROM w${i - 1}, b$i r$i)""".stripMargin
     s"""t AS (SELECT unnest($TOKS) AS term FROM documents),
        |c AS (SELECT term, count(*) AS tf FROM t WHERE term <> '' GROUP BY term),
        |top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 200),
@@ -993,14 +1024,14 @@ object LlmQueries {
     // matter the corpus size). Words start as space-joined character
     // symbols with sentinel spaces; each of 5 steps counts adjacent
     // symbol pairs (tf-weighted), picks the argmax (count desc, pair
-    // asc), and merges every non-overlapping occurrence via literal
-    // replace(' a b ' → ' ab ') — left-to-right greedy, the reference
-    // BPE semantics, and identical string semantics in both engines.
-    // Sentinel spaces make the pattern match whole symbols only (a
-    // multi-char symbol ending in 'l' can never false-match pair
-    // 'l …'). Output is the trained artifact: the 5 merge rules.
-    // The oracle unrolls the 5 iterations as CTE stages (the
-    // pagerank_lite precedent).
+    // asc), and merges occurrences left-to-right greedily via
+    // bpeMergeStep (a string-accumulator fold — exact Sennrich
+    // merge-all semantics; a single-pass literal replace would skip
+    // every second occurrence of back-to-back pairs because adjacent
+    // matches share a sentinel space). Output is the trained
+    // artifact: the 5 merge rules. The oracle unrolls the 5
+    // iterations as CTE stages (the pagerank_lite precedent) with the
+    // same fold via list_reduce.
     "bpe_merges" -> ((s, d) => {
       import s.implicits._
       var words = bpeWordTable(s, d)
@@ -1015,8 +1046,7 @@ object LlmQueries {
         val best = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
         rules += best.select(lit(step).cast("long").as("step"), $"a", $"b", $"cnt")
         words = words.crossJoin(broadcast(best.select($"a", $"b")))
-          .withColumn("sym", expr(
-            "replace(sym, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"))
+          .withColumn("sym", bpeMergeStep($"sym", $"a", $"b"))
           .select($"term", $"tf", $"sym")
       }
       rules.reduce(_ unionAll _).orderBy($"step")
@@ -1027,12 +1057,12 @@ object LlmQueries {
     // shape). The 5 merge rules pivot to ONE row (a1..b5) that
     // cross-join-broadcasts onto the token scan; each token re-derives
     // its character symbols and applies the rules in training order as
-    // 5 chained literal replaces — one codegen'd projection, no
-    // shuffle until the per-doc aggregate. Output is the per-doc
+    // 5 chained greedy merge folds (bpeMergeStep) — one projection,
+    // no shuffle until the per-doc aggregate. Output is the per-doc
     // compression audit (char symbols vs BPE symbols), the number a
-    // tokenizer team actually tracks. One replace pass per rule merges
-    // every non-overlapping occurrence left-to-right — exactly the
-    // semantics training used, so apply is consistent with train.
+    // tokenizer team actually tracks. Each fold merges occurrences
+    // left-to-right exactly as training did, so apply is consistent
+    // with train.
     "bpe_apply" -> ((s, d) => {
       import s.implicits._
       val rules = defs("bpe_merges")(s, d) // (step, a, b, cnt), 5 rows
@@ -1043,9 +1073,7 @@ object LlmQueries {
         .filter($"t" =!= "")
       val start = concat(lit(" "), regexp_replace($"t", "(.)", "$1 "))
       val merged = (1 to 5).foldLeft(start) { (sym, i) =>
-        org.apache.spark.sql.functions.call_function("replace", sym,
-          concat(lit(" "), col(s"${i}_a"), lit(" "), col(s"${i}_b"), lit(" ")),
-          concat(lit(" "), col(s"${i}_a"), col(s"${i}_b"), lit(" ")))
+        bpeMergeStep(sym, col(s"${i}_a"), col(s"${i}_b"))
       }
       toks.crossJoin(ruleRow)
         .select($"doc_id", length($"t").as("n_char"),
@@ -1935,16 +1963,17 @@ object LlmQueries {
 
     // the same training CTE chain supplies the rules; every document
     // token re-derives its char symbols and applies the 5 rules in
-    // training order as nested literal replaces
+    // training order as nested greedy merge folds (duckBpeMerge)
     "bpe_apply" -> {
       val sym = (1 to 5).foldLeft(
         "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')") { (e, i) =>
-        s"replace($e, ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' '," +
-          s" ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ')"
+        duckBpeMerge(e, s"r$i.a", s"r$i.b")
       }
+      val ruleFrom = (1 to 5).map(i => s"b$i r$i").mkString(", ")
       s"""WITH $duckBpeTrainCtes,
          |dt AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
-         |enc AS (SELECT doc_id, tok, $sym AS sym FROM dt WHERE tok <> '')
+         |enc AS (SELECT doc_id, tok, $sym AS sym
+         |        FROM dt, $ruleFrom WHERE tok <> '')
          |SELECT doc_id, count(*) AS n_tokens,
          | CAST(sum(length(tok)) AS BIGINT) AS char_symbols,
          | CAST(sum(len(string_split(sym, ' ')) - 2) AS BIGINT) AS bpe_symbols,
