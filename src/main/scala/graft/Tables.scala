@@ -30,8 +30,23 @@ object Tables {
     * epoch_us/epoch_ms match bit-for-bit in both encodings.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, d, "events")
+    // The loader itself stays side-effect-free: graft's session
+    // builders (Bench/Verify/tools/specs) set
+    // spark.sql.legacy.parquet.nanosAsLong=true up front, because the
+    // flag is read again at plan time (captured into the scan's
+    // hadoopConf), so a set/restore around this lazy read would break
+    // the later action. Only if a foreign session without the flag
+    // meets a NANOS file — which Spark rejects at schema inference —
+    // do we set it, and then it must stay set for execution.
+    val raw =
+      try t(s, d, "events")
+      catch {
+        case e: Throwable
+            if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+              .exists(c => String.valueOf(c.getMessage).contains("NANOS")) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t(s, d, "events")
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

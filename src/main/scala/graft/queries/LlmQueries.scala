@@ -1552,8 +1552,10 @@ object LlmQueries {
           javax.imageio.ImageIO.setUseCache(false) // once per partition
           it.map { id =>
             val (w, h) = (8, 6)
-            val rgb = (((id * 37) % 256) << 16 | ((id * 57) % 256) << 8 |
-              ((id * 77) % 256)).toInt
+            // floorMod: channels stay 0..255 for negative doc_ids too
+            // (the oracle mirrors with ((x % 256) + 256) % 256)
+            def ch(m: Long) = java.lang.Math.floorMod(id * m, 256L).toInt
+            val rgb = ch(37) << 16 | ch(57) << 8 | ch(77)
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
             var y = 0
@@ -2269,9 +2271,9 @@ object LlmQueries {
     "image_decode_stats" ->
       """SELECT doc_id,
         | CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
-        | (doc_id * 37) % 256 AS mean_r,
-        | (doc_id * 57) % 256 AS mean_g,
-        | (doc_id * 77) % 256 AS mean_b
+        | ((doc_id * 37) % 256 + 256) % 256 AS mean_r,
+        | ((doc_id * 57) % 256 + 256) % 256 AS mean_g,
+        | ((doc_id * 77) % 256 + 256) % 256 AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "knn_rerank" ->

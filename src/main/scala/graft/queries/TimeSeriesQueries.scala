@@ -205,8 +205,9 @@ object TimeSeriesQueries {
         |ORDER BY user_id, cov_start""".stripMargin,
 
     "seasonal_decompose" ->
-      s"""WITH h AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hr, value
-         |           FROM events),
+      s"""WITH h AS (SELECT epoch_ms(ts)
+         |             - ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) AS hr,
+         |           value FROM events),
          |a AS (SELECT hr, count(*) AS n,
          |  ${Q.duckRnd(
              "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)" +

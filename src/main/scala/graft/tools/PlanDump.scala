@@ -22,6 +22,7 @@ object PlanDump {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events may ship TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftSparkExtensions)
       .getOrCreate()

@@ -39,6 +39,7 @@ object ScaleSweep {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events may ship TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftSparkExtensions)
       .getOrCreate()

@@ -11,6 +11,7 @@ object SparkTestSession {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events may ship TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       // the production wiring for the engine's Catalyst extensions —
       // the whole suite runs through it (SqlSurfaceSpec asserts the
