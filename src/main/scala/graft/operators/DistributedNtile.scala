@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact NTILE(n) per group without a per-group single-partition sort.
+  *
+  * `ntile(n) OVER (PARTITION BY g ORDER BY ...)` plans as one sort per
+  * group value in one task — fine when groups are balanced, a
+  * scale-killer when one group is most of the corpus (ccnet_buckets'
+  * dominant-language case: a 100 TB mostly-English corpus would sort
+  * nearly every score row in a single task). This operator computes
+  * the same tile assignment from a distributed global rank:
+  *
+  *  1. `repartitionByRange(group, order...)` — contiguous, sorted key
+  *     ranges across ALL partitions; a dominant group spans many
+  *     partitions instead of collapsing into one.
+  *  2. per-(physical partition, group) local `row_number` — each
+  *     window group is bounded by the range-partition size, never by
+  *     the group size.
+  *  3. per-(partition, group) row counts (a #partitions × #groups
+  *     relation — broadcastable at any corpus size) give each
+  *     partition's rank offset and each group's total via two windows
+  *     over that tiny aggregate.
+  *  4. global rank = local rank + offset; the tile is then pure
+  *     arithmetic, matching Spark/DuckDB NTILE semantics exactly:
+  *     bucketSize = cnt div n, the first (cnt % n) buckets take one
+  *     extra row. (Rows in the q=0 ELSE-branch cannot exist when
+  *     cnt < n, so the integer DIV never sees a zero divisor.)
+  *
+  * Both exchanges hash/range on keys that include the physical
+  * partition id, so no task's input exceeds a range-partition — the
+  * skew-free tercile promised in ccnet_buckets' scale note.
+  */
+object DistributedNtile {
+  def withNtile(
+      df: DataFrame,
+      group: String,
+      order: Seq[Column],
+      n: Int,
+      out: String): DataFrame = {
+    require(n >= 1, s"ntile bucket count must be >= 1, got $n")
+    val ranged = df
+      .repartitionByRange((col(group) +: order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"), col(group)).orderBy(order: _*)
+    val local = ranged
+      .withColumn("__lr", row_number().over(wLocal).cast("long"))
+    val wPrior = Window.partitionBy(col(group)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged
+      .groupBy(col("__pid"), col(group))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPrior), lit(0L)))
+      .withColumn("__cnt", sum(col("__c")).over(Window.partitionBy(col(group))))
+      .select(col("__pid"), col(group), col("__off"), col("__cnt"))
+    local
+      .join(broadcast(offs), Seq("__pid", group))
+      .withColumn("__r", col("__lr") + col("__off"))
+      .withColumn(out, expr(
+        s"""CASE WHEN __r <= (__cnt % $n) * (__cnt DIV $n + 1)
+           |  THEN (__r - 1) DIV (__cnt DIV $n + 1) + 1
+           |  ELSE (__cnt % $n)
+           |    + (__r - (__cnt % $n) * (__cnt DIV $n + 1) - 1) DIV (__cnt DIV $n)
+           |    + 1 END""".stripMargin).cast("int"))
+      .drop("__pid", "__lr", "__off", "__cnt", "__r")
+  }
+}

@@ -593,12 +593,13 @@ object CorpusOpsQueries {
     // mean bigram probability = "lower perplexity" = head.
     //
     // 100 TB shape: identical to lm_score (bounded LM broadcast, one
-    // per-doc aggregate) plus ONE window over per-doc score rows —
-    // a per-language sort of (doc_id, mean_p) pairs, tiny rows, the
-    // ranking CCNet fundamentally requires. Skew note: a dominant
-    // language concentrates its sort in one partition; a range-
-    // partitioned rank (percent_rank over range partitions) is the
-    // swap-in if one language is most of the corpus.
+    // per-doc aggregate) plus the ranking CCNet fundamentally
+    // requires — computed skew-free: DistributedNtile range-
+    // partitions (lang, mean_p desc, doc_id) so a dominant language
+    // spans many partitions, then derives the exact NTILE(3)
+    // assignment from local ranks + broadcast per-partition offsets.
+    // No task ever sorts more than one range partition, whatever the
+    // language mix (the oracle's plain ntile stays value-identical).
     "ccnet_buckets" -> ((s, d) => {
       import s.implicits._
       val toks = Tables.documents(s, d)
@@ -619,8 +620,8 @@ object CorpusOpsQueries {
         .groupBy($"doc_id", $"lang")
         .agg((sum(rnd($"p", 6).cast("decimal(18,6)")).cast("double") /
           count(lit(1))).as("mean_p"))
-      val byLang = Window.partitionBy($"lang").orderBy($"mean_p".desc, $"doc_id")
-      scored.withColumn("t", ntile(3).over(byLang))
+      graft.operators.DistributedNtile
+        .withNtile(scored, "lang", Seq($"mean_p".desc, $"doc_id"), 3, "t")
         .select($"doc_id", $"lang", $"mean_p",
           when($"t" === 1, "head").when($"t" === 2, "middle")
             .otherwise("tail").as("bucket"))

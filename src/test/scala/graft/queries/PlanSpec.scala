@@ -508,13 +508,30 @@ class PlanSpec extends SparkSpecBase {
       "scalar totals join fell back to a cartesian shuffle")
   }
 
-  test("ccnet_buckets: LM broadcasts; exactly one c1 window + one tercile window") {
+  test("ccnet_buckets: LM broadcasts; tercile is range-partitioned, never per-lang") {
     val ops = physicalOps("ccnet_buckets")
     assert(ops.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "bigram LM not broadcast to the scoring join")
-    val windows = ops.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
-    assert(windows == 2, s"expected c1-sum + tercile windows, got $windows")
+    // DistributedNtile shape: the score rows flow through a RANGE
+    // exchange on (lang, mean_p, doc_id) — a dominant language spans
+    // many partitions — and no window over the score rows partitions
+    // by lang alone (that would be the single-task-per-language sort
+    // the operator exists to avoid). Windows: c1-sum (by w1), local
+    // rank (by __pid, lang), and two over the tiny per-(pid,lang)
+    // offset aggregate.
+    val p = finalPlan("ccnet_buckets")
+    assert(p.contains("rangepartitioning"),
+      "tercile lost its range exchange:\n" + p.take(2000))
+    val windows = ops.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 4,
+      s"expected c1-sum + local-rank + 2 offset windows, got ${windows.size}")
+    val rankWindows = windows.filter(_.windowExpression.exists(
+      _.toString.contains("row_number")))
+    assert(rankWindows.nonEmpty, "local-rank window missing")
+    assert(rankWindows.forall(_.partitionSpec.size >= 2),
+      "rank window must partition by (__pid, lang), not lang alone")
   }
 }
