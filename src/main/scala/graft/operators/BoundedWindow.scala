@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Windows with an EMPTY partitionBy plan as ONE task holding the
+  * whole input — correct only when the input relation is provably
+  * bounded (an aggregate over a fixed key space, a LIMIT, a
+  * time-span-bounded series), and a silent scale-killer on anything
+  * corpus-sized. Every such window in the query inventory goes
+  * through this helper: the call site states its bound and why it
+  * holds, the bound is checked against a hard ceiling at plan-build
+  * time, and BoundedWindowSpec (a) pins each site's registration and
+  * (b) scans the query sources so a raw `Window.orderBy(...)` /
+  * `Window.partitionBy()` can't sneak back in on an unbounded
+  * relation.
+  */
+object BoundedWindow {
+  /** No bounded-window relation may claim more rows than this — a
+    * number a single task trivially sorts; anything larger should be
+    * partitioned or range-partitioned (see DistributedNtile).
+    */
+  val MaxBoundedRows: Long = 1L << 20
+
+  private val uses =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def register(site: String, bound: Long): Unit = {
+    require(bound > 0 && bound <= MaxBoundedRows,
+      s"BoundedWindow '$site' claims $bound rows — over the " +
+        s"$MaxBoundedRows single-task ceiling; partition this window")
+    uses.put(site, bound)
+  }
+
+  /** Unpartitioned ordered window over a relation bounded by `bound`
+    * rows (state WHY in `site`, e.g. "dsir_stats K=1024").
+    */
+  def orderBy(site: String, bound: Long, cols: Column*): WindowSpec = {
+    register(site, bound)
+    Window.orderBy(cols: _*)
+  }
+
+  /** Unpartitioned unordered window (whole-relation frame) over a
+    * relation bounded by `bound` rows.
+    */
+  def global(site: String, bound: Long): WindowSpec = {
+    register(site, bound)
+    Window.partitionBy()
+  }
+
+  /** Sites seen this JVM (spec hook). */
+  def registered: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    uses.asScala.toMap
+  }
+}

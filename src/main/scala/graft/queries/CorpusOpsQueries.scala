@@ -340,7 +340,9 @@ object CorpusOpsQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(TF.nTokens($"text").cast("long")).as("tokens"))
       val tot = bySrc.agg(sum($"tokens").as("total"))
-      val w = Window.orderBy($"tokens".desc, $"source")
+      val w = graft.operators.BoundedWindow
+        .orderBy("source_mix: one row per source label", 10000L,
+          $"tokens".desc, $"source")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       bySrc.crossJoin(broadcast(tot))
         .select($"source", $"n_docs", $"tokens",
@@ -394,6 +396,19 @@ object CorpusOpsQueries {
     // a 12dp grid and sum as DECIMAL (order-free); the damping update
     // is a fixed double op order; output snaps to 8dp. Fixed
     // iteration count keeps the oracle expressible as unrolled CTEs.
+    //
+    // Lineage policy (shared with ConnectedComponents): every 2nd
+    // iteration truncates the rank frame with a LAZY
+    // localCheckpoint(eager = false) — the logical plan collapses to
+    // a LogicalRDD immediately (plan depth stays bounded at ~2
+    // iterations however many rounds run), while materialization
+    // still rides the caller's own action, so the query stays a lazy
+    // DataFrame with no side-effect jobs. Unlike CC, each pagerank
+    // round references the previous rank exactly once, so growth is
+    // linear, not exponential — truncation here buys bounded
+    // re-planning and a bounded recompute horizon on executor loss,
+    // at the cost of ceil(iters/2) generations of (doc_id, r) blocks
+    // reclaimed by the ContextCleaner once unreferenced.
     "pagerank_lite" -> ((s, d) => {
       import s.implicits._
       val iters = 5
@@ -404,7 +419,7 @@ object CorpusOpsQueries {
       val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
       var r = docs.select($"doc_id", rnd(lit(1.0) / lit(n.toDouble), 12).as("r"))
-      for (_ <- 1 to iters) {
+      for (it <- 1 to iters) {
         val contrib = r.join(sym, $"doc_id" === $"src")
           .join(deg, Seq("src"))
           .select($"dst",
@@ -414,6 +429,7 @@ object CorpusOpsQueries {
           .select($"doc_id",
             rnd(lit(0.15) / lit(n.toDouble)
               + lit(0.85) * coalesce($"inflow", lit(0.0)), 12).as("r"))
+        if (it % 2 == 0) r = r.localCheckpoint(eager = false)
       }
       r.select($"doc_id", rnd($"r", 8).as("rank"))
         .orderBy($"doc_id")
@@ -566,7 +582,8 @@ object CorpusOpsQueries {
       // aggregate-of-stats would re-execute the stats lineage — a
       // third corpus scan); the unpartitioned window moves 1024 rows,
       // not the corpus
-      val all = Window.partitionBy()
+      val all = graft.operators.BoundedWindow
+        .global("dsir_select: K=1024 hash-bucket stats", 1024L)
       // every op here is a fixed-order IEEE sequence over exact
       // integers (two divisions, one division of the quotients), so
       // the pre-round doubles are bit-identical across engines

@@ -1009,7 +1009,8 @@ object LlmQueries {
         .groupBy($"term")
         .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
       val top = counts.orderBy($"tf".desc, $"term").limit(1000)
-      val w = Window.orderBy($"tf".desc, $"term")
+      val w = graft.operators.BoundedWindow
+        .orderBy("vocab_build: top-1000 limit", 1000L, $"tf".desc, $"term")
       top.withColumn("token_id", row_number().over(w).cast("long") - 1)
         .select($"token_id", $"term", $"tf", $"df")
         .orderBy($"token_id")
@@ -1681,7 +1682,8 @@ object LlmQueries {
     "tokenizer_apply" -> ((s, d) => {
       import s.implicits._
       val counts = termTable(s, d).groupBy($"term").agg(count(lit(1)).as("tf"))
-      val w = Window.orderBy($"tf".desc, $"term")
+      val w = graft.operators.BoundedWindow
+        .orderBy("tokenizer_apply: top-1000 limit", 1000L, $"tf".desc, $"term")
       val vocab = broadcast(counts.orderBy($"tf".desc, $"term").limit(1000)
         .withColumn("token_id", row_number().over(w).cast("long") - 1)
         .select($"term", $"token_id"))

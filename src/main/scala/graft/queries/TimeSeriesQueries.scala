@@ -106,7 +106,10 @@ object TimeSeriesQueries {
         .select((ms - pmod(ms, lit(3600000L))).as("hr"), $"value")
         .groupBy($"hr")
         .agg(count(lit(1)).as("n"), rnd(davg($"value"), 6).as("y"))
-      val w = Window.orderBy($"hr").rowsBetween(-11, 12)
+      val w = graft.operators.BoundedWindow
+        .orderBy("seasonal_decompose: hourly series (time-span rows, ~9k/yr)",
+          200000L, $"hr")
+        .rowsBetween(-11, 12)
       val withTrend = hourly.withColumn("trend",
         sum($"y".cast("decimal(18,6)")).over(w).cast("double") /
           count($"y").over(w).cast("double"))
