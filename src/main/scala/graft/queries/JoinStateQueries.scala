@@ -161,6 +161,58 @@ object JoinStateQueries {
       SchemaDiff.diffDf(oldCols.toDF(), newCols.toDF()).orderBy($"name")
     }),
 
+    // The reference's full version-maintenance loop as ONE relational
+    // pass (compare_schema.py:73-131): list a table's schema versions
+    // newest-first, diff the top two, and EITHER notify the
+    // classified changes (drift at the head) OR, for a clean head,
+    // prune every version past the top-5 retention window. Input is a
+    // (tbl, version, column, type) log — here synthesized from the
+    // live orders/region scan schemas with orders drifting at v7
+    // (schema_diff's mutation) and region clean across 8 versions; in
+    // production the same plan runs over a lake-wide catalog log of
+    // millions of rows: the version ranking is a tbl-partitioned
+    // window, the head-vs-prev diff a (tbl, name) full-outer join,
+    // the retention decision a broadcast anti-join against the
+    // drifted-table set — every stage shuffles by tbl, nothing
+    // driver-side, no per-table loop like the reference's.
+    "schema_log_gc" -> ((s, d) => {
+      import s.implicits._
+      val retain = 5
+      val ordCols = SchemaDiff.columns(Tables.orders(s, d).schema)
+      val ordMut = ordCols.filterNot(_.name == "o_orderpriority")
+        .map(c => if (c.name == "o_totalprice") c.copy(dataType = "decimal(18,2)") else c) :+
+        graft.operators.ColumnMeta("o_comment", "string")
+      val regCols = SchemaDiff.columns(Tables.region(s, d).schema)
+      val log = (
+        (1 to 6).flatMap(v => ordCols.map(c => ("orders", v, c.name, c.dataType))) ++
+          ordMut.map(c => ("orders", 7, c.name, c.dataType)) ++
+          (1 to 8).flatMap(v => regCols.map(c => ("region", v, c.name, c.dataType)))
+      ).toDF("tbl", "version", "name", "dataType")
+      val ranked = log.select($"tbl", $"version").distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"tbl").orderBy($"version".desc)))
+      def at(rk: Int, as: String) = log
+        .join(ranked.filter($"rk" === rk), Seq("tbl", "version"))
+        .select($"tbl", $"name", $"dataType".as(as))
+      val diff = at(2, "old_type").join(at(1, "new_type"), Seq("tbl", "name"), "full_outer")
+        .withColumn("change",
+          when($"old_type".isNull, "added")
+            .when($"new_type".isNull, "dropped")
+            .when($"old_type" =!= $"new_type", "retyped")
+            .otherwise("unchanged"))
+      val changes = diff.filter($"change" =!= "unchanged")
+      val notify = changes.select($"tbl", lit("notify").as("kind"),
+        $"name".as("item"), $"change", $"old_type", $"new_type")
+      val gc = ranked
+        .join(broadcast(changes.select($"tbl").distinct()), Seq("tbl"), "left_anti")
+        .filter($"rk" > retain)
+        .select($"tbl", lit("gc").as("kind"),
+          $"version".cast("string").as("item"), lit("pruned").as("change"),
+          lit(null).cast("string").as("old_type"),
+          lit(null).cast("string").as("new_type"))
+      notify.unionByName(gc).orderBy($"tbl", $"kind", $"item")
+    }),
+
     // Range join, bucketed: a naive broadcast nested-loop compares
     // every row against every range (O(n·m)). Since each range here
     // spans exactly one month bucket, adding the bucket key to both
@@ -358,6 +410,52 @@ object JoinStateQueries {
         | ('o_orderstatus',   'unchanged', 'string',    'string'),
         | ('o_totalprice',    'retyped',   'double',    'decimal(18,2)')
         |) AS t(name, change, old_type, new_type) ORDER BY name""".stripMargin,
+
+    // the same synthesized version log (column types as Spark's
+    // simpleString renders the live scan schema, the schema_diff
+    // precedent), then the full relational pipeline re-computed in
+    // SQL: rank versions, diff head vs prev, notify drift / prune
+    // clean tables past the top-5
+    "schema_log_gc" ->
+      """WITH ord(name, typ) AS (VALUES
+        |  ('o_orderkey','bigint'), ('o_custkey','bigint'),
+        |  ('o_orderstatus','string'), ('o_totalprice','double'),
+        |  ('o_orderdate','timestamp_ntz'), ('o_orderpriority','string')),
+        |reg(name, typ) AS (VALUES ('r_regionkey','int'), ('r_name','string')),
+        |log AS (
+        |  SELECT 'orders' AS tbl, v AS version, name, typ
+        |  FROM ord, (SELECT unnest(range(1, 7)) AS v) vs
+        |  UNION ALL
+        |  SELECT 'orders', 7, name,
+        |    CASE WHEN name = 'o_totalprice' THEN 'decimal(18,2)' ELSE typ END
+        |  FROM ord WHERE name <> 'o_orderpriority'
+        |  UNION ALL SELECT 'orders', 7, 'o_comment', 'string'
+        |  UNION ALL
+        |  SELECT 'region', v, name, typ
+        |  FROM reg, (SELECT unnest(range(1, 9)) AS v) vs),
+        |ranked AS (SELECT tbl, version,
+        |    row_number() OVER (PARTITION BY tbl ORDER BY version DESC) AS rk
+        |  FROM (SELECT DISTINCT tbl, version FROM log) dv),
+        |hd AS (SELECT tbl, name, typ AS new_type
+        |       FROM log JOIN ranked USING (tbl, version) WHERE rk = 1),
+        |pv AS (SELECT tbl, name, typ AS old_type
+        |       FROM log JOIN ranked USING (tbl, version) WHERE rk = 2),
+        |diff AS (SELECT coalesce(hd.tbl, pv.tbl) AS tbl,
+        |    coalesce(hd.name, pv.name) AS name, old_type, new_type,
+        |    CASE WHEN old_type IS NULL THEN 'added'
+        |         WHEN new_type IS NULL THEN 'dropped'
+        |         WHEN old_type <> new_type THEN 'retyped'
+        |         ELSE 'unchanged' END AS change
+        |  FROM pv FULL OUTER JOIN hd ON pv.tbl = hd.tbl AND pv.name = hd.name),
+        |chg AS (SELECT * FROM diff WHERE change <> 'unchanged')
+        |SELECT tbl, 'notify' AS kind, name AS item, change, old_type, new_type
+        |FROM chg
+        |UNION ALL
+        |SELECT r.tbl, 'gc', CAST(version AS VARCHAR), 'pruned',
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM ranked r
+        |WHERE rk > 5 AND r.tbl NOT IN (SELECT tbl FROM chg)
+        |ORDER BY tbl, kind, item""".stripMargin,
 
     "join_range" ->
       """SELECT m_start, count(*) AS n_items,

@@ -37,4 +37,22 @@ class SchemaDiffSpec extends SparkSpecBase {
     assert(rows("c") == (Some("double"), None))
     assert(rows("d") == (None, Some("string")))
   }
+
+  // the composed version-maintenance pass: drifted table notifies its
+  // classified changes and keeps every version; clean table notifies
+  // nothing and prunes exactly the versions past the top-5
+  test("schema_log_gc: drift notifies, clean table prunes past top-5") {
+    val rows = graft.SparkEntry.queries("schema_log_gc")(
+      graft.SparkTestSession.spark, "/root/testdata/sf0.001").collect()
+    val byTbl = rows.groupBy(_.getString(0))
+    val ord = byTbl("orders").map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(ord.toSet == Set(
+      ("notify", "o_comment", "added"),
+      ("notify", "o_orderpriority", "dropped"),
+      ("notify", "o_totalprice", "retyped")), ord.mkString(", "))
+    val reg = byTbl("region").map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(reg.toSet == Set(
+      ("gc", "1", "pruned"), ("gc", "2", "pruned"), ("gc", "3", "pruned")),
+      reg.mkString(", "))
+  }
 }
