@@ -645,6 +645,80 @@ object CorpusOpsQueries {
         .orderBy($"doc_id")
     }),
 
+    // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    // SIGMOD 2003 — public): char 8-gram hashes over normalized text,
+    // then the minimum hash of each sliding 4-window; the distinct
+    // window minima are the doc's fingerprint set (guaranteed to
+    // catch any match of length >= k + w - 1 = 11 chars). Fully
+    // relational: position explode (scan-parallel, like the shingle
+    // family), one doc-partitioned window min (per-doc data, bounded
+    // by doc length), one per-doc aggregate. The md5-hex → long hash
+    // is the engine's standard cross-engine hash (dsir_select's
+    // bucket idiom), so the oracle reproduces fingerprints exactly.
+    // At 100 TB: identical shape to dup_ngram_frac — nothing global,
+    // shuffles only by doc_id.
+    "winnow_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val k = 8; val w = 4
+      val grams = Tables.documents(s, d)
+        .select($"doc_id", TF.normText($"text").as("t"))
+        .filter(length($"t") >= k + w - 1)
+        .select($"doc_id",
+          explode(sequence(lit(1), length($"t") - (k - 1))).as("p"), $"t")
+        .select($"doc_id", $"p",
+          conv(substring(md5($"t".substr($"p", lit(k))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      val win = Window.partitionBy($"doc_id").orderBy($"p")
+        .rowsBetween(-(w - 1), 0)
+      grams
+        .withColumn("fp", min($"h").over(win))
+        .filter($"p" >= w) // full windows only
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct($"fp").as("n_fp"),
+          min($"fp").as("fp_min"), max($"fp").as("fp_max"))
+        .select($"doc_id", $"n_windows", $"n_fp",
+          rnd($"n_fp".cast("double") / $"n_windows".cast("double"), 6)
+            .as("density"),
+          $"fp_min", $"fp_max")
+        .orderBy($"doc_id")
+    }),
+
+    // Symmetric int8 quantization audit over the embedding table —
+    // the compression step an ANN/vector-store deployment applies
+    // before indexing (scale = max|x|/127, q = clamp(round(x/scale)),
+    // like FAISS SQ8). Everything is array HOFs inside one codegen'd
+    // projection — no explode, no shuffle before the final ORDER BY —
+    // so at 100 TB it is a pure map over the vector scan. Per-dim
+    // squared reconstruction errors snap to a 12dp grid and sum as
+    // DECIMAL through an in-order fold, so the MSE is bit-identical
+    // across engines; n_zero counts quantized-to-zero dims (the
+    // sparsity a PQ/SQ codec actually exploits). Zero vectors keep
+    // scale 0 and quantize to all-zeros (guarded division).
+    "embedding_quantize" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id",
+          transform($"embedding", v => v.cast("double")).as("x"))
+        .withColumn("scale",
+          array_max(transform($"x", v => abs(v))) / lit(127.0))
+        .withColumn("q", transform($"x", v =>
+          when($"scale" === 0.0, lit(0.0))
+            .otherwise(greatest(lit(-127.0),
+              least(lit(127.0), floor(v / $"scale" + lit(0.5)).cast("double"))))))
+        .withColumn("sqs", zip_with($"x", $"q",
+          (v, qv) => rnd((v - qv * $"scale") * (v - qv * $"scale"), 12)
+            .cast("decimal(28,12)")))
+      e.select($"vec_id",
+        rnd($"scale", 8).as("scale"),
+        size(filter($"q", qv => qv === 0.0)).cast("long").as("n_zero"),
+        rnd(
+          aggregate($"sqs", lit(0).cast("decimal(28,12)"),
+            (a, b) => (a + b).cast("decimal(28,12)")).cast("double") /
+            size($"x").cast("double"), 10).as("mse"))
+        .orderBy($"vec_id")
+    }),
+
     // no rounding. Two hash aggregates over the shared term relation;
     // at 100 TB this is the same shape as the tf stage of tfidf.
     "token_diversity" -> ((s, d) => {
@@ -664,6 +738,48 @@ object CorpusOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same char 8-grams over the same normalization, same md5-hex →
+    // BIGINT hash, same 4-window minima
+    "winnow_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents
+         |           WHERE length(${LlmQueries.NORM}) >= 11),
+         |g AS (SELECT doc_id, p,
+         |    ('0x' || substr(md5(substr(t, p, 8)), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+         |        FROM n) i),
+         |f AS (SELECT doc_id, p, min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  count(DISTINCT fp) AS n_fp,
+         |  ${Q.duckRnd(
+             "CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+             6)} AS density,
+         |  min(fp) AS fp_min, max(fp) AS fp_max
+         |FROM f WHERE p >= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same double op order: scale = max|x|/127, q = clamped
+    // floor(x/scale + 0.5), per-dim squared error snapped to 12dp and
+    // decimal-summed
+    "embedding_quantize" ->
+      s"""WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale, count(*) AS dim
+         |      FROM d GROUP BY vec_id),
+         |q AS (SELECT d.vec_id, x, scale, dim,
+         |    CASE WHEN scale = 0 THEN 0.0
+         |         ELSE greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+         |    END AS qv
+         |  FROM d JOIN s USING (vec_id)),
+         |e AS (SELECT vec_id, scale, dim, qv,
+         |    ${Q.duckRnd("(x - qv * scale) * (x - qv * scale)", 12)} AS sq
+         |  FROM q)
+         |SELECT vec_id, ${Q.duckRnd("scale", 8)} AS scale,
+         |  CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  ${Q.duckRnd(
+             "CAST(sum(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) / CAST(dim AS DOUBLE)",
+             10)} AS mse
+         |FROM e GROUP BY vec_id, scale, dim ORDER BY vec_id""".stripMargin,
+
     // same hashed-bigram buckets (md5 hex → int, identical bytes),
     // same smoothed-ratio op order, same 6dp round + decimal sum
     "dsir_select" ->
