@@ -137,10 +137,14 @@ object CoreQueries {
     // store, where per-partition/per-day sketches persist and any
     // rollup merges them without rescanning data. Surfaced
     // affirmatively like agg_approx_distinct: the dumped row carries
-    // the exact counts plus `union_lossless` (merged per-group
-    // sketches == direct whole-corpus sketch, exact at equal lgK) and
-    // `est_ok` (estimate within the 5% bound QueriesSpec pins); the
-    // oracle emits the exact counts and literal TRUEs.
+    // the exact counts plus `union_drift_ok` (merged per-group
+    // estimate within 2% of the direct whole-corpus sketch — the two
+    // agree EXACTLY while sketches stay in sparse/coupon mode, but
+    // past that the union's estimator path may drift a few counts
+    // from the direct sketch, observed first at sf0.1/1500 users, so
+    // exact equality is not a scale-stable claim) and `est_ok`
+    // (estimate within the 5% bound QueriesSpec pins); the oracle
+    // emits the exact counts and literal TRUEs.
     "sketch_union" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -156,7 +160,9 @@ object CoreQueries {
       // two 1-row aggregates — the join is a 1×1 broadcast
       merged.crossJoin(broadcast(direct)).select(
         $"n_events", $"n_users_exact",
-        ($"est_users" === $"direct_users").as("union_lossless"),
+        (abs($"est_users" - $"direct_users").cast("double") /
+          greatest($"direct_users".cast("double"), lit(1.0)) <= 0.02)
+          .as("union_drift_ok"),
         (abs($"est_users" - $"n_users_exact").cast("double") / $"n_users_exact" <= 0.05)
           .as("est_ok"))
     }),
@@ -495,7 +501,7 @@ object CoreQueries {
     "sketch_union" ->
       """SELECT count(*) AS n_events,
         | count(DISTINCT user_id) AS n_users_exact,
-        | TRUE AS union_lossless, TRUE AS est_ok
+        | TRUE AS union_drift_ok, TRUE AS est_ok
         |FROM events""".stripMargin,
 
     "agg_rollup" ->

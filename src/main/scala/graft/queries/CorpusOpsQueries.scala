@@ -36,6 +36,21 @@ object CorpusOpsQueries {
     */
   private val ShardCount = 16
 
+  /** Literal keyword lexicon for taxonomy_classify, mirrored into its
+    * oracle. Terms are drawn from the fixtures' vocabulary so the
+    * rule stage classifies real hits rather than defaulting every doc
+    * to 'unknown'.
+    */
+  private[queries] val TaxonomyLexicon: Seq[(String, String)] = Seq(
+    "joins" -> "join", "joins" -> "merge", "joins" -> "hash",
+    "joins" -> "key",
+    "scans" -> "scan", "scans" -> "filter", "scans" -> "table",
+    "scans" -> "column",
+    "streaming" -> "stream", "streaming" -> "batch",
+    "streaming" -> "window", "streaming" -> "spark",
+    "sorting" -> "sort", "sorting" -> "order", "sorting" -> "group",
+    "sorting" -> "agg")
+
   /** Converged component table (doc_id, lbl) over the LSH candidate
     * graph — [[graft.operators.ConnectedComponents.minLabel]] applied
     * to the candidate pairs, memoized+persisted per (session, dir)
@@ -645,6 +660,104 @@ object CorpusOpsQueries {
         .orderBy($"doc_id")
     }),
 
+    // Stupid-backoff bigram scoring (Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — public): the LM
+    // trains on HALF the corpus (even doc_ids) and scores ALL docs,
+    // so unseen bigrams actually occur and the backoff path is
+    // exercised: s(w2|w1) = c12/c1 when the training LM saw the
+    // bigram, else 0.4 · Laplace unigram (c2+1)/(N+V). This is the
+    // held-out-perplexity shape CCNet/Gopher filtering actually uses
+    // (lm_score trains and scores on the same corpus, so its join
+    // always hits). Plan: both LM relations are |type|-bounded and
+    // broadcast; the scalar (N, V) row cross-joins; one per-doc
+    // aggregate — same 100 TB shape as lm_score with one extra
+    // broadcast probe.
+    "lm_backoff_score" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val pairsAll = toks
+        .select($"doc_id", explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+        .select($"doc_id",
+          element_at($"w", $"i").as("w1"), element_at($"w", $"i" + 1).as("w2"))
+      val trainTerms = Tables.documents(s, d)
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id", explode(TF.tokens($"text")).as("t"))
+        .filter($"t" =!= "")
+      val uni = trainTerms.groupBy($"t").agg(count(lit(1)).as("c2"))
+      val totals = uni.agg(sum($"c2").as("n_train"),
+        count(lit(1)).as("v_train"))
+      val pairsTrain = pairsAll.filter($"doc_id" % 2 === 0)
+      val c12 = pairsTrain.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val lm = c12
+        .withColumn("c1", sum($"c12").over(Window.partitionBy($"w1")))
+        .select($"w1", $"w2",
+          ($"c12".cast("double") / $"c1".cast("double")).as("p_seen"))
+      val scored = pairsAll
+        .join(broadcast(lm), Seq("w1", "w2"), "left")
+        .join(broadcast(uni.select($"t".as("w2"), $"c2")), Seq("w2"), "left")
+        .crossJoin(broadcast(totals))
+        .select($"doc_id", $"p_seen",
+          coalesce($"p_seen",
+            lit(0.4) * ((coalesce($"c2", lit(0L)) + lit(1L)).cast("double") /
+              ($"n_train" + $"v_train").cast("double"))).as("sc"))
+      scored.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when($"p_seen".isNull, 1L).otherwise(0L)).as("n_backoff"),
+          (sum(rnd($"sc", 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // Keyword-lexicon domain classification — the taxonomy-labeling
+    // pass a data-mixing pipeline runs to budget domains (the
+    // rule-based first stage before any learned classifier). The
+    // lexicon is a literal 16-term / 4-topic table mirrored into the
+    // oracle; scoring is one broadcast join over the exploded terms,
+    // one (doc, topic) count, and a doc-partitioned argmax window
+    // with a deterministic tiebreak (hits desc, topic asc). Docs
+    // hitting nothing classify as 'unknown' via a left anti-ish
+    // left join. 100 TB: lexicon broadcasts, everything else keys on
+    // doc_id.
+    "taxonomy_classify" -> ((s, d) => {
+      import s.implicits._
+      val lex = broadcast(TaxonomyLexicon.toDF("topic", "lex_term"))
+      val hits = LlmQueries.termTable(s, d)
+        .join(lex, $"term" === $"lex_term")
+        .groupBy($"doc_id", $"topic").agg(count(lit(1)).as("hits"))
+      val best = hits
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"hits".desc, $"topic")))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"topic", $"hits")
+      Tables.documents(s, d).select($"doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"topic", lit("unknown")).as("topic"),
+          coalesce($"hits", lit(0L)).as("hits"))
+        .orderBy($"doc_id")
+    }),
+
+    // Power-of-2 token-length histogram — the length curve every
+    // dataset card plots. Exact integer bucketing without
+    // transcendentals: bucket = floor(log2(n)) + 1 computed as
+    // length(bin(n)) (both engines render exact binary strings), so
+    // the histogram is hash-exact. One scan, one 20-ish-row
+    // aggregate.
+    "length_histogram" -> ((s, d) => {
+      import s.implicits._
+      val n = Tables.documents(s, d)
+        .select($"doc_id", TF.nTokens($"text").cast("long").as("n_tok"))
+        .filter($"n_tok" > 0)
+      n.withColumn("bucket", length(bin($"n_tok")).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"),
+          sum($"n_tok").as("total_tok"))
+        .orderBy($"bucket")
+    }),
+
     // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     // SIGMOD 2003 — public): char 8-gram hashes over normalized text,
     // then the minimum hash of each sliding 4-window; the distinct
@@ -738,6 +851,62 @@ object CorpusOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same even-doc training slice, same seen-bigram ratio, same
+    // 0.4 · (x/y) backoff op order, same 6dp snap + decimal-sum mean
+    "lm_backoff_score" ->
+      s"""WITH toks AS (SELECT doc_id, ${LlmQueries.TOKS} AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2),
+         |pairs AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |tt AS (SELECT unnest(${LlmQueries.TOKS}) AS t FROM documents
+         |       WHERE doc_id % 2 = 0),
+         |uni AS (SELECT t, count(*) AS c2 FROM tt WHERE t <> '' GROUP BY t),
+         |tot AS (SELECT sum(c2) AS n_train, count(*) AS v_train FROM uni),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+         |        WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+         |lm AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_seen
+         |       FROM c12 JOIN c1 USING (w1)),
+         |sc AS (SELECT doc_id, p_seen,
+         |    coalesce(p_seen, 0.4 * (CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+         |      / CAST(n_train + v_train AS DOUBLE))) AS sc
+         |  FROM pairs LEFT JOIN lm USING (w1, w2)
+         |  LEFT JOIN uni ON pairs.w2 = uni.t CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN p_seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoff,
+         |  CAST(sum(CAST(${Q.duckRnd("sc", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*) AS mean_score
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same literal lexicon, same hits argmax with (hits desc, topic)
+    // tiebreak, same unknown default
+    "taxonomy_classify" -> {
+      val lexValues = TaxonomyLexicon
+        .map { case (t, k) => s"('$t','$k')" }.mkString(", ")
+      s"""WITH lex(topic, term) AS (VALUES $lexValues),
+         |t AS (SELECT doc_id, unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |h AS (SELECT doc_id, topic, count(*) AS hits
+         |      FROM t JOIN lex USING (term) GROUP BY doc_id, topic),
+         |b AS (SELECT doc_id, topic, hits, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY hits DESC, topic) AS rk FROM h)
+         |SELECT d.doc_id, coalesce(s.topic, 'unknown') AS topic,
+         |  CAST(coalesce(s.hits, 0) AS BIGINT) AS hits
+         |FROM documents d LEFT JOIN
+         |  (SELECT doc_id, topic, hits FROM b WHERE rk = 1) s
+         |  ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same exact integer bucketing: length of the binary rendering
+    "length_histogram" ->
+      s"""WITH n AS (SELECT doc_id, CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok
+         |           FROM documents)
+         |SELECT CAST(length(bin(n_tok)) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs, min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tok
+         |FROM n WHERE n_tok > 0 GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // same char 8-grams over the same normalization, same md5-hex →
     // BIGINT hash, same 4-window minima
     "winnow_fingerprint" ->
