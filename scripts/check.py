@@ -109,4 +109,24 @@ if skips:
 print(f"== FAIL ({len(fails)}):")
 for n, why in fails:
     print(f"  {n}: {why}")
+
+# Durable local record (VERDICT r8 item 1: an empty driver-side
+# CORRECTNESS file must be diagnosable against a committed local run).
+# CHECK_JSON_OUT=path writes per-query results; with an existing file,
+# results MERGE (so sf0.01 and sf0.1 runs land in one record).
+out_json = __import__("os").environ.get("CHECK_JSON_OUT")
+if out_json:
+    rec = {}
+    p = Path(out_json)
+    if p.exists():
+        rec = json.loads(p.read_text())
+    key = Path(SF).name
+    rec[key] = {
+        "pass": sorted(passes),
+        "fail": {n: why for n, why in fails},
+        "no_oracle": sorted(skips),
+        "n_pass": len(passes), "n_fail": len(fails),
+    }
+    p.write_text(json.dumps(rec, indent=1, sort_keys=True) + "\n")
+    print(f"== wrote {out_json} [{key}]")
 sys.exit(1 if fails else 0)

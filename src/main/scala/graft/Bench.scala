@@ -27,7 +27,7 @@ object BenchShared {
     "heavy_hitters", "rrf_fusion",
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)
-    "bpe_merges", "bpe_apply", "unigram_surprise",
+    "bpe_merges", "bpe_apply", "taxonomy_classify", "unigram_surprise",
     "triangle_count",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",

@@ -125,7 +125,11 @@ object ScaleSweep {
       // round-8 corpus ops (documents-table only — the scale corpus
       // has no events table, so anomaly_mad/seasonal_decompose stay
       // bench-only)
-      "dsir_select", "ccnet_buckets")
+      "dsir_select", "ccnet_buckets",
+      // round-9 corpus/embedding ops (taxonomy_classify rides
+      // corpusFamily above)
+      "winnow_fingerprint", "lm_backoff_score", "length_histogram",
+      "embedding_quantize")
     val drifted = family.filterNot(graft.SparkEntry.queries.contains)
     require(drifted.isEmpty,
       s"family names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
