@@ -35,7 +35,8 @@ object SparkEntry {
       CorpusOpsQueries.defs ++
       LayoutQueries.defs ++
       AnalyticsQueries.defs ++
-      TimeSeriesQueries.defs
+      TimeSeriesQueries.defs ++
+      CurationQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -51,5 +52,6 @@ object SparkEntry {
       CorpusOpsQueries.oracles ++
       LayoutQueries.oracles ++
       AnalyticsQueries.oracles ++
-      TimeSeriesQueries.oracles
+      TimeSeriesQueries.oracles ++
+      CurationQueries.oracles
 }

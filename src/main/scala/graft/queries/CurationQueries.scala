@@ -1,0 +1,379 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Dataset-assembly operators — the steps that turn a curated corpus
+  * into a training dataset (SURVEY.md §2.11 extensions, twelfth wave):
+  * deterministic split assignment, per-domain caps, junk detection,
+  * within-document segment dedup, retention sweeps, source-reliability
+  * ranking, and the audio leg of the multimodal family.
+  *
+  * Scale/perf design:
+  *  - Everything document-side is a single scan + small aggregate or a
+  *    rank-limited window; no all-pairs work, no driver-side state.
+  *  - `domain_cap`'s `row_number <= K` filter is planned by Catalyst as
+  *    WindowGroupLimit: each map task keeps only its local top-K per
+  *    source BEFORE the shuffle, so a source with 99% of a 100 TB
+  *    corpus ships K rows per input partition, not its whole corpus
+  *    slice, to the window task (pinned in CurationSpec).
+  *  - `split_assign` is the md5-bucket idiom (dsir_select's): split
+  *    membership is a pure function of doc_id, so the assignment is
+  *    reproducible under any partitioning, retry, or engine.
+  *  - `audio_rms` mirrors image_decode_stats: REAL javax.sound WAV
+  *    encode→decode on executors in the mapPartitions batch shape,
+  *    with integer-exact window energies the oracle recomputes
+  *    arithmetically — a broken codec path hash-mismatches in the
+  *    driver's correctness file instead of hiding behind a spec.
+  */
+object CurationQueries {
+
+  /** Per-source cap for domain_cap, mirrored into its oracle. */
+  private val DomainCapK = 25
+
+  /** Retention-sweep thresholds (min tokens), mirrored into the
+    * length_filter_sweep oracle.
+    */
+  private val SweepThresholds = Seq(8, 16, 32, 64, 128, 256)
+
+  val defs: Map[String, QueryFn] = Map(
+
+    // Deterministic train/val/test assignment (90/5/5) — the split
+    // step every training pipeline runs last. Membership is
+    // md5("split:"+doc_id) → bucket 0..99, a pure function of the row
+    // key: stable under re-partitioning, retries, incremental
+    // re-ingestion, and engine choice (the property that matters —
+    // a split that depends on row order leaks eval data on every
+    // backfill). One scan, one 3×|langs| aggregate.
+    "split_assign" -> ((s, d) => {
+      import s.implicits._
+      val bucket = conv(
+        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", TF.nTokens($"text").cast("long").as("n_tok"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tok"))
+        .orderBy($"split", $"lang")
+    }),
+
+    // Per-domain cap — CCNet/RefinedWeb-style: keep at most K docs per
+    // source, best-first (longest, doc_id tiebreak), so no single
+    // domain dominates the training mix. The rank-limit filter is
+    // planned as WindowGroupLimit (map-side per-partition top-K before
+    // the shuffle — pinned in CurationSpec), so a 99%-one-source
+    // corpus ships K rows per input split, not the whole source, to
+    // the final window task.
+    "domain_cap" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_tok".desc, $"doc_id")
+      Tables.documents(s, d)
+        .select($"source", $"doc_id", TF.nTokens($"text").cast("long").as("n_tok"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= DomainCapK)
+        .orderBy($"source", $"rk")
+    }),
+
+    // Junk/boilerplate detection via the character distribution of the
+    // normalized text: a repeated-character or single-token junk doc
+    // concentrates its mass on few symbols. Transcendental-free
+    // concentration stats (the entropy-filter use case without
+    // cross-engine log risk): top_char_frac = max(c)/n (one exact IEEE
+    // division) and the Gini/Simpson concentration Σ(c/n)² with each
+    // term snapped to 12dp and decimal-summed (embedding_quantize's
+    // exact-sum idiom). Alphabet after normText is ≤37 symbols, so the
+    // per-doc aggregate is bounded; shape is the shingle family's
+    // (position explode, shuffle by doc_id only).
+    "junk_detect" -> ((s, d) => {
+      import s.implicits._
+      val chars = Tables.documents(s, d)
+        .select($"doc_id", TF.normText($"text").as("t"))
+        .filter(length($"t") > 0)
+        .select($"doc_id",
+          explode(sequence(lit(1), length($"t"))).as("p"), $"t")
+        .select($"doc_id", $"t".substr($"p", lit(1)).as("ch"))
+      val counts = chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+        // per-doc char total via a doc-partitioned window over the
+        // (≤37-symbol) count rows — bounded per doc, no second scan
+        .withColumn("nd", sum($"c").over(Window.partitionBy($"doc_id"))
+          .cast("double"))
+      counts.groupBy($"doc_id")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct_chars"),
+          max($"c").as("cmax"),
+          sum(rnd(($"c".cast("double") / $"nd") * ($"c".cast("double") / $"nd"),
+            12).cast("decimal(28,12)")).cast("double").as("gini"))
+        .select($"doc_id", $"n".as("n_chars_norm"), $"n_distinct_chars",
+          ($"cmax".cast("double") / $"n".cast("double")).as("top_char_frac"),
+          rnd($"gini", 10).as("char_gini"),
+          ($"cmax".cast("double") / $"n".cast("double") > 0.3).as("is_junk"))
+        .orderBy($"doc_id")
+    }),
+
+    // Within-document segment dedup (C4's repeated-line filter,
+    // sentence-level): split the RAW text on '. ', normalize segments,
+    // and measure how much of the document is repeated segments — the
+    // boilerplate signal (nav bars, cookie banners) that per-corpus
+    // dedup misses. Shuffles by doc_id only.
+    "line_dedup" -> ((s, d) => {
+      import s.implicits._
+      val segs = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", "\\. ")).as("seg"))
+        .select($"doc_id", trim(lower($"seg")).as("seg"))
+        .filter(length($"seg") > 0)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_seg"), countDistinct($"seg").as("n_uniq"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(segs, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_seg", lit(0L)).as("n_seg"),
+          coalesce($"n_uniq", lit(0L)).as("n_uniq"),
+          when(coalesce($"n_seg", lit(0L)) === 0, lit(0.0))
+            .otherwise(lit(1.0) - $"n_uniq".cast("double") / $"n_seg".cast("double"))
+            .as("dup_seg_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Retention sweep — the dataset-card table answering "how much
+    // survives a minimum-length filter at T?" for a ladder of
+    // thresholds, in ONE scan: each doc fans out to the 6 fixed
+    // thresholds (bounded 6× row fan, no second corpus read) and the
+    // aggregate computes docs/tokens retained plus exact retention
+    // ratios.
+    "length_filter_sweep" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables.documents(s, d)
+        .select($"doc_id", TF.nTokens($"text").cast("long").as("n_tok"))
+      t.select($"n_tok",
+          explode(array(SweepThresholds.map(x => lit(x.toLong)): _*)).as("threshold"))
+        .groupBy($"threshold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_tok" >= $"threshold", 1L).otherwise(0L)).as("docs_retained"),
+          sum(when($"n_tok" >= $"threshold", $"n_tok").otherwise(0L)).as("tok_retained"),
+          sum($"n_tok").as("tok_total"))
+        .select($"threshold", $"docs_retained", $"tok_retained",
+          ($"docs_retained".cast("double") / $"n_docs".cast("double"))
+            .as("doc_frac"),
+          when($"tok_total" === 0, lit(0.0))
+            .otherwise($"tok_retained".cast("double") / $"tok_total".cast("double"))
+            .as("tok_frac"))
+        .orderBy($"threshold")
+    }),
+
+    // Source-reliability ranking by the Wilson lower bound (z = 1.96)
+    // of the per-source quality pass rate — the order a curation
+    // pipeline should prioritize sources in, because the lower bound
+    // discounts small-sample sources the raw rate overrates. The pass
+    // predicate is the gopher-lite pair (length band + punctuation
+    // cap); the whole op is one scan + one |sources|-row aggregate +
+    // pure scalar math in a pinned IEEE op order (sqrt is
+    // correctly-rounded in both engines), snapped to 6dp.
+    "source_reliability" -> ((s, d) => {
+      import s.implicits._
+      val nTok = TF.nTokens($"text")
+      val pass = (nTok >= 5) && (nTok <= 10000) && (TF.punctRatio($"text") <= 0.3)
+      val z = lit(1.96)
+      val agg = Tables.documents(s, d)
+        .select($"source", pass.cast("long").as("p"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"p").as("n_pass"))
+      val n = $"n_docs".cast("double")
+      val p = $"n_pass".cast("double") / n
+      val z2 = z * z
+      val wilson = (p + z2 / (lit(2.0) * n)
+        - z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)) /
+        (lit(1.0) + z2 / n)
+      agg.select($"source", $"n_docs", $"n_pass",
+          p.as("pass_rate"), rnd(wilson, 6).as("wilson_lb"))
+        .orderBy($"wilson_lb".desc, $"source")
+    }),
+
+    // REAL audio codec round-trip, driver-oracled — the audio leg of
+    // the multimodal family (image_decode_stats' design): each doc
+    // synthesizes a deterministic 16-bit mono PCM signal
+    // (amp_i = floorMod(doc_id·31 + i·17, 2003) − 1001, n = 800 +
+    // (doc_id mod 5)·160 samples), ENCODES it as WAV and DECODES it
+    // back through javax.sound.sampled on the executors, then emits
+    // integer-exact per-160-sample window energies. Because the
+    // signal is a closed-form function of doc_id, the oracle
+    // recomputes every output arithmetically — a header-parsing or
+    // sample-decoding bug hash-mismatches in the driver's correctness
+    // file. Scan-parallel; the only shuffle is the final ORDER BY.
+    "audio_rms" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 800 + java.lang.Math.floorMod(id, 5L).toInt * 160
+            val pcm = new Array[Byte](n * 2) // little-endian s16le
+            var i = 0
+            while (i < n) {
+              val amp =
+                (java.lang.Math.floorMod(id * 31 + i.toLong * 17, 2003L) - 1001L).toShort
+              pcm(2 * i) = (amp & 0xFF).toByte
+              pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            // the REAL decode under test: WAV header parse + PCM read
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            var total = 0L; var maxW = Long.MinValue; var w = 0L
+            var i = 0
+            while (i < n) {
+              val v = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF)).toShort.toLong
+              w += v * v
+              if (i % 160 == 159) { // n is always a multiple of 160
+                total += w; if (w > maxW) maxW = w; w = 0L
+              }
+              i += 1
+            }
+            (id, n.toLong, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              (n / 160).toLong, total, maxW)
+          }
+        }
+        .toDF("doc_id", "n_samples", "sample_rate", "channels",
+          "n_windows", "total_ssq", "max_window_ssq")
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // same md5 bucket function of doc_id, same 90/5/5 edges
+    "split_assign" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok,
+         |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % 100 AS bkt
+         |  FROM documents)
+         |SELECT CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
+         |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // same rank order (n_tok desc, doc_id), same K
+    "domain_cap" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok FROM documents),
+         |r AS (SELECT source, doc_id, n_tok, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rk
+         |  FROM t)
+         |SELECT source, doc_id, n_tok, rk FROM r WHERE rk <= $DomainCapK
+         |ORDER BY source, rk""".stripMargin,
+
+    // same normalized alphabet, same 12dp-snap + decimal-sum Σ(c/n)²
+    "junk_detect" ->
+      s"""WITH n AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents
+         |           WHERE length(${LlmQueries.NORM}) > 0),
+         |ch AS (SELECT doc_id, substr(t, CAST(p AS INTEGER), 1) AS ch
+         |  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS p
+         |        FROM n) i),
+         |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+         |t AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct_chars,
+         |        max(c) AS cmax FROM c GROUP BY doc_id),
+         |g AS (SELECT c.doc_id, sum(CAST(${Q.duckRnd(
+               "(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))" +
+                 " * (CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))", 12)}
+         |      AS DECIMAL(28,12))) AS gini
+         |  FROM c JOIN t ON c.doc_id = t.doc_id GROUP BY c.doc_id)
+         |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars_norm,
+         |  t.n_distinct_chars,
+         |  CAST(t.cmax AS DOUBLE) / CAST(t.n AS DOUBLE) AS top_char_frac,
+         |  ${Q.duckRnd("CAST(g.gini AS DOUBLE)", 10)} AS char_gini,
+         |  (CAST(t.cmax AS DOUBLE) / CAST(t.n AS DOUBLE) > 0.3) AS is_junk
+         |FROM t JOIN g ON t.doc_id = g.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // same '. ' literal split, same lower+trim normalization
+    "line_dedup" ->
+      s"""WITH segs AS (
+         |  SELECT doc_id, trim(lower(seg)) AS seg
+         |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS seg
+         |        FROM documents) x
+         |  WHERE length(trim(lower(seg))) > 0),
+         |a AS (SELECT doc_id, count(*) AS n_seg,
+         |        count(DISTINCT seg) AS n_uniq FROM segs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_seg, 0) AS n_seg,
+         |  coalesce(a.n_uniq, 0) AS n_uniq,
+         |  CASE WHEN coalesce(a.n_seg, 0) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(a.n_uniq AS DOUBLE) / CAST(a.n_seg AS DOUBLE)
+         |  END AS dup_seg_frac
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // same threshold ladder, same exact retention ratios
+    "length_filter_sweep" -> {
+      val vals = SweepThresholds.map(t => s"($t)").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok
+         |           FROM documents),
+         |f AS (SELECT CAST(threshold AS BIGINT) AS threshold, n_tok
+         |      FROM t CROSS JOIN (VALUES $vals) th(threshold)),
+         |a AS (SELECT threshold, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tok >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_retained,
+         |  CAST(sum(CASE WHEN n_tok >= threshold THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_retained,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total
+         |  FROM f GROUP BY threshold)
+         |SELECT threshold, docs_retained, tok_retained,
+         |  CAST(docs_retained AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_frac,
+         |  CASE WHEN tok_total = 0 THEN 0.0
+         |       ELSE CAST(tok_retained AS DOUBLE) / CAST(tok_total AS DOUBLE)
+         |  END AS tok_frac
+         |FROM a ORDER BY threshold""".stripMargin
+    },
+
+    // same gopher-lite pass predicate, same Wilson op order (z=1.96,
+    // z² spelled 1.96*1.96 so both engines square the same double)
+    "source_reliability" ->
+      s"""WITH p AS (SELECT source,
+         |    CASE WHEN ${LlmQueries.NTOK} >= 5 AND ${LlmQueries.NTOK} <= 10000
+         |              AND ${LlmQueries.duckGopherPunct} <= 0.3
+         |         THEN 1 ELSE 0 END AS p
+         |  FROM documents),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(p) AS BIGINT) AS n_pass FROM p GROUP BY source),
+         |w AS (SELECT source, n_docs, n_pass,
+         |    CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pr,
+         |    CAST(n_docs AS DOUBLE) AS n FROM a)
+         |SELECT source, n_docs, n_pass, pr AS pass_rate,
+         |  ${Q.duckRnd(
+             "(pr + (1.96*1.96) / (2.0*n) - 1.96 * sqrt((pr * (1.0 - pr)" +
+               " + (1.96*1.96) / (4.0*n)) / n)) / (1.0 + (1.96*1.96) / n)", 6)}
+         |    AS wilson_lb
+         |FROM w ORDER BY wilson_lb DESC, source""".stripMargin,
+
+    // closed-form signal: the oracle recomputes the window energies
+    // the codec round-trip must reproduce exactly
+    "audio_rms" ->
+      """WITH s AS (SELECT doc_id,
+        |    unnest(range(0, 800 + ((doc_id % 5 + 5) % 5) * 160)) AS i
+        |  FROM documents),
+        |a AS (SELECT doc_id, i // 160 AS w,
+        |    ((doc_id * 31 + i * 17) % 2003 + 2003) % 2003 - 1001 AS amp
+        |  FROM s),
+        |wq AS (SELECT doc_id, w, sum(amp * amp) AS ssq
+        |       FROM a GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(count(*) * 160 AS BIGINT) AS n_samples,
+        |  CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  count(*) AS n_windows, CAST(sum(ssq) AS BIGINT) AS total_ssq,
+        |  CAST(max(ssq) AS BIGINT) AS max_window_ssq
+        |FROM wq GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

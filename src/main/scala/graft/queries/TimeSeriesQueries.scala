@@ -167,6 +167,44 @@ object TimeSeriesQueries {
         .orderBy($"user_id", $"day_ms")
     }),
 
+    // CUSUM changepoint detection per event_type — the "when did this
+    // metric shift?" drift primitive: cumulative deviation from the
+    // series mean, S_i = Σ_{j≤i}(y_j − ȳ), peaks at the changepoint.
+    // The corpus-scale aggregate happens FIRST (events → one row per
+    // (type, hour)); every window then runs on the time-bounded hourly
+    // series (rows ∝ time span, never event count — seasonal_
+    // decompose's boundedness argument, here additionally partitioned
+    // by type). Transcendental-free and order-independent: hourly
+    // means are 6dp-snapped decimals, prefix sums are decimal-exact,
+    // and the per-row deviation cum − i·(total/cnt) is a fixed scalar
+    // IEEE op sequence — no floating accumulation anywhere.
+    "changepoint_cusum" -> ((s, d) => {
+      import s.implicits._
+      val ms = unix_millis($"ts")
+      val hourly = Tables.events(s, d)
+        .select($"event_type", (ms - pmod(ms, lit(3600000L))).as("hr"), $"value")
+        .groupBy($"event_type", $"hr")
+        .agg(rnd(davg($"value"), 6).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p = Window.partitionBy($"event_type")
+      val dev = hourly
+        .withColumn("i", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"hr")).cast("double"))
+        .withColumn("cum", sum($"y".cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("total", sum($"y".cast("decimal(18,6)")).over(p).cast("double"))
+        .withColumn("cnt", count(lit(1)).over(p).cast("double"))
+        .withColumn("dev", rnd(abs($"cum" - $"i" * ($"total" / $"cnt")), 6))
+      dev
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"dev".desc, $"hr")))
+        .withColumn("n_hours", count(lit(1)).over(p))
+        .filter($"rk" === 1)
+        .select($"event_type", $"n_hours", $"hr".as("cp_hr"),
+          $"dev".as("cusum_stat"))
+        .orderBy($"event_type")
+    }),
+
     // Deterministic fixed-size uniform sample: rank by a seeded hash of
     // the key and keep the k smallest — the distributed reservoir
     // (per-partition top-k heaps, driver merges k·P candidates), fully
@@ -272,5 +310,35 @@ object TimeSeriesQueries {
 
     "sample_reservoir" ->
       """SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
-        |FROM documents ORDER BY h, doc_id LIMIT 50""".stripMargin)
+        |FROM documents ORDER BY h, doc_id LIMIT 50""".stripMargin,
+
+    // same 6dp hourly means, same decimal prefix sums, same scalar
+    // deviation op order, same (dev desc, hr) argmax tiebreak
+    "changepoint_cusum" ->
+      s"""WITH h AS (SELECT event_type, epoch_ms(ts)
+         |             - ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) AS hr,
+         |           value FROM events),
+         |a AS (SELECT event_type, hr,
+         |  ${Q.duckRnd(
+             "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)" +
+               " / CAST(count(value) AS DOUBLE)", 6)} AS y
+         |  FROM h GROUP BY event_type, hr),
+         |c AS (SELECT event_type, hr, y,
+         |    CAST(row_number() OVER w AS DOUBLE) AS i,
+         |    CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS cum,
+         |    CAST(sum(CAST(y AS DECIMAL(18,6))) OVER p AS DOUBLE) AS total,
+         |    CAST(count(*) OVER p AS DOUBLE) AS cnt
+         |  FROM a WINDOW
+         |    w AS (PARTITION BY event_type ORDER BY hr
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    p AS (PARTITION BY event_type)),
+         |d AS (SELECT event_type, hr,
+         |    ${Q.duckRnd("abs(cum - i * (total / cnt))", 6)} AS dev FROM c),
+         |r AS (SELECT event_type, hr, dev,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY dev DESC, hr) AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS n_hours FROM d)
+         |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, hr AS cp_hr,
+         |  dev AS cusum_stat
+         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)
 }

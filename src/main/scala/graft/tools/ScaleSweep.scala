@@ -129,7 +129,12 @@ object ScaleSweep {
       // round-9 corpus/embedding ops (taxonomy_classify rides
       // corpusFamily above)
       "winnow_fingerprint", "lm_backoff_score", "length_histogram",
-      "embedding_quantize")
+      "embedding_quantize",
+      // twelfth wave (documents-side dataset-assembly ops; the
+      // events-side changepoint_cusum stays bench-only like
+      // anomaly_mad — the scale corpus has no events table)
+      "split_assign", "domain_cap", "junk_detect", "line_dedup",
+      "length_filter_sweep", "source_reliability", "audio_rms")
     val drifted = family.filterNot(graft.SparkEntry.queries.contains)
     require(drifted.isEmpty,
       s"family names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
