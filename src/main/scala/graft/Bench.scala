@@ -23,6 +23,7 @@ object BenchShared {
     "ngram_jaccard", "minhash_containment", "cross_corpus_pairs",
     "pagerank_lite", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
+    "ngram_novelty",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
     "heavy_hitters", "rrf_fusion",
     // term_rows consumers run before unigram_surprise (its release
@@ -31,7 +32,7 @@ object BenchShared {
     "triangle_count",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
-    "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign")
+    "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign", "kmeans_iterate")
 
   /** Cache lifecycle: each memoized table is released right after its
     * LAST consumer in [[corpusFamily]] order, so peak storage is one
@@ -43,12 +44,12 @@ object BenchShared {
     "simhash_neardup" -> Seq("simhash"),
     "dup_ngram_frac" -> Seq("shingles"),
     "dedup_incremental" -> Seq("bands"),
-    "contamination_check" -> Seq("shingles_distinct"),
+    "ngram_novelty" -> Seq("shingles_distinct"),
     "bpe_apply" -> Seq("bpe_words"),
     "unigram_surprise" -> Seq("term_rows"),
     "dedup_clusters" -> Seq("candidate_pairs"),
     "knn_rerank" -> Seq("pq_codebook"),
-    "kmeans_assign" -> Seq("ivf_cells"))
+    "kmeans_iterate" -> Seq("ivf_cells"))
 
   private def maxBucket(grouped: org.apache.spark.sql.DataFrame): Long =
     grouped.agg(org.apache.spark.sql.functions.max("count")).head() match {

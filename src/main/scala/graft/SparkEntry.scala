@@ -36,7 +36,8 @@ object SparkEntry {
       LayoutQueries.defs ++
       AnalyticsQueries.defs ++
       TimeSeriesQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++
+      EmbeddingOpsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -53,5 +54,6 @@ object SparkEntry {
       LayoutQueries.oracles ++
       AnalyticsQueries.oracles ++
       TimeSeriesQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      EmbeddingOpsQueries.oracles
 }

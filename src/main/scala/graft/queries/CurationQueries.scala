@@ -192,6 +192,49 @@ object CurationQueries {
         .orderBy($"wilson_lb".desc, $"source")
     }),
 
+    // Corpus-prefix novelty: the fraction of a document's distinct
+    // 3-gram shingles whose FIRST corpus occurrence (min doc_id) is
+    // this document — the "how much genuinely new text does each doc
+    // add?" signal an incremental-curation pipeline ranks ingest
+    // batches by. Reuses the memoized distinct-shingle relation; first
+    // occurrence is a shingle-partitioned window min, so the whole op
+    // is one shingle-keyed shuffle (the dedup family's shape) + one
+    // doc-keyed aggregate — no join back, no second corpus read.
+    "ngram_novelty" -> ((s, d) => {
+      import s.implicits._
+      val sh = LlmQueries.distinctShingleTable(s, d)
+      sh.withColumn("first_doc",
+          min($"doc_id").over(Window.partitionBy($"sh")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          ($"n_novel".cast("double") / $"n_shingles".cast("double"))
+            .as("novelty_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality-signal calibration: bucket the bigram-LM score into
+    // 1/20-wide probability bins and report the gopher pass rate per
+    // bin — the "does the cheap score predict the rule verdict?"
+    // curve a pipeline reads before trusting one signal to replace
+    // the other. Pure composition: the lm_score pipeline (one corpus
+    // scan + broadcast LM probe) joined to the rule flags, collapsed
+    // to ≤21 rows.
+    "quality_calibration" -> ((s, d) => {
+      import s.implicits._
+      val lm = LlmQueries.defs("lm_score")(s, d).select($"doc_id", $"mean_p")
+      val flags = Tables.documents(s, d)
+        .select($"doc_id", LlmQueries.gopherPass($"text").cast("long").as("pass"))
+      lm.join(flags, Seq("doc_id"))
+        .withColumn("bucket", floor($"mean_p" * 20).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"pass").as("n_pass"))
+        .select($"bucket", $"n_docs", $"n_pass",
+          ($"n_pass".cast("double") / $"n_docs".cast("double")).as("pass_rate"))
+        .orderBy($"bucket")
+    }),
+
     // REAL audio codec round-trip, driver-oracled — the audio leg of
     // the multimodal family (image_decode_stats' design): each doc
     // synthesizes a deterministic 16-bit mono PCM signal
@@ -358,6 +401,43 @@ object CurationQueries {
                " + (1.96*1.96) / (4.0*n)) / n)) / (1.0 + (1.96*1.96) / n)", 6)}
          |    AS wilson_lb
          |FROM w ORDER BY wilson_lb DESC, source""".stripMargin,
+
+    // same distinct shingles, same min-doc_id first occurrence
+    "ngram_novelty" ->
+      s"""WITH ${LlmQueries.duckShingleCtes},
+         |ds AS (SELECT DISTINCT doc_id, g
+         |       FROM (SELECT doc_id, unnest(sh) AS g FROM sh) x),
+         |f AS (SELECT doc_id, g,
+         |        min(doc_id) OVER (PARTITION BY g) AS first_doc FROM ds)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same lm_score mean_p (shared CTE semantics), same gopher pass
+    // predicate, same floor(mean_p·20) binning on identical doubles
+    "quality_calibration" ->
+      s"""WITH toks AS (SELECT doc_id, ${LlmQueries.TOKS} AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2),
+         |pairs AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+         |lm AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+         |       FROM c12 JOIN c1 USING (w1)),
+         |m AS (SELECT doc_id,
+         |    CAST(sum(CAST(${Q.duckRnd("p", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+         |      / count(*) AS mean_p
+         |  FROM pairs JOIN lm USING (w1, w2) GROUP BY doc_id),
+         |pq AS (SELECT doc_id,
+         |    CASE WHEN ${LlmQueries.duckGopherPass} THEN 1 ELSE 0 END AS pass
+         |  FROM documents)
+         |SELECT CAST(floor(mean_p * 20) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs, CAST(sum(pass) AS BIGINT) AS n_pass,
+         |  CAST(sum(pass) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_rate
+         |FROM m JOIN pq USING (doc_id) GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // closed-form signal: the oracle recomputes the window energies
     // the codec round-trip must reproduce exactly

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Embedding-side training-prep operators (thirteenth wave): hard
+  * negatives, contrastive triplets, and the Lloyd update step — the
+  * pieces that turn the ANN/kmeans plumbing into ML training inputs.
+  *
+  * Scale/perf design:
+  *  - `knn_hard_negatives` is the knn_bruteforce shape (bounded query
+  *    set broadcast against the corpus scan, WindowGroupLimit top-k);
+  *    the mismatched-label predicate rides the same broadcast probe —
+  *    no extra shuffle. At index scale the same query runs against the
+  *    IVF cell restriction exactly as knn_ivf does.
+  *  - `contrastive_triplets` composes the two top-1 probes in ONE
+  *    corpus scan each and joins the (|Q|-row) winners — the triplet
+  *    mining step of a contrastive-training data pipeline.
+  *  - `kmeans_iterate` is the canonical distributed Lloyd update:
+  *    assignment from the memoized [[LlmQueries.ivfCells]] artifact
+  *    (shared with knn_ivfpq/kmeans_assign), per-dimension decimal
+  *    means via one (cell, pos)-keyed aggregate over the posexploded
+  *    corpus — rows ∝ N·dim, the standard linear-cost centroid
+  *    update, nothing driver-side.
+  */
+object EmbeddingOpsQueries {
+
+  import LlmQueries.{withNorm, cosFromNorms, duckCos, ivfCells, IvfK}
+
+  val defs: Map[String, QueryFn] = Map(
+
+    // Hard-negative mining: for each query vector, the most similar
+    // vectors with a DIFFERENT label — the negatives that actually
+    // move a contrastive loss (easy negatives are already far). Same
+    // broadcast-probe + WindowGroupLimit top-k plan as knn_bruteforce.
+    "knn_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = broadcast(e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"label".as("q_label")))
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+      q.join(e, $"q_label" =!= $"label")
+        .select($"q_id", $"vec_id",
+          rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id".as("neg_id"), $"rn", $"cos_sim")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    // Triplet mining for contrastive training: per anchor, the nearest
+    // SAME-label vector (positive) and the nearest DIFFERENT-label
+    // vector (hard negative), with the margin the loss would see.
+    // Two broadcast probes over one corpus scan each; the final join
+    // touches |Q| rows.
+    "contrastive_triplets" -> ((s, d) => {
+      import s.implicits._
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = broadcast(e.filter($"vec_id" < 100)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"label".as("q_label")))
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+      def top1(cond: org.apache.spark.sql.Column, outId: String, outSim: String) =
+        q.join(e, cond)
+          .select($"q_id", $"vec_id",
+            rnd(cosFromNorms($"q_emb", $"embedding", $"q_nrm", $"nrm"), 6).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"q_id", $"vec_id".as(outId), $"cos_sim".as(outSim))
+      val pos = top1($"q_label" === $"label" && $"q_id" =!= $"vec_id",
+        "pos_id", "pos_sim")
+      val neg = top1($"q_label" =!= $"label", "neg_id", "neg_sim")
+      pos.join(neg, Seq("q_id"))
+        .select($"q_id", $"pos_id", $"neg_id", $"pos_sim", $"neg_sim",
+          ($"pos_sim" - $"neg_sim").as("margin"))
+        .orderBy($"q_id")
+    }),
+
+    // One Lloyd update step from the memoized IVF assignment: new
+    // centroid = per-dimension decimal mean of the assigned vectors
+    // (6dp-snapped, order-free), reported as the per-cluster shift
+    // ‖c_new − c_seed‖ — the convergence signal an iterative k-means
+    // driver loops on. Empty cells drop out (no assigned vectors ⇒
+    // no update), matching Lloyd's "keep seed" convention by absence.
+    "kmeans_iterate" -> ((s, d) => {
+      import s.implicits._
+      val asg = ivfCells(s, d).select($"vec_id", $"cell")
+      val dims = Tables.embeddings(s, d)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", $"pos", $"v".cast("double").as("v"))
+      val newc = asg.join(dims, Seq("vec_id"))
+        .groupBy($"cell", $"pos")
+        .agg((sum(rnd($"v", 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+      val seed = Tables.embeddings(s, d).filter($"vec_id" < IvfK)
+        .select($"vec_id".as("cell"), posexplode($"embedding").as(Seq("pos", "sv")))
+        .select($"cell", $"pos", $"sv".cast("double").as("sv"))
+      val nv = asg.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+      newc.join(seed, Seq("cell", "pos"))
+        .withColumn("sq",
+          rnd(($"m" - $"sv") * ($"m" - $"sv"), 12).cast("decimal(28,12)"))
+        .groupBy($"cell")
+        .agg(sum($"sq").cast("double").as("shift2"))
+        .join(nv, Seq("cell"))
+        .select($"cell".as("cluster_id"), $"n_vecs",
+          rnd(sqrt($"shift2"), 6).as("shift"))
+        .orderBy($"cluster_id")
+    })
+  )
+
+  /** Assignment CTEs shared with the kmeans_assign oracle (same d2 op
+    * order, same (d2, cluster_id) tiebreak).
+    */
+  private val duckAssignCtes: String =
+    s"""c AS (SELECT vec_id AS cell, embedding AS cent
+       |      FROM embeddings WHERE vec_id < $IvfK),
+       |a AS (SELECT e.vec_id, c.cell,
+       |  ${LlmQueries.duckDot("e.embedding", "e.embedding")}
+       |    - 2*${LlmQueries.duckDot("e.embedding", "c.cent")}
+       |    + ${LlmQueries.duckDot("c.cent", "c.cent")} AS d2
+       |  FROM embeddings e CROSS JOIN c),
+       |r AS (SELECT vec_id, cell, d2,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |  FROM a),
+       |asg AS (SELECT vec_id, cell FROM r WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    // same cosine op order, same (sim desc, vec_id) tiebreak
+    "knn_hard_negatives" ->
+      s"""SELECT q_id, neg_id, rn, cos_sim FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS neg_id,
+         |    ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} AS cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)}
+         |        DESC, e.vec_id) AS INTEGER) AS rn
+         |  FROM embeddings q JOIN embeddings e ON q.label <> e.label
+         |  WHERE q.vec_id < 100) t
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "contrastive_triplets" ->
+      s"""WITH pos AS (SELECT q_id, vec_id AS pos_id, cos_sim AS pos_sim FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)}
+         |        DESC, e.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.label = e.label AND q.vec_id <> e.vec_id
+         |  WHERE q.vec_id < 100) t WHERE rn = 1),
+         |neg AS (SELECT q_id, vec_id AS neg_id, cos_sim AS neg_sim FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)} AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Q.duckRnd(duckCos("q.embedding", "e.embedding"), 6)}
+         |        DESC, e.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings e ON q.label <> e.label
+         |  WHERE q.vec_id < 100) t WHERE rn = 1)
+         |SELECT pos.q_id, pos_id, neg_id, pos_sim, neg_sim,
+         |  pos_sim - neg_sim AS margin
+         |FROM pos JOIN neg ON pos.q_id = neg.q_id
+         |ORDER BY pos.q_id""".stripMargin,
+
+    // same assignment, same 6dp-snapped decimal per-dim means, same
+    // 12dp-snapped squared shift terms (1-based dims internally — the
+    // join convention only has to be self-consistent)
+    "kmeans_iterate" ->
+      s"""WITH $duckAssignCtes,
+         |dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |           CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |nc AS (SELECT cell, pos,
+         |    CAST(sum(CAST(${Q.duckRnd("v", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS m
+         |  FROM asg JOIN dims USING (vec_id) GROUP BY cell, pos),
+         |seed AS (SELECT vec_id AS cell, generate_subscripts(embedding, 1) AS pos,
+         |           CAST(unnest(embedding) AS DOUBLE) AS sv
+         |         FROM embeddings WHERE vec_id < $IvfK),
+         |sh AS (SELECT nc.cell,
+         |    sum(CAST(${Q.duckRnd("(m - sv) * (m - sv)", 12)}
+         |      AS DECIMAL(28,12))) AS s2
+         |  FROM nc JOIN seed ON nc.cell = seed.cell AND nc.pos = seed.pos
+         |  GROUP BY nc.cell),
+         |nv AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY cell)
+         |SELECT sh.cell AS cluster_id, nv.n_vecs,
+         |  ${Q.duckRnd("sqrt(CAST(s2 AS DOUBLE))", 6)} AS shift
+         |FROM sh JOIN nv ON sh.cell = nv.cell
+         |ORDER BY cluster_id""".stripMargin
+  )
+}

@@ -241,7 +241,7 @@ object LlmQueries {
   /** DuckDB Σ aᵢ·bᵢ over two float-list columns — the same
     * left-to-right double accumulation as [[graft.plans.FloatVecDot]].
     */
-  private def duckDot(x: String, y: String): String =
+  private[queries] def duckDot(x: String, y: String): String =
     s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
   /** DuckDB cosine between two float-list columns: same double ops in
@@ -652,13 +652,13 @@ object LlmQueries {
     }.reduce(_ + _)
 
   /** Embeddings with the vector norm precomputed once per vector. */
-  private def withNorm(e: DataFrame): DataFrame = {
+  private[queries] def withNorm(e: DataFrame): DataFrame = {
     VecFunctions.register(e.sparkSession)
     e.withColumn("nrm", sqrt(VecFunctions.vecDot(col("embedding"), col("embedding"))))
   }
 
   /** cosine(a,b) from precomputed norms — same op order as the oracle. */
-  private def cosFromNorms(embA: Column, embB: Column, nrmA: Column, nrmB: Column): Column =
+  private[queries] def cosFromNorms(embA: Column, embB: Column, nrmA: Column, nrmB: Column): Column =
     when(nrmA * nrmB === 0.0, lit(0.0))
       .otherwise(VecFunctions.vecDot(embA, embB) / (nrmA * nrmB))
 

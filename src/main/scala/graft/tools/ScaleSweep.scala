@@ -134,7 +134,10 @@ object ScaleSweep {
       // events-side changepoint_cusum stays bench-only like
       // anomaly_mad — the scale corpus has no events table)
       "split_assign", "domain_cap", "junk_detect", "line_dedup",
-      "length_filter_sweep", "source_reliability", "audio_rms")
+      "length_filter_sweep", "source_reliability", "audio_rms",
+      // thirteenth wave (ngram_novelty/kmeans_iterate ride
+      // corpusFamily above; quality_calibration is lm_score-shaped)
+      "knn_hard_negatives", "contrastive_triplets", "quality_calibration")
     val drifted = family.filterNot(graft.SparkEntry.queries.contains)
     require(drifted.isEmpty,
       s"family names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
