@@ -117,7 +117,7 @@ object ScaleSweep {
     // Bench's shared corpus run order + release schedule (BenchShared,
     // one definition for both harnesses) plus the embedding/ANN and
     // scan-bound text queries that also exercise the scaled corpus
-    val family = graft.BenchShared.corpusFamily ++ Seq(
+    val fullFamily = graft.BenchShared.corpusFamily ++ Seq(
       "embedding_neardup",
       "knn_bruteforce", "cosine_topk", "knn_ivf", "knn_lsh",
       "lm_score",
@@ -138,6 +138,15 @@ object ScaleSweep {
       // thirteenth wave (ngram_novelty/kmeans_iterate ride
       // corpusFamily above; quality_calibration is lm_score-shaped)
       "knn_hard_negatives", "contrastive_triplets", "quality_calibration")
+    // optional subset (args 3+): sweep only the named queries — for
+    // targeted high-factor runs where re-measuring the whole family
+    // would burn hours re-confirming already-recorded readings
+    val family = if (args.length > 3) {
+      val only = args.drop(3).toSet
+      val unknown = only -- fullFamily.toSet
+      require(unknown.isEmpty, s"not in sweep family: ${unknown.mkString(", ")}")
+      fullFamily.filter(only)
+    } else fullFamily
     val drifted = family.filterNot(graft.SparkEntry.queries.contains)
     require(drifted.isEmpty,
       s"family names no longer in SparkEntry.queries: ${drifted.mkString(", ")}")
