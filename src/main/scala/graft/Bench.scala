@@ -23,9 +23,9 @@ object BenchShared {
     "ngram_jaccard", "minhash_containment", "cross_corpus_pairs",
     "pagerank_lite", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
-    "ngram_novelty",
+    "boilerplate_ngrams", "ngram_novelty",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
-    "heavy_hitters", "rrf_fusion",
+    "heavy_hitters", "rrf_fusion", "collocation_pmi", "vocab_coverage",
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)
     "bpe_merges", "bpe_apply", "taxonomy_classify", "unigram_surprise",

@@ -37,7 +37,8 @@ object SparkEntry {
       AnalyticsQueries.defs ++
       TimeSeriesQueries.defs ++
       CurationQueries.defs ++
-      EmbeddingOpsQueries.defs
+      EmbeddingOpsQueries.defs ++
+      MlPrepQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       AnalyticsQueries.oracles ++
       TimeSeriesQueries.oracles ++
       CurationQueries.oracles ++
-      EmbeddingOpsQueries.oracles
+      EmbeddingOpsQueries.oracles ++
+      MlPrepQueries.oracles
 }

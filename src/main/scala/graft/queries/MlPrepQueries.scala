@@ -1,0 +1,477 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Fourteenth wave — the ML-side prep a training-data pipeline runs
+  * after curation (SURVEY.md §2.11 extensions): deterministic epoch
+  * shuffling, T5-style span-corruption accounting, PMI collocations,
+  * cross-document boilerplate detection, vocabulary coverage, a
+  * closed-form linear probe, distributed PCA power iteration, and an
+  * ANN-recall evaluation harness over the existing index paths.
+  *
+  * Scale/perf design:
+  *  - `epoch_shuffle` proves the training order without materializing
+  *    it: the order signature is a SUM of positional hashes (rank is
+  *    hashed into each term), so it is order-sensitive in value but
+  *    order-free in aggregation — no `collect_list` of a corpus-sized
+  *    shard, no single-partition sort. The per-shard rank window is
+  *    partitioned by shard (distributed).
+  *  - `span_corruption` derives mask membership from md5(doc_id, pos)
+  *    — reproducible under any partitioning — and resolves span
+  *    overlap relationally (window max over 2 preceding rows) instead
+  *    of a sequential greedy scan.
+  *  - `collocation_pmi` keeps everything in counts until one fixed
+  *    IEEE op sequence per surviving bigram; the global top-k is a
+  *    TakeOrdered (per-partition heaps), not a global sort.
+  *  - `boilerplate_ngrams` rides the memoized distinct-shingle
+  *    relation (built once per session/dir, released after
+  *    ngram_novelty per BenchShared's schedule): one shingle-keyed df
+  *    aggregate + one doc-keyed join back — both linear.
+  *  - `linear_probe` is closed-form distributed OLS: ONE pass
+  *    accumulates the 3×3 normal-equation moments as decimal-snapped
+  *    sums (order-independent), then Cramer's rule runs on the single
+  *    result row. No gradient loop, no driver-side math.
+  *  - `pca_power` is the canonical distributed power iteration:
+  *    each of 2 iterations is two keyed aggregates over the
+  *    posexploded corpus (rows ∝ N·dim) against a broadcast 64-row
+  *    direction vector; the normalizer stays in-plan via a broadcast
+  *    1-row cross join — no collect.
+  *  - `ann_recall_eval` composes the existing knn_bruteforce and
+  *    knn_ivf queries (and their oracles compose the same SQL), so
+  *    index-quality regression is hash-checked, not eyeballed.
+  */
+object MlPrepQueries {
+
+  /** Document-frequency threshold above which a shingle counts as
+    * cross-document boilerplate (mirrored into the oracle).
+    */
+  private val BoilerDf = 5
+
+  /** Span-corruption parameters: mask-start rate (percent of token
+    * positions) and span length, mirrored into the oracle.
+    */
+  private val MaskStartPct = 15
+  private val SpanLen = 3
+
+  /** Minimum bigram count for a PMI collocation candidate. */
+  private val PmiMinCount = 5
+
+  /** md5-hex-prefix → non-negative bigint bucket (Spark side; the
+    * oracle uses the '0x'-prefix cast — both read the same 8 hex
+    * chars, < 2^32 so never negative).
+    */
+  private def hexBucket(c: Column, digits: Int): Column =
+    conv(substring(c, 1, digits), 16, 10).cast("long")
+
+  val defs: Map[String, QueryFn] = Map(
+
+    // Deterministic epoch shuffle + sharding: training order is a pure
+    // function of (epoch, doc_id) — h = md5('epoch1:'||doc_id) orders
+    // docs, h mod 8 shards them. The output is the per-shard manifest
+    // a trainer would consume, with an order SIGNATURE: each doc
+    // contributes md5('sig:'||rank||':'||doc_id) (rank baked in, so
+    // any reordering changes the value) summed in decimal and reduced
+    // mod 1e9+7 — order-sensitive proof, order-free aggregation.
+    "epoch_shuffle" -> ((s, d) => {
+      import s.implicits._
+      val h = md5(concat(lit("epoch1:"), $"doc_id".cast("string")))
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", TF.nTokens($"text").cast("long").as("n_tok"), h.as("h"))
+        .withColumn("shard", hexBucket($"h", 8) % 8)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("term", hexBucket(
+          md5(concat(lit("sig:"), $"rank".cast("string"), lit(":"),
+            $"doc_id".cast("string"))), 12))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"),
+          (sum($"term".cast("decimal(38,0)")) % 1000000007L).cast("long")
+            .as("order_sig"))
+        .orderBy($"shard")
+    }),
+
+    // T5-style span corruption accounting: position p starts a mask
+    // span iff md5('mask:'||doc_id||':'||p) lands under MaskStartPct;
+    // a token is masked iff any start lies in [p-SpanLen+1, p] (span
+    // UNION semantics — overlap allowed — so membership is a window
+    // max, not a sequential greedy scan). Per-doc corruption stats
+    // only need positions, not token text: the explode is over
+    // sequence(0, n_tok-1).
+    "span_corruption" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(-(SpanLen - 1), 0)
+      Tables.documents(s, d)
+        .select($"doc_id", TF.nTokens($"text").cast("long").as("n_tok"))
+        .filter($"n_tok" > 0)
+        .select($"doc_id", $"n_tok",
+          explode(sequence(lit(0L), $"n_tok" - 1L)).as("pos"))
+        .withColumn("start",
+          (hexBucket(md5(concat(lit("mask:"), $"doc_id".cast("string"),
+            lit(":"), $"pos".cast("string"))), 8) % 100 <
+            MaskStartPct).cast("int"))
+        .withColumn("masked", max($"start").over(w))
+        .groupBy($"doc_id")
+        .agg(first($"n_tok").as("n_tok"),
+          sum($"start").cast("long").as("n_spans"),
+          sum($"masked").cast("long").as("n_masked"))
+        .select($"doc_id", $"n_tok", $"n_spans", $"n_masked",
+          ($"n_masked".cast("double") / $"n_tok".cast("double")).as("mask_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // PMI collocations, transcendental-free: PMI is monotone in the
+    // ratio p(ab)/(p(a)p(b)), so the ratio itself is reported —
+    // (cab/N2)/((ca/N1)*(cb/N1)) in ONE fixed IEEE op sequence both
+    // engines share (a log would differ in ULPs across libms).
+    // Unigram counts ride the memoized term relation; bigrams are one
+    // lead-window pass; the top-50 is a TakeOrdered.
+    "collocation_pmi" -> ((s, d) => {
+      import s.implicits._
+      val uni = LlmQueries.termTable(s, d)
+        .groupBy($"term").agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum($"c").cast("double").as("n1"))
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      val pairs = Tables.documents(s, d)
+        .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("pos", "w1")))
+        .filter($"w1" =!= "")
+        .withColumn("w2", lead($"w1", 1).over(wd))
+        .filter($"w2".isNotNull)
+      val big = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+        .filter($"cab" >= PmiMinCount)
+      val n2 = pairs.groupBy().agg(count(lit(1)).cast("double").as("n2"))
+      big
+        .join(uni.select($"term".as("w1"), $"c".as("ca")), Seq("w1"))
+        .join(uni.select($"term".as("w2"), $"c".as("cb")), Seq("w2"))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select($"w1", $"w2", $"cab",
+          rnd(($"cab".cast("double") / $"n2") /
+            (($"ca".cast("double") / $"n1") * ($"cb".cast("double") / $"n1")),
+            4).as("pmi_ratio"))
+        .orderBy($"pmi_ratio".desc, $"w1", $"w2")
+        .limit(50)
+    }),
+
+    // Cross-document boilerplate: a distinct shingle appearing in ≥
+    // BoilerDf docs is boilerplate (nav bars, cookie banners — the
+    // C4/CCNet removal target); per doc, the fraction of its distinct
+    // shingles that are boilerplate. Rides the memoized
+    // distinct-shingle relation; one df aggregate keyed by shingle +
+    // one join back keyed by doc — both linear in corpus size.
+    "boilerplate_ngrams" -> ((s, d) => {
+      import s.implicits._
+      val dsh = LlmQueries.distinctShingleTable(s, d)
+      val df = dsh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      dsh.join(df, Seq("sh"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"df" >= BoilerDf, 1L).otherwise(0L)).as("n_boiler"))
+        .select($"doc_id", $"n_shingles", $"n_boiler",
+          ($"n_boiler".cast("double") / $"n_shingles".cast("double"))
+            .as("boiler_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Vocabulary coverage: OOV rate per language against the top-1000
+    // frequency vocabulary (vocab_build's ranking) — the tokenizer
+    // sanity check before training. The vocab is bounded (1000 rows)
+    // → broadcast membership join; the unigram relation is one scan.
+    "vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val voc = LlmQueries.termTable(s, d)
+        .groupBy($"term").agg(count(lit(1)).as("tf"))
+        .orderBy($"tf".desc, $"term").limit(1000)
+        .select($"term", lit(1).as("in_v"))
+      Tables.documents(s, d)
+        .select($"lang", explode(TF.tokens($"text")).as("term"))
+        .filter($"term" =!= "")
+        .join(broadcast(voc), Seq("term"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"lang", $"n_tok", $"n_oov",
+          ($"n_oov".cast("double") / $"n_tok".cast("double")).as("oov_rate"))
+        .orderBy($"lang")
+    }),
+
+    // Closed-form linear probe (distributed OLS): fit stopword ratio
+    // on mean word length + distinct-token ratio — the quality-probe
+    // fit a curation pipeline runs to calibrate a cheap filter. ONE
+    // aggregate accumulates the normal-equation moments (each product
+    // 10dp-snapped and decimal-summed → order-independent), then
+    // Cramer's rule solves the 3×3 system on the single moment row.
+    // Every post-aggregate double op is written in the same fixed
+    // order as the oracle, so the coefficients are bit-identical.
+    "linear_probe" -> ((s, d) => {
+      import s.implicits._
+      def m(c: Column): Column =
+        sum(rnd(c, 10).cast("decimal(38,10)")).cast("double")
+      val toks = TF.tokens($"text")
+      val feats = Tables.documents(s, d)
+        .select($"doc_id", TF.nTokens($"text").cast("long").as("nt"),
+          length(TF.normText($"text")).cast("double").as("ln"),
+          size(array_distinct(toks)).cast("double").as("ndis"),
+          TF.stopwordRatio($"text").as("y"))
+        .filter($"nt" > 0)
+        .select(
+          (($"ln" - ($"nt" - 1L).cast("double")) / $"nt".cast("double")).as("x1"),
+          ($"ndis" / $"nt".cast("double")).as("x2"), $"y")
+      val mom = feats.agg(
+        count(lit(1)).as("n_rows"),
+        m($"x1").as("s1"), m($"x2").as("s2"),
+        m($"x1" * $"x1").as("s11"), m($"x2" * $"x2").as("s22"),
+        m($"x1" * $"x2").as("s12"),
+        m($"y").as("sy"), m($"x1" * $"y").as("s1y"), m($"x2" * $"y").as("s2y"))
+      // symmetric system [[a,b,c],[b,e,f],[c,f,g]] · β = [sy,s1y,s2y]
+      val a = $"n_rows".cast("double")
+      val (b, c, e, f, g) = ($"s1", $"s2", $"s11", $"s12", $"s22")
+      val det = a * ($"s11" * $"s22" - $"s12" * $"s12") -
+        b * (b * g - f * c) + c * (b * f - e * c)
+      val d0 = $"sy" * (e * g - f * f) - b * ($"s1y" * g - f * $"s2y") +
+        c * ($"s1y" * f - e * $"s2y")
+      val d1 = a * ($"s1y" * g - $"s2y" * f) - $"sy" * (b * g - f * c) +
+        c * (b * $"s2y" - $"s1y" * c)
+      val d2 = a * (e * $"s2y" - $"s1y" * f) - b * (b * $"s2y" - $"s1y" * c) +
+        $"sy" * (b * f - e * c)
+      def coef(di: Column): Column =
+        when(det === 0.0, 0.0).otherwise(di / det)
+      mom.select($"n_rows",
+        rnd(coef(d0), 6).as("b0"), rnd(coef(d1), 6).as("b1"),
+        rnd(coef(d2), 6).as("b2"))
+    }),
+
+    // Distributed PCA power iteration (top principal direction of the
+    // uncentered Gram matrix — the embedding-whitening first step):
+    // v₀ = 1/8 (unit by construction), two iterations of
+    // w = Σᵢ (xᵢ·v) xᵢ with every product snapped to decimal before
+    // the order-free sum, normalizer kept in-plan via broadcast.
+    // Output: the 64 loadings + the Rayleigh-quotient estimate ‖w‖.
+    "pca_power" -> ((s, d) => {
+      import s.implicits._
+      val dims = Tables.embeddings(s, d)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xv")))
+        .select($"vec_id", $"pos", $"xv".cast("double").as("x"))
+      def iterate(v: DataFrame): DataFrame = {
+        val sRows = dims.join(broadcast(v), Seq("pos"))
+          .groupBy($"vec_id")
+          .agg(sum(rnd($"x" * $"vp", 12).cast("decimal(38,12)"))
+            .cast("double").as("sc"))
+        val wRows = dims.join(sRows, Seq("vec_id"))
+          .groupBy($"pos")
+          .agg(sum(rnd($"x" * $"sc", 9).cast("decimal(38,9)"))
+            .cast("double").as("wp"))
+        val nrm = wRows.agg(
+          sqrt(sum(rnd($"wp" * $"wp", 6).cast("decimal(38,6)"))
+            .cast("double")).as("nrm"))
+        wRows.crossJoin(broadcast(nrm))
+          .select($"pos",
+            when($"nrm" === 0.0, 0.0).otherwise($"wp" / $"nrm").as("vp"),
+            $"nrm")
+      }
+      val v0 = s.range(64).select($"id".cast("int").as("pos"),
+        lit(0.125).as("vp"))
+      val v2 = iterate(iterate(v0).select($"pos", $"vp"))
+      v2.select($"pos", rnd($"vp", 6).as("loading"), rnd($"nrm", 4).as("lambda"))
+        .orderBy($"pos")
+    }),
+
+    // ANN index-quality evaluation: recall@5 of the IVF path against
+    // the exact brute-force top-5, per query — COMPOSED from the two
+    // existing queries (and the oracle composes their SQL), so an
+    // index regression is a hash mismatch in the driver's correctness
+    // file, not a judgement call.
+    "ann_recall_eval" -> ((s, d) => {
+      import s.implicits._
+      val ex = LlmQueries.defs("knn_bruteforce")(s, d)
+        .select($"q_id", $"neighbor_id")
+      val iv = LlmQueries.defs("knn_ivf")(s, d)
+        .select($"q_id", $"neighbor_id", lit(1).as("hit"))
+      ex.join(iv, Seq("q_id", "neighbor_id"), "left")
+        .groupBy($"q_id")
+        .agg(count($"hit").as("n_hits"))
+        .select($"q_id", $"n_hits",
+          ($"n_hits".cast("double") / 5.0).as("recall_at_5"))
+        .orderBy($"q_id")
+    })
+  )
+
+  import LlmQueries.{NORM, NTOK, TOKS, duckShingleCtes}
+
+  private val duckStopRatio: String =
+    s"""(CASE WHEN $NTOK = 0 THEN 0.0 ELSE
+       | CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len($TOKS) END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    // same md5 order key, same shard bucket, same positional-hash
+    // signature reduced mod 1e9+7
+    "epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, CAST($NTOK AS BIGINT) AS n_tok,
+         |    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |sh AS (SELECT doc_id, n_tok, h,
+         |    ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard FROM h),
+         |r AS (SELECT doc_id, n_tok, shard, CAST(row_number() OVER (
+         |    PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS rank
+         |  FROM sh),
+         |t AS (SELECT shard, n_tok,
+         |    ('0x' || substr(md5('sig:' || CAST(rank AS VARCHAR) || ':' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS term
+         |  FROM r)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(CAST(term AS DECIMAL(38,0))) % 1000000007 AS BIGINT)
+         |    AS order_sig
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // same md5 start rule, same window-union span membership
+    "span_corruption" ->
+      s"""WITH n AS (SELECT doc_id, CAST($NTOK AS BIGINT) AS n_tok
+         |  FROM documents WHERE $NTOK > 0),
+         |p AS (SELECT doc_id, n_tok, unnest(range(0, n_tok)) AS pos FROM n),
+         |f AS (SELECT doc_id, n_tok, pos,
+         |  CASE WHEN ('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+         |    || ':' || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 100
+         |    < $MaskStartPct THEN 1 ELSE 0 END AS start
+         |  FROM p),
+         |m AS (SELECT doc_id, n_tok, start, max(start) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN ${SpanLen - 1} PRECEDING AND CURRENT ROW) AS masked
+         |  FROM f)
+         |SELECT doc_id, any_value(n_tok) AS n_tok,
+         |  CAST(sum(start) AS BIGINT) AS n_spans,
+         |  CAST(sum(masked) AS BIGINT) AS n_masked,
+         |  CAST(sum(masked) AS DOUBLE) / CAST(any_value(n_tok) AS DOUBLE)
+         |    AS mask_frac
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same count tables, same single fixed IEEE op sequence
+    "collocation_pmi" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |u AS (SELECT term, count(*) AS c FROM t WHERE term <> '' GROUP BY term),
+         |n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM u),
+         |toks AS (SELECT doc_id, $TOKS AS w FROM documents),
+         |idx AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks
+         |        WHERE len(w) >= 2),
+         |pr AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM idx),
+         |n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM pr),
+         |b AS (SELECT w1, w2, count(*) AS cab FROM pr GROUP BY w1, w2
+         |      HAVING count(*) >= $PmiMinCount)
+         |SELECT w1, w2, CAST(cab AS BIGINT) AS cab,
+         |  ${Q.duckRnd(
+             "(CAST(cab AS DOUBLE) / n2.n2) / ((CAST(ca.c AS DOUBLE) / n1.n1)" +
+               " * (CAST(cb.c AS DOUBLE) / n1.n1))", 4)} AS pmi_ratio
+         |FROM b JOIN u ca ON b.w1 = ca.term JOIN u cb ON b.w2 = cb.term,
+         |  n1, n2
+         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // same distinct-shingle relation, same df threshold
+    "boilerplate_ngrams" ->
+      s"""WITH $duckShingleCtes,
+         |ds AS (SELECT DISTINCT doc_id, s FROM
+         |  (SELECT doc_id, unnest(sh) AS s FROM sh) t),
+         |df AS (SELECT s, count(*) AS df FROM ds GROUP BY s)
+         |SELECT ds.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  CAST(sum(CASE WHEN df.df >= $BoilerDf THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS boiler_frac
+         |FROM ds JOIN df ON ds.s = df.s
+         |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin,
+
+    // same top-1000 (tf desc, term) vocabulary, same OOV accounting
+    "vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($TOKS) AS term FROM documents),
+         |u AS (SELECT term FROM (SELECT term, count(*) AS tf FROM t
+         |      WHERE term <> '' GROUP BY term
+         |      ORDER BY tf DESC, term LIMIT 1000) v)
+         |SELECT lang, count(*) AS n_tok,
+         |  CAST(sum(CASE WHEN u.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN u.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM t LEFT JOIN u ON t.term = u.term
+         |WHERE t.term <> ''
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same 10dp-snapped decimal moments, same Cramer expression order
+    "linear_probe" -> {
+      def m(expr: String): String =
+        s"CAST(sum(CAST(${Q.duckRnd(expr, 10)} AS DECIMAL(38,10))) AS DOUBLE)"
+      s"""WITH f AS (SELECT
+         |    (CAST(length($NORM) AS DOUBLE) - CAST($NTOK - 1 AS DOUBLE))
+         |      / CAST($NTOK AS DOUBLE) AS x1,
+         |    CAST(len(list_distinct($TOKS)) AS DOUBLE)
+         |      / CAST($NTOK AS DOUBLE) AS x2,
+         |    $duckStopRatio AS y
+         |  FROM documents WHERE $NTOK > 0),
+         |mom AS (SELECT count(*) AS n_rows,
+         |  ${m("x1")} AS s1, ${m("x2")} AS s2,
+         |  ${m("x1 * x1")} AS s11, ${m("x2 * x2")} AS s22,
+         |  ${m("x1 * x2")} AS s12,
+         |  ${m("y")} AS sy, ${m("x1 * y")} AS s1y, ${m("x2 * y")} AS s2y
+         |  FROM f),
+         |sol AS (SELECT n_rows,
+         |  CAST(n_rows AS DOUBLE) * (s11 * s22 - s12 * s12)
+         |    - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+         |  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         |    + s2 * (s1y * s12 - s11 * s2y) AS d0,
+         |  CAST(n_rows AS DOUBLE) * (s1y * s22 - s2y * s12)
+         |    - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS d1,
+         |  CAST(n_rows AS DOUBLE) * (s11 * s2y - s1y * s12)
+         |    - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS d2
+         |  FROM mom)
+         |SELECT n_rows,
+         |  ${Q.duckRnd("CASE WHEN det = 0.0 THEN 0.0 ELSE d0 / det END", 6)} AS b0,
+         |  ${Q.duckRnd("CASE WHEN det = 0.0 THEN 0.0 ELSE d1 / det END", 6)} AS b1,
+         |  ${Q.duckRnd("CASE WHEN det = 0.0 THEN 0.0 ELSE d2 / det END", 6)} AS b2
+         |FROM sol""".stripMargin
+    },
+
+    // same v0, same snap digits, same two-iteration replay
+    "pca_power" -> {
+      def sIter(v: String): String =
+        s"""SELECT d.vec_id, CAST(sum(CAST(${Q.duckRnd(s"d.x * $v", 12)}
+           | AS DECIMAL(38,12))) AS DOUBLE) AS sc""".stripMargin
+      s"""WITH d AS (SELECT vec_id,
+         |    generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |s1 AS (${sIter("0.125")} FROM d GROUP BY d.vec_id),
+         |w1 AS (SELECT d.pos, CAST(sum(CAST(${Q.duckRnd("d.x * s1.sc", 9)}
+         |    AS DECIMAL(38,9))) AS DOUBLE) AS wp
+         |  FROM d JOIN s1 ON d.vec_id = s1.vec_id GROUP BY d.pos),
+         |n1 AS (SELECT sqrt(CAST(sum(CAST(${Q.duckRnd("wp * wp", 6)}
+         |    AS DECIMAL(38,6))) AS DOUBLE)) AS nrm FROM w1),
+         |v1 AS (SELECT pos, CASE WHEN nrm = 0.0 THEN 0.0 ELSE wp / nrm END
+         |    AS vp FROM w1, n1),
+         |s2 AS (${sIter("v1.vp")} FROM d JOIN v1 ON d.pos = v1.pos
+         |  GROUP BY d.vec_id),
+         |w2 AS (SELECT d.pos, CAST(sum(CAST(${Q.duckRnd("d.x * s2.sc", 9)}
+         |    AS DECIMAL(38,9))) AS DOUBLE) AS wp
+         |  FROM d JOIN s2 ON d.vec_id = s2.vec_id GROUP BY d.pos),
+         |n2 AS (SELECT sqrt(CAST(sum(CAST(${Q.duckRnd("wp * wp", 6)}
+         |    AS DECIMAL(38,6))) AS DOUBLE)) AS nrm FROM w2)
+         |SELECT pos, ${Q.duckRnd(
+             "CASE WHEN nrm = 0.0 THEN 0.0 ELSE wp / nrm END", 6)} AS loading,
+         |  ${Q.duckRnd("nrm", 4)} AS lambda
+         |FROM w2, n2 ORDER BY pos""".stripMargin
+    },
+
+    // composes the knn_bruteforce and knn_ivf oracle SQL verbatim, so
+    // the three can never drift apart
+    "ann_recall_eval" ->
+      s"""WITH ex AS (SELECT q_id, neighbor_id FROM
+         |  (${LlmQueries.oracles("knn_bruteforce")}) x),
+         |iv AS (SELECT q_id, neighbor_id FROM
+         |  (${LlmQueries.oracles("knn_ivf")}) y)
+         |SELECT ex.q_id, count(iv.neighbor_id) AS n_hits,
+         |  CAST(count(iv.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM ex LEFT JOIN iv
+         |  ON ex.q_id = iv.q_id AND ex.neighbor_id = iv.neighbor_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+  )
+}
