@@ -38,7 +38,8 @@ object SparkEntry {
       TimeSeriesQueries.defs ++
       CurationQueries.defs ++
       EmbeddingOpsQueries.defs ++
-      MlPrepQueries.defs
+      MlPrepQueries.defs ++
+      QaQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -57,5 +58,6 @@ object SparkEntry {
       TimeSeriesQueries.oracles ++
       CurationQueries.oracles ++
       EmbeddingOpsQueries.oracles ++
-      MlPrepQueries.oracles
+      MlPrepQueries.oracles ++
+      QaQueries.oracles
 }

@@ -66,4 +66,41 @@ object DistributedNtile {
            |    + 1 END""".stripMargin).cast("int"))
       .drop("__pid", "__lr", "__off", "__cnt", "__r")
   }
+
+  /** Exact per-group running sum of `value` (inclusive of the current
+    * row) in `order`, without a per-group single-partition sort — the
+    * same two-phase shape as [[withNtile]]: range partitioning bounds
+    * every local window by the range-partition size, and the
+    * cross-partition carry comes from a broadcastable
+    * (#partitions × #groups) offset relation. Used where a
+    * `sum() OVER (PARTITION BY group ORDER BY ...)` would route a
+    * dominant group's entire corpus slice through one task
+    * (token_budget_trim's dominant-source case — ccnet_buckets'
+    * failure mode in a different costume).
+    */
+  def withRunningSum(
+      df: DataFrame,
+      group: String,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val ranged = df
+      .repartitionByRange((col(group) +: order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val wLocal = Window.partitionBy(col("__pid"), col(group)).orderBy(order: _*)
+    val local = ranged
+      .withColumn("__ls", sum(col("__v")).over(wLocal))
+    val wPrior = Window.partitionBy(col(group)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged
+      .groupBy(col("__pid"), col(group))
+      .agg(sum(col("__v")).as("__s"))
+      .withColumn("__off", coalesce(sum(col("__s")).over(wPrior), lit(0L)))
+      .select(col("__pid"), col(group), col("__off"))
+    local
+      .join(broadcast(offs), Seq("__pid", group))
+      .withColumn(out, col("__ls") + col("__off"))
+      .drop("__pid", "__v", "__ls", "__off")
+  }
 }

@@ -166,6 +166,18 @@ object LlmQueries {
        |   - least($punct * 2.0, 1.0) * 0.3) * 10000.0 + 0.5) / 10000.0""".stripMargin
   }
 
+  /** DuckDB replica of TextFunctions.langIdHeuristic (same marker
+    * words, same precedence). Shared by the lang_id and
+    * curation_funnel oracles.
+    */
+  private[queries] val duckLangCase: String =
+    s"""CASE
+       |  WHEN regexp_matches($NORM, '\\bder\\b') OR regexp_matches($NORM, '\\bund\\b') OR regexp_matches($NORM, '\\bdie\\b') THEN 'de'
+       |  WHEN regexp_matches($NORM, '\\ble\\b') OR regexp_matches($NORM, '\\bla\\b') OR regexp_matches($NORM, '\\bet\\b') THEN 'fr'
+       |  WHEN regexp_matches($NORM, '\\bel\\b') OR regexp_matches($NORM, '\\blos\\b') OR regexp_matches($NORM, '\\buna\\b') THEN 'es'
+       |  WHEN regexp_matches($NORM, '\\bthe\\b') OR regexp_matches($NORM, '\\band\\b') OR regexp_matches($NORM, '\\bis\\b') THEN 'en'
+       |  ELSE 'unknown' END""".stripMargin
+
   /** DuckDB minhash permutation i (of 8): lexicographic min over the
     * i-th 8-hex-char slice of md5("<half>:" ++ shingle).
     */
@@ -1894,13 +1906,7 @@ object LlmQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
-      s"""SELECT doc_id, lang,
-         | CASE
-         |  WHEN regexp_matches($NORM, '\\bder\\b') OR regexp_matches($NORM, '\\bund\\b') OR regexp_matches($NORM, '\\bdie\\b') THEN 'de'
-         |  WHEN regexp_matches($NORM, '\\ble\\b') OR regexp_matches($NORM, '\\bla\\b') OR regexp_matches($NORM, '\\bet\\b') THEN 'fr'
-         |  WHEN regexp_matches($NORM, '\\bel\\b') OR regexp_matches($NORM, '\\blos\\b') OR regexp_matches($NORM, '\\buna\\b') THEN 'es'
-         |  WHEN regexp_matches($NORM, '\\bthe\\b') OR regexp_matches($NORM, '\\band\\b') OR regexp_matches($NORM, '\\bis\\b') THEN 'en'
-         |  ELSE 'unknown' END AS pred_lang
+      s"""SELECT doc_id, lang, $duckLangCase AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "token_count" ->

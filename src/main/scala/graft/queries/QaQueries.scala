@@ -1,0 +1,343 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Fifteenth wave — pipeline QA, evaluation, and resampling: the ops
+  * that close the loop on the curation/index stages already in the
+  * inventory (SURVEY.md §2.11 extensions). Evaluation COMPOSES the
+  * queries it evaluates (and their oracle SQL), so a regression in
+  * the evaluated path is a hash mismatch in the driver's correctness
+  * file — the ann_recall_eval principle applied to dedup and DSIR.
+  *
+  * Scale/perf design:
+  *  - `lsh_recall_eval` measures LSH candidate recall/precision
+  *    against exact Jaccard ground truth on a BOUNDED deterministic
+  *    sample (doc_id < 100): ground truth is all-pairs only within
+  *    the sample (≤ K² shingle-join work), never corpus-wide.
+  *  - `importance_resample` is one projection over dsir_select's
+  *    output: the keep decision is a pure function of (doc_id,
+  *    weight) — an md5 draw against a weight-derived basis-point
+  *    threshold — so the resample is reproducible under any
+  *    partitioning, retry, or backfill (split_assign's property).
+  *  - `curation_funnel` attributes every document to the FIRST
+  *    filter that kills it, in one scan — the attrition report every
+  *    curation pipeline publishes.
+  *  - `embedding_outliers` is the per-label distance-to-centroid
+  *    z-score audit: centroids and stats are bounded label-keyed
+  *    aggregates that broadcast; the corpus never self-joins.
+  *  - `mixture_drift` compares source composition across the
+  *    doc_id-parity halves — the ingest-drift canary; one scan, one
+  *    source-keyed aggregate.
+  *  - `token_budget_trim` selects best-first per source under a
+  *    token budget via [[graft.operators.DistributedNtile
+  *    .withRunningSum]] — the exact running sum computed skew-free
+  *    (range partitioning + broadcast carry), so a dominant source
+  *    cannot route its corpus slice through one window task.
+  */
+object QaQueries {
+
+  /** Jaccard threshold defining a true near-dup pair (ngram_jaccard's
+    * verification threshold) and the evaluation sample bound.
+    */
+  private val JaccThresh = 0.4
+  private val SampleN = 100
+
+  /** Per-source token budget for token_budget_trim. */
+  private val BudgetTok = 1000L
+
+  private def hexBucket(c: org.apache.spark.sql.Column, digits: Int) =
+    conv(substring(c, 1, digits), 16, 10).cast("long")
+
+  val defs: Map[String, QueryFn] = Map(
+
+    // LSH candidate-generation quality: recall and precision of
+    // minhash_dedup's candidate pairs against exact Jaccard ≥ 0.4
+    // ground truth, restricted to the deterministic doc_id < 100
+    // sample (all-pairs ground truth is only computable on a bounded
+    // sample — the standard index-eval pattern). Composes the live
+    // minhash_dedup query; the oracle composes its SQL.
+    "lsh_recall_eval" -> ((s, d) => {
+      import s.implicits._
+      val dsh = LlmQueries.distinctShingleTable(s, d)
+        .filter($"doc_id" < SampleN)
+      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = dsh.select($"doc_id".as("doc_a"), $"sh")
+        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
+      val truePairs = inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+        .filter($"n_int".cast("double") /
+          ($"n_a" + $"n_b" - $"n_int").cast("double") >= JaccThresh)
+        .select($"doc_a", $"doc_b")
+      val cand = LlmQueries.defs("minhash_dedup")(s, d)
+        .filter($"doc_a" < SampleN && $"doc_b" < SampleN)
+        .select($"doc_a", $"doc_b")
+      val hit = truePairs
+        .join(cand.withColumn("is_cand", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count($"is_cand").as("n_hit"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      hit.crossJoin(nc)
+        .select($"n_true", $"n_cand", $"n_hit",
+          when($"n_true" === 0L, 1.0)
+            .otherwise($"n_hit".cast("double") / $"n_true".cast("double"))
+            .as("recall"),
+          when($"n_cand" === 0L, 1.0)
+            .otherwise($"n_hit".cast("double") / $"n_cand".cast("double"))
+            .as("prec"))
+    }),
+
+    // DSIR importance RESAMPLING (the second half of Xie et al. 2023
+    // that dsir_select's scoring stops short of): keep probability
+    // min(1, w/2), realized as a deterministic md5 draw per doc_id
+    // against the weight's basis-point threshold. Composes the live
+    // dsir_select query (one extra projection — the ratio table and
+    // both stats passes are inherited, not recomputed).
+    "importance_resample" -> ((s, d) => {
+      import s.implicits._
+      CorpusOpsQueries.defs("dsir_select")(s, d)
+        .select($"doc_id", rnd($"w", 6).as("w"),
+          (hexBucket(md5(concat(lit("resample:"), $"doc_id".cast("string"))), 8)
+            % 10000L).as("draw"),
+          floor(least(lit(1.0), $"w" * 0.5) * 10000.0 + 0.5).cast("long")
+            .as("keep_bp"))
+        .withColumn("kept", $"draw" < $"keep_bp")
+        .orderBy($"doc_id")
+    }),
+
+    // Curation attrition funnel: each doc attributed to the FIRST
+    // stage that rejects it (language-ID unknown → too short →
+    // quality floor → kept), with doc/token mass per stage — one
+    // scan, one 4-row aggregate. Stage names carry their order so
+    // the output sorts as the funnel reads.
+    "curation_funnel" -> ((s, d) => {
+      import s.implicits._
+      val staged = Tables.documents(s, d)
+        .select(
+          when(TF.langIdHeuristic($"text") === "unknown", "1_lang")
+            .when(TF.nTokens($"text") < 16, "2_short")
+            .when(TF.qualityScore($"text") < 0.2, "3_quality")
+            .otherwise("4_kept").as("stage"),
+          TF.nTokens($"text").cast("long").as("n_tok"))
+      val tot = staged.agg(count(lit(1)).as("n_total"))
+      staged.groupBy($"stage")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"))
+        .crossJoin(broadcast(tot))
+        .select($"stage", $"n_docs", $"n_tok",
+          rnd($"n_docs".cast("double") / $"n_total".cast("double"), 6)
+            .as("share"))
+        .orderBy($"stage")
+    }),
+
+    // Per-label embedding outlier audit: distance² to the label
+    // centroid, z-scored within the label — the mislabeled-vector /
+    // noise-vector signal a SemDeDup-style pipeline inspects before
+    // clustering. Centroids (labels × 64 rows) and stats (labels
+    // rows) broadcast; top-20 by |z| is a TakeOrdered.
+    "embedding_outliers" -> ((s, d) => {
+      import s.implicits._
+      val dims = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "xv")))
+        .select($"vec_id", $"label", $"pos", $"xv".cast("double").as("x"))
+      val cents = dims.groupBy($"label", $"pos")
+        .agg((sum($"x".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .as("cv"))
+      val d2 = dims.join(broadcast(cents), Seq("label", "pos"))
+        .groupBy($"vec_id", $"label")
+        .agg(sum(rnd(($"x" - $"cv") * ($"x" - $"cv"), 12).cast("decimal(28,12)"))
+          .cast("double").as("d2raw"))
+        .select($"vec_id", $"label", rnd($"d2raw", 6).as("d2"))
+      val st = d2.groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          sum($"d2".cast("decimal(18,6)")).cast("double").as("sd"),
+          sum(rnd($"d2" * $"d2", 8).cast("decimal(28,8)")).cast("double")
+            .as("sdd"))
+        .select($"label", ($"sd" / $"n".cast("double")).as("mean"),
+          sqrt(greatest(($"sdd" / $"n".cast("double")) -
+            (($"sd" / $"n".cast("double")) * ($"sd" / $"n".cast("double"))),
+            lit(0.0))).as("std"))
+      d2.join(broadcast(st), Seq("label"))
+        .select($"vec_id", $"label", $"d2",
+          when($"std" === 0.0, 0.0)
+            .otherwise(rnd(($"d2" - $"mean") / $"std", 4)).as("z"))
+        .orderBy(abs($"z").desc, $"vec_id")
+        .limit(20)
+    }),
+
+    // Source-mix drift between the doc_id-parity halves of the corpus
+    // — the ingest canary: a source whose share moved between halves
+    // signals a crawl/backfill composition change. One scan, one
+    // source-keyed aggregate, 2-row totals broadcast.
+    "mixture_drift" -> ((s, d) => {
+      import s.implicits._
+      val cnt = Tables.documents(s, d)
+        .select($"source", (pmod($"doc_id", lit(2L)) === 0L).as("even"))
+        .groupBy($"source")
+        .agg(sum(when($"even", 1L).otherwise(0L)).as("n_even"),
+          sum(when(!$"even", 1L).otherwise(0L)).as("n_odd"))
+      val tot = cnt.agg(sum($"n_even").as("t_even"), sum($"n_odd").as("t_odd"))
+      cnt.crossJoin(broadcast(tot))
+        .select($"source", $"n_even", $"n_odd",
+          rnd($"n_even".cast("double") / $"t_even".cast("double"), 6)
+            .as("p_even"),
+          rnd($"n_odd".cast("double") / $"t_odd".cast("double"), 6)
+            .as("p_odd"),
+          rnd(abs($"n_even".cast("double") / $"t_even".cast("double") -
+            $"n_odd".cast("double") / $"t_odd".cast("double")), 6).as("drift"))
+        .orderBy($"source")
+    }),
+
+    // Best-first per-source selection under a token budget: rank by
+    // quality (doc_id tiebreak), keep docs that START before the
+    // budget is exhausted. The exact running sum is computed
+    // skew-free via DistributedNtile.withRunningSum — range
+    // partitioning + broadcast carry, never a per-source
+    // single-partition sort.
+    "token_budget_trim" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          TF.nTokens($"text").cast("long").as("n_tok"),
+          TF.qualityScore($"text").as("q"))
+      val ranked = graft.operators.DistributedNtile.withRunningSum(
+        base, "source", Seq($"q".desc, $"doc_id"), $"n_tok", "cum")
+      ranked
+        .withColumn("kept", $"cum" - $"n_tok" < BudgetTok)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_total"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_tok").otherwise(0L)).as("tok_kept"))
+        .orderBy($"source")
+    })
+  )
+
+  import LlmQueries.{NORM, NTOK, TOKS, duckShingleCtes, duckQuality, duckLangCase}
+
+  val oracles: Map[String, String] = Map(
+
+    // ground truth + composed minhash_dedup SQL, same sample bound
+    "lsh_recall_eval" ->
+      s"""WITH $duckShingleCtes,
+         |ds AS (SELECT DISTINCT doc_id, s FROM
+         |  (SELECT doc_id, unnest(sh) AS s FROM sh) t WHERE doc_id < $SampleN),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |tp AS (SELECT da, db FROM it
+         |  JOIN sz sa ON it.da = sa.doc_id JOIN sz sb ON it.db = sb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE)
+         |    >= $JaccThresh),
+         |cd AS (SELECT doc_a, doc_b FROM (${LlmQueries.oracles("minhash_dedup")}) c
+         |  WHERE doc_a < $SampleN AND doc_b < $SampleN),
+         |ag AS (SELECT
+         |  (SELECT count(*) FROM tp) AS n_true,
+         |  (SELECT count(*) FROM cd) AS n_cand,
+         |  (SELECT count(*) FROM tp JOIN cd
+         |    ON tp.da = cd.doc_a AND tp.db = cd.doc_b) AS n_hit)
+         |SELECT n_true, n_cand, n_hit,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+         |  CASE WHEN n_cand = 0 THEN 1.0
+         |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec
+         |FROM ag""".stripMargin,
+
+    // composed dsir_select SQL + the same md5 draw and bp threshold
+    "importance_resample" ->
+      s"""WITH ds AS (SELECT * FROM (${CorpusOpsQueries.oracles("dsir_select")}) t)
+         |SELECT doc_id, ${Q.duckRnd("w", 6)} AS w,
+         |  ('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % 10000 AS draw,
+         |  CAST(floor(least(1.0, w * 0.5) * 10000.0 + 0.5) AS BIGINT) AS keep_bp,
+         |  (('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % 10000) < CAST(floor(least(1.0, w * 0.5) * 10000.0 + 0.5) AS BIGINT)
+         |    AS kept
+         |FROM ds ORDER BY doc_id""".stripMargin,
+
+    // same stage predicates in the same precedence
+    "curation_funnel" ->
+      s"""WITH st AS (SELECT
+         |  CASE WHEN ($duckLangCase) = 'unknown' THEN '1_lang'
+         |       WHEN $NTOK < 16 THEN '2_short'
+         |       WHEN ($duckQuality) < 0.2 THEN '3_quality'
+         |       ELSE '4_kept' END AS stage,
+         |  CAST($NTOK AS BIGINT) AS n_tok
+         |  FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM st)
+         |SELECT stage, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  ${Q.duckRnd("CAST(count(*) AS DOUBLE) / CAST(any_value(t.n_total) AS DOUBLE)", 6)}
+         |    AS share
+         |FROM st, tot t GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // same decimal centroid means, same snapped d2, same z op order
+    "embedding_outliers" ->
+      s"""WITH dm AS (SELECT vec_id, label,
+         |    generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |c AS (SELECT label, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS cv
+         |  FROM dm GROUP BY label, pos),
+         |d AS (SELECT vec_id, dm.label,
+         |    ${Q.duckRnd(
+               s"CAST(sum(CAST(${Q.duckRnd("(x - cv) * (x - cv)", 12)}" +
+                 " AS DECIMAL(28,12))) AS DOUBLE)", 6)} AS d2
+         |  FROM dm JOIN c ON dm.label = c.label AND dm.pos = c.pos
+         |  GROUP BY vec_id, dm.label),
+         |s AS (SELECT label, count(*) AS n,
+         |    CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+         |    CAST(sum(CAST(${Q.duckRnd("d2 * d2", 8)} AS DECIMAL(28,8)))
+         |      AS DOUBLE) AS sdd
+         |  FROM d GROUP BY label),
+         |st AS (SELECT label, sd / CAST(n AS DOUBLE) AS mean,
+         |    sqrt(greatest((sdd / CAST(n AS DOUBLE)) -
+         |      ((sd / CAST(n AS DOUBLE)) * (sd / CAST(n AS DOUBLE))), 0.0))
+         |      AS std
+         |  FROM s)
+         |SELECT vec_id, d.label, d2,
+         |  CASE WHEN std = 0.0 THEN 0.0
+         |    ELSE ${Q.duckRnd("(d2 - mean) / std", 4)} END AS z
+         |FROM d JOIN st ON d.label = st.label
+         |ORDER BY abs(CASE WHEN std = 0.0 THEN 0.0
+         |  ELSE ${Q.duckRnd("(d2 - mean) / std", 4)} END) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+
+    // same parity split, same ratio op order
+    "mixture_drift" ->
+      s"""WITH c AS (SELECT source,
+         |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+         |    sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_odd
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT sum(n_even) AS t_even, sum(n_odd) AS t_odd FROM c)
+         |SELECT source, CAST(n_even AS BIGINT) AS n_even,
+         |  CAST(n_odd AS BIGINT) AS n_odd,
+         |  ${Q.duckRnd("CAST(n_even AS DOUBLE) / CAST(t_even AS DOUBLE)", 6)}
+         |    AS p_even,
+         |  ${Q.duckRnd("CAST(n_odd AS DOUBLE) / CAST(t_odd AS DOUBLE)", 6)}
+         |    AS p_odd,
+         |  ${Q.duckRnd(
+             "abs(CAST(n_even AS DOUBLE) / CAST(t_even AS DOUBLE)" +
+               " - CAST(n_odd AS DOUBLE) / CAST(t_odd AS DOUBLE))", 6)} AS drift
+         |FROM c, t ORDER BY source""".stripMargin,
+
+    // same rank order, same ROWS-frame running sum, same budget
+    "token_budget_trim" ->
+      s"""WITH b AS (SELECT source, doc_id, CAST($NTOK AS BIGINT) AS n_tok,
+         |    $duckQuality AS q FROM documents),
+         |r AS (SELECT source, n_tok, sum(n_tok) OVER (PARTITION BY source
+         |    ORDER BY q DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM b)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(sum(CASE WHEN cum - n_tok < $BudgetTok THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN cum - n_tok < $BudgetTok THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS tok_kept
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -137,7 +137,14 @@ object ScaleSweep {
       "length_filter_sweep", "source_reliability", "audio_rms",
       // thirteenth wave (ngram_novelty/kmeans_iterate ride
       // corpusFamily above; quality_calibration is lm_score-shaped)
-      "knn_hard_negatives", "contrastive_triplets", "quality_calibration")
+      "knn_hard_negatives", "contrastive_triplets", "quality_calibration",
+      // fourteenth wave (boilerplate_ngrams / collocation_pmi /
+      // vocab_coverage ride corpusFamily above)
+      "epoch_shuffle", "span_corruption", "linear_probe", "pca_power",
+      "ann_recall_eval",
+      // fifteenth wave (lsh_recall_eval rides corpusFamily above)
+      "importance_resample", "curation_funnel", "embedding_outliers",
+      "mixture_drift", "token_budget_trim")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
