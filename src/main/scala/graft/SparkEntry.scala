@@ -39,7 +39,8 @@ object SparkEntry {
       CurationQueries.defs ++
       EmbeddingOpsQueries.defs ++
       MlPrepQueries.defs ++
-      QaQueries.defs
+      QaQueries.defs ++
+      MediaFingerprintQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -59,5 +60,6 @@ object SparkEntry {
       CurationQueries.oracles ++
       EmbeddingOpsQueries.oracles ++
       MlPrepQueries.oracles ++
-      QaQueries.oracles
+      QaQueries.oracles ++
+      MediaFingerprintQueries.oracles
 }

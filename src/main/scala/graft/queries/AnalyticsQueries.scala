@@ -258,6 +258,67 @@ object AnalyticsQueries {
           least(greatest($"l_extendedprice", $"lo"), $"hi").as("clipped"),
           ($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi").as("was_clipped"))
         .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    }),
+
+    // TPC-H Q7-shape volume shipping at region grain: cross-region
+    // trade volume by ship year (supplier region ≠ customer region —
+    // nation-pair grain isn't stably populated by the fixture's
+    // 10-supplier table, region grain is at every sf). The fact table
+    // joins orders on the key (shuffle); every dimension hop
+    // (supplier, customer, both nation→region legs) broadcasts, so no
+    // second corpus-scale shuffle exists before the aggregate.
+    // Revenue is the decimal-exact Q1 idiom.
+    "tpch_volume_shipping" -> ((s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - $"l_discount".cast("decimal(4,2)"))
+      def natRegion(keyOut: String, nameOut: String) =
+        broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d), $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey".as(keyOut), $"r_name".as(nameOut)))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(natRegion("sn_key", "supp_region"), $"s_nationkey" === $"sn_key")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(natRegion("cn_key", "cust_region"), $"c_nationkey" === $"cn_key")
+        .filter($"supp_region" =!= $"cust_region")
+        .groupBy($"supp_region", $"cust_region",
+          year($"l_shipdate").as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy($"supp_region", $"cust_region", $"l_year")
+    }),
+
+    // TPC-H Q8-shape market share: NATION_2's share of PROMO-part
+    // revenue sold into the ASIA market per order year. Two decimal
+    // sums ride ONE aggregate (conditional sum ≡ the filtered sum);
+    // the share is a single IEEE division of the two exact totals.
+    "tpch_market_share" -> ((s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - $"l_discount".cast("decimal(4,2)"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter($"p_type" === "PROMO")),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey".as("cn_key"), $"n_regionkey")),
+          $"c_nationkey" === $"cn_key")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"sn_key")
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(
+          sum(when($"supp_nation" === "NATION_2", rev))
+            .cast("double").as("nation_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select($"o_year", $"nation_rev", $"total_rev",
+          rnd($"nation_rev" / $"total_rev", 6).as("mkt_share"))
+        .orderBy($"o_year")
     })
   )
 
@@ -389,6 +450,48 @@ object AnalyticsQueries {
          | least(greatest(l.l_extendedprice, b.lo), b.hi) AS clipped,
          | (l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi) AS was_clipped
          |FROM lineitem l JOIN b USING (l_returnflag)
-         |ORDER BY l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_extendedprice""".stripMargin
+         |ORDER BY l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_extendedprice""".stripMargin,
+
+    "tpch_volume_shipping" ->
+      """SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |   AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |WHERE sr.r_name <> cr.r_name
+        |GROUP BY sr.r_name, cr.r_name, year(l_shipdate)
+        |ORDER BY supp_region, cust_region, l_year""".stripMargin,
+
+    "tpch_market_share" ->
+      """WITH j AS (
+        | SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |  CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+        |a AS (SELECT CAST(o_year AS INTEGER) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev END) AS DOUBLE)
+        |    AS nation_rev,
+        |  CAST(sum(rev) AS DOUBLE) AS total_rev
+        | FROM j GROUP BY o_year)
+        |SELECT o_year, nation_rev, total_rev,
+        |  floor((nation_rev / total_rev) * 1000000.0 + 0.5) / 1000000.0
+        |    AS mkt_share
+        |FROM a ORDER BY o_year""".stripMargin
   )
 }

@@ -216,6 +216,14 @@ object CorpusOpsQueries {
     // the band-bucket cap already bounds; no shuffle carries more
     // than (wedge, node) rows. Per-node triangle participation, not
     // one scalar, so the output stays hash-checkable row by row.
+    // Measured scale shape (100× sweep, BASELINE.md round-9): the
+    // cap's star edges give each capped-bucket REPRESENTATIVE degree
+    // ≈ bucket size, so the wedge stage is quadratic in the max star
+    // size even though edge count stays linear. If star sizes keep
+    // growing, the next lever is a per-node wedge bound (top-k
+    // neighbors per representative before wedge formation) — a
+    // policy change that must land in the oracle's CTEs in the same
+    // commit.
     "triangle_count" -> ((s, d) => {
       import s.implicits._
       val e = LlmQueries.pairTable(s, d).select($"doc_a".as("u"), $"doc_b".as("v"))

@@ -108,8 +108,57 @@ object EmbeddingOpsQueries {
         .select($"cell".as("cluster_id"), $"n_vecs",
           rnd(sqrt($"shift2"), 6).as("shift"))
         .orderBy($"cluster_id")
-    })
+    }),
+
+    "nn_descent_step" -> nnDescentDef
   )
+
+  /** NN-Descent neighbor-of-neighbor step (Dong et al. 2011 —
+    * public): given the current label-blocked top-3 kNN digraph,
+    * propose the NON-edge pairs that share ≥ 2 common neighbors,
+    * ranked by neighborhood Jaccard — the refinement move that makes
+    * kNN-graph construction converge without all-pairs work. Work:
+    * one bucketed top-k probe (embedding_neardup's label-blocked
+    * shape, WindowGroupLimit) + a wedge join on a ≤(k+indegree)-
+    * degree graph — Σdeg² stays tiny because the base graph is
+    * k-regular out of the gate. The LSH candidate graph is the wrong
+    * substrate for this (its components are cliques — no non-edge
+    * wedges exist, verified at both fixture scales); the kNN digraph
+    * is the one NN-Descent actually runs on.
+    */
+  private def nnDescentDef: QueryFn = (s, d) => {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, d))
+    val a = e.select($"vec_id".as("src"), $"embedding".as("ea"),
+      $"nrm".as("na"), $"label")
+    val b = e.select($"vec_id".as("dst"), $"embedding".as("eb"),
+      $"nrm".as("nb"), $"label")
+    val w = Window.partitionBy($"src").orderBy($"cos_sim".desc, $"dst")
+    val knn = a.join(b, Seq("label"))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst",
+        rnd(cosFromNorms($"ea", $"eb", $"na", $"nb"), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"src", $"dst")
+    val sym = knn.unionAll(knn.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val cn = sym.select($"src".as("c"), $"dst".as("x"))
+      .join(sym.select($"src".as("c"), $"dst".as("y")), Seq("c"))
+      .filter($"x" < $"y")
+      .groupBy($"x", $"y").agg(count(lit(1)).as("cn"))
+      .filter($"cn" >= 2)
+    cn.join(sym.select($"src".as("x"), $"dst".as("y")), Seq("x", "y"),
+        "left_anti")
+      .join(deg.select($"src".as("x"), $"deg".as("deg_a")), Seq("x"))
+      .join(deg.select($"src".as("y"), $"deg".as("deg_b")), Seq("y"))
+      .select($"x".as("vec_a"), $"y".as("vec_b"), $"cn", $"deg_a", $"deg_b",
+        rnd($"cn".cast("double") /
+          ($"deg_a" + $"deg_b" - $"cn").cast("double"), 6).as("nb_jacc"))
+      .orderBy($"nb_jacc".desc, $"vec_a", $"vec_b")
+      .limit(50)
+  }
 
   /** Assignment CTEs shared with the kmeans_assign oracle (same d2 op
     * order, same (d2, cluster_id) tiebreak).
@@ -187,6 +236,34 @@ object EmbeddingOpsQueries {
          |SELECT sh.cell AS cluster_id, nv.n_vecs,
          |  ${Q.duckRnd("sqrt(CAST(s2 AS DOUBLE))", 6)} AS shift
          |FROM sh JOIN nv ON sh.cell = nv.cell
-         |ORDER BY cluster_id""".stripMargin
+         |ORDER BY cluster_id""".stripMargin,
+
+    // same label-blocked top-3 digraph (rounded-cosine rank, vec_id
+    // tiebreak), same symmetrized wedge counts and Jaccard op order
+    "nn_descent_step" ->
+      s"""WITH knn AS (SELECT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${Q.duckRnd(duckCos("a.embedding", "b.embedding"), 6)}
+         |          DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.label = b.label AND a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 3),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM knn
+         |  UNION ALL SELECT dst AS src, src AS dst FROM knn) u),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |cnb AS (SELECT a.dst AS x, b.dst AS y, count(*) AS cn
+         |  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |  GROUP BY a.dst, b.dst HAVING count(*) >= 2),
+         |ne AS (SELECT x, y, cn FROM cnb LEFT JOIN sym
+         |  ON cnb.x = sym.src AND cnb.y = sym.dst WHERE sym.src IS NULL)
+         |SELECT x AS vec_a, y AS vec_b, CAST(cn AS BIGINT) AS cn,
+         |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+         |  ${Q.duckRnd(
+             "CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE)", 6)}
+         |    AS nb_jacc
+         |FROM ne JOIN deg da ON ne.x = da.src JOIN deg db ON ne.y = db.src
+         |ORDER BY nb_jacc DESC, vec_a, vec_b LIMIT 50""".stripMargin
   )
 }

@@ -144,7 +144,10 @@ object ScaleSweep {
       "ann_recall_eval",
       // fifteenth wave (lsh_recall_eval rides corpusFamily above)
       "importance_resample", "curation_funnel", "embedding_outliers",
-      "mixture_drift", "token_budget_trim")
+      "mixture_drift", "token_budget_trim",
+      // sixteenth wave (the tpch_* ops are bench-only — the scale
+      // corpus has no lineitem)
+      "image_ahash", "audio_fingerprint", "nn_descent_step")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
