@@ -19,7 +19,8 @@ object BenchShared {
     * artifact (pq_codebook).
     */
   val corpusFamily: Seq[String] = Seq(
-    "minhash_dedup", "minhash_est", "simhash", "simhash_neardup",
+    "minhash_dedup", "minhash_b_bit", "minhash_est", "simhash",
+    "simhash_neardup", "simhash_recall_eval",
     "ngram_jaccard", "minhash_containment", "cross_corpus_pairs",
     "pagerank_lite", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
@@ -29,7 +30,7 @@ object BenchShared {
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)
     "bpe_merges", "bpe_apply", "taxonomy_classify", "unigram_surprise",
-    "triangle_count",
+    "triangle_count", "kcore_peel",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
     "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign", "kmeans_iterate")
@@ -41,7 +42,7 @@ object BenchShared {
     */
   val releaseAfter: Map[String, Seq[String]] = Map(
     "minhash_est" -> Seq("minhash_sigs"),
-    "simhash_neardup" -> Seq("simhash"),
+    "simhash_recall_eval" -> Seq("simhash"),
     "dup_ngram_frac" -> Seq("shingles"),
     "dedup_incremental" -> Seq("bands"),
     "ngram_novelty" -> Seq("shingles_distinct"),

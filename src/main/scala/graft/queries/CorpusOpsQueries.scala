@@ -237,6 +237,33 @@ object CorpusOpsQueries {
         .orderBy($"node")
     }),
 
+    // Two unrolled k-core peeling rounds (k=2) over the near-dup
+    // candidate graph: remove degree-<2 nodes, recompute, remove
+    // again — the standard densest-region screen that separates
+    // pendant/isolated near-dup pairs from template families. Each
+    // round is one degree aggregate + two anti-joins (all keyed);
+    // fixed round count keeps the oracle expressible as unrolled
+    // CTEs (pagerank_lite's convention — a production peel iterates
+    // with the ConnectedComponents checkpoint policy).
+    "kcore_peel" -> ((s, d) => {
+      import s.implicits._
+      val e = LlmQueries.pairTable(s, d)
+        .select($"doc_a".as("u"), $"doc_b".as("v"))
+      val sym = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+      val deg0 = sym.groupBy($"u").agg(count(lit(1)).as("deg0"))
+      val kill1 = deg0.filter($"deg0" < 2).select($"u")
+      val e1 = sym.join(kill1, Seq("u"), "left_anti")
+        .join(kill1.select($"u".as("v")), Seq("v"), "left_anti")
+      val deg1 = e1.groupBy($"u").agg(count(lit(1)).as("deg_after"))
+      deg0.join(deg1, Seq("u"), "left")
+        .select($"u".as("doc_id"), $"deg0",
+          coalesce($"deg_after", lit(0L)).as("deg_after"),
+          when($"deg0" < 2, 1)
+            .when(coalesce($"deg_after", lit(0L)) < 2, 2)
+            .otherwise(0).as("removed_round"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified Bernoulli sampling for training-data
     // mixes: per-language keep rates, seeded-hash uniform per doc —
     // reproducible across runs, engines, partitionings.
@@ -1113,6 +1140,24 @@ object CorpusOpsQueries {
          | UNION ALL SELECT v AS node FROM tri
          | UNION ALL SELECT w AS node FROM tri) t
          |GROUP BY node ORDER BY node""".stripMargin,
+
+    "kcore_peel" ->
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cand),
+         |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |d0 AS (SELECT u, count(*) AS deg0 FROM sym GROUP BY u),
+         |k1 AS (SELECT u FROM d0 WHERE deg0 < 2),
+         |e1 AS (SELECT s.u, s.v FROM sym s
+         |  LEFT JOIN k1 a ON s.u = a.u LEFT JOIN k1 b ON s.v = b.u
+         |  WHERE a.u IS NULL AND b.u IS NULL),
+         |d1 AS (SELECT u, count(*) AS deg_after FROM e1 GROUP BY u)
+         |SELECT d0.u AS doc_id, CAST(d0.deg0 AS BIGINT) AS deg0,
+         |  CAST(coalesce(d1.deg_after, 0) AS BIGINT) AS deg_after,
+         |  CAST(CASE WHEN d0.deg0 < 2 THEN 1
+         |    WHEN coalesce(d1.deg_after, 0) < 2 THEN 2 ELSE 0 END
+         |    AS INTEGER) AS removed_round
+         |FROM d0 LEFT JOIN d1 ON d0.u = d1.u
+         |ORDER BY doc_id""".stripMargin,
 
     "graph_degree_dist" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},

@@ -295,6 +295,26 @@ object CurationQueries {
         .toDF("doc_id", "n_samples", "sample_rate", "channels",
           "n_windows", "total_ssq", "max_window_ssq")
         .orderBy($"doc_id")
+    }),
+
+    // Curriculum phases: per-language easy→hard thirds by quality
+    // score (ascending — curricula start easy), with per-phase mass.
+    // Uses DistributedNtile (ccnet_buckets' skew-free exact NTILE):
+    // a dominant language never routes its corpus slice through one
+    // window task. Second consumer of the primitive — the skew
+    // lesson as shared infrastructure, not a per-query fix.
+    "curriculum_schedule" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"lang", $"doc_id",
+          TF.nTokens($"text").cast("long").as("n_tok"),
+          TF.qualityScore($"text").as("q"))
+      graft.operators.DistributedNtile
+        .withNtile(base, "lang", Seq($"q", $"doc_id"), 3, "phase")
+        .groupBy($"lang", $"phase")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"),
+          min($"q").as("q_min"), max($"q").as("q_max"))
+        .orderBy($"lang", $"phase")
     })
   )
 
@@ -454,6 +474,21 @@ object CurationQueries {
         |  CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
         |  count(*) AS n_windows, CAST(sum(ssq) AS BIGINT) AS total_ssq,
         |  CAST(max(ssq) AS BIGINT) AS max_window_ssq
-        |FROM wq GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM wq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // plain NTILE in the oracle — DistributedNtile matches NTILE
+    // semantics exactly (its spec pins the tile arithmetic)
+    "curriculum_schedule" ->
+      s"""WITH b AS (SELECT lang, doc_id,
+         |    CAST(${LlmQueries.NTOK} AS BIGINT) AS n_tok,
+         |    ${LlmQueries.duckQuality} AS q
+         |  FROM documents),
+         |t AS (SELECT lang, n_tok, q, CAST(ntile(3) OVER (
+         |    PARTITION BY lang ORDER BY q, doc_id) AS INTEGER) AS phase
+         |  FROM b)
+         |SELECT lang, phase, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  min(q) AS q_min, max(q) AS q_max
+         |FROM t GROUP BY lang, phase ORDER BY lang, phase""".stripMargin
   )
 }

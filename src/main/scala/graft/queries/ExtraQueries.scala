@@ -31,6 +31,19 @@ object ExtraQueries {
     // above-average predicate is rearranged to `bal * n > total` so
     // the threshold derives from an exact decimal sum instead of
     // avg-over-doubles (engine summation order would differ).
+    // GROUP BY ALL (Spark 3.4+/DuckDB shared surface): the SQL front
+    // end's group-by-every-non-aggregate shorthand, exercised through
+    // spark.sql so the resolution rule itself is under test.
+    "sql_group_by_all" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gba")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_gba
+          |GROUP BY ALL
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
     "sql_subquery" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_sq")
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
@@ -534,6 +547,13 @@ object ExtraQueries {
          | $cols
          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
     },
+
+    "sql_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "sql_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c

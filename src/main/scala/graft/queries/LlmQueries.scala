@@ -1266,6 +1266,32 @@ object LlmQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // b-bit MinHash (Li & König 2010 — public), b=1: keep only the
+    // lowest bit of each of the 8 permutation minima and estimate
+    // similarity from bit agreement with the debiased 2·(A/8) − 1.
+    // The point at 100 TB is STORAGE: a 1-bit signature is 1/32 the
+    // sketch store of the 8-hex-char minima, and the estimate rides
+    // the same candidate pairs with one integer-compare per
+    // permutation. Reads the memoized signature table; exact
+    // multiples of 0.25, so no rounding is needed for oracle parity.
+    "minhash_b_bit" -> ((s, d) => {
+      import s.implicits._
+      val sigs = sigTable(s, d)
+      def bit(c: org.apache.spark.sql.Column) =
+        conv(substring(c, 8, 1), 16, 10).cast("long") % 2
+      val sigA = sigs.select((col("doc_id").as("doc_a") +:
+        (0 until 8).map(i => bit(col(s"p$i")).as(s"a$i"))): _*)
+      val sigB = sigs.select((col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => bit(col(s"p$i")).as(s"b$i"))): _*)
+      pairTable(s, d).join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          (0 until 8).map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("bits_agree"))
+        .select($"doc_a", $"doc_b", $"bits_agree",
+          (($"bits_agree".cast("double") / 8.0) * 2.0 - 1.0).as("est_1bit"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Fuzzy matching: exact Levenshtein on normalized 40-char
     // prefixes, but ONLY over the LSH-blocked candidate pairs — the
     // edit-distance verify step of a fuzzy-dedup pipeline. Blocking is
@@ -2100,6 +2126,24 @@ object LlmQueries {
          |  $sigCols
          | FROM sh)
          |SELECT doc_a, doc_b, ($agree) / 8.0 AS est_jaccard
+         |FROM cand
+         | JOIN sigs a ON a.doc_id = doc_a
+         | JOIN sigs b ON b.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "minhash_b_bit" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"${duckHexDigit(duckMinhash("sh", i), 7)} % 2 AS p$i")
+        .mkString(",\n  ")
+      val agree = (0 until 8)
+        .map(i => s"(CASE WHEN a.p$i = b.p$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $duckCandidateCtes,
+         |sigs AS (SELECT doc_id,
+         |  $sigCols
+         | FROM sh)
+         |SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS bits_agree,
+         |  (CAST($agree AS DOUBLE) / 8.0) * 2.0 - 1.0 AS est_1bit
          |FROM cand
          | JOIN sigs a ON a.doc_id = doc_a
          | JOIN sigs b ON b.doc_id = doc_b

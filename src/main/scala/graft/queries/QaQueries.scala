@@ -43,13 +43,58 @@ object QaQueries {
     * verification threshold) and the evaluation sample bound.
     */
   private val JaccThresh = 0.4
-  private val SampleN = 100
+  // 250 (not 100): the sf0.01 fixture's injected near-dup pairs have
+  // no pair with both ids under 100 — a sample bound that small makes
+  // the eval vacuously n_true = 0 at that scale. 250 keeps all-pairs
+  // ground truth bounded (≤ 250² shingle-join work) while containing
+  // true pairs at every fixture scale.
+  private val SampleN = 250
 
   /** Per-source token budget for token_budget_trim. */
   private val BudgetTok = 1000L
 
   private def hexBucket(c: org.apache.spark.sql.Column, digits: Int) =
     conv(substring(c, 1, digits), 16, 10).cast("long")
+
+  /** Candidate-generator recall/precision against exact-Jaccard
+    * ground truth on the bounded doc_id < [[SampleN]] sample — ONE
+    * definition of "true near-dup pair", graded against whichever
+    * candidate relation (doc_a, doc_b, ...) is passed in.
+    */
+  private def recallEvalAgainst(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      candidates: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val dsh = LlmQueries.distinctShingleTable(s, d)
+      .filter($"doc_id" < SampleN)
+    val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = dsh.select($"doc_id".as("doc_a"), $"sh")
+      .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
+    val truePairs = inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+      .filter($"n_int".cast("double") /
+        ($"n_a" + $"n_b" - $"n_int").cast("double") >= JaccThresh)
+      .select($"doc_a", $"doc_b")
+    val cand = candidates
+      .filter($"doc_a" < SampleN && $"doc_b" < SampleN)
+      .select($"doc_a", $"doc_b")
+    val hit = truePairs
+      .join(cand.withColumn("is_cand", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"), count($"is_cand").as("n_hit"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    hit.crossJoin(nc)
+      .select($"n_true", $"n_cand", $"n_hit",
+        when($"n_true" === 0L, 1.0)
+          .otherwise($"n_hit".cast("double") / $"n_true".cast("double"))
+          .as("recall"),
+        when($"n_cand" === 0L, 1.0)
+          .otherwise($"n_hit".cast("double") / $"n_cand".cast("double"))
+          .as("prec"))
+  }
 
   val defs: Map[String, QueryFn] = Map(
 
@@ -59,37 +104,14 @@ object QaQueries {
     // sample (all-pairs ground truth is only computable on a bounded
     // sample — the standard index-eval pattern). Composes the live
     // minhash_dedup query; the oracle composes its SQL.
-    "lsh_recall_eval" -> ((s, d) => {
-      import s.implicits._
-      val dsh = LlmQueries.distinctShingleTable(s, d)
-        .filter($"doc_id" < SampleN)
-      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = dsh.select($"doc_id".as("doc_a"), $"sh")
-        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("sh"))
-        .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
-      val truePairs = inter
-        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
-        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
-        .filter($"n_int".cast("double") /
-          ($"n_a" + $"n_b" - $"n_int").cast("double") >= JaccThresh)
-        .select($"doc_a", $"doc_b")
-      val cand = LlmQueries.defs("minhash_dedup")(s, d)
-        .filter($"doc_a" < SampleN && $"doc_b" < SampleN)
-        .select($"doc_a", $"doc_b")
-      val hit = truePairs
-        .join(cand.withColumn("is_cand", lit(1)), Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("n_true"), count($"is_cand").as("n_hit"))
-      val nc = cand.agg(count(lit(1)).as("n_cand"))
-      hit.crossJoin(nc)
-        .select($"n_true", $"n_cand", $"n_hit",
-          when($"n_true" === 0L, 1.0)
-            .otherwise($"n_hit".cast("double") / $"n_true".cast("double"))
-            .as("recall"),
-          when($"n_cand" === 0L, 1.0)
-            .otherwise($"n_hit".cast("double") / $"n_cand".cast("double"))
-            .as("prec"))
-    }),
+    "lsh_recall_eval" -> ((s, d) =>
+      recallEvalAgainst(s, d, LlmQueries.defs("minhash_dedup")(s, d))),
+
+    // The same harness graded against the SimHash pairing — the two
+    // candidate generators share ONE ground-truth definition, so
+    // their recall numbers are directly comparable.
+    "simhash_recall_eval" -> ((s, d) =>
+      recallEvalAgainst(s, d, LlmQueries.defs("simhash_neardup")(s, d))),
 
     // DSIR importance RESAMPLING (the second half of Xie et al. 2023
     // that dsir_select's scoring stops short of): keep probability
@@ -217,34 +239,45 @@ object QaQueries {
 
   import LlmQueries.{NORM, NTOK, TOKS, duckShingleCtes, duckQuality, duckLangCase}
 
+  /** The recall-eval oracle parameterized by the candidate
+    * generator's own oracle SQL (spliced verbatim — the composition
+    * guarantee on the DuckDB side).
+    */
+  private def duckRecallEval(candidateSql: String): String =
+    s"""WITH $duckShingleCtes,
+       |ds AS (SELECT DISTINCT doc_id, s FROM
+       |  (SELECT doc_id, unnest(sh) AS s FROM sh) t WHERE doc_id < $SampleN),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+       |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |tp AS (SELECT da, db FROM it
+       |  JOIN sz sa ON it.da = sa.doc_id JOIN sz sb ON it.db = sb.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE)
+       |    >= $JaccThresh),
+       |cd AS (SELECT doc_a, doc_b FROM ($candidateSql) c
+       |  WHERE doc_a < $SampleN AND doc_b < $SampleN),
+       |ag AS (SELECT
+       |  (SELECT count(*) FROM tp) AS n_true,
+       |  (SELECT count(*) FROM cd) AS n_cand,
+       |  (SELECT count(*) FROM tp JOIN cd
+       |    ON tp.da = cd.doc_a AND tp.db = cd.doc_b) AS n_hit)
+       |SELECT n_true, n_cand, n_hit,
+       |  CASE WHEN n_true = 0 THEN 1.0
+       |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+       |  CASE WHEN n_cand = 0 THEN 1.0
+       |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec
+       |FROM ag""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
-    // ground truth + composed minhash_dedup SQL, same sample bound
+    // ground truth + composed candidate SQL, same sample bound — one
+    // truth block (duckRecallEval) for both generators
     "lsh_recall_eval" ->
-      s"""WITH $duckShingleCtes,
-         |ds AS (SELECT DISTINCT doc_id, s FROM
-         |  (SELECT doc_id, unnest(sh) AS s FROM sh) t WHERE doc_id < $SampleN),
-         |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
-         |it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
-         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |tp AS (SELECT da, db FROM it
-         |  JOIN sz sa ON it.da = sa.doc_id JOIN sz sb ON it.db = sb.doc_id
-         |  WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE)
-         |    >= $JaccThresh),
-         |cd AS (SELECT doc_a, doc_b FROM (${LlmQueries.oracles("minhash_dedup")}) c
-         |  WHERE doc_a < $SampleN AND doc_b < $SampleN),
-         |ag AS (SELECT
-         |  (SELECT count(*) FROM tp) AS n_true,
-         |  (SELECT count(*) FROM cd) AS n_cand,
-         |  (SELECT count(*) FROM tp JOIN cd
-         |    ON tp.da = cd.doc_a AND tp.db = cd.doc_b) AS n_hit)
-         |SELECT n_true, n_cand, n_hit,
-         |  CASE WHEN n_true = 0 THEN 1.0
-         |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
-         |  CASE WHEN n_cand = 0 THEN 1.0
-         |    ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec
-         |FROM ag""".stripMargin,
+      duckRecallEval(LlmQueries.oracles("minhash_dedup")),
+
+    "simhash_recall_eval" ->
+      duckRecallEval(LlmQueries.oracles("simhash_neardup")),
 
     // composed dsir_select SQL + the same md5 draw and bp threshold
     "importance_resample" ->
