@@ -237,6 +237,53 @@ object CorpusOpsQueries {
         .orderBy($"node")
     }),
 
+    // Vocabulary growth curve (the Heaps'-law audit): how many NEW
+    // terms each doc_id decile contributes. First-occurrence doc per
+    // term is one min aggregate over the memoized term relation;
+    // deciles come from DistributedNtile (no corpus-wide
+    // single-partition sort); the cumulative sum runs on ≤ 10 rows
+    // through BoundedWindow. Scaling-law telemetry for tokenizer and
+    // dedup planning — a corpus whose curve flattens early is
+    // duplicate-heavy.
+    "vocab_growth" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id")
+        .withColumn("g", lit(1))
+      val dec = graft.operators.DistributedNtile
+        .withNtile(docs, "g", Seq($"doc_id"), 10, "decile")
+        .select($"doc_id", $"decile")
+      val firsts = LlmQueries.termTable(s, d)
+        .groupBy($"term").agg(min($"doc_id").as("doc_id"))
+      val perDec = firsts.join(dec, Seq("doc_id"))
+        .groupBy($"decile").agg(count(lit(1)).as("new_terms"))
+      val w = graft.operators.BoundedWindow
+        .orderBy("vocab_growth: 10 decile rows", 10L, $"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDec.withColumn("cum_terms", sum($"new_terms").over(w))
+        .orderBy($"decile")
+    }),
+
+    // Zipf rank-frequency profile of the top-20 terms: rank, count,
+    // and frequency relative to rank 1 — the transcendental-free
+    // form of a Zipf-exponent fit (rel_freq ≈ rank^-s; the ratio
+    // table IS the fit input). TakeOrdered top-20, rank window on
+    // the 20 survivors, one broadcast of the rank-1 row.
+    "zipf_profile" -> ((s, d) => {
+      import s.implicits._
+      val tf = LlmQueries.termTable(s, d)
+        .groupBy($"term").agg(count(lit(1)).as("tf"))
+      val top = tf.orderBy($"tf".desc, $"term").limit(20)
+      val w = graft.operators.BoundedWindow
+        .orderBy("zipf_profile: top-20 limit", 20L, $"tf".desc, $"term")
+      val ranked = top
+        .withColumn("rank", row_number().over(w).cast("long"))
+      val t1 = ranked.filter($"rank" === 1L).select($"tf".as("tf1"))
+      ranked.crossJoin(broadcast(t1))
+        .select($"rank", $"term", $"tf",
+          rnd($"tf".cast("double") / $"tf1".cast("double"), 6).as("rel_freq"))
+        .orderBy($"rank")
+    }),
+
     // Two unrolled k-core peeling rounds (k=2) over the near-dup
     // candidate graph: remove degree-<2 nodes, recompute, remove
     // again — the standard densest-region screen that separates
@@ -1140,6 +1187,35 @@ object CorpusOpsQueries {
          | UNION ALL SELECT v AS node FROM tri
          | UNION ALL SELECT w AS node FROM tri) t
          |GROUP BY node ORDER BY node""".stripMargin,
+
+    // plain corpus-wide NTILE in the oracle (DistributedNtile matches
+    // NTILE semantics exactly); missing deciles drop out identically
+    "vocab_growth" ->
+      s"""WITH dd AS (SELECT doc_id, CAST(ntile(10) OVER (ORDER BY doc_id)
+         |    AS INTEGER) AS decile FROM documents),
+         |t AS (SELECT doc_id, unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |f AS (SELECT term, min(doc_id) AS doc_id FROM t WHERE term <> ''
+         |      GROUP BY term),
+         |p AS (SELECT decile, count(*) AS new_terms
+         |      FROM f JOIN dd USING (doc_id) GROUP BY decile)
+         |SELECT decile, new_terms,
+         |  CAST(sum(new_terms) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_terms
+         |FROM p ORDER BY decile""".stripMargin,
+
+    "zipf_profile" ->
+      s"""WITH t AS (SELECT unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS tf FROM t WHERE term <> ''
+         |      GROUP BY term),
+         |top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 20),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY tf DESC, term)
+         |    AS BIGINT) AS rank, term, tf FROM top),
+         |t1 AS (SELECT tf AS tf1 FROM r WHERE rank = 1)
+         |SELECT rank, term, CAST(tf AS BIGINT) AS tf,
+         |  ${Q.duckRnd("CAST(tf AS DOUBLE) / CAST(t1.tf1 AS DOUBLE)", 6)}
+         |    AS rel_freq
+         |FROM r, t1 ORDER BY rank""".stripMargin,
 
     "kcore_peel" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},

@@ -297,6 +297,28 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // Snapshot diff by CONTENT hash: two overlapping dataset versions
+    // (v1 = doc_id%10 ≠ 9, v2 = doc_id%10 ≠ 0 — an 80%-overlap
+    // rolling refresh) compared at the fingerprint level, so a doc
+    // re-ingested under a new id counts as kept, not added+removed —
+    // the audit table_diff's row-identity diff can't produce. One
+    // scan, one (lang, fp) aggregate, one lang collapse.
+    "dataset_version_diff" -> ((s, d) => {
+      import s.implicits._
+      val f = Tables.documents(s, d)
+        .select($"lang", TF.fingerprint($"text").as("fp"),
+          (pmod($"doc_id", lit(10L)) =!= 9L).cast("int").as("v1"),
+          (pmod($"doc_id", lit(10L)) =!= 0L).cast("int").as("v2"))
+        .groupBy($"lang", $"fp")
+        .agg(max($"v1").as("v1"), max($"v2").as("v2"))
+      f.groupBy($"lang")
+        .agg(
+          sum(when($"v1" === 1 && $"v2" === 0, 1L).otherwise(0L)).as("n_removed"),
+          sum(when($"v1" === 0 && $"v2" === 1, 1L).otherwise(0L)).as("n_added"),
+          sum(when($"v1" === 1 && $"v2" === 1, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"lang")
+    }),
+
     // Curriculum phases: per-language easy→hard thirds by quality
     // score (ascending — curricula start easy), with per-phase mass.
     // Uses DistributedNtile (ccnet_buckets' skew-free exact NTILE):
@@ -475,6 +497,24 @@ object CurationQueries {
         |  count(*) AS n_windows, CAST(sum(ssq) AS BIGINT) AS total_ssq,
         |  CAST(max(ssq) AS BIGINT) AS max_window_ssq
         |FROM wq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same fingerprint (md5 of sorted tokens), same version predicates
+    "dataset_version_diff" ->
+      s"""WITH f AS (SELECT lang,
+         |    md5(array_to_string(list_sort(${LlmQueries.TOKS}), ' ')) AS fp,
+         |    max(CASE WHEN ((doc_id % 10) + 10) % 10 <> 9 THEN 1 ELSE 0 END)
+         |      AS v1,
+         |    max(CASE WHEN ((doc_id % 10) + 10) % 10 <> 0 THEN 1 ELSE 0 END)
+         |      AS v2
+         |  FROM documents GROUP BY lang, fp)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN v1 = 1 AND v2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(sum(CASE WHEN v1 = 0 AND v2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_added,
+         |  CAST(sum(CASE WHEN v1 = 1 AND v2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     // plain NTILE in the oracle — DistributedNtile matches NTILE
     // semantics exactly (its spec pins the tile arithmetic)

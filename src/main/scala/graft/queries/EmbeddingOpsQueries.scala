@@ -110,7 +110,39 @@ object EmbeddingOpsQueries {
         .orderBy($"cluster_id")
     }),
 
-    "nn_descent_step" -> nnDescentDef
+    "nn_descent_step" -> nnDescentDef,
+
+    // Embedding-space drift canary: per-label centroid shift between
+    // the vec_id-parity halves of the store — the "did the encoder
+    // or the data move" check a production embedding pipeline runs
+    // per refresh (mixture_drift's idea lifted to vector space).
+    // Both half-centroids ride ONE (label, pos)-keyed aggregate
+    // (conditional decimal sums); the shift collapse is label-keyed.
+    "embedding_drift" -> ((s, d) => {
+      import s.implicits._
+      val dims = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "xv")))
+        .select($"vec_id", $"label", $"pos", $"xv".cast("double").as("x"),
+          (pmod($"vec_id", lit(2L)) === 0L).as("ev"))
+      val m = dims.groupBy($"label", $"pos")
+        .agg(
+          (sum(when($"ev", $"x".cast("decimal(18,8)"))).cast("double") /
+            sum(when($"ev", 1L).otherwise(0L)).cast("double")).as("ce"),
+          (sum(when(!$"ev", $"x".cast("decimal(18,8)"))).cast("double") /
+            sum(when(!$"ev", 1L).otherwise(0L)).cast("double")).as("co"))
+      val shift = m.groupBy($"label")
+        .agg(sum(rnd(($"ce" - $"co") * ($"ce" - $"co"), 12)
+          .cast("decimal(28,12)")).cast("double").as("s2"))
+      val counts = Tables.embeddings(s, d)
+        .select($"label", (pmod($"vec_id", lit(2L)) === 0L).as("ev"))
+        .groupBy($"label")
+        .agg(sum(when($"ev", 1L).otherwise(0L)).as("n_even"),
+          sum(when(!$"ev", 1L).otherwise(0L)).as("n_odd"))
+      shift.join(counts, Seq("label"))
+        .select($"label", $"n_even", $"n_odd",
+          rnd(sqrt($"s2"), 6).as("centroid_shift"))
+        .orderBy($"label")
+    })
   )
 
   /** NN-Descent neighbor-of-neighbor step (Dong et al. 2011 —
@@ -264,6 +296,35 @@ object EmbeddingOpsQueries {
              "CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE)", 6)}
          |    AS nb_jacc
          |FROM ne JOIN deg da ON ne.x = da.src JOIN deg db ON ne.y = db.src
-         |ORDER BY nb_jacc DESC, vec_a, vec_b LIMIT 50""".stripMargin
+         |ORDER BY nb_jacc DESC, vec_a, vec_b LIMIT 50""".stripMargin,
+
+    // same conditional decimal half-means, same snapped shift
+    "embedding_drift" ->
+      s"""WITH dm AS (SELECT vec_id, label,
+         |    generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x,
+         |    ((vec_id % 2) + 2) % 2 = 0 AS ev
+         |  FROM embeddings),
+         |m AS (SELECT label, pos,
+         |    CAST(sum(CASE WHEN ev THEN CAST(x AS DECIMAL(18,8)) END)
+         |      AS DOUBLE) /
+         |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS DOUBLE) AS ce,
+         |    CAST(sum(CASE WHEN NOT ev THEN CAST(x AS DECIMAL(18,8)) END)
+         |      AS DOUBLE) /
+         |    CAST(sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS DOUBLE) AS co
+         |  FROM dm GROUP BY label, pos),
+         |sh AS (SELECT label,
+         |    CAST(sum(CAST(${Q.duckRnd("(ce - co) * (ce - co)", 12)}
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS s2
+         |  FROM m GROUP BY label),
+         |c AS (SELECT label,
+         |    CAST(sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_even,
+         |    CAST(sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0 THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_odd
+         |  FROM embeddings GROUP BY label)
+         |SELECT sh.label, c.n_even, c.n_odd,
+         |  ${Q.duckRnd("sqrt(s2)", 6)} AS centroid_shift
+         |FROM sh JOIN c ON sh.label = c.label ORDER BY sh.label""".stripMargin
   )
 }

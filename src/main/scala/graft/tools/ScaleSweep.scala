@@ -150,7 +150,9 @@ object ScaleSweep {
       "image_ahash", "audio_fingerprint", "nn_descent_step",
       // seventeenth wave (minhash_b_bit / simhash_recall_eval /
       // kcore_peel ride corpusFamily; sql_group_by_all is bench-only)
-      "curriculum_schedule")
+      "curriculum_schedule",
+      // eighteenth wave (vocab_growth / zipf_profile ride corpusFamily)
+      "embedding_drift", "dataset_version_diff")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
