@@ -27,7 +27,7 @@ object BenchShared {
     "boilerplate_ngrams", "lsh_recall_eval", "ngram_novelty",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
     "heavy_hitters", "rrf_fusion", "collocation_pmi", "vocab_coverage",
-    "vocab_growth", "zipf_profile",
+    "vocab_growth", "zipf_profile", "maxsim_rerank",
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)
     "bpe_merges", "bpe_apply", "taxonomy_classify", "unigram_surprise",

@@ -280,6 +280,51 @@ object MlPrepQueries {
         .orderBy($"pos")
     }),
 
+    // Late-interaction (ColBERT-style) rerank: candidates from cheap
+    // term overlap, reranked by MaxSim — Σ over query terms of the
+    // max token-to-token similarity against the candidate doc. Token
+    // "embeddings" are 4-dim md5-derived vectors (deterministic
+    // seeded hashing, the LSH-hyperplane idiom), so every similarity
+    // is replayable arithmetic; swap in real token vectors and the
+    // plan is unchanged. Cost is the late-interaction contract:
+    // |Q| queries × top-10 candidates × len² token pairs — bounded
+    // by the candidate cap, never corpus-quadratic; the per-query-
+    // term max and the per-pair decimal sum are both keyed aggregates.
+    "maxsim_rerank" -> ((s, d) => {
+      import s.implicits._
+      val t = LlmQueries.termTable(s, d)
+        .select($"doc_id", $"term").distinct()
+      val cand = t.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), $"term")
+        .join(t, Seq("term"))
+        .filter($"q_id" =!= $"doc_id")
+        .groupBy($"q_id", $"doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+      val wc = Window.partitionBy($"q_id").orderBy($"n_shared".desc, $"doc_id")
+      val topCand = cand.withColumn("rc", row_number().over(wc))
+        .filter($"rc" <= 10).select($"q_id", $"doc_id")
+      def tv(term: org.apache.spark.sql.Column, k: Int) =
+        (conv(substring(md5(concat(lit("tv:"), term)), 2 * k + 1, 2), 16, 10)
+          .cast("double") - 127.5) / 255.0
+      val qt = t.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), $"term".as("qterm"))
+      val dt = t.select($"doc_id", $"term".as("dterm"))
+      val sims = topCand.join(qt, Seq("q_id")).join(dt, Seq("doc_id"))
+        .select($"q_id", $"doc_id", $"qterm",
+          rnd((0 until 4).map(k => tv($"qterm", k) * tv($"dterm", k))
+            .reduce(_ + _), 8).as("sim"))
+      val best = sims.groupBy($"q_id", $"doc_id", $"qterm")
+        .agg(max($"sim").as("best"))
+      val score = best.groupBy($"q_id", $"doc_id")
+        .agg(sum($"best".cast("decimal(18,8)")).cast("double").as("raw"))
+      val wf = Window.partitionBy($"q_id").orderBy($"maxsim".desc, $"doc_id")
+      score.select($"q_id", $"doc_id", rnd($"raw", 6).as("maxsim"))
+        .withColumn("rn", row_number().over(wf))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"doc_id", $"rn", $"maxsim")
+        .orderBy($"q_id", $"rn")
+    }),
+
     // ANN index-quality evaluation: recall@5 of the IVF path against
     // the exact brute-force top-5, per query — COMPOSED from the two
     // existing queries (and the oracle composes their SQL), so an
@@ -459,6 +504,45 @@ object MlPrepQueries {
              "CASE WHEN nrm = 0.0 THEN 0.0 ELSE wp / nrm END", 6)} AS loading,
          |  ${Q.duckRnd("nrm", 4)} AS lambda
          |FROM w2, n2 ORDER BY pos""".stripMargin
+    },
+
+    // same md5-derived token vectors, same left-assoc 4-term dot,
+    // same snap digits and rank order
+    "maxsim_rerank" -> {
+      def tv(term: String, k: Int): String =
+        s"(CAST(('0x' || substr(md5('tv:' || $term), ${2 * k + 1}, 2))::BIGINT" +
+          s" AS DOUBLE) - 127.5) / 255.0"
+      val dot = (0 until 4)
+        .map(k => s"${tv("qterm", k)} * ${tv("dterm", k)}").mkString(" + ")
+      s"""WITH t AS (SELECT DISTINCT doc_id, term FROM
+         |  (SELECT doc_id, unnest($TOKS) AS term FROM documents) x
+         |  WHERE term <> ''),
+         |c0 AS (SELECT q.doc_id AS q_id, t.doc_id AS doc_id,
+         |    count(*) AS n_shared
+         |  FROM t q JOIN t ON q.term = t.term
+         |  WHERE q.doc_id < 10 AND q.doc_id <> t.doc_id
+         |  GROUP BY q.doc_id, t.doc_id HAVING count(*) >= 2),
+         |tc AS (SELECT q_id, doc_id FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY n_shared DESC, doc_id) AS rc FROM c0) r
+         |  WHERE rc <= 10),
+         |qt AS (SELECT doc_id AS q_id, term AS qterm FROM t WHERE doc_id < 10),
+         |dt AS (SELECT doc_id, term AS dterm FROM t),
+         |sims AS (SELECT tc.q_id, tc.doc_id, qt.qterm,
+         |    ${Q.duckRnd(dot, 8)} AS sim
+         |  FROM tc JOIN qt ON tc.q_id = qt.q_id
+         |    JOIN dt ON tc.doc_id = dt.doc_id),
+         |b AS (SELECT q_id, doc_id, qterm, max(sim) AS best
+         |  FROM sims GROUP BY q_id, doc_id, qterm),
+         |sc AS (SELECT q_id, doc_id,
+         |    CAST(sum(CAST(best AS DECIMAL(18,8))) AS DOUBLE) AS raw
+         |  FROM b GROUP BY q_id, doc_id)
+         |SELECT q_id, doc_id, rn, maxsim FROM (
+         |  SELECT q_id, doc_id, ${Q.duckRnd("raw", 6)} AS maxsim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${Q.duckRnd("raw", 6)} DESC, doc_id) AS rn
+         |  FROM sc) f
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     },
 
     // composes the knn_bruteforce and knn_ivf oracle SQL verbatim, so

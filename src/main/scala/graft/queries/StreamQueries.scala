@@ -122,6 +122,19 @@ object StreamQueries {
     // implementation of the ONE session oracle: relational
     // session_window, flatMapGroups, and the stateful processor all
     // cross-check each other. Batch mode delivers each key's rows in
+    // Streaming latest-wins CDC state: the cdc_merge upsert
+    // re-expressed as the AGGREGATION streaming update-mode runs —
+    // max(struct(ts, event_id, op, value)) per key is a mergeable
+    // state (unlike cdc_merge's row_number window, which streaming
+    // can't execute), so the same expression is the batch query here
+    // and the live stream in StreamingSpec, and both equal cdc_merge
+    // row-for-row (the oracle IS cdc_merge's — spliced verbatim).
+    // Deletes filter AFTER the aggregate: a 'D' op must win the
+    // latest-wins race before it suppresses the key.
+    "stream_cdc" -> ((s, d) => {
+      cdcLatestWins(Tables.events(s, d)).orderBy("user_id")
+    }),
+
     // a single handleInputRows call (state spans micro-batches only
     // in a real stream); the state-store coordinator endpoint is
     // only registered lazily by streaming starts, so the bridge
@@ -298,7 +311,27 @@ object StreamQueries {
       |FROM sessions GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
 
+  /** The streaming-executable latest-wins CDC body — shared by the
+    * declared batch query and StreamingSpec's live update-mode
+    * stream, so the two can never diverge.
+    */
+  private[graft] def cdcLatestWins(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"), col("user_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("tus"), col("event_id"), col("op"), col("value"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("user_id"), col("m.tus").as("last_us"),
+        col("m.event_id").as("last_event"), col("m.value").as("last_value"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // semantics contract: stream_cdc ≡ cdc_merge (one oracle text)
+    "stream_cdc" -> JoinStateQueries.oracles("cdc_merge"),
     "stream_custom_state" -> sessionOracle,
     "stream_tws" -> sessionOracle,
 

@@ -152,7 +152,10 @@ object ScaleSweep {
       // kcore_peel ride corpusFamily; sql_group_by_all is bench-only)
       "curriculum_schedule",
       // eighteenth wave (vocab_growth / zipf_profile ride corpusFamily)
-      "embedding_drift", "dataset_version_diff")
+      "embedding_drift", "dataset_version_diff",
+      // nineteenth wave (maxsim_rerank rides corpusFamily; the
+      // scale corpus has no events table, so stream_cdc is bench-only)
+      )
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings

@@ -297,4 +297,37 @@ class StreamingSpec extends SparkSpecBase {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming latest-wins CDC state equals the batch cdc_merge result") {
+    val sf = "/root/testdata/sf0.001"
+    val stage = tmpDir("cdc_stage")
+    Tables.events(spark, sf).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema).parquet(stage)
+    // the SAME body as the declared stream_cdc query — streaming
+    // update mode re-emits a key's latest state as batches arrive
+    val q = graft.queries.StreamQueries.cdcLatestWins(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_state")
+      .option("checkpointLocation", tmpDir("cdc_cp"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // final state per key = last update emitted; with one input batch
+    // that's exactly one row per surviving key
+    val got = spark.table("cdc_state")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"last_us", $"last_event", $"last_value")).as("m"))
+      .select($"user_id", $"m.last_us", $"m.last_event", $"m.last_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = graft.SparkEntry.queries("cdc_merge")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want,
+      s"stream(${got.size}) != batch(${want.size}): ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+    // and the declared stream_cdc batch query equals cdc_merge too
+    val declared = graft.SparkEntry.queries("stream_cdc")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(declared == want)
+  }
 }
