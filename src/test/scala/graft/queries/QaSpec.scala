@@ -22,7 +22,7 @@ class QaSpec extends SparkSpecBase {
     val sh = graft.Tables.documents(spark, sf)
       .select($"doc_id", graft.functions.TextFunctions.tokens($"text"))
       .as[(Long, Seq[String])].collect()
-      .filter(_._1 < 100)
+      .filter(_._1 < 250)
       .map { case (id, w) => id -> w.sliding(3).filter(_.size == 3)
         .map(_.mkString(" ")).toSet }
       .filter(_._2.nonEmpty)
@@ -33,7 +33,7 @@ class QaSpec extends SparkSpecBase {
     } yield (a, b)).toSet
     val cand = LlmQueries.defs("minhash_dedup")(spark, sf)
       .as[(Long, Long)].collect()
-      .filter { case (a, b) => a < 100 && b < 100 }.toSet
+      .filter { case (a, b) => a < 250 && b < 250 }.toSet
     val Seq((nTrue, nCand, nHit, recall, prec)) =
       SparkEntry.queries("lsh_recall_eval")(spark, sf)
         .as[(Long, Long, Long, Double, Double)].collect().toSeq
