@@ -40,7 +40,8 @@ object SparkEntry {
       EmbeddingOpsQueries.defs ++
       MlPrepQueries.defs ++
       QaQueries.defs ++
-      MediaFingerprintQueries.defs
+      MediaFingerprintQueries.defs ++
+      StatQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -61,5 +62,6 @@ object SparkEntry {
       EmbeddingOpsQueries.oracles ++
       MlPrepQueries.oracles ++
       QaQueries.oracles ++
-      MediaFingerprintQueries.oracles
+      MediaFingerprintQueries.oracles ++
+      StatQueries.oracles
 }

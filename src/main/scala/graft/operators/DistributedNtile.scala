@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   * Both exchanges hash/range on keys that include the physical
   * partition id, so no task's input exceeds a range-partition — the
   * skew-free tercile promised in ccnet_buckets' scale note.
+  *
+  * WindowExec warning note: when `group` is a LITERAL column (the
+  * whole-corpus global-order callers: vocab_growth, auc_eval,
+  * ks_test, hist_equidepth, pareto_front), Catalyst constant-folds
+  * the partitionBy out of the cross-partition carry window (`wPrior`)
+  * and WindowExec logs "No Partition Defined". That window runs on
+  * the OFFS AGGREGATE — #physical-partitions × #groups rows, a few
+  * hundred at any corpus size — never on the data relation, so the
+  * single task it plans holds a provably bounded input (the
+  * BoundedWindow criterion, enforced structurally here rather than
+  * by registration).
   */
 object DistributedNtile {
   def withNtile(
@@ -102,5 +113,47 @@ object DistributedNtile {
       .join(broadcast(offs), Seq("__pid", group))
       .withColumn(out, col("__ls") + col("__off"))
       .drop("__pid", "__v", "__ls", "__off")
+  }
+
+  /** Exact per-group running MAX of `value` (EXCLUSIVE of the current
+    * row — the prefix-max shape skyline/KS-style scans need: "the
+    * best value seen strictly before me in this order"), without a
+    * per-group single-partition sort. Same two-phase decomposition as
+    * [[withRunningSum]]: max is associative/commutative, so the
+    * cross-partition carry is the max over prior partitions' local
+    * maxima — a broadcastable (#partitions × #groups) relation. `out`
+    * is NULL on each group's first row in `order` (no prior row), the
+    * same convention as `max() OVER (... ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`.
+    */
+  def withRunningMaxExcl(
+      df: DataFrame,
+      group: String,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val ranged = df
+      .repartitionByRange((col(group) +: order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val wLocal = Window.partitionBy(col("__pid"), col(group)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged
+      .withColumn("__lm", max(col("__v")).over(wLocal))
+    val wPrior = Window.partitionBy(col(group)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged
+      .groupBy(col("__pid"), col(group))
+      .agg(max(col("__v")).as("__m"))
+      .withColumn("__carry", max(col("__m")).over(wPrior))
+      .select(col("__pid"), col(group), col("__carry"))
+    local
+      .join(broadcast(offs), Seq("__pid", group))
+      // greatest() ignores NULL operands in both engines, so a NULL
+      // local prefix (first row of a partition) or NULL carry (first
+      // partition of a group) degrades to the other side; both NULL
+      // (the group's very first row) stays NULL.
+      .withColumn(out, greatest(col("__lm"), col("__carry")))
+      .drop("__pid", "__v", "__lm", "__carry")
   }
 }

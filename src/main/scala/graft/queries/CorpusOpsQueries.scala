@@ -36,6 +36,21 @@ object CorpusOpsQueries {
     */
   private val ShardCount = 16
 
+  /** Per-node out-neighbor bound for triangle_count's wedge stage —
+    * the "next cap" the 100× sweep called for (BASELINE.md round-9):
+    * a capped-bucket star representative accumulates out-degree ≈
+    * bucket size (~9k at 100×), making the wedge stage Σdeg² in star
+    * size. Keeping only each node's [[WedgeCap]] smallest-id
+    * out-neighbors bounds wedges at WedgeCap² per node. 64 is ~5×
+    * the max observed fixture degree (13 at sf0.1), so the cap is
+    * DORMANT at every oracle scale — it only engages on degenerate
+    * mega-star reps, where dropped wedges are star edges that close
+    * no triangle unless the leaf pair independently shares an
+    * uncapped bucket. Mirrored verbatim into the DuckDB oracle, so
+    * both engines always count the same graph.
+    */
+  private[graft] val WedgeCap = 64
+
   /** Literal keyword lexicon for taxonomy_classify, mirrored into its
     * oracle. Terms are drawn from the fixtures' vocabulary so the
     * rule stage classifies real hits rather than defaulting every doc
@@ -218,15 +233,21 @@ object CorpusOpsQueries {
     // one scalar, so the output stays hash-checkable row by row.
     // Measured scale shape (100× sweep, BASELINE.md round-9): the
     // cap's star edges give each capped-bucket REPRESENTATIVE degree
-    // ≈ bucket size, so the wedge stage is quadratic in the max star
-    // size even though edge count stays linear. If star sizes keep
-    // growing, the next lever is a per-node wedge bound (top-k
-    // neighbors per representative before wedge formation) — a
-    // policy change that must land in the oracle's CTEs in the same
-    // commit.
+    // ≈ bucket size, so the wedge stage was quadratic in the max star
+    // size even though edge count stays linear. The promised per-node
+    // wedge bound now lands here: each node keeps only its [[WedgeCap]]
+    // smallest-id out-neighbors before wedge formation (row_number per
+    // u — window groups are bounded by the LSH bucket cap's linear
+    // edge guarantee), so wedge work is ≤ WedgeCap² per node no matter
+    // how large a star rep grows. The cap is dormant at fixture scales
+    // (max degree 13 at sf0.1) and mirrored in the oracle's CTEs.
     "triangle_count" -> ((s, d) => {
       import s.implicits._
-      val e = LlmQueries.pairTable(s, d).select($"doc_a".as("u"), $"doc_b".as("v"))
+      val raw = LlmQueries.pairTable(s, d).select($"doc_a".as("u"), $"doc_b".as("v"))
+      val e = raw
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy($"u").orderBy($"v")))
+        .filter($"rn" <= WedgeCap).drop("rn")
       val wedges = e.join(e.select($"u", $"v".as("w")), Seq("u"))
         .filter($"v" < $"w")
       val tri = wedges.join(e.select($"u".as("v"), $"v".as("w")), Seq("v", "w"))
@@ -1177,7 +1198,10 @@ object CorpusOpsQueries {
 
     "triangle_count" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM cand),
+         |e AS (SELECT u, v FROM (
+         |  SELECT doc_a AS u, doc_b AS v,
+         |   row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS rn
+         |  FROM cand) c WHERE rn <= $WedgeCap),
          |tri AS (
          | SELECT w1.u, w1.v, w1.w FROM (
          |  SELECT a.u, a.v, b.v AS w FROM e a JOIN e b ON a.u = b.u AND a.v < b.v) w1

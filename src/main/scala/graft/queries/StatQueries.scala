@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.DistributedNtile
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Twentieth wave — distribution statistics and dataset-evaluation
+  * operators (SURVEY.md §2.11 extensions): the hypothesis-test /
+  * ranking-metric layer a curation pipeline runs to DECIDE between
+  * dataset variants, where earlier waves only described one corpus.
+  * Every op is a global-distribution computation, which is exactly
+  * where single-partition sorts hide — so the whole wave rides the
+  * skew-free two-phase primitives ([[DistributedNtile]]) instead of
+  * `Window.orderBy(...)` over corpus-sized relations.
+  *
+  * Scale/perf design:
+  *  - `auc_eval` is the tie-corrected Mann-Whitney AUC: one groupBy
+  *    to distinct scores, one distributed exclusive prefix sum, one
+  *    map-side-combinable final aggregate. All-integer until the
+  *    single closing division, so the statistic is bit-reproducible
+  *    under any partitioning.
+  *  - `ks_test` builds both empirical CDFs with the same distributed
+  *    prefix sums over distinct values; the sup-norm argmax is a
+  *    TakeOrdered(1), never a global sort.
+  *  - `hist_equidepth` is [[DistributedNtile.withNtile]] over a
+  *    tie-broken total order — exact SQL NTILE semantics with no
+  *    single-task corpus sort (the plain `ntile() OVER (ORDER BY …)`
+  *    plan at 100 TB).
+  *  - `event_transitions` pays one user-keyed window shuffle (the
+  *    sessionize_gaps shape); everything after the (from,to) count
+  *    aggregate is arithmetic on a ≤|types|² relation.
+  *  - `chi2_terms` computes cell counts relationally and evaluates
+  *    every expected-count cell on the FULL top-terms × langs grid
+  *    (a bounded crossJoin, 30×|langs| rows) — absent cells
+  *    contribute their expectation, as the test requires. Per-term
+  *    sums of double contributions are decimal-snapped (the
+  *    linear_probe moment-sum discipline) so partition order can
+  *    never flip a low-order bit.
+  *  - `pareto_front` is the skyline operator in its
+  *    prefix-max formulation: dominance against all higher-x points
+  *    collapses to ONE distributed exclusive running max over the
+  *    per-x maxima ([[DistributedNtile.withRunningMaxExcl]]) — no
+  *    all-pairs dominance join at any scale. StatSpec checks it
+  *    against brute-force dominance on the small fixture.
+  */
+object StatQueries {
+
+  /** Equi-depth bin fan-out (mirrored into the oracle). */
+  private val HistBins = 16
+
+  /** Top-terms universe for the χ² association test (mirrored). */
+  private val Chi2Terms = 30
+
+  /** Positive-class threshold for auc_eval: labels 5-9 are "positive"
+    * (the fixture's labels are uniform 0-9, so both classes are
+    * populated at every scale). Mirrored into the oracle.
+    */
+  private val PosLabel = 5
+
+  val defs: Map[String, QueryFn] = Map(
+    // Tie-corrected Mann-Whitney AUC of embedding[0] as a scorer of
+    // label >= PosLabel: per distinct score s, U gains
+    // n_pos(s) · (neg_below(s) + n_neg(s)/2). Doubling removes the
+    // half: u2 = Σ n_pos·(2·neg_below + n_neg) stays integral, and
+    // AUC = u2 / (2·n_pos·n_neg) is the one double division.
+    "auc_eval" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.embeddings(s, d).select(
+        element_at($"embedding", 1).as("score"),
+        when($"label" >= PosLabel, 1L).otherwise(0L).as("pos"))
+      val perScore = scored.groupBy($"score").agg(
+        sum($"pos").as("n_pos"),
+        sum(lit(1L) - $"pos").as("n_neg"))
+        .withColumn("g", lit(1))
+      val run = DistributedNtile.withRunningSum(
+        perScore, "g", Seq($"score"), $"n_neg", "cneg")
+      run.agg(
+        sum($"n_pos").as("n_pos"),
+        sum($"n_neg").as("n_neg"),
+        sum($"n_pos" * (lit(2L) * ($"cneg" - $"n_neg") + $"n_neg")).as("u2"))
+        .select($"n_pos", $"n_neg", $"u2",
+          ($"u2".cast("double") /
+            (lit(2.0) * $"n_pos" * $"n_neg")).as("auc"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov: sup-norm distance between the
+    // click and view value distributions. Both ECDFs come from ONE
+    // distinct-value relation via two distributed prefix sums; the
+    // statistic row is TakeOrdered(1) on (d_stat desc, value).
+    "ks_test" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .filter($"event_type".isin("click", "view"))
+        .select($"value",
+          when($"event_type" === "click", 1L).otherwise(0L).as("ia"),
+          when($"event_type" === "view", 1L).otherwise(0L).as("ib"))
+      val perVal = base.groupBy($"value").agg(
+        sum($"ia").as("a"), sum($"ib").as("b"))
+        .withColumn("g", lit(1))
+      val tot = base.agg(
+        sum($"ia").as("na"), sum($"ib").as("nb"))
+      val run1 = DistributedNtile.withRunningSum(
+        perVal, "g", Seq($"value"), $"a", "ca")
+      val run = DistributedNtile.withRunningSum(
+        run1, "g", Seq($"value"), $"b", "cb")
+      run.crossJoin(broadcast(tot))
+        .select($"value", $"ca", $"cb", $"na", $"nb",
+          abs($"ca".cast("double") / $"na".cast("double")
+            - $"cb".cast("double") / $"nb".cast("double")).as("d_stat"))
+        .orderBy($"d_stat".desc, $"value")
+        .limit(1)
+    }),
+
+    // Exact equi-depth histogram of l_extendedprice: NTILE(16) over a
+    // tie-broken total order, computed skew-free, then per-bin stats.
+    // The optimizer statistic every engine keeps, as a first-class
+    // relational op.
+    "hist_equidepth" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .withColumn("g", lit(1))
+      DistributedNtile.withNtile(li, "g",
+        Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber"),
+        HistBins, "bin")
+        .groupBy($"bin").agg(
+          count(lit(1)).as("n"),
+          min($"l_extendedprice").as("lo"),
+          max($"l_extendedprice").as("hi"),
+          dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"bin")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: lag() in one user-keyed window shuffle, then counts
+    // and row-conditional probabilities on the ≤|types|² aggregate.
+    // The user-journey model behind funnel/next-event prediction.
+    "event_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, d)
+        .withColumn("from_type", lag($"event_type", 1).over(w))
+        .filter($"from_type".isNotNull)
+        .groupBy($"from_type", $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("row_n", sum($"n").over(Window.partitionBy($"from_type")))
+        .select($"from_type", $"to_type", $"n",
+          ($"n".cast("double") / $"row_n".cast("double")).as("p"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
+    // χ² association of the top-30 corpus terms with document
+    // language — the classic feature-selection score for "which
+    // terms are language-markers". Observed cells are counts on the
+    // term×lang grid (INCLUDING absent cells via the bounded grid
+    // crossJoin); expected cells are rt·ct/N within the top-terms
+    // universe; contributions are decimal-snapped before the
+    // per-term sum so the double total is partition-order-free.
+    "chi2_terms" -> ((s, d) => {
+      import s.implicits._
+      val tl = LlmQueries.termTable(s, d)
+        .join(Tables.documents(s, d).select($"doc_id", $"lang"), Seq("doc_id"))
+        .select($"term", $"lang")
+      val top = tl.groupBy($"term").agg(count(lit(1)).as("rt"))
+        .orderBy($"rt".desc, $"term").limit(Chi2Terms)
+      val cell = tl.join(broadcast(top.select($"term")), Seq("term"))
+        .groupBy($"term", $"lang").agg(count(lit(1)).as("o"))
+      val ct = cell.groupBy($"lang").agg(sum($"o").as("ct"))
+      val nn = ct.agg(sum($"ct").as("nn"))
+      val grid = top.crossJoin(broadcast(ct)).crossJoin(broadcast(nn))
+        .join(cell, Seq("term", "lang"), "left")
+        .withColumn("o", coalesce($"o", lit(0L)))
+      val e = $"rt".cast("double") * $"ct".cast("double") / $"nn".cast("double")
+      val diff = $"o".cast("double") - e
+      val contrib = rnd(diff * diff / e, 6).cast("decimal(18,6)")
+      grid.groupBy($"term", $"rt")
+        .agg(sum(contrib).cast("double").as("chi2"))
+        .orderBy($"chi2".desc, $"term")
+    }),
+
+    // Skyline: documents on the (length, lexical-diversity) Pareto
+    // frontier — no other doc is >= on both axes and > on one. The
+    // prefix-max formulation: a point survives iff it holds its
+    // x-column's max y AND every strictly-longer x-column maxes out
+    // below it; the latter is one exclusive running max over per-x
+    // maxima, descending in x.
+    "pareto_front" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.documents(s, d).select(
+        $"doc_id", $"n_chars".as("x"),
+        when(length(TF.normText($"text")) === 0, lit(0L))
+          .otherwise(size(array_distinct(TF.tokens($"text"))).cast("long"))
+          .as("y"))
+      val m = p.groupBy($"x").agg(max($"y").as("ymax"))
+        .withColumn("g", lit(1))
+      val r = DistributedNtile.withRunningMaxExcl(
+        m, "g", Seq($"x".desc), $"ymax", "rmax")
+        .select($"x", $"ymax", $"rmax")
+      p.join(r, Seq("x"))
+        .filter($"y" === $"ymax" && ($"rmax".isNull || $"rmax" < $"y"))
+        .select($"doc_id", $"x".as("len_chars"), $"y".as("uniq_tokens"))
+        .orderBy($"len_chars".desc, $"doc_id")
+    }))
+
+  import LlmQueries.{NORM, TOKS}
+
+  val oracles: Map[String, String] = Map(
+    "auc_eval" ->
+      s"""WITH e AS (SELECT embedding[1] AS score,
+         |  CASE WHEN label >= $PosLabel THEN 1 ELSE 0 END AS pos
+         | FROM embeddings),
+         |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(1 - pos) AS BIGINT) AS n_neg FROM e GROUP BY score),
+         |r AS (SELECT n_pos, n_neg,
+         |  CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS below FROM g)
+         |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         | CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         | CAST(sum(n_pos * (2 * below + n_neg)) AS BIGINT) AS u2,
+         | CAST(sum(n_pos * (2 * below + n_neg)) AS DOUBLE)
+         |   / (2.0 * CAST(sum(n_pos) AS BIGINT) * CAST(sum(n_neg) AS BIGINT))
+         |   AS auc
+         |FROM r""".stripMargin,
+
+    "ks_test" ->
+      """WITH base AS (SELECT value,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT value, CAST(sum(ia) AS BIGINT) AS a,
+        |  CAST(sum(ib) AS BIGINT) AS b FROM base GROUP BY value),
+        |t AS (SELECT CAST(sum(ia) AS BIGINT) AS na,
+        |  CAST(sum(ib) AS BIGINT) AS nb FROM base),
+        |r AS (SELECT value,
+        |  CAST(sum(a) OVER (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |  CAST(sum(b) OVER (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        | FROM g)
+        |SELECT value, ca, cb, na, nb,
+        | abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |   - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS d_stat
+        |FROM r CROSS JOIN t
+        |ORDER BY d_stat DESC, value LIMIT 1""".stripMargin,
+
+    "hist_equidepth" ->
+      s"""WITH b AS (SELECT l_extendedprice,
+         |  CAST(ntile($HistBins) OVER (ORDER BY l_extendedprice,
+         |    l_orderkey, l_linenumber) AS INTEGER) AS bin
+         | FROM lineitem)
+         |SELECT bin, count(*) AS n,
+         | min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |   AS sum_price
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "event_transitions" ->
+      """WITH p AS (SELECT from_type, event_type AS to_type FROM (
+        | SELECT event_type, lag(event_type) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        | FROM events) f WHERE from_type IS NOT NULL),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        | FROM p GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+        |   AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "chi2_terms" ->
+      s"""WITH t AS (SELECT lang, unnest($TOKS) AS term FROM documents),
+         |tl AS (SELECT lang, term FROM t WHERE term <> ''),
+         |top AS (SELECT term, count(*) AS rt FROM tl GROUP BY term
+         |  ORDER BY rt DESC, term LIMIT $Chi2Terms),
+         |cell AS (SELECT term, lang, count(*) AS o FROM tl
+         |  JOIN top USING (term) GROUP BY term, lang),
+         |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct
+         |  FROM cell GROUP BY lang),
+         |nn AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM ct),
+         |grid AS (SELECT top.term, top.rt, ct.lang, ct.ct, nn.nn,
+         |  coalesce(cell.o, 0) AS o
+         | FROM top CROSS JOIN ct CROSS JOIN nn
+         | LEFT JOIN cell ON cell.term = top.term AND cell.lang = ct.lang),
+         |x AS (SELECT term, rt,
+         |  CAST(o AS DOUBLE)
+         |    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)
+         |    AS diff,
+         |  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE) AS e
+         | FROM grid)
+         |SELECT term, rt,
+         | CAST(sum(CAST(${Q.duckRnd("diff * diff / e", 6)}
+         |   AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+         |FROM x GROUP BY term, rt ORDER BY chi2 DESC, term""".stripMargin,
+
+    "pareto_front" ->
+      s"""WITH p AS (SELECT doc_id, n_chars AS x,
+         |  CASE WHEN length($NORM) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(len(list_distinct($TOKS)) AS BIGINT) END AS y
+         | FROM documents),
+         |m AS (SELECT x, max(y) AS ymax FROM p GROUP BY x),
+         |r AS (SELECT x, ymax, max(ymax) OVER (ORDER BY x DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax FROM m)
+         |SELECT doc_id, x AS len_chars, y AS uniq_tokens
+         |FROM p JOIN r USING (x)
+         |WHERE y = ymax AND (rmax IS NULL OR rmax < y)
+         |ORDER BY len_chars DESC, doc_id""".stripMargin)
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpecBase}
+
+/** Twentieth-wave distribution-statistics operators. Arbiters are
+  * driver-side from-scratch recomputations that do NOT share the
+  * relational formulation: pairwise O(pos·neg) AUC, sorted-merge KS
+  * sup-norm, brute-force all-pairs Pareto dominance, and direct
+  * transition tallies — so a formulation bug (not just an engine
+  * divergence) fails here even though the DuckDB oracle mirrors the
+  * relational shape.
+  */
+class StatSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("auc_eval equals pairwise Mann-Whitney AUC") {
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select($"embedding" (0).cast("double"), $"label")
+      .as[(Double, Int)].collect()
+    val pos = rows.filter(_._2 >= 5).map(_._1)
+    val neg = rows.filter(_._2 < 5).map(_._1)
+    var wins = 0.0
+    for (p <- pos; n <- neg)
+      wins += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val expected = wins / (pos.length.toDouble * neg.length)
+    val r = SparkEntry.queries("auc_eval")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r._1 == pos.length && r._2 == neg.length)
+    assert(math.abs(r._4 - expected) < 1e-12,
+      s"auc ${r._4} vs pairwise $expected")
+  }
+
+  test("ks_test equals sorted-scan sup-norm distance") {
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "view").map(_._2).sorted
+    val values = (a ++ b).distinct.sorted
+    def ecdf(xs: Array[Double], v: Double): Double = {
+      // count of elements <= v / n
+      var lo = 0; var hi = xs.length
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (xs(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo.toDouble / xs.length
+    }
+    val expected = values.map(v => math.abs(ecdf(a, v) - ecdf(b, v))).max
+    val r = SparkEntry.queries("ks_test")(spark, sf)
+      .select($"d_stat").as[Double].collect().head
+    assert(math.abs(r - expected) < 1e-12, s"d_stat $r vs scan $expected")
+  }
+
+  test("hist_equidepth: balanced bins covering every row, ordered ranges") {
+    val bins = SparkEntry.queries("hist_equidepth")(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(bins.length == 16)
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(bins.map(_._2).sum == total)
+    assert(bins.map(_._2).max - bins.map(_._2).min <= 1,
+      "equi-depth bins must differ by at most one row")
+    // bin value ranges are non-overlapping and ascending (ties at the
+    // boundary may share a value; hi(k) <= lo(k+1) must still hold
+    // because the order is tie-broken by a unique key)
+    bins.sortBy(_._1).sliding(2).foreach {
+      case Array(x, y) => assert(x._4 <= y._3 + 1e-9)
+      case _           => ()
+    }
+  }
+
+  test("event_transitions: probabilities sum to 1 per source state and counts tally") {
+    val rows = SparkEntry.queries("event_transitions")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (from, g) =>
+      val s = g.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"p-sum for $from = $s")
+    }
+    // independent tally from the raw events
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id",
+        org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val tally = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      es.toSeq.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Seq(p, c) => (p._4, c._4)
+      }
+    }.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == tally)
+  }
+
+  test("chi2_terms: grid-complete, nonnegative, and Σ(o)=rt per term") {
+    val rows = SparkEntry.queries("chi2_terms")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_._3 >= 0.0))
+    // the term totals must match an independent count over the corpus
+    val counts = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions
+        .explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (term, rt, _) =>
+      assert(counts(term) == rt, s"rt($term)")
+    }
+  }
+
+  test("pareto_front equals brute-force dominance on the small fixture") {
+    val pts = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars",
+        graft.functions.TextFunctions.tokens($"text"))
+      .as[(Long, Long, Seq[String])].collect()
+      .map { case (id, x, toks) =>
+        val y = toks.filter(_.nonEmpty).distinct.size.toLong
+        (id, x, y)
+      }
+    val front = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(p => (p._1, p._2, p._3)).toSet
+    val got = SparkEntry.queries("pareto_front")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == front, s"skyline mismatch: got ${got.size}, want ${front.size}")
+  }
+
+  test("triangle_count: wedge cap is dormant at fixture scale") {
+    val maxDeg = LlmQueries.pairTable(spark, sf)
+      .groupBy($"doc_a").count()
+      .agg(org.apache.spark.sql.functions.max("count"))
+      .as[Long].collect().headOption.getOrElse(0L)
+    assert(maxDeg < 64,
+      s"fixture out-degree $maxDeg reached WedgeCap; cap no longer dormant")
+  }
+}
