@@ -41,7 +41,8 @@ object SparkEntry {
       MlPrepQueries.defs ++
       QaQueries.defs ++
       MediaFingerprintQueries.defs ++
-      StatQueries.defs
+      StatQueries.defs ++
+      TpchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -63,5 +64,6 @@ object SparkEntry {
       MlPrepQueries.oracles ++
       QaQueries.oracles ++
       MediaFingerprintQueries.oracles ++
-      StatQueries.oracles
+      StatQueries.oracles ++
+      TpchQueries.oracles
 }

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Twenty-first wave — the remaining classic TPC-H query shapes
+  * (joining Q1/Q5/Q7/Q8 already in [[AnalyticsQueries]]): shipping
+  * priority (Q3), returned-item customer ranking (Q10), product
+  * profit by nation/year (Q9, adapted — the fixture has no partsupp
+  * table, so profit is discounted revenue), large-volume orders
+  * (Q18), and supplier-count part stats (Q16). These are the
+  * warehouse-benchmark shapes a user of the reference's star schema
+  * (`Scripts/transformation_job.py:19-34`) runs against the same
+  * fact/dim layout.
+  *
+  * Scale/perf design — one corpus-scale shuffle each, dims broadcast:
+  *  - Q3/Q10/Q18 join lineitem⋈orders on the order key (both sides
+  *    shuffle-partition on the key, no replication); customer/nation
+  *    are broadcast dimension hops. Q3 additionally prunes orders
+  *    with a broadcast SEMI join against the filtered customer
+  *    segment BEFORE the big shuffle (at extreme scale AQE would
+  *    demote it to a shuffled semi join — the semantics don't
+  *    change). Top-N finals are TakeOrdered, never a global sort.
+  *  - Q18's "orders with total quantity > T" pre-aggregates lineitem
+  *    on the SAME key the subsequent join shuffles on, so the
+  *    HAVING-subquery plan reuses one partitioning end to end.
+  *  - Q9/Q16 filter part FIRST and broadcast the survivors into the
+  *    lineitem scan (runtime-prunable join), so the fact scan is the
+  *    only full pass.
+  *  - All money sums ride the decimal(12,2)/(4,2) exact-arithmetic
+  *    idiom; dates surface as epoch millis (both engines floor
+  *    identically); every query ends in a deterministic ORDER BY.
+  */
+object TpchQueries {
+
+  /** Q18 quantity threshold (mirrored into the oracle). */
+  private val BigOrderQty = 300
+
+  val defs: Map[String, QueryFn] = Map(
+    // Q3: top-10 unshipped BUILDING-segment orders by outstanding
+    // revenue as of the cutoff date.
+    "tpch_shipping_priority" -> ((s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - $"l_discount".cast("decimal(4,2)"))
+      val cust = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" < lit("1997-06-01").cast("timestamp"))
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_semi")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" > lit("1997-06-01").cast("timestamp"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey",
+          unix_millis($"o_orderdate".cast("timestamp")).as("o_date_ms"), $"o_orderpriority")
+        .agg(sum(rev).cast("double").as("revenue"))
+        .select($"l_orderkey", $"revenue", $"o_date_ms", $"o_orderpriority")
+        .orderBy($"revenue".desc, $"o_date_ms", $"l_orderkey")
+        .limit(10)
+    }),
+
+    // Q10: customers who returned the most revenue in one quarter —
+    // the churn-investigation ranking.
+    "tpch_returned_items" -> ((s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - $"l_discount".cast("decimal(4,2)"))
+      Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-04-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // Q9 (adapted): discounted revenue from widget parts by supplier
+    // nation and order year. The fixture carries no partsupp/
+    // ps_supplycost, so "profit" here is revenue — the join topology
+    // and grain are Q9's.
+    "tpch_product_profit" -> ((s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - $"l_discount".cast("decimal(4,2)"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter($"p_name".contains("widget")).select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+        .agg(sum(rev).cast("double").as("sum_profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    // Q18: large-volume orders — the HAVING-subquery shape. The
+    // pre-aggregate and the join share the order key, so the plan
+    // reuses one shuffle partitioning.
+    "tpch_large_orders" -> ((s, d) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_quantity")).as("sum_qty"))
+        .filter($"sum_qty" > lit(BigOrderQty))
+      Tables.orders(s, d)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          unix_millis($"o_orderdate".cast("timestamp")).as("o_date_ms"), $"o_totalprice",
+          $"sum_qty".cast("double").as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    // Q16-shape: how many distinct suppliers actually shipped each
+    // (brand, type, size) part family — excluding one brand, the
+    // anti-predicate Q16 carries.
+    "tpch_supplier_parts" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter($"p_brand" =!= "Brand#13")
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }))
+
+  private val Rev =
+    """CAST(l_extendedprice AS DECIMAL(12,2))
+      | * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "tpch_shipping_priority" ->
+      s"""SELECT l_orderkey, CAST(sum($Rev) AS DOUBLE) AS revenue,
+         | epoch_ms(o_orderdate) AS o_date_ms, o_orderpriority
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-06-01'
+         |  AND l_shipdate > TIMESTAMP '1997-06-01'
+         |GROUP BY l_orderkey, epoch_ms(o_orderdate), o_orderpriority
+         |ORDER BY revenue DESC, o_date_ms, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | CAST(sum($Rev) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_product_profit" ->
+      s"""SELECT n_name AS nation,
+         | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         | CAST(sum($Rev) AS DOUBLE) AS sum_profit, count(*) AS n_items
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch_large_orders" ->
+      s"""WITH big AS (
+         | SELECT l_orderkey,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         | FROM lineitem GROUP BY l_orderkey
+         | HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $BigOrderQty)
+         |SELECT c_custkey, c_name, o_orderkey,
+         | epoch_ms(o_orderdate) AS o_date_ms, o_totalprice,
+         | CAST(sum_qty AS DOUBLE) AS sum_qty
+         |FROM orders
+         | JOIN big ON o_orderkey = l_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "tpch_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+}
