@@ -42,7 +42,8 @@ object SparkEntry {
       QaQueries.defs ++
       MediaFingerprintQueries.defs ++
       StatQueries.defs ++
-      TpchQueries.defs
+      TpchQueries.defs ++
+      TextMatchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -65,5 +66,6 @@ object SparkEntry {
       QaQueries.oracles ++
       MediaFingerprintQueries.oracles ++
       StatQueries.oracles ++
-      TpchQueries.oracles
+      TpchQueries.oracles ++
+      TextMatchQueries.oracles
 }

@@ -36,6 +36,50 @@ object CorpusOpsQueries {
     */
   private val ShardCount = 16
 
+  /** Winnowing window rows (doc_id, p, fp): char 8-gram md5 hashes
+    * over normalized text, min of each sliding 4-window, full windows
+    * only (Schleimer/Wilkerson/Aiken winnowing, SIGMOD 2003 —
+    * public). Shared by winnow_fingerprint (per-doc aggregate) and
+    * winnow_matches (cross-doc shared-fingerprint join); the DuckDB
+    * side of the same construction is [[duckWinnowCtes]]. Position
+    * explode is scan-parallel; the window min is doc-partitioned and
+    * bounded by doc length.
+    */
+  private[queries] def winnowWindows(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 8; val w = 4
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", TF.normText($"text").as("t"))
+      .filter(length($"t") >= k + w - 1)
+      .select($"doc_id",
+        explode(sequence(lit(1), length($"t") - (k - 1))).as("p"), $"t")
+      .select($"doc_id", $"p",
+        conv(substring(md5($"t".substr($"p", lit(k))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val win = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("fp", min($"h").over(win))
+      .filter($"p" >= w) // full windows only
+      .select($"doc_id", $"p", $"fp")
+  }
+
+  /** DuckDB mirror of [[winnowWindows]]: CTEs n → g → f; `f` holds
+    * (doc_id, p, fp) with the p >= 4 full-window filter applied by
+    * the consumer (winnow_fingerprint keeps it in its WHERE so its
+    * committed oracle text stays byte-stable).
+    */
+  private[queries] val duckWinnowCtes: String =
+    s"""n AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents
+       |           WHERE length(${LlmQueries.NORM}) >= 11),
+       |g AS (SELECT doc_id, p,
+       |    ('0x' || substr(md5(substr(t, p, 8)), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+       |        FROM n) i),
+       |f AS (SELECT doc_id, p, min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g)""".stripMargin
+
   /** Per-node out-neighbor bound for triangle_count's wedge stage —
     * the "next cap" the 100× sweep called for (BASELINE.md round-9):
     * a capped-bucket star representative accumulates out-degree ≈
@@ -875,20 +919,7 @@ object CorpusOpsQueries {
     // shuffles only by doc_id.
     "winnow_fingerprint" -> ((s, d) => {
       import s.implicits._
-      val k = 8; val w = 4
-      val grams = Tables.documents(s, d)
-        .select($"doc_id", TF.normText($"text").as("t"))
-        .filter(length($"t") >= k + w - 1)
-        .select($"doc_id",
-          explode(sequence(lit(1), length($"t") - (k - 1))).as("p"), $"t")
-        .select($"doc_id", $"p",
-          conv(substring(md5($"t".substr($"p", lit(k))), 1, 8), 16, 10)
-            .cast("long").as("h"))
-      val win = Window.partitionBy($"doc_id").orderBy($"p")
-        .rowsBetween(-(w - 1), 0)
-      grams
-        .withColumn("fp", min($"h").over(win))
-        .filter($"p" >= w) // full windows only
+      winnowWindows(s, d)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_windows"),
           countDistinct($"fp").as("n_fp"),
@@ -1013,14 +1044,7 @@ object CorpusOpsQueries {
     // same char 8-grams over the same normalization, same md5-hex →
     // BIGINT hash, same 4-window minima
     "winnow_fingerprint" ->
-      s"""WITH n AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents
-         |           WHERE length(${LlmQueries.NORM}) >= 11),
-         |g AS (SELECT doc_id, p,
-         |    ('0x' || substr(md5(substr(t, p, 8)), 1, 8))::BIGINT AS h
-         |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
-         |        FROM n) i),
-         |f AS (SELECT doc_id, p, min(h) OVER (PARTITION BY doc_id ORDER BY p
-         |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g)
+      s"""WITH $duckWinnowCtes
          |SELECT doc_id, count(*) AS n_windows,
          |  count(DISTINCT fp) AS n_fp,
          |  ${Q.duckRnd(

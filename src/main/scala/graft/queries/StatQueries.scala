@@ -182,6 +182,24 @@ object StatQueries {
         .orderBy($"chi2".desc, $"term")
     }),
 
+    // Per-group exact quartiles of order value by priority class —
+    // [[DistributedNtile.withNtile]] on its REAL-group path: a
+    // dominant priority class range-partitions across the cluster
+    // instead of sorting in one task (the ccnet_buckets skew shape,
+    // here as a first-class quantile-bands op).
+    "group_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      DistributedNtile.withNtile(o, "o_orderpriority",
+        Seq($"o_totalprice", $"o_orderkey"), 4, "q")
+        .groupBy($"o_orderpriority", $"q").agg(
+          count(lit(1)).as("n"),
+          min($"o_totalprice").as("lo"),
+          max($"o_totalprice").as("hi"))
+        .orderBy($"o_orderpriority", $"q")
+    }),
+
     // Skyline: documents on the (length, lexical-diversity) Pareto
     // frontier — no other doc is >= on both axes and > on one. The
     // prefix-max formulation: a point survives iff it holds its
@@ -295,6 +313,16 @@ object StatQueries {
          | CAST(sum(CAST(${Q.duckRnd("diff * diff / e", 6)}
          |   AS DECIMAL(18,6))) AS DOUBLE) AS chi2
          |FROM x GROUP BY term, rt ORDER BY chi2 DESC, term""".stripMargin,
+
+    "group_quantiles" ->
+      """WITH b AS (SELECT o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS q
+        | FROM orders)
+        |SELECT o_orderpriority, q, count(*) AS n,
+        | min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM b GROUP BY o_orderpriority, q
+        |ORDER BY o_orderpriority, q""".stripMargin,
 
     "pareto_front" ->
       s"""WITH p AS (SELECT doc_id, n_chars AS x,

@@ -209,6 +209,37 @@ object TimeSeriesQueries {
     // the key and keep the k smallest — the distributed reservoir
     // (per-partition top-k heaps, driver merges k·P candidates), fully
     // reproducible across runs/engines unlike rand()-based sampling.
+    // Inter-arrival burstiness per user: coefficient of variation of
+    // the gap-seconds sequence (CV≈1 Poisson, >1 bursty, <1 regular)
+    // — the traffic-shape telemetry behind rate-limit and bot
+    // screening. One user-keyed window shuffle for the lag; moments
+    // are integer sums (gap floored to whole seconds, so Σg and Σg²
+    // stay exact int64 far beyond any plausible per-user history);
+    // mean/variance/cv are the same IEEE op sequence in both engines
+    // (sqrt IS correctly rounded per IEEE-754, unlike log/exp — the
+    // collocation_pmi transcendental rule doesn't bar it).
+    "user_burstiness" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev", lag($"us", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"user_id",
+          expr("(us - prev) DIV 1000000").as("g")) // exact int64 floor-seconds
+      val agg = gaps.groupBy($"user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        sum($"g").as("sg"), sum($"g" * $"g").as("sg2"))
+      val mean = $"sg".cast("double") / $"n_gaps".cast("double")
+      val variance = greatest(
+        $"sg2".cast("double") / $"n_gaps".cast("double") - mean * mean,
+        lit(0.0))
+      agg.select($"user_id", $"n_gaps", mean.as("mean_gap_s"),
+        when(mean === 0.0, lit(null).cast("double"))
+          .otherwise(sqrt(variance) / mean).as("cv"))
+        .orderBy($"user_id")
+    }),
+
     "sample_reservoir" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -218,6 +249,28 @@ object TimeSeriesQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same floor-seconds gaps (// on non-negative int64 ≡ Spark DIV),
+    // same moment sums, same IEEE sequence for mean/var/cv
+    "user_burstiness" ->
+      """WITH g AS (
+        | SELECT user_id, (us - prev) // 1000000 AS g FROM (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev
+        |  FROM events) f WHERE prev IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sg2
+        | FROM g GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        | CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        | CASE WHEN CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) = 0.0 THEN NULL
+        |      ELSE sqrt(greatest(
+        |        CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |          - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |            * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+        |        / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END AS cv
+        |FROM a ORDER BY user_id""".stripMargin,
+
     "locf_fill" ->
       """SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
         | CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS raw,
