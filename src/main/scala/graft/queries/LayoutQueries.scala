@@ -125,8 +125,55 @@ object LayoutQueries {
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
         .orderBy($"o_orderstatus")
+    }),
+
+    // DYNAMIC partition pruning — partition_prune's runtime sibling:
+    // the partition predicate is not a literal but the key set of a
+    // filtered dimension, known only at execution. Spark turns the
+    // broadcast build side into a pruning subquery on the partitioned
+    // scan (PartitionFilters: [... dynamicpruningexpression(...)]),
+    // so the fact read skips directories for types the dim filter
+    // rejected — at 100 TB this is the difference between scanning 2
+    // partitions and all of them, with no literal predicate anywhere.
+    // PlanSpec pins the dynamicpruning expression in the plan.
+    "dpp_join" -> ((s, d) => {
+      import s.implicits._
+      val path = Q.scratchPath("events_bytype", d)
+      Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = Tables.events(s, d).select($"event_type").distinct()
+        .filter(length($"event_type") === 5)
+      fact.join(broadcast(dim), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
+    }),
+
+    // Compaction planning: pack each source's files (docs standing in
+    // for data files, n_chars for bytes) into target-sized output
+    // bins by walking sizes largest-first and cutting a new bin each
+    // time the running total crosses the target — the OPTIMIZE/
+    // small-file-compaction planner as a relational op. The running
+    // sum is [[graft.operators.DistributedNtile.withRunningSum]]
+    // (range partitioning + broadcast carry), so a dominant source
+    // plans its whole file list without a single-task sort.
+    "compaction_plan" -> ((s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d).select($"source".as("src"),
+        $"doc_id".as("file_id"), $"n_chars".as("bytes"))
+      graft.operators.DistributedNtile.withRunningSum(
+        files, "src", Seq($"bytes".desc, $"file_id"), $"bytes", "cum")
+        .withColumn("bin", expr(s"(cum - 1) DIV $CompactTarget + 1"))
+        .groupBy($"src", $"bin")
+        .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"),
+          max($"bytes").as("largest"))
+        .orderBy($"src", $"bin")
     })
   )
+
+  /** Compaction target size (chars-as-bytes; mirrored into oracle). */
+  private val CompactTarget = 4096L
 
   private def duckZkey(x: String, y: String): String =
     (0 until 16).map { j =>
@@ -183,6 +230,27 @@ object LayoutQueries {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the dynamic pruning must be invisible in the result: plain
+    // filtered join semantics
+    "dpp_join" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE length(event_type) = 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "compaction_plan" ->
+      s"""WITH r AS (SELECT source AS src, n_chars AS bytes,
+         |  CAST(sum(n_chars) OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         | FROM documents)
+         |SELECT src, (cum - 1) // $CompactTarget + 1 AS bin,
+         | count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+         | max(bytes) AS largest
+         |FROM r GROUP BY src, (cum - 1) // $CompactTarget + 1
+         |ORDER BY src, bin""".stripMargin
   )
 }

@@ -182,6 +182,34 @@ object StatQueries {
         .orderBy($"chi2".desc, $"term")
     }),
 
+    // Per-source simple OLS of quality on document length — "which
+    // sources degrade with length" as one grouped moment aggregate
+    // (linear_probe's closed form, per group): n/Σx/Σy/Σxy/Σx²
+    // decimal-snapped per source, slope/intercept by the two-variable
+    // normal equations on the aggregate rows, identical IEEE op order
+    // in both engines.
+    "grouped_linear_fit" -> ((s, d) => {
+      import s.implicits._
+      def m(c: org.apache.spark.sql.Column) =
+        sum(rnd(c, 10).cast("decimal(38,10)")).cast("double")
+      val f = Tables.documents(s, d)
+        .select($"source", TF.nTokens($"text").cast("long").as("nt"),
+          TF.qualityScore($"text").as("y"))
+        .filter($"nt" > 0)
+        .select($"source", $"nt".cast("double").as("x"), $"y")
+      val mom = f.groupBy($"source").agg(
+        count(lit(1)).cast("double").as("n"),
+        m($"x").as("sx"), m($"y").as("sy"),
+        m($"x" * $"x").as("sxx"), m($"x" * $"y").as("sxy"))
+      val den = $"n" * $"sxx" - $"sx" * $"sx"
+      val b1 = when(den === 0.0, 0.0)
+        .otherwise(($"n" * $"sxy" - $"sx" * $"sy") / den)
+      mom.select($"source", $"n".cast("long").as("n_docs"),
+        rnd(b1, 6).as("b1"),
+        rnd((($"sy" - b1 * $"sx") / $"n"), 6).as("b0"))
+        .orderBy($"source")
+    }),
+
     // Per-group exact quartiles of order value by priority class —
     // [[DistributedNtile.withNtile]] on its REAL-group path: a
     // dominant priority class range-partitions across the cluster
@@ -224,7 +252,7 @@ object StatQueries {
         .orderBy($"len_chars".desc, $"doc_id")
     }))
 
-  import LlmQueries.{NORM, TOKS}
+  import LlmQueries.{NORM, NTOK, TOKS}
 
   val oracles: Map[String, String] = Map(
     "auc_eval" ->
@@ -313,6 +341,25 @@ object StatQueries {
          | CAST(sum(CAST(${Q.duckRnd("diff * diff / e", 6)}
          |   AS DECIMAL(18,6))) AS DOUBLE) AS chi2
          |FROM x GROUP BY term, rt ORDER BY chi2 DESC, term""".stripMargin,
+
+    "grouped_linear_fit" ->
+      s"""WITH f AS (SELECT source, CAST($NTOK AS DOUBLE) AS x,
+         |  ${LlmQueries.duckQuality} AS y
+         | FROM documents WHERE $NTOK > 0),
+         |m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(CAST(${Q.duckRnd("x", 10)} AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(${Q.duckRnd("y", 10)} AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(${Q.duckRnd("x * x", 10)} AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(${Q.duckRnd("x * y", 10)} AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+         | FROM f GROUP BY source),
+         |c AS (SELECT source, n, sx, sy,
+         |  CASE WHEN n * sxx - sx * sx = 0.0 THEN 0.0
+         |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b1
+         | FROM m)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         | ${Q.duckRnd("b1", 6)} AS b1,
+         | ${Q.duckRnd("(sy - b1 * sx) / n", 6)} AS b0
+         |FROM c ORDER BY source""".stripMargin,
 
     "group_quantiles" ->
       """WITH b AS (SELECT o_orderpriority, o_totalprice,

@@ -240,6 +240,18 @@ class PlanSpec extends SparkSpecBase {
       "partition predicate leaked into data filters instead of pruning")
   }
 
+  test("dpp_join: runtime partition pruning subquery on the partitioned scan") {
+    val p = finalPlan("dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic pruning expression in the partitioned scan:\n" + p.take(2000))
+  }
+
+  test("compaction_plan: no single-task corpus sort (range-partitioned running sum)") {
+    val p = finalPlan("compaction_plan")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+      || p.toLowerCase.contains("range"), p.take(2000))
+  }
+
   test("stream_custom_state: one user-keyed exchange feeds the typed processor") {
     val p = finalPlan("stream_custom_state")
     assert(p.contains("MapGroups"), "typed group processor missing from plan")

@@ -126,6 +126,51 @@ class StatSpec extends SparkSpecBase {
     assert(got == front, s"skyline mismatch: got ${got.size}, want ${front.size}")
   }
 
+  test("compaction_plan: bins equal driver-side largest-first packing walk") {
+    val files = graft.Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+    val expect = files.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+      var cum = 0L
+      fs.sortBy(f => (-f._3, f._2)).map { f =>
+        cum += f._3
+        (src, (cum - 1) / 4096 + 1, f._3)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((src, bin), v) =>
+      (src, bin) -> (v.size.toLong, v.map(_._3).sum, v.map(_._3).max)
+    }
+    val got = SparkEntry.queries("compaction_plan")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got == expect)
+  }
+
+  test("grouped_linear_fit: slope/intercept match driver-side OLS per source") {
+    val rows = graft.Tables.documents(spark, sf)
+      .select($"source",
+        graft.functions.TextFunctions.nTokens($"text").cast("double"),
+        graft.functions.TextFunctions.qualityScore($"text"))
+      .as[(String, Double, Double)].collect().filter(_._2 > 0)
+    val expect = rows.groupBy(_._1).map { case (src, g) =>
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(r => r._2 * r._2).sum
+      val sxy = g.map(r => r._2 * r._3).sum
+      val den = n * sxx - sx * sx
+      val b1 = if (den == 0.0) 0.0 else (n * sxy - sx * sy) / den
+      src -> (g.length.toLong, b1, (sy - b1 * sx) / n)
+    }
+    val got = SparkEntry.queries("grouped_linear_fit")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (src, n, b1, b0) =>
+      val (en, eb1, eb0) = expect(src)
+      assert(n == en, s"$src n")
+      assert(math.abs(b1 - eb1) < 1e-5, s"$src slope $b1 vs $eb1")
+      assert(math.abs(b0 - eb0) < 1e-5, s"$src intercept $b0 vs $eb0")
+    }
+  }
+
   test("triangle_count: wedge cap is dormant at fixture scale") {
     val maxDeg = LlmQueries.pairTable(spark, sf)
       .groupBy($"doc_a").count()
