@@ -14,7 +14,7 @@ import Q._
   * Every op is a global-distribution computation, which is exactly
   * where single-partition sorts hide — so the whole wave rides the
   * skew-free two-phase primitives ([[DistributedNtile]]) instead of
-  * `Window.orderBy(...)` over corpus-sized relations.
+  * raw unpartitioned ordered windows over corpus-sized relations.
   *
   * Scale/perf design:
   *  - `auc_eval` is the tie-corrected Mann-Whitney AUC: one groupBy
@@ -182,6 +182,81 @@ object StatQueries {
         .orderBy($"chi2".desc, $"term")
     }),
 
+    // Tukey-fence outlier audit per event type: exact quartiles from
+    // the skew-free per-group NTILE (Q1/Q3 = the tile-1/tile-3 upper
+    // order statistics), fences at 1.5·IQR (dyadic — exact IEEE),
+    // then one broadcast-join counting pass. The robust-statistics
+    // sibling of outlier_zscore (median-based, resistant to the very
+    // outliers it hunts).
+    "iqr_outliers" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"value", $"event_id")
+      val tiled = DistributedNtile.withNtile(
+        ev, "event_type", Seq($"value", $"event_id"), 4, "tile")
+      val fences = tiled.groupBy($"event_type").agg(
+        max(when($"tile" === 1, $"value")).as("q1"),
+        max(when($"tile" === 3, $"value")).as("q3"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          first($"q1").as("q1"), first($"q3").as("q3"),
+          count(when($"value" < $"q1" - lit(1.5) * ($"q3" - $"q1"), 1))
+            .as("n_low"),
+          count(when($"value" > $"q3" + lit(1.5) * ($"q3" - $"q1"), 1))
+            .as("n_high"))
+        .orderBy($"event_type")
+    }),
+
+    // Welch's two-sample t statistic for click-vs-view value — the
+    // A/B-test readout. One conditional-sum aggregate carries both
+    // sides' moments (counts and 2dp/4dp decimal-snapped sums are
+    // exact); mean/variance/t are one fixed IEEE sequence (sqrt is
+    // correctly rounded per IEEE-754, so it is cross-engine-safe).
+    "ab_ttest" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .filter($"event_type".isin("click", "view"))
+        .select(($"event_type" === "click").as("isa"), $"value")
+      val agg = base.agg(
+        sum(when($"isa", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"isa", 1L).otherwise(0L)).as("n2"),
+        sum(when($"isa", dec($"value"))).cast("double").as("s1"),
+        sum(when(!$"isa", dec($"value"))).cast("double").as("s2"),
+        sum(when($"isa", rnd($"value" * $"value", 4).cast("decimal(38,4)")))
+          .cast("double").as("ss1"),
+        sum(when(!$"isa", rnd($"value" * $"value", 4).cast("decimal(38,4)")))
+          .cast("double").as("ss2"))
+      val (n1d, n2d) = ($"n1".cast("double"), $"n2".cast("double"))
+      val m1 = $"s1" / n1d
+      val m2 = $"s2" / n2d
+      val v1 = ($"ss1" - n1d * (m1 * m1)) / (n1d - lit(1.0))
+      val v2 = ($"ss2" - n2d * (m2 * m2)) / (n2d - lit(1.0))
+      agg.select($"n1", $"n2", m1.as("mean_a"), m2.as("mean_b"),
+        ((m1 - m2) / sqrt(v1 / n1d + v2 / n2d)).as("t_stat"))
+    }),
+
+    // Gini coefficient of per-customer revenue — the concentration
+    // telemetry behind "is one tenant most of the load". Ranks come
+    // from the distributed running count (no single-task sort of the
+    // customer ledger); Σ rank·revenue stays exact in decimal; the
+    // closing Gini identity is two divisions.
+    "gini_concentration" -> ((s, d) => {
+      import s.implicits._
+      val r = Tables.orders(s, d).groupBy($"o_custkey")
+        .agg(sum(dec($"o_totalprice")).cast("decimal(18,2)").as("rev"))
+        .withColumn("g", lit(1))
+      val ranked = DistributedNtile.withRunningSum(
+        r, "g", Seq($"rev", $"o_custkey"), lit(1L), "rank")
+      val agg = ranked.agg(
+        count(lit(1)).as("n_cust"),
+        sum($"rev").cast("double").as("total_rev"),
+        sum($"rank".cast("decimal(18,0)") * $"rev").cast("double").as("wsum"))
+      val nd = $"n_cust".cast("double")
+      agg.select($"n_cust", $"total_rev",
+        rnd((lit(2.0) * $"wsum") / (nd * $"total_rev")
+          - (nd + lit(1.0)) / nd, 6).as("gini"))
+    }),
+
     // Per-source simple OLS of quality on document length — "which
     // sources degrade with length" as one grouped moment aggregate
     // (linear_probe's closed form, per group): n/Σx/Σy/Σxy/Σx²
@@ -341,6 +416,68 @@ object StatQueries {
          | CAST(sum(CAST(${Q.duckRnd("diff * diff / e", 6)}
          |   AS DECIMAL(18,6))) AS DOUBLE) AS chi2
          |FROM x GROUP BY term, rt ORDER BY chi2 DESC, term""".stripMargin,
+
+    "iqr_outliers" ->
+      """WITH t AS (SELECT event_type, value,
+        |  ntile(4) OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS tile FROM events),
+        |f AS (SELECT event_type,
+        |  max(CASE WHEN tile = 1 THEN value END) AS q1,
+        |  max(CASE WHEN tile = 3 THEN value END) AS q3
+        | FROM t GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n, f.q1, f.q3,
+        | CAST(count(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 END)
+        |   AS BIGINT) AS n_low,
+        | CAST(count(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 END)
+        |   AS BIGINT) AS n_high
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type, f.q1, f.q3 ORDER BY event_type""".stripMargin,
+
+    "ab_ttest" ->
+      s"""WITH b AS (SELECT event_type = 'click' AS isa, value FROM events
+         | WHERE event_type IN ('click', 'view')),
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN isa THEN CAST(value AS DECIMAL(18,2)) END)
+         |    AS DOUBLE) AS s1,
+         |  CAST(sum(CASE WHEN NOT isa THEN CAST(value AS DECIMAL(18,2)) END)
+         |    AS DOUBLE) AS s2,
+         |  CAST(sum(CASE WHEN isa THEN
+         |    CAST(${Q.duckRnd("value * value", 4)} AS DECIMAL(38,4)) END)
+         |    AS DOUBLE) AS ss1,
+         |  CAST(sum(CASE WHEN NOT isa THEN
+         |    CAST(${Q.duckRnd("value * value", 4)} AS DECIMAL(38,4)) END)
+         |    AS DOUBLE) AS ss2
+         | FROM b)
+         |SELECT n1, n2,
+         | s1 / CAST(n1 AS DOUBLE) AS mean_a,
+         | s2 / CAST(n2 AS DOUBLE) AS mean_b,
+         | ((s1 / CAST(n1 AS DOUBLE)) - (s2 / CAST(n2 AS DOUBLE)))
+         |  / sqrt(((ss1 - CAST(n1 AS DOUBLE) * ((s1 / CAST(n1 AS DOUBLE))
+         |      * (s1 / CAST(n1 AS DOUBLE)))) / (CAST(n1 AS DOUBLE) - 1.0))
+         |      / CAST(n1 AS DOUBLE)
+         |    + ((ss2 - CAST(n2 AS DOUBLE) * ((s2 / CAST(n2 AS DOUBLE))
+         |      * (s2 / CAST(n2 AS DOUBLE)))) / (CAST(n2 AS DOUBLE) - 1.0))
+         |      / CAST(n2 AS DOUBLE)) AS t_stat
+         |FROM a""".stripMargin,
+
+    "gini_concentration" ->
+      s"""WITH r AS (SELECT o_custkey,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |    AS rev
+         | FROM orders GROUP BY o_custkey),
+         |k AS (SELECT rev, CAST(row_number() OVER (ORDER BY rev, o_custkey)
+         |    AS DECIMAL(18,0)) AS rank FROM r),
+         |a AS (SELECT count(*) AS n_cust,
+         |  CAST(sum(rev) AS DOUBLE) AS total_rev,
+         |  CAST(sum(rank * rev) AS DOUBLE) AS wsum FROM k)
+         |SELECT n_cust, total_rev,
+         | ${Q.duckRnd(
+             "(2.0 * wsum) / (CAST(n_cust AS DOUBLE) * total_rev)" +
+               " - (CAST(n_cust AS DOUBLE) + 1.0) / CAST(n_cust AS DOUBLE)",
+             6)} AS gini
+         |FROM a""".stripMargin,
 
     "grouped_linear_fit" ->
       s"""WITH f AS (SELECT source, CAST($NTOK AS DOUBLE) AS x,

@@ -24,6 +24,57 @@ object StreamQueries {
   case class AttribRow(
       user_id: Long, n_purchases: Long, n_signups: Long, n_attributed: Long)
 
+  /** Typed rows for the `stream_throttle` rate limiter. */
+  case class ThrEvent(user_id: Long, win_ms: Long, ts_us: Long, event_id: Long)
+  case class ThrRow(user_id: Long, win_ms: Long, event_id: Long, rn: Long)
+
+  /** Per-(user, 10-min window) admission cap. */
+  private[queries] val ThrottleK = 3
+
+  /** The ONE rate-limit body shared by the declared batch query
+    * (flatMapGroups, seenBefore = 0) and [[ThrottleProcessor]]'s
+    * live stream: rank a key's events in (ts, event_id) order
+    * offset by the events already seen in earlier batches, admit
+    * rank <= [[ThrottleK]]. Deterministic — the sort pins iteration
+    * order, ranks are pure arithmetic.
+    */
+  private[queries] def throttleRanked(
+      evs: Array[ThrEvent], seenBefore: Long): Array[ThrRow] = {
+    val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
+    sorted.iterator.zipWithIndex
+      .map { case (e, i) => ThrRow(e.user_id, e.win_ms, e.event_id,
+        seenBefore + i + 1) }
+      .filter(_.rn <= ThrottleK)
+      .toArray
+  }
+
+  /** Streaming rate limiter around [[throttleRanked]]: state is ONE
+    * long per live (user, window) key — events seen so far — so a
+    * key's admission decisions persist across micro-batches and the
+    * stream equals the batch row_number form whenever batches arrive
+    * in event-time order (the usual tail-ingest case; out-of-order
+    * arrival degrades to first-come admission, which is what a
+    * production throttle wants anyway). A production deployment adds
+    * a TTL ≈ the window span so dead windows evict; the fixture run
+    * keeps TTL off for determinism.
+    */
+  class ThrottleProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Long, Long), ThrEvent, ThrRow] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen_events",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (Long, Long), rows: Iterator[ThrEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ThrRow] = {
+      val before = if (seen.exists()) seen.get() else 0L
+      val evs = rows.toArray
+      seen.update(before + evs.length)
+      throttleRanked(evs, before).iterator
+    }
+  }
+
   /** The ONE gap-sessionization body shared by `stream_custom_state`
     * (flatMapGroups) and `stream_tws` (StatefulProcessor): both paths
     * must stay bit-identical for the shared session oracle to hold,
@@ -151,6 +202,27 @@ object StreamQueries {
           org.apache.spark.sql.streaming.OutputMode.Append())
         .toDF()
         .orderBy($"user_id", $"sess_start")
+    }),
+
+    // Per-(user, 10-min window) rate limiting — the ingestion
+    // throttle every event pipeline runs ahead of expensive
+    // enrichment. Batch form = the shared throttleRanked body with
+    // zero prior state (each key's rows arrive in one flatMapGroups
+    // call); the DuckDB oracle is the equivalent relational
+    // row_number form, and StreamingSpec drives ThrottleProcessor
+    // over a real stream — three corners, one admission rule.
+    "stream_throttle" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id",
+          expr("(unix_micros(ts) DIV 600000000) * 600000").as("win_ms"),
+          unix_micros($"ts").as("ts_us"), $"event_id")
+        .as[ThrEvent]
+        .groupByKey(e => (e.user_id, e.win_ms))
+        .flatMapGroups((k: (Long, Long), it: Iterator[ThrEvent]) =>
+          throttleRanked(it.toArray, 0L).iterator)
+        .toDF()
+        .orderBy($"user_id", $"win_ms", $"rn")
     }),
 
     "stream_tumbling" -> ((s, d) => {
@@ -332,6 +404,18 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // semantics contract: stream_cdc ≡ cdc_merge (one oracle text)
     "stream_cdc" -> JoinStateQueries.oracles("cdc_merge"),
+
+    // the relational row_number form of the shared admission rule
+    "stream_throttle" ->
+      s"""WITH e AS (SELECT user_id,
+         |  (epoch_us(ts) // 600000000) * 600000 AS win_ms,
+         |  epoch_us(ts) AS us, event_id FROM events),
+         |r AS (SELECT user_id, win_ms, event_id,
+         |  row_number() OVER (PARTITION BY user_id, win_ms
+         |    ORDER BY us, event_id) AS rn FROM e)
+         |SELECT user_id, win_ms, event_id, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= $ThrottleK
+         |ORDER BY user_id, win_ms, rn""".stripMargin,
     "stream_custom_state" -> sessionOracle,
     "stream_tws" -> sessionOracle,
 

@@ -171,6 +171,68 @@ class StatSpec extends SparkSpecBase {
     }
   }
 
+  test("iqr_outliers: fences from driver-side sorted quartiles") {
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", $"value", $"event_id")
+      .as[(String, Double, Long)].collect()
+    val got = SparkEntry.queries("iqr_outliers")(spark, sf)
+      .as[(String, Long, Double, Double, Long, Long)].collect()
+    got.foreach { case (et, n, q1, q3, nLow, nHigh) =>
+      val vs = ev.filter(_._1 == et).sortBy(r => (r._2, r._3)).map(_._2)
+      assert(n == vs.length)
+      // NTILE boundary: tile 1 holds ceil-ish first quarter; its max
+      // is the (bucketSize(1))-th order statistic
+      def tileEnd(t: Int): Int = {
+        val base = vs.length / 4; val extra = vs.length % 4
+        (1 to t).map(i => base + (if (i <= extra) 1 else 0)).sum
+      }
+      assert(q1 == vs(tileEnd(1) - 1), s"$et q1")
+      assert(q3 == vs(tileEnd(3) - 1), s"$et q3")
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      assert(nLow == vs.count(_ < lo) && nHigh == vs.count(_ > hi), s"$et fences")
+    }
+  }
+
+  test("ab_ttest: t statistic equals driver-side Welch computation") {
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "view").map(_._2)
+    def mv(x: Array[Double]) = {
+      val n = x.length.toDouble
+      val m = x.sum / n
+      (n, m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = mv(a); val (n2, m2, v2) = mv(b)
+    val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    val r = SparkEntry.queries("ab_ttest")(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 == a.length && r._2 == b.length)
+    assert(math.abs(r._3 - m1) < 1e-9 && math.abs(r._4 - m2) < 1e-9)
+    assert(math.abs(r._5 - t) < 1e-6, s"t ${r._5} vs $t")
+  }
+
+  test("gini_concentration equals driver-side sorted-rank identity") {
+    val rev = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (k, v) =>
+        (k, v.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+      }
+    val sorted = rev.sortBy { case (k, r) => (r, k) }
+    val n = sorted.length.toDouble
+    val tot = sorted.map(_._2).sum.toDouble
+    val wsum = sorted.zipWithIndex
+      .map { case ((_, r), i) => (i + 1) * r }.sum.toDouble
+    val gini = (2.0 * wsum) / (n * tot) - (n + 1.0) / n
+    val r = SparkEntry.queries("gini_concentration")(spark, sf)
+      .as[(Long, Double, Double)].collect().head
+    assert(r._1 == sorted.length)
+    assert(math.abs(r._2 - tot) < 1e-6)
+    assert(math.abs(r._3 - gini) < 1e-6, s"gini ${r._3} vs $gini")
+    assert(r._3 >= 0.0 && r._3 <= 1.0)
+  }
+
   test("triangle_count: wedge cap is dormant at fixture scale") {
     val maxDeg = LlmQueries.pairTable(spark, sf)
       .groupBy($"doc_a").count()

@@ -298,6 +298,69 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream_throttle: two-micro-batch stream equals the batch admission result") {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val sf = "/root/testdata/sf0.001"
+    val stage = tmpDir("thr_stage")
+    // split by event time so every key's batch-1 rows precede its
+    // batch-2 rows — the in-order arrival the processor's cross-batch
+    // contract requires. Each half lands as ONE parquet file with a
+    // pinned mod-time, and maxFilesPerTrigger=1 forces one micro-batch
+    // per half, so the run genuinely exercises cross-batch state.
+    val ev = Tables.events(spark, sf)
+    val cut = ev.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .head().getLong(0)
+    def stageOne(df: org.apache.spark.sql.DataFrame,
+        name: String, mtime: Long): Unit = {
+      val tmp = tmpDir(s"thr_half_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $tmp"))
+      val dst = new java.io.File(stage, name)
+      Files.copy(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.setLastModified(mtime))
+    }
+    stageOne(ev.filter(unix_micros(col("ts")) <= cut), "a_first.parquet", 1000000L)
+    stageOne(ev.filter(unix_micros(col("ts")) > cut), "b_second.parquet", 2000000L)
+    val schema = spark.read.parquet(stage).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) DIV 600000000) * 600000").as("win_ms"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[graft.queries.StreamQueries.ThrEvent]
+        .groupByKey(e => (e.user_id, e.win_ms))
+        .transformWithState(new graft.queries.StreamQueries.ThrottleProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = stream.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("thr_out")
+        .option("checkpointLocation", tmpDir("thr_cp"))
+        .start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      assert(batches >= 2,
+        s"expected a multi-batch drain to exercise cross-batch state, saw $batches")
+      val got = spark.table("thr_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = graft.SparkEntry.queries("stream_throttle")(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"stream(${got.size}) != batch(${want.size}): " +
+          s"${(got -- want).take(3)} / ${(want -- got).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming latest-wins CDC state equals the batch cdc_merge result") {
     val sf = "/root/testdata/sf0.001"
     val stage = tmpDir("cdc_stage")
