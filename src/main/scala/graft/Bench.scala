@@ -35,6 +35,8 @@ object BenchShared {
     "triangle_count", "kcore_peel",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
+    // winnow_fps consumer (released after itself)
+    "winnow_matches",
     "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign", "kmeans_iterate")
 
   /** Cache lifecycle: each memoized table is released right after its
@@ -52,7 +54,8 @@ object BenchShared {
     "unigram_surprise" -> Seq("term_rows"),
     "dedup_clusters" -> Seq("candidate_pairs"),
     "knn_rerank" -> Seq("pq_codebook"),
-    "kmeans_iterate" -> Seq("ivf_cells"))
+    "kmeans_iterate" -> Seq("ivf_cells"),
+    "winnow_matches" -> Seq("winnow_fps"))
 
   private def maxBucket(grouped: org.apache.spark.sql.DataFrame): Long =
     grouped.agg(org.apache.spark.sql.functions.max("count")).head() match {

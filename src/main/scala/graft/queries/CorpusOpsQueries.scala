@@ -65,10 +65,28 @@ object CorpusOpsQueries {
       .select($"doc_id", $"p", $"fp")
   }
 
+  /** Memoized distinct per-doc fingerprint set (doc_id, fp) — the
+    * winnowing sketch store winnow_matches' four plan branches
+    * (df filter, prune join, pair self-join, size join) all read.
+    * Released after winnow_matches (its only consumer).
+    */
+  private[queries] def winnowFps(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    LlmQueries.memoized(s, d, "winnow_fps") {
+      winnowWindows(s, d).select(col("doc_id"), col("fp")).distinct()
+    }
+
   /** DuckDB mirror of [[winnowWindows]]: CTEs n → g → f; `f` holds
     * (doc_id, p, fp) with the p >= 4 full-window filter applied by
     * the consumer (winnow_fingerprint keeps it in its WHERE so its
     * committed oracle text stays byte-stable).
+    *
+    * Deliberately NOT memoized: the window-rows relation is ~n_chars
+    * rows (36M at sf0.1) and a measured cache of it SPILLS — three
+    * deserializing consumers cost more cpu than recomputing the
+    * codegen'd construction (89 vs 53 cpu-s at bench scale). The
+    * memoized artifact is the 4× smaller DISTINCT set
+    * ([[winnowFps]]) that winnow_matches' four branches share.
     */
   private[queries] val duckWinnowCtes: String =
     s"""n AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents

@@ -40,8 +40,7 @@ object TextMatchQueries {
     // literal spans" report (vs minhash's whole-doc similarity).
     "winnow_matches" -> ((s, d) => {
       import s.implicits._
-      val fps = CorpusOpsQueries.winnowWindows(s, d)
-        .select($"doc_id", $"fp").distinct()
+      val fps = CorpusOpsQueries.winnowFps(s, d)
       val keep = fps.groupBy($"fp").agg(count(lit(1)).as("nd"))
         .filter($"nd" >= 2 && $"nd" <= FpDocCap)
         .select($"fp")
