@@ -381,6 +381,28 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // XML source capability (Spark 4's native xml data source): dump
+    // a projection as row-tagged XML, re-read with an explicit schema
+    // (inference on XML costs a full extra parse pass at scale), and
+    // aggregate. The scratch file is a projection of `events`, so the
+    // oracle recomputes from the source table — the round-trip
+    // must be invisible, like csv/orc/json_scan.
+    "xml_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = Q.scratchPath("xml_scan", d)
+      Tables.events(s, d)
+        .select($"event_id", $"event_type", dec($"value").as("value"))
+        .write.mode("overwrite").option("rowTag", "event")
+        .format("xml").save(path)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DECIMAL(18,2)")
+        .option("rowTag", "event").format("xml").load(path)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value")).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- array / map functions (§2.8) ----------------------------------
     "array_funcs" -> ((s, d) => {
       import s.implicits._
@@ -608,6 +630,12 @@ object CoreQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "orc_scan" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "xml_scan" ->
       """SELECT event_type,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | count(*) AS n

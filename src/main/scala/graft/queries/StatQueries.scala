@@ -153,6 +153,23 @@ object StatQueries {
         .orderBy($"from_type", $"to_type")
     }),
 
+    // Second-order sequence mining: top-20 event-type TRIGRAM paths
+    // across user journeys (event_transitions is the first-order
+    // cut). Two lags in the one user-keyed window shuffle; the path
+    // aggregate is ≤|types|³ rows.
+    "event_trigrams" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("e1", lag($"event_type", 2).over(w))
+        .withColumn("e2", lag($"event_type", 1).over(w))
+        .filter($"e1".isNotNull)
+        .groupBy($"e1", $"e2", $"event_type".as("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"e1", $"e2", $"e3")
+        .limit(20)
+    }),
+
     // χ² association of the top-30 corpus terms with document
     // language — the classic feature-selection score for "which
     // terms are language-markers". Observed cells are counts on the
@@ -391,6 +408,16 @@ object StatQueries {
         | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
         |   AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "event_trigrams" ->
+      """WITH p AS (SELECT
+        |  lag(event_type, 2) OVER w AS e1,
+        |  lag(event_type, 1) OVER w AS e2,
+        |  event_type AS e3
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "chi2_terms" ->
       s"""WITH t AS (SELECT lang, unnest($TOKS) AS term FROM documents),
