@@ -37,7 +37,8 @@ object BenchShared {
     "semdedup_clusters",
     // winnow_fps consumer (released after itself)
     "winnow_matches",
-    "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign", "kmeans_iterate")
+    "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign",
+    "label_propagation", "kmeans_iterate")
 
   /** Cache lifecycle: each memoized table is released right after its
     * LAST consumer in [[corpusFamily]] order, so peak storage is one

@@ -112,6 +112,32 @@ object EmbeddingOpsQueries {
 
     "nn_descent_step" -> nnDescentDef,
 
+    // Semi-supervised cluster-then-label propagation: seed labels
+    // (vec_id % 4 == 0) vote within each IVF cell, majority wins
+    // (smallest label on ties), unlabeled members inherit the cell's
+    // winner (-1 where a cell holds no seed). Reads the memoized
+    // [[LlmQueries.ivfCells]] index artifact — the propagation
+    // itself is one grouped vote + one broadcastable (#cells)
+    // winner join; nothing pairwise at any corpus size.
+    "label_propagation" -> ((s, d) => {
+      import s.implicits._
+      val asg = ivfCells(s, d).select($"vec_id", $"cell")
+      val seeds = asg
+        .join(Tables.embeddings(s, d).select($"vec_id", $"label"), Seq("vec_id"))
+        .filter($"vec_id" % 4 === 0)
+      val votes = seeds.groupBy($"cell", $"label").agg(count(lit(1)).as("nv"))
+      val w = Window.partitionBy($"cell").orderBy($"nv".desc, $"label")
+      val win = votes.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"cell", $"label".as("pred_label"), $"nv")
+      asg.filter($"vec_id" % 4 =!= 0)
+        .join(broadcast(win), Seq("cell"), "left")
+        .select($"vec_id", $"cell",
+          coalesce($"pred_label", lit(-1)).as("pred_label"),
+          coalesce($"nv", lit(0L)).as("n_votes"))
+        .orderBy($"vec_id")
+    }),
+
     // Embedding-space drift canary: per-label centroid shift between
     // the vec_id-parity halves of the store — the "did the encoder
     // or the data move" check a production embedding pipeline runs
@@ -209,6 +235,36 @@ object EmbeddingOpsQueries {
        |asg AS (SELECT vec_id, cell FROM r WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // same ‖x−c‖² assignment text as kmeans_assign's oracle (the ONE
+    // centroid convention), then the majority vote with the same
+    // (votes desc, label) tiebreak
+    "label_propagation" ->
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS cent
+         |           FROM embeddings WHERE vec_id < $IvfK),
+         |a AS (SELECT e.vec_id, c.cell,
+         |  ${LlmQueries.duckDot("e.embedding", "e.embedding")}
+         |    - 2*${LlmQueries.duckDot("e.embedding", "c.cent")}
+         |    + ${LlmQueries.duckDot("c.cent", "c.cent")} AS d2
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM a),
+         |asg AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+         |seeds AS (SELECT s.vec_id, s.cell, em.label
+         |  FROM asg s JOIN embeddings em USING (vec_id)
+         |  WHERE s.vec_id % 4 = 0),
+         |v AS (SELECT cell, label, count(*) AS nv
+         |  FROM seeds GROUP BY cell, label),
+         |w AS (SELECT cell, label, nv,
+         |  row_number() OVER (PARTITION BY cell ORDER BY nv DESC, label) AS rn
+         |  FROM v),
+         |win AS (SELECT cell, label AS pred_label, nv FROM w WHERE rn = 1)
+         |SELECT a.vec_id, a.cell,
+         | coalesce(win.pred_label, -1) AS pred_label,
+         | CAST(coalesce(win.nv, 0) AS BIGINT) AS n_votes
+         |FROM asg a LEFT JOIN win USING (cell)
+         |WHERE a.vec_id % 4 <> 0 ORDER BY a.vec_id""".stripMargin,
 
     // same cosine op order, same (sim desc, vec_id) tiebreak
     "knn_hard_negatives" ->

@@ -98,6 +98,37 @@ object QaQueries {
 
   val defs: Map[String, QueryFn] = Map(
 
+    // Per-class precision/recall of the lang_id heuristic against the
+    // documents.lang ground truth — the confusion-matrix readout that
+    // turns a classifier query into an evaluated classifier. Classes
+    // are the UNION of truth and prediction labels (a pred-only class
+    // like 'unknown' must surface with recall 0, not vanish), built
+    // by a full-outer join of the two marginal totals — all on the
+    // ≤|classes|² confusion aggregate, one corpus scan total.
+    "classifier_eval" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.documents(s, d).select($"lang".as("truth"),
+        TF.langIdHeuristic($"text").as("pred"))
+      val cm = p.groupBy($"truth", $"pred").agg(count(lit(1)).as("n"))
+      val rowt = cm.groupBy($"truth").agg(sum($"n").as("n_true"))
+        .select($"truth".as("cls"), $"n_true")
+      val colt = cm.groupBy($"pred").agg(sum($"n").as("n_pred"))
+        .select($"pred".as("cls"), $"n_pred")
+      val diag = cm.filter($"truth" === $"pred")
+        .select($"truth".as("cls"), $"n".as("tp"))
+      rowt.join(colt, Seq("cls"), "full")
+        .join(diag, Seq("cls"), "left")
+        .select($"cls",
+          coalesce($"n_true", lit(0L)).as("n_true"),
+          coalesce($"n_pred", lit(0L)).as("n_pred"),
+          coalesce($"tp", lit(0L)).as("tp"))
+        .withColumn("precision", when($"n_pred" === 0L, lit(0.0))
+          .otherwise(rnd($"tp".cast("double") / $"n_pred".cast("double"), 6)))
+        .withColumn("recall", when($"n_true" === 0L, lit(0.0))
+          .otherwise(rnd($"tp".cast("double") / $"n_true".cast("double"), 6)))
+        .orderBy($"cls")
+    }),
+
     // LSH candidate-generation quality: recall and precision of
     // minhash_dedup's candidate pairs against exact Jaccard ≥ 0.4
     // ground truth, restricted to the deterministic doc_id < 100
@@ -270,6 +301,32 @@ object QaQueries {
        |FROM ag""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // composes the lang_id oracle's CASE verbatim — one definition
+    // of the classifier under evaluation
+    "classifier_eval" ->
+      s"""WITH p AS (SELECT lang AS truth, ${LlmQueries.duckLangCase} AS pred
+         |           FROM documents),
+         |cm AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY truth, pred),
+         |rowt AS (SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS n_true
+         |         FROM cm GROUP BY truth),
+         |colt AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+         |         FROM cm GROUP BY pred),
+         |diag AS (SELECT truth AS cls, n AS tp FROM cm WHERE truth = pred)
+         |SELECT cls,
+         | coalesce(n_true, 0) AS n_true,
+         | coalesce(n_pred, 0) AS n_pred,
+         | CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         | CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+         |      ELSE ${Q.duckRnd(
+             "CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)", 6)}
+         |   END AS precision,
+         | CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+         |      ELSE ${Q.duckRnd(
+             "CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_true AS DOUBLE)", 6)}
+         |   END AS recall
+         |FROM rowt FULL JOIN colt USING (cls) LEFT JOIN diag USING (cls)
+         |ORDER BY cls""".stripMargin,
 
     // ground truth + composed candidate SQL, same sample bound — one
     // truth block (duckRecallEval) for both generators

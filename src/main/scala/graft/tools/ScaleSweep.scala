@@ -155,7 +155,14 @@ object ScaleSweep {
       "embedding_drift", "dataset_version_diff",
       // nineteenth wave (maxsim_rerank rides corpusFamily; the
       // scale corpus has no events table, so stream_cdc is bench-only)
-      )
+      // waves 20-25 (chi2_terms / winnow_matches / triangle_count
+      // ride corpusFamily; the events/orders/lineitem-side ops —
+      // ks_test, event_transitions/trigrams, user_burstiness,
+      // iqr_outliers, ab_ttest, stream_throttle, hist_equidepth,
+      // group_quantiles, gini_concentration, tpch_*, dpp_join,
+      // xml_scan — are bench-only like anomaly_mad)
+      "auc_eval", "pareto_front", "cooccur_window",
+      "grouped_linear_fit", "compaction_plan")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
