@@ -37,6 +37,12 @@ object TpchQueries {
   /** Q18 quantity threshold (mirrored into the oracle). */
   private val BigOrderQty = 300
 
+  /** Exact decimal casts for money×rate arithmetic (the
+    * AnalyticsQueries idiom: product stays within 38 digits).
+    */
+  private def d12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  private def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(4,2)")
+
   val defs: Map[String, QueryFn] = Map(
     // Q3: top-10 unshipped BUILDING-segment orders by outstanding
     // revenue as of the cutoff date.
@@ -120,6 +126,114 @@ object TpchQueries {
         .limit(100)
     }),
 
+    // Q4: orders with at least one late line item, counted by
+    // priority — the EXISTS-correlated-subquery shape, planned as a
+    // semi join on the order key (no decorrelation gymnastics, no
+    // fact-side duplication from a plain join).
+    "tpch_order_priority" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+        .join(
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" > lit("1997-02-01").cast("timestamp"))
+          .select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Q6: the forecast-revenue-change single-scan aggregate — a
+    // banded filter (date year, discount band, quantity cap) into
+    // one exact decimal product sum. The canonical pushdown test:
+    // every predicate reaches the parquet scan.
+    "tpch_forecast_revenue" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24)
+        .agg(sum(d12($"l_extendedprice") * d4($"l_discount"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q13: the customer order-count DISTRIBUTION — left outer join so
+    // zero-order customers survive, then a histogram of the counts.
+    // Two aggregates chained on different keys; the first reuses the
+    // join's customer-key partitioning.
+    "tpch_custdist" -> ((s, d) => {
+      import s.implicits._
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+      perCust.groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // Q14: promo-part revenue share per month of 1997 — conditional
+    // sum over one scan-join pass, one closing division per month.
+    "tpch_promo_share" -> ((s, d) => {
+      import s.implicits._
+      val rev = d12($"l_extendedprice") * (d4(lit(1)) - d4($"l_discount"))
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy(month($"l_shipdate").as("mon"))
+        .agg(
+          sum(when($"p_type" === "PROMO", rev)).cast("double").as("promo_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select($"mon", $"promo_rev", $"total_rev",
+          rnd(lit(100.0) * $"promo_rev" / $"total_rev", 6).as("promo_pct"))
+        .orderBy($"mon")
+    }),
+
+    // Q15: top supplier(s) by quarter revenue — the
+    // aggregate-then-max-then-filter shape (the view in the spec);
+    // the max is a 1-row broadcast back onto the supplier aggregate,
+    // and ALL ties surface (Q15's documented semantics).
+    "tpch_top_supplier" -> ((s, d) => {
+      import s.implicits._
+      val rev = d12($"l_extendedprice") * (d4(lit(1)) - d4($"l_discount"))
+      val supRev = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(rev).cast("decimal(22,4)").as("total_rev"))
+      val mx = supRev.agg(max($"total_rev").as("mx"))
+      supRev.crossJoin(broadcast(mx))
+        .filter($"total_rev" === $"mx")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"total_rev".cast("double").as("total_rev"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // Q17: small-quantity-order revenue — line items under 20% of
+    // their part's average quantity. The correlated-average shape:
+    // the per-part average joins back on the SAME part key the
+    // lineitem shuffle already established; the 0.2 factor is
+    // dyadic-safe decimal arithmetic.
+    "tpch_small_qty_revenue" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.groupBy($"l_partkey".as("ap_key"))
+        .agg((sum(dec($"l_quantity")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      li.join(avgQty, $"l_partkey" === $"ap_key")
+        .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+        .agg(dsum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n_items"))
+        .select(rnd($"sum_price" / 7.0, 6).as("avg_yearly"), $"n_items")
+    }),
+
     // Q16-shape: how many distinct suppliers actually shipped each
     // (brand, type, size) part family — excluding one brand, the
     // anti-predicate Q16 carries.
@@ -191,6 +305,82 @@ object TpchQueries {
          | JOIN big ON o_orderkey = l_orderkey
          | JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "tpch_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > TIMESTAMP '1997-02-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_custdist" ->
+      """WITH pc AS (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_promo_share" ->
+      s"""WITH j AS (
+         | SELECT CAST(month(l_shipdate) AS INTEGER) AS mon, p_type,
+         |  CAST(l_extendedprice AS DECIMAL(12,2))
+         |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         |   AS rev
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |   AND l_shipdate < TIMESTAMP '1998-01-01'),
+         |a AS (SELECT mon,
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+         |    AS promo_rev,
+         |  CAST(sum(rev) AS DOUBLE) AS total_rev
+         | FROM j GROUP BY mon)
+         |SELECT mon, promo_rev, total_rev,
+         | ${Q.duckRnd("100.0 * promo_rev / total_rev", 6)} AS promo_pct
+         |FROM a ORDER BY mon""".stripMargin,
+
+    "tpch_top_supplier" ->
+      """WITH sr AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |   AS DECIMAL(22,4)) AS total_rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM sr JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM sr)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_small_qty_revenue" ->
+      s"""WITH aq AS (
+         | SELECT l_partkey AS ap_key,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_qty
+         | FROM lineitem GROUP BY l_partkey),
+         |f AS (SELECT l_extendedprice FROM lineitem
+         |  JOIN aq ON l_partkey = ap_key
+         |  WHERE l_quantity < 0.2 * avg_qty),
+         |a AS (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+         |    AS DOUBLE) AS sum_price, count(*) AS n_items FROM f)
+         |SELECT ${Q.duckRnd("sum_price / 7.0", 6)} AS avg_yearly, n_items
+         |FROM a""".stripMargin,
 
     "tpch_supplier_parts" ->
       """SELECT p_brand, p_type, p_size,

@@ -61,6 +61,66 @@ class TpchSpec extends SparkSpecBase {
     }
   }
 
+  test("tpch_custdist: zero-order customers survive and the distribution tallies") {
+    val rows = SparkEntry.queries("tpch_custdist")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum == graft.Tables.customer(spark, sf).count(),
+      "distribution must cover every customer exactly once")
+    // full driver-side recompute — including customers with no orders
+    // (the left-outer class; the fixture may or may not populate it)
+    val perCust = graft.Tables.orders(spark, sf)
+      .select($"o_custkey").as[Long].collect()
+      .groupBy(identity(_)).map { case (k, v) => k -> v.size.toLong }
+    val custs = graft.Tables.customer(spark, sf)
+      .select($"c_custkey").as[Long].collect()
+    val expect = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity(_)).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.toMap == expect)
+  }
+
+  test("tpch_order_priority plans the EXISTS as a semi join") {
+    val p = SparkEntry.queries("tpch_order_priority")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("tpch_top_supplier: winners carry the true maximum revenue") {
+    import org.apache.spark.sql.functions._
+    val sr = graft.Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - $"l_discount".cast("decimal(4,2)")))
+        .cast("double").as("r"))
+      .as[(Long, Double)].collect()
+    val mx = sr.map(_._2).max
+    val winners = sr.filter(_._2 == mx).map(_._1).toSet
+    val got = SparkEntry.queries("tpch_top_supplier")(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(got.map(_._1).toSet == winners)
+    got.foreach { case (_, _, r) => assert(math.abs(r - mx) < 1e-6) }
+  }
+
+  test("tpch_forecast_revenue equals a driver-side filtered sum") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_shipdate".cast("string"), $"l_discount", $"l_quantity",
+        $"l_extendedprice")
+      .as[(String, Double, Double, Double)].collect()
+    val sel = li.filter { case (dt, disc, qty, _) =>
+      dt >= "1997-01-01" && dt < "1998-01-01" &&
+        disc >= 0.05 && disc <= 0.07 && qty < 24
+    }
+    val expect = sel.map { case (_, disc, _, price) =>
+      BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(disc).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val r = SparkEntry.queries("tpch_forecast_revenue")(spark, sf)
+      .as[(Double, Long)].collect().head
+    assert(r._2 == sel.length)
+    assert(math.abs(r._1 - expect) < 1e-9)
+  }
+
   test("tpch_shipping_priority: customer prune is a broadcast semi join") {
     val p = SparkEntry.queries("tpch_shipping_priority")(spark, sf)
       .queryExecution.executedPlan.toString
