@@ -112,6 +112,41 @@ object EmbeddingOpsQueries {
 
     "nn_descent_step" -> nnDescentDef,
 
+    // Farthest-point-sampling coreset (k=3, unrolled): the classic
+    // k-center seeding for diverse exemplar selection — each round is
+    // ONE corpus scan against a broadcast 1-row selection, the argmax
+    // is a TakeOrdered(1), and min-distances update in place (the
+    // kmeans++/coreset pattern; more rounds = more unrolled scans,
+    // linear each). Distances snap to 6dp before comparison so the
+    // argmax tiebreak is stable cross-engine.
+    "fps_coreset" -> ((s, d) => {
+      import s.implicits._
+      val e = withNorm(Tables.embeddings(s, d))
+      def pick(dists: org.apache.spark.sql.DataFrame) =
+        dists.orderBy($"dist".desc, $"vec_id").limit(1)
+      val seed = broadcast(e.filter($"vec_id" === 0L)
+        .select($"embedding".as("s_emb"), $"nrm".as("s_nrm")))
+      val d1 = e.crossJoin(seed)
+        .select($"vec_id", $"embedding", $"nrm",
+          rnd(lit(1.0) - cosFromNorms($"embedding", $"s_emb", $"nrm", $"s_nrm"), 6)
+            .as("dist"))
+      val f1 = broadcast(pick(d1)
+        .select($"vec_id".as("f1_id"), $"embedding".as("f1_emb"),
+          $"nrm".as("f1_nrm"), $"dist".as("f1_dist")))
+      val d2 = d1.crossJoin(f1)
+        .select($"vec_id",
+          least($"dist",
+            rnd(lit(1.0) - cosFromNorms($"embedding", $"f1_emb", $"nrm", $"f1_nrm"), 6))
+            .as("dist"))
+      val f2 = pick(d2)
+      val r0 = e.filter($"vec_id" === 0L)
+        .select(lit(0).as("k"), $"vec_id", lit(0.0).as("sel_dist"))
+      val r1 = f1.select(lit(1).as("k"), $"f1_id".as("vec_id"),
+        $"f1_dist".as("sel_dist"))
+      val r2 = f2.select(lit(2).as("k"), $"vec_id", $"dist".as("sel_dist"))
+      r0.unionAll(r1).unionAll(r2).orderBy($"k")
+    }),
+
     // Semi-supervised cluster-then-label propagation: seed labels
     // (vec_id % 4 == 0) vote within each IVF cell, majority wins
     // (smallest label on ties), unlabeled members inherit the cell's
@@ -235,6 +270,27 @@ object EmbeddingOpsQueries {
        |asg AS (SELECT vec_id, cell FROM r WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // same cosine op order; distances 6dp-snapped BEFORE the argmax
+    // in both engines, same (dist desc, vec_id) tiebreak
+    "fps_coreset" ->
+      s"""WITH s AS (SELECT embedding AS s_emb FROM embeddings WHERE vec_id = 0),
+         |d1 AS (SELECT e.vec_id, e.embedding,
+         |  ${Q.duckRnd("1.0 - " + duckCos("e.embedding", "s.s_emb"), 6)} AS dist
+         | FROM embeddings e CROSS JOIN s),
+         |f1 AS (SELECT vec_id, embedding, dist FROM d1
+         |  ORDER BY dist DESC, vec_id LIMIT 1),
+         |d2 AS (SELECT d1.vec_id,
+         |  least(d1.dist,
+         |    ${Q.duckRnd("1.0 - " + duckCos("d1.embedding", "f1.embedding"), 6)})
+         |    AS dist
+         | FROM d1 CROSS JOIN f1),
+         |f2 AS (SELECT vec_id, dist FROM d2 ORDER BY dist DESC, vec_id LIMIT 1)
+         |SELECT CAST(0 AS INTEGER) AS k, CAST(0 AS BIGINT) AS vec_id,
+         |  CAST(0.0 AS DOUBLE) AS sel_dist
+         |UNION ALL SELECT CAST(1 AS INTEGER), vec_id, dist FROM f1
+         |UNION ALL SELECT CAST(2 AS INTEGER), vec_id, dist FROM f2
+         |ORDER BY k""".stripMargin,
 
     // same ‖x−c‖² assignment text as kmeans_assign's oracle (the ONE
     // centroid convention), then the majority vote with the same

@@ -44,6 +44,45 @@ object ExtraQueries {
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
     }),
 
+    // Parameterized SQL + the IDENTIFIER clause (Spark 4 front-end
+    // surface): the table name and the predicate threshold arrive as
+    // NAMED PARAMETERS, not string interpolation — the injection-safe
+    // templating a SQL API consumer actually uses. Catalyst binds the
+    // params before analysis, so the plan is identical to the literal
+    // query's.
+    "sql_parameterized" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_par")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM IDENTIFIER(:tbl)
+          |WHERE o_totalprice > :minp
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("tbl" -> "orders_par", "minp" -> Int.box(50000)))
+    }),
+
+    // SQL-defined scalar function (Spark 4 CREATE TEMPORARY FUNCTION
+    // ... RETURN expr): the discounted-price formula defined ONCE in
+    // SQL and reused by name — the warehouse-portable UDF surface
+    // (pure expression, stays inside codegen, unlike a JVM closure).
+    // The 4dp product round-trips double→DECIMAL(18,4) exactly (4dp
+    // spacing is far above double ulp), so the sum stays exact.
+    "sql_udf" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_su")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, disc DOUBLE)
+          |RETURNS DOUBLE
+          |RETURN CAST(CAST(p AS DECIMAL(12,2))
+          |  * (CAST(1 AS DECIMAL(4,2)) - CAST(disc AS DECIMAL(4,2))) AS DOUBLE)
+          |""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          | CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+          |   AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+          | count(*) AS n
+          |FROM lineitem_su GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "sql_subquery" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer_sq")
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
@@ -547,6 +586,24 @@ object ExtraQueries {
          | $cols
          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
     },
+
+    // the bound parameters inlined as literals — binding must be
+    // invisible in the result
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 50000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the SQL function body inlined — the named function must be
+    // pure sugar
+    "sql_udf" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |   AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sql_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
