@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpecBase}
+
+/** Waves 25/26/28 arbiters: driver-side recomputations independent of
+  * the relational formulations (and of the DuckDB oracles that mirror
+  * them).
+  */
+class Wave26Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("xml_scan: round-trip equals a direct aggregate of the source table") {
+    val got = SparkEntry.queries("xml_scan")(spark, sf)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = graft.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> (v.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble, v.size.toLong)
+      }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (s, n)) =>
+      assert(n == want(k)._2 && math.abs(s - want(k)._1) < 1e-9, s"type $k")
+    }
+  }
+
+  test("event_trigrams: top paths equal a driver-side sliding tally") {
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id",
+        org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val tally = scala.collection.mutable.Map[(String, String, String), Long]()
+    ev.groupBy(_._1).values.foreach { es =>
+      es.toSeq.sortBy(e => (e._2, e._3)).sliding(3).foreach {
+        case Seq(a, b, c) =>
+          val k = (a._4, b._4, c._4)
+          tally(k) = tally.getOrElse(k, 0L) + 1
+        case _ => ()
+      }
+    }
+    val expect = tally.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val got = SparkEntry.queries("event_trigrams")(spark, sf)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("label_propagation: every prediction is its cell's seed majority") {
+    val cells = LlmQueries.ivfCells(spark, sf)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val votes = cells.toSeq.filter(_._1 % 4 == 0)
+      .groupBy(_._2).map { case (cell, members) =>
+        val counts = members.map(m => labels(m._1))
+          .groupBy(identity(_)).map { case (l, v) => l -> v.size }
+        // majority with smallest-label tiebreak
+        val (lab, n) = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+        cell -> (lab, n.toLong)
+      }
+    val got = SparkEntry.queries("label_propagation")(spark, sf)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (vid, cell, pred, nv) =>
+      assert(vid % 4 != 0 && cells(vid) == cell)
+      votes.get(cell) match {
+        case Some((lab, n)) => assert(pred == lab && nv == n, s"vec $vid")
+        case None           => assert(pred == -1 && nv == 0L, s"vec $vid")
+      }
+    }
+    LlmQueries.release(spark, sf, "ivf_cells")
+  }
+
+  test("classifier_eval: confusion metrics equal a driver-side tally") {
+    val rows = graft.Tables.documents(spark, sf)
+      .select($"lang", graft.functions.TextFunctions.langIdHeuristic($"text"))
+      .as[(String, String)].collect()
+    val classes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    val got = SparkEntry.queries("classifier_eval")(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == classes.toSeq)
+    got.foreach { case (cls, nTrue, nPred, tp, prec, rec) =>
+      assert(nTrue == rows.count(_._1 == cls).toLong)
+      assert(nPred == rows.count(_._2 == cls).toLong)
+      assert(tp == rows.count(r => r._1 == cls && r._2 == cls).toLong)
+      val ep = if (nPred == 0) 0.0 else tp.toDouble / nPred
+      val er = if (nTrue == 0) 0.0 else tp.toDouble / nTrue
+      assert(math.abs(prec - ep) < 1e-6 && math.abs(rec - er) < 1e-6, cls)
+    }
+  }
+
+  test("fps_coreset: selections equal a driver-side farthest-point walk") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val seed = vecs.find(_._1 == 0L).get._2
+    var dist = vecs.map { case (id, v) => id -> snap(1.0 - cos(v, seed)) }.toMap
+    val f1 = dist.toSeq.sortBy { case (id, dv) => (-dv, id) }.head
+    val f1v = vecs.find(_._1 == f1._1).get._2
+    val dist2 = vecs.map { case (id, v) =>
+      id -> math.min(dist(id), snap(1.0 - cos(v, f1v)))
+    }.toMap
+    val f2 = dist2.toSeq.sortBy { case (id, dv) => (-dv, id) }.head
+    val got = SparkEntry.queries("fps_coreset")(spark, sf)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((0, 0L, 0.0)))
+    assert(got(1)._2 == f1._1 && math.abs(got(1)._3 - f1._2) < 1e-6)
+    assert(got(2)._2 == f2._1 && math.abs(got(2)._3 - f2._2) < 1e-6)
+  }
+}
