@@ -24,7 +24,8 @@ object BenchShared {
     "ngram_jaccard", "minhash_containment", "cross_corpus_pairs",
     "pagerank_lite", "dup_ngram_frac", "fuzzy_match",
     "graph_degree_dist", "dedup_incremental", "contamination_check",
-    "boilerplate_ngrams", "lsh_recall_eval", "ngram_novelty",
+    "boilerplate_ngrams", "lsh_recall_eval", "jaccard_band_sweep",
+    "ngram_novelty",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
     "heavy_hitters", "rrf_fusion", "collocation_pmi", "vocab_coverage",
     "vocab_growth", "zipf_profile", "maxsim_rerank",

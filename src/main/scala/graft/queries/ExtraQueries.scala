@@ -44,6 +44,23 @@ object ExtraQueries {
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
     }),
 
+    // SQL join-strategy hints: the /*+ BROADCAST, MERGE */ surface a
+    // SQL consumer uses to steer the planner when statistics lie.
+    // The hint must be advisory-only in semantics — the oracle is the
+    // plain join — while PlanSpec pins that the BROADCAST hint
+    // actually flipped the orders join to a BroadcastHashJoin (a
+    // 15k-row fact side Spark would otherwise shuffle-merge-join).
+    "sql_hints" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_h")
+      Tables.customer(s, d).createOrReplaceTempView("customer_h")
+      s.sql(
+        """SELECT /*+ BROADCAST(o) */ c_mktsegment,
+          | count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM customer_h c JOIN orders_h o ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // Parameterized SQL + the IDENTIFIER clause (Spark 4 front-end
     // surface): the table name and the predicate threshold arrive as
     // NAMED PARAMETERS, not string interpolation — the injection-safe
@@ -586,6 +603,13 @@ object ExtraQueries {
          | $cols
          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
     },
+
+    // the hint must be invisible in the result: plain join semantics
+    "sql_hints" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer c JOIN orders o ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the bound parameters inlined as literals — binding must be
     // invisible in the result

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -97,6 +98,39 @@ object QaQueries {
   }
 
   val defs: Map[String, QueryFn] = Map(
+
+    // Dedup-threshold tuning table: the exact-Jaccard distribution of
+    // the LSH candidate pairs in 0.1-wide bands, with the descending
+    // cumulative "pairs you would merge at threshold >= b/10". The
+    // table a corpus owner reads before picking minhash_dedup's
+    // verification threshold. Zero-intersection candidates band at 0
+    // (left join keeps them); the band relation is <= 11 rows, so the
+    // cumulative rides BoundedWindow.
+    "jaccard_band_sweep" -> ((s, d) => {
+      import s.implicits._
+      val dsh = LlmQueries.distinctShingleTable(s, d)
+      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val cand = LlmQueries.pairTable(s, d)
+      val inter = cand
+        .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
+      val jacc = cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("n_int", coalesce($"n_int", lit(0L)))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+        .select(($"n_int".cast("double") /
+          ($"n_a" + $"n_b" - $"n_int").cast("double")).as("jacc"))
+      val bands = jacc
+        .select(floor($"jacc" * 10).cast("int").as("band"))
+        .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+      val w = graft.operators.BoundedWindow
+        .orderBy("jaccard_band_sweep: <=11 bands", 11L, $"band".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands.withColumn("cum_ge", sum($"n_pairs").over(w))
+        .orderBy($"band")
+    }),
 
     // Per-class precision/recall of the lang_id heuristic against the
     // documents.lang ground truth — the confusion-matrix readout that
@@ -301,6 +335,25 @@ object QaQueries {
        |FROM ag""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // same jacc formula as ngram_jaccard's oracle (list-intersection
+    // form keeps zero-overlap candidates naturally), same banding
+    "jaccard_band_sweep" ->
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |j AS (SELECT
+         |  CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |   / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+         |      - len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x)))) AS jacc
+         | FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b),
+         |b AS (SELECT CAST(floor(jacc * 10) AS INTEGER) AS band,
+         |  count(*) AS n_pairs FROM j GROUP BY band)
+         |SELECT band, n_pairs,
+         | CAST(sum(n_pairs) OVER (ORDER BY band DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum_ge
+         |FROM b ORDER BY band""".stripMargin,
 
     // composes the lang_id oracle's CASE verbatim — one definition
     // of the classifier under evaluation

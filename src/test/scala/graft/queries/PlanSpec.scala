@@ -240,6 +240,11 @@ class PlanSpec extends SparkSpecBase {
       "partition predicate leaked into data filters instead of pruning")
   }
 
+  test("sql_hints: the BROADCAST hint flips the orders join to broadcast") {
+    val p = plan("sql_hints")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("dpp_join: runtime partition pruning subquery on the partitioned scan") {
     val p = finalPlan("dpp_join")
     assert(p.toLowerCase.contains("dynamicpruning"),
