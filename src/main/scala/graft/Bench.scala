@@ -32,7 +32,7 @@ object BenchShared {
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)
     "bpe_merges", "bpe_apply", "taxonomy_classify", "chi2_terms",
-    "unigram_surprise",
+    "good_turing", "unigram_surprise",
     "triangle_count", "kcore_peel",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",

@@ -1144,6 +1144,64 @@ object LlmQueries {
     // on doc_id. Determinism: p is one IEEE division of exact
     // integers; the per-doc mean sums 6dp-snapped p as decimal
     // (order-free) and divides once; min is order-free.
+    // Good-Turing frequency-of-frequencies table over the term
+    // counts: N_r = #types seen r times, and the GT-adjusted count
+    // r* = (r+1)·N_{r+1}/N_r for the 20 SMALLEST observed r — the
+    // smoothing-mass diagnostic (unseen-event mass is N_1/N when
+    // r=1 is observed). A literal "r <= 20" cutoff goes vacuously
+    // empty on a head-heavy fixture whose rarest term still appears
+    // dozens of times (the spec caught exactly that); the lowest-20
+    // form is non-empty at every scale. Two nested aggregates over
+    // the memoized term relation; the N_{r+1} lookup is a sparse
+    // self-join (lag() would be wrong — r+1 may be absent → NULL
+    // r*), and the lowest-20 cut is a TakeOrdered.
+    "good_turing" -> ((s, d) => {
+      import s.implicits._
+      val tf = termTable(s, d).groupBy($"term").agg(count(lit(1)).as("r"))
+      val fof = tf.groupBy($"r").agg(count(lit(1)).as("n_r"))
+      val next = fof.select(($"r" - 1).as("r"), $"n_r".as("n_r1"))
+      fof.join(next, Seq("r"), "left")
+        .select($"r", $"n_r",
+          rnd(($"r" + 1).cast("double") * $"n_r1".cast("double")
+            / $"n_r".cast("double"), 6).as("r_star"))
+        .orderBy($"r")
+        .limit(20)
+    }),
+
+    // Interpolated Kneser-Ney bigram smoothing (D = 0.75) — the
+    // canonical LM smoother, closing the lm family (MLE bigram_lm,
+    // typicality lm_score, stupid-backoff lm_backoff_score):
+    // p_kn(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/N1+(··).
+    // Every ingredient is an integer count off the ONE aggregated
+    // bigram-type relation (marginals and continuation counts are
+    // windows over it, not corpus re-scans; the bigram-type total is
+    // a broadcast 1-row aggregate), and the closing formula is one
+    // fixed IEEE sequence — exact cross-engine. Top-50 by raw count
+    // is a TakeOrdered.
+    "kneser_ney_lm" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(TF.tokens($"text").as("w")).filter(size($"w") >= 2)
+      val pairs = toks
+        .select(explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+        .select(element_at($"w", $"i").as("w1"), element_at($"w", $"i" + 1).as("w2"))
+      val c12 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val e = c12
+        .withColumn("c1", sum($"c12").over(Window.partitionBy($"w1")))
+        .withColumn("n1fw", count(lit(1)).over(Window.partitionBy($"w1")))
+        .withColumn("ncw2", count(lit(1)).over(Window.partitionBy($"w2")))
+      val tot = c12.agg(count(lit(1)).as("nbb"))
+      e.crossJoin(broadcast(tot))
+        .select($"w1", $"w2", $"c12",
+          rnd(greatest($"c12".cast("double") - 0.75, lit(0.0))
+            / $"c1".cast("double")
+            + (lit(0.75) * $"n1fw".cast("double") / $"c1".cast("double"))
+              * ($"ncw2".cast("double") / $"nbb".cast("double")), 6)
+            .as("p_kn"))
+        .orderBy($"c12".desc, $"w1", $"w2")
+        .limit(50)
+    }),
+
     "lm_score" -> ((s, d) => {
       import s.implicits._
       val toks = Tables.documents(s, d)
@@ -2037,6 +2095,44 @@ object LlmQueries {
          | CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
          |FROM c12 JOIN c1 USING (w1)
          |ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    // same nested count-of-counts, same sparse r+1 left join (NULL
+    // r* where N_{r+1} is absent), same lowest-20 cut
+    "good_turing" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |tf AS (SELECT term, count(*) AS r FROM t WHERE term <> ''
+         |       GROUP BY term),
+         |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+         |        FROM tf GROUP BY r)
+         |SELECT f.r, f.n_r,
+         | ${Q.duckRnd(
+             "CAST(f.r + 1 AS DOUBLE) * CAST(n2.n_r AS DOUBLE)" +
+               " / CAST(f.n_r AS DOUBLE)", 6)} AS r_star
+         |FROM fof f LEFT JOIN fof n2 ON n2.r = f.r + 1
+         |ORDER BY f.r LIMIT 20""".stripMargin,
+
+    // same windows over the one bigram-type relation, same fixed
+    // IEEE closing sequence, same (c12 desc, w1, w2) tiebreak
+    "kneser_ney_lm" ->
+      s"""WITH toks AS (SELECT $TOKS AS w FROM documents),
+         |idx AS (SELECT w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2),
+         |pairs AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM pairs GROUP BY w1, w2),
+         |e AS (SELECT w1, w2, c12,
+         |  CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         |  CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1fw,
+         |  CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS ncw2
+         | FROM c12),
+         |t AS (SELECT count(*) AS nbb FROM c12)
+         |SELECT w1, w2, c12,
+         | ${Q.duckRnd(
+             "greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)" +
+               " + (0.75 * CAST(n1fw AS DOUBLE) / CAST(c1 AS DOUBLE))" +
+               " * (CAST(ncw2 AS DOUBLE) / CAST(nbb AS DOUBLE))", 6)} AS p_kn
+         |FROM e CROSS JOIN t
+         |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "lm_score" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS w FROM documents),

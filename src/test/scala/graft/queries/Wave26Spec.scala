@@ -93,6 +93,53 @@ class Wave26Spec extends SparkSpecBase {
     }
   }
 
+  test("kneser_ney_lm: probabilities equal a driver-side KN computation") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens($"text"))
+      .as[Seq[String]].collect().filter(_.size >= 2)
+    val bigrams = toks.flatMap(w => w.sliding(2).map(p => (p(0), p(1))))
+    val c12 = bigrams.groupBy(identity(_)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.toSeq.groupBy(_._1._1).map { case (w1, g) => w1 -> g.map(_._2).sum }
+    val n1fw = c12.keys.toSeq.groupBy(_._1).map { case (w1, g) => w1 -> g.size.toLong }
+    val ncw2 = c12.keys.toSeq.groupBy(_._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val nbb = c12.size.toDouble
+    val got = SparkEntry.queries("kneser_ney_lm")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length == 50)
+    got.foreach { case (w1, w2, c, p) =>
+      assert(c12((w1, w2)) == c)
+      val expect = math.max(c - 0.75, 0.0) / c1(w1) +
+        (0.75 * n1fw(w1) / c1(w1)) * (ncw2(w2) / nbb)
+      assert(math.abs(p - expect) < 1e-6, s"($w1,$w2) $p vs $expect")
+      // a valid probability, and interpolation keeps it strictly > MLE discount floor
+      assert(p > 0.0 && p <= 1.0 + 1e-9)
+    }
+  }
+
+  test("good_turing: r* equals the frequency-of-frequencies identity") {
+    val counts = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions
+        .explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .as[(String, Long)].collect().map(_._2)
+    val fof = counts.groupBy(identity(_)).map { case (r, v) => r -> v.size.toLong }
+    val got = SparkEntry.queries("good_turing")(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.length == math.min(20, fof.size),
+      s"expected the ${math.min(20, fof.size)} smallest r rows")
+    assert(got.map(_._1).toSeq == fof.keys.toSeq.sorted.take(20))
+    got.foreach { case (r, nr, rstar) =>
+      assert(fof(r) == nr)
+      (rstar, fof.get(r + 1)) match {
+        case (Some(rs), Some(n1)) =>
+          val expect = (r + 1).toDouble * n1 / nr
+          assert(math.abs(rs - expect) < 1e-6, s"r=$r")
+        case (None, None) => ()
+        case other        => fail(s"r=$r shape $other")
+      }
+    }
+  }
+
   test("fps_coreset: selections equal a driver-side farthest-point walk") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
