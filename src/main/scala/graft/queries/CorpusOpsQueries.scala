@@ -320,6 +320,33 @@ object CorpusOpsQueries {
         .orderBy($"node")
     }),
 
+    // Three-round BFS reach from the doc_id%100 seed set over the
+    // symmetrized candidate graph: how much of the near-dup graph a
+    // seed audit touches per hop (the contagion-radius telemetry
+    // behind "if these seeds are contaminated, what else is").
+    // Each round is one keyed join + one min aggregate — the
+    // ConnectedComponents per-round shape at fixed depth; unreached
+    // docs report dist -1 via the closing left join.
+    "bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      val cand = LlmQueries.pairTable(s, d)
+      val edges = cand.select($"doc_a".as("u"), $"doc_b".as("v"))
+        .unionAll(cand.select($"doc_b".as("u"), $"doc_a".as("v")))
+      val docs = Tables.documents(s, d).select($"doc_id")
+      var dist = docs.filter($"doc_id" % 100 === 0)
+        .select($"doc_id", lit(0).as("dist"))
+      for (_ <- 1 to 3) {
+        val next = dist.join(edges, $"doc_id" === $"u")
+          .select($"v".as("doc_id"), ($"dist" + 1).as("dist"))
+        dist = dist.unionAll(next)
+          .groupBy($"doc_id").agg(min($"dist").as("dist"))
+      }
+      docs.join(dist, Seq("doc_id"), "left")
+        .select(coalesce($"dist", lit(-1)).as("dist"))
+        .groupBy($"dist").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"dist")
+    }),
+
     // Vocabulary growth curve (the Heaps'-law audit): how many NEW
     // terms each doc_id decile contributes. First-occurrence doc per
     // term is one min aggregate over the memoized term relation;
@@ -1237,6 +1264,26 @@ object CorpusOpsQueries {
          |SELECT doc_id FROM exact_sur
          |WHERE doc_id NOT IN (SELECT doc_id FROM nearhit)
          |ORDER BY doc_id""".stripMargin,
+
+    // same three unrolled min-distance rounds, same -1 unreached
+    "bfs_hops" -> {
+      def round(k: Int) =
+        s"""d$k AS (SELECT doc_id, CAST(min(dist) AS INTEGER) AS dist FROM (
+           |  SELECT doc_id, dist FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.v AS doc_id, p.dist + 1 AS dist
+           |  FROM d${k - 1} p JOIN e ON p.doc_id = e.u) u$k
+           | GROUP BY doc_id)""".stripMargin
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |      UNION ALL SELECT doc_b, doc_a FROM cand),
+         |d0 AS (SELECT doc_id, CAST(0 AS INTEGER) AS dist FROM documents
+         |       WHERE doc_id % 100 = 0),
+         |${round(1)}, ${round(2)}, ${round(3)}
+         |SELECT coalesce(d3.dist, -1) AS dist, count(*) AS n_docs
+         |FROM documents LEFT JOIN d3 USING (doc_id)
+         |GROUP BY coalesce(d3.dist, -1) ORDER BY dist""".stripMargin
+    },
 
     "triangle_count" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},

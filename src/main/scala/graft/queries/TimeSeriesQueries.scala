@@ -209,6 +209,40 @@ object TimeSeriesQueries {
     // the key and keep the k smallest — the distributed reservoir
     // (per-partition top-k heaps, driver merges k·P candidates), fully
     // reproducible across runs/engines unlike rand()-based sampling.
+    // Autocorrelation of the hourly event-count series at lags 1-3 —
+    // the seasonality/trend diagnostic read before fitting any
+    // forecaster (seasonal_decompose's sibling). The series is
+    // time-span-bounded (one row per hour), so the lag alignment is
+    // three tiny self-joins on hour+L; moments are decimal-snapped
+    // sums (order-free) and each r is one fixed division. The ACF
+    // convention: deviations from the FULL-series mean, denominator
+    // Σ(x-μ)² over the full series.
+    "autocorr_lag" -> ((s, d) => {
+      import s.implicits._
+      val series = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val mom = series.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x".cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(rnd($"x" * $"x", 4).cast("decimal(38,4)")).cast("double").as("sxx"))
+      val withMean = series.crossJoin(broadcast(mom))
+        .select($"h", $"x", ($"sx" / $"n").as("mu"),
+          ($"sxx" - $"n" * (($"sx" / $"n") * ($"sx" / $"n"))).as("den"))
+      def lagR(l: Int) = {
+        val a = withMean
+        val b = withMean.select(($"h" - l).as("h"), $"x".as("y"))
+        a.join(b, Seq("h"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(rnd(($"x" - $"mu") * ($"y" - $"mu"), 6).cast("decimal(38,6)"))
+              .cast("double").as("num"),
+            first($"den").as("den"))
+          .select(lit(l).as("lag"), $"n_pairs",
+            rnd($"num" / $"den", 6).as("acf"))
+      }
+      lagR(1).unionAll(lagR(2)).unionAll(lagR(3)).orderBy($"lag")
+    }),
+
     // Inter-arrival burstiness per user: coefficient of variation of
     // the gap-seconds sequence (CV≈1 Poisson, >1 bursty, <1 regular)
     // — the traffic-shape telemetry behind rate-limit and bot
@@ -249,6 +283,33 @@ object TimeSeriesQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same hourly bucketing, same decimal-snapped moments, same fixed
+    // division order per lag
+    "autocorr_lag" -> {
+      def lagCte(l: Int) =
+        s"""l$l AS (SELECT CAST($l AS INTEGER) AS lag,
+           |  count(*) AS n_pairs,
+           |  CAST(sum(CAST(${Q.duckRnd("(a.x - a.mu) * (b.x - b.mu)", 6)}
+           |    AS DECIMAL(38,6))) AS DOUBLE) AS num,
+           |  max(a.den) AS den
+           | FROM w a JOIN w b ON b.h = a.h + $l)""".stripMargin
+      s"""WITH s AS (SELECT epoch_us(ts) // 3600000000 AS h,
+         |  CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(${Q.duckRnd("x * x", 4)} AS DECIMAL(38,4)))
+         |    AS DOUBLE) AS sxx
+         | FROM s),
+         |w AS (SELECT h, x, sx / n AS mu,
+         |  (sxx - n * ((sx / n) * (sx / n))) AS den
+         | FROM s CROSS JOIN m),
+         |${lagCte(1)}, ${lagCte(2)}, ${lagCte(3)}
+         |SELECT lag, n_pairs, ${Q.duckRnd("num / den", 6)} AS acf
+         |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+         |      UNION ALL SELECT * FROM l3) u
+         |ORDER BY lag""".stripMargin
+    },
+
     // same floor-seconds gaps (// on non-negative int64 ≡ Spark DIV),
     // same moment sums, same IEEE sequence for mean/var/cv
     "user_burstiness" ->

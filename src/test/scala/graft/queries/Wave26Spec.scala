@@ -93,6 +93,48 @@ class Wave26Spec extends SparkSpecBase {
     }
   }
 
+  test("autocorr_lag equals a driver-side ACF computation") {
+    val hours = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts"))
+      .as[Long].collect().map(_ / 3600000000L)
+    val series = hours.groupBy(identity(_)).map { case (h, v) => h -> v.size.toDouble }
+    val n = series.size.toDouble
+    val mu = series.values.sum / n
+    val den = series.values.map(x => (x - mu) * (x - mu)).sum
+    val got = SparkEntry.queries("autocorr_lag")(spark, sf)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    got.foreach { case (l, nPairs, acf) =>
+      val pairs = series.toSeq.flatMap { case (h, x) =>
+        series.get(h + l).map(y => (x - mu) * (y - mu))
+      }
+      assert(nPairs == pairs.size.toLong, s"lag $l pairs")
+      assert(math.abs(acf - pairs.sum / den) < 1e-5, s"lag $l acf")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9)
+    }
+  }
+
+  test("bfs_hops equals a driver-side breadth-first walk") {
+    val edges = LlmQueries.pairTable(spark, sf)
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    var dist = docs.filter(_ % 100 == 0).map(_ -> 0).toMap
+    for (k <- 1 to 3) {
+      val frontier = dist.filter(_._2 == k - 1).keys
+      val reached = frontier.flatMap(u => edges.getOrElse(u, Set.empty))
+        .filterNot(dist.contains)
+      dist = dist ++ reached.map(_ -> k)
+    }
+    val expect = docs.toSeq.map(d => dist.getOrElse(d, -1))
+      .groupBy(identity(_)).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("bfs_hops")(spark, sf)
+      .as[(Int, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("kneser_ney_lm: probabilities equal a driver-side KN computation") {
     val toks = graft.Tables.documents(spark, sf)
       .select(graft.functions.TextFunctions.tokens($"text"))
