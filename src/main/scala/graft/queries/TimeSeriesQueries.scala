@@ -209,6 +209,69 @@ object TimeSeriesQueries {
     // the key and keep the k smallest — the distributed reservoir
     // (per-partition top-k heaps, driver merges k·P candidates), fully
     // reproducible across runs/engines unlike rand()-based sampling.
+    // Mann-Kendall trend test over the hourly event-count series —
+    // the nonparametric "is there a monotone trend" gate run before
+    // trusting any slope estimate. S = Σ sign(x_j − x_i) over ordered
+    // hour pairs stays integral; the variance carries the exact tie
+    // correction; z is the one closing IEEE sequence. The pair join
+    // is bounded by the TIME SPAN squared (≤720² for the month-long
+    // fixture), never by corpus size — a multi-year deployment
+    // samples pairs or coarsens buckets first (documented bound, the
+    // seasonal_decompose convention).
+    "trend_test" -> ((s, d) => {
+      import s.implicits._
+      val series = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("x"))
+      val a = series.select($"h".as("h1"), $"x".as("x1"))
+      val b = series.select($"h".as("h2"), $"x".as("x2"))
+      val sAgg = a.join(b, $"h2" > $"h1")
+        .agg(sum(signum($"x2" - $"x1").cast("long")).as("s_stat"))
+      val ties = series.groupBy($"x").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)), lit(0L))
+          .as("tie_term"))
+      val nRow = series.agg(count(lit(1)).as("n"))
+      val j = sAgg.crossJoin(broadcast(ties)).crossJoin(broadcast(nRow))
+      val varS = ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tie_term")
+        .cast("double") / 18.0
+      val z = when($"s_stat" > 0,
+        ($"s_stat" - 1).cast("double") / sqrt(varS))
+        .when($"s_stat" < 0, ($"s_stat" + 1).cast("double") / sqrt(varS))
+        .otherwise(0.0)
+      j.select($"n", $"s_stat", rnd(z, 6).as("z"))
+    }),
+
+    // Theil-Sen robust slope of the same series: the exact median of
+    // all pairwise slopes — the estimator a single outlier hour
+    // cannot move. Same span-bounded pair relation; the median is an
+    // explicit row_number middle-pick over BoundedWindow (derived
+    // identically in both engines — interpolating percentile
+    // built-ins differ cross-engine), averaging the two middle
+    // slopes on even counts.
+    "theil_sen" -> ((s, d) => {
+      import s.implicits._
+      val series = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("x"))
+      val a = series.select($"h".as("h1"), $"x".as("x1"))
+      val b = series.select($"h".as("h2"), $"x".as("x2"))
+      val slopes = a.join(b, $"h2" > $"h1")
+        .select($"h1", $"h2",
+          (($"x2" - $"x1").cast("double") /
+            ($"h2" - $"h1").cast("double")).as("slope"))
+      val w = graft.operators.BoundedWindow.orderBy(
+        "theil_sen: month-span hourly pairs (<=720^2/2)", 1L << 20,
+        $"slope", $"h1", $"h2")
+      val m = slopes.agg(count(lit(1)).as("m"))
+      slopes.withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(m))
+        .filter($"rn" === expr("(m + 1) DIV 2") || $"rn" === expr("m DIV 2 + 1"))
+        .agg(count(lit(1)).as("n_mid"), first($"m").as("n_pairs"),
+          sum($"slope").as("ssum"))
+        .select($"n_pairs",
+          rnd($"ssum" / $"n_mid".cast("double"), 6).as("slope_median"))
+    }),
+
     // Autocorrelation of the hourly event-count series at lags 1-3 —
     // the seasonality/trend diagnostic read before fitting any
     // forecaster (seasonal_decompose's sibling). The series is
@@ -283,6 +346,44 @@ object TimeSeriesQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same integral S and tie-corrected variance, same closing z
+    "trend_test" ->
+      """WITH s AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |sa AS (SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+        |    AS s_stat
+        |  FROM s a JOIN s b ON b.h > a.h),
+        |tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tie_term
+        |  FROM (SELECT count(*) AS t FROM s GROUP BY x) g),
+        |nn AS (SELECT count(*) AS n FROM s)
+        |SELECT n, s_stat,
+        | floor((CASE
+        |   WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |     / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+        |   WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |     / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+        |   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM sa CROSS JOIN tt CROSS JOIN nn""".stripMargin,
+
+    // same explicit middle-pick median (no interpolating percentile
+    // built-in — they differ cross-engine)
+    "theil_sen" ->
+      """WITH s AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |sl AS (SELECT a.h AS h1, b.h AS h2,
+        |  CAST(b.x - a.x AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+        | FROM s a JOIN s b ON b.h > a.h),
+        |r AS (SELECT slope,
+        |  row_number() OVER (ORDER BY slope, h1, h2) AS rn FROM sl),
+        |m AS (SELECT count(*) AS m FROM sl)
+        |SELECT CAST(m AS BIGINT) AS n_pairs,
+        | floor((sum(slope) / count(*)) * 1000000.0 + 0.5) / 1000000.0
+        |   AS slope_median
+        |FROM r CROSS JOIN m
+        |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |GROUP BY m""".stripMargin,
+
     // same hourly bucketing, same decimal-snapped moments, same fixed
     // division order per lag
     "autocorr_lag" -> {

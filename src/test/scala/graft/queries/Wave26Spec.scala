@@ -114,6 +114,41 @@ class Wave26Spec extends SparkSpecBase {
     }
   }
 
+  test("trend_test and theil_sen equal driver-side pairwise computations") {
+    val hours = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts"))
+      .as[Long].collect().map(_ / 3600000000L)
+    val series = hours.groupBy(identity(_)).map { case (h, v) => h -> v.size.toLong }
+      .toSeq.sortBy(_._1)
+    val n = series.size.toLong
+    val pairs = for (i <- series.indices; j <- i + 1 until series.size)
+      yield (series(i), series(j))
+    val sStat = pairs.map { case ((_, x1), (_, x2)) =>
+      java.lang.Long.signum(x2 - x1).toLong
+    }.sum
+    val tie = series.groupBy(_._2).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varS = (n * (n - 1) * (2 * n + 5) - tie).toDouble / 18.0
+    val z =
+      if (sStat > 0) (sStat - 1).toDouble / math.sqrt(varS)
+      else if (sStat < 0) (sStat + 1).toDouble / math.sqrt(varS)
+      else 0.0
+    val t = SparkEntry.queries("trend_test")(spark, sf)
+      .as[(Long, Long, Double)].collect().head
+    assert(t._1 == n && t._2 == sStat)
+    assert(math.abs(t._3 - z) < 1e-6, s"z ${t._3} vs $z")
+
+    val slopes = pairs.map { case ((h1, x1), (h2, x2)) =>
+      (x2 - x1).toDouble / (h2 - h1).toDouble
+    }.sorted
+    val m = slopes.size
+    val med = (slopes((m + 1) / 2 - 1) + slopes(m / 2)) / 2.0
+    val ts = SparkEntry.queries("theil_sen")(spark, sf)
+      .as[(Long, Double)].collect().head
+    assert(ts._1 == m.toLong)
+    assert(math.abs(ts._2 - med) < 1e-6, s"median ${ts._2} vs $med")
+  }
+
   test("bfs_hops equals a driver-side breadth-first walk") {
     val edges = LlmQueries.pairTable(spark, sf)
       .as[(Long, Long)].collect()
