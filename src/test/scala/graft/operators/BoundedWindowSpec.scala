@@ -42,7 +42,8 @@ class BoundedWindowSpec extends SparkSpecBase {
       .flatMap { p =>
         java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
           case (line, i)
-              if (line.contains("Window.orderBy(") ||
+              if ((line.contains("Window.orderBy(") &&
+                !line.contains("BoundedWindow.orderBy(")) ||
                 line.contains("Window.partitionBy()")) &&
                 !line.trim.startsWith("//") =>
             s"$p:${i + 1}: ${line.trim}"
