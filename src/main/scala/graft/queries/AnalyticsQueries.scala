@@ -196,12 +196,22 @@ object AnalyticsQueries {
       // metadata-scale job that also materializes the cache), not a
       // guessed constant that would pin the false-positive rate to one
       // scale factor
-      val expected = math.max(1000L, sel.count())
-      val bloom = lit(graft.plans.BloomFunctions.serialize(
-        sel.stat.bloomFilter("o_orderkey", expected, 0.01)))
-      graft.plans.BloomFunctions.register(s)
+      val cnt = sel.count()
+      val expected = math.max(1000L, cnt)
+      // empty-dimension guard: stat.bloomFilter over zero rows yields
+      // a sketch with null internals (serialize NPEs). The bloom is
+      // pure pruning ahead of an exact semi join, so the degenerate
+      // prune is simply `false` — identical rows (none) either way.
+      val prune =
+        if (cnt == 0) lit(false)
+        else {
+          val bloom = lit(graft.plans.BloomFunctions.serialize(
+            sel.stat.bloomFilter("o_orderkey", expected, 0.01)))
+          graft.plans.BloomFunctions.register(s)
+          graft.plans.BloomFunctions.mightContain(bloom, $"l_orderkey")
+        }
       Tables.lineitem(s, d)
-        .filter(graft.plans.BloomFunctions.mightContain(bloom, $"l_orderkey"))
+        .filter(prune)
         .join(sel, $"l_orderkey" === $"o_orderkey", "left_semi")
         .groupBy($"l_orderkey")
         .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))

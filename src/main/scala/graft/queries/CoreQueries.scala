@@ -340,7 +340,11 @@ object CoreQueries {
       Tables.events(s, d)
         .select($"event_id", $"user_id", $"event_type", dec($"value").as("value"))
         .write.mode("overwrite").json(path)
-      s.read.json(path)
+      // explicit schema: inference costs a full extra pass at scale
+      // (the csv_scan argument) and fails outright on a zero-row dump
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DECIMAL(18,2)")
+        .json(path)
         .groupBy(col("event_type"))
         .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
           count(lit(1)).as("n"))

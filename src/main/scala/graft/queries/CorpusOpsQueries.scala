@@ -620,7 +620,11 @@ object CorpusOpsQueries {
       import s.implicits._
       val iters = 5
       val docs = Tables.documents(s, d).select($"doc_id")
-      val n = LlmQueries.memoizedCount(s, d, "documents_count")(docs.count())
+      // max(1, ·): the 1/n teleport constants on an EMPTY corpus are
+      // multiplied into zero rows anyway, but ANSI mode rejects the
+      // literal division before that can happen
+      val n = math.max(1L,
+        LlmQueries.memoizedCount(s, d, "documents_count")(docs.count()))
       val e = LlmQueries.pairTable(s, d)
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
       val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))

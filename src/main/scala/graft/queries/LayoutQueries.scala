@@ -118,9 +118,13 @@ object LayoutQueries {
     "partition_prune" -> ((s, d) => {
       import s.implicits._
       val path = Q.scratchPath("orders_bypri", d)
-      Tables.orders(s, d)
-        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-      s.read.parquet(path)
+      val src = Tables.orders(s, d)
+      src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      // carry the schema explicitly: a zero-row partitioned write
+      // leaves no files to infer from (and production readers carry
+      // schemas anyway); partition discovery still supplies the
+      // directory values on non-empty data
+      s.read.schema(src.schema).parquet(path)
         .filter($"o_orderpriority" === "1-URGENT")
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
@@ -139,9 +143,9 @@ object LayoutQueries {
     "dpp_join" -> ((s, d) => {
       import s.implicits._
       val path = Q.scratchPath("events_bytype", d)
-      Tables.events(s, d)
-        .write.mode("overwrite").partitionBy("event_type").parquet(path)
-      val fact = s.read.parquet(path)
+      val srcEv = Tables.events(s, d)
+      srcEv.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val fact = s.read.schema(srcEv.schema).parquet(path)
       val dim = Tables.events(s, d).select($"event_type").distinct()
         .filter(length($"event_type") === 5)
       fact.join(broadcast(dim), Seq("event_type"))
