@@ -29,8 +29,11 @@ object SourceUdxQueries {
       rows.foreach { r =>
         val id = r.getLong(0)
         // escape backslash + quote so the entry is valid JSON even if
-        // the text carries either (the oracle mirrors both replaces)
-        val text = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        // the text carries either (the oracle mirrors both replaces);
+        // a NULL text lands as the empty string — same as the
+        // coalesce('') convention every text consumer applies
+        val text = (if (r.isNullAt(1)) "" else r.getString(1))
+          .replace("\\", "\\\\").replace("\"", "\\\"")
         val content = s"""{"doc_id":$id,"text":"$text"}"""
         zout.putNextEntry(new java.util.zip.ZipEntry(s"doc_$id.json"))
         zout.write(content.getBytes("UTF-8"))

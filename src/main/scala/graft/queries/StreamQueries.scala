@@ -159,7 +159,8 @@ object StreamQueries {
     "stream_custom_state" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
-        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          coalesce($"value", lit(0.0)).as("value")) // typed-encoder boundary: SessEvent.value is primitive; a NULL contributes 0 to the session sum, matching skip-null sum() on any session with >= 1 real value
         .as[SessEvent]
         .groupByKey(_.user_id)
         .flatMapGroups((uid: Long, it: Iterator[SessEvent]) => sessionize(uid, it))
@@ -194,7 +195,8 @@ object StreamQueries {
       import s.implicits._
       org.apache.spark.sql.GraftStateBridge.ensureStateStoreCoordinator(s)
       Tables.events(s, d)
-        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          coalesce($"value", lit(0.0)).as("value")) // typed-encoder boundary: SessEvent.value is primitive; a NULL contributes 0 to the session sum, matching skip-null sum() on any session with >= 1 real value
         .as[SessEvent]
         .groupByKey(_.user_id)
         .transformWithState(new SessionProcessor,
