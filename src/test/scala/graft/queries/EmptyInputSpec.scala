@@ -21,14 +21,19 @@ class EmptyInputSpec extends SparkSpecBase {
         else graft.Tables.t(spark, src, t)
       df.limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).count(); None }
-        catch {
-          case e: Throwable =>
-            Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
-        }
-    }
+    val failures =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, dir).count(); None }
+          catch {
+            case e: Throwable =>
+              Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+          }
+      }
+      // drop this corpus's memoized tables: tags are session-scoped,
+      // and leaving them cached pollutes the release-lifecycle test
+      // (and holds dead blocks) for the rest of the suite
+      finally LlmQueries.clearCaches(Some(spark))
     assert(failures.isEmpty,
       s"${failures.size} queries crash on an empty corpus:\n" +
         failures.map { case (n, m) => s"  $n: $m" }.mkString("\n"))

@@ -44,14 +44,18 @@ class NullInputSpec extends SparkSpecBase {
       }: _*)
       out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).count(); None }
-        catch {
-          case e: Throwable =>
-            Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(140)}")
-        }
-    }
+    val failures =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, dir).count(); None }
+          catch {
+            case e: Throwable =>
+              Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(140)}")
+          }
+      }
+      // see EmptyInputSpec: clear this corpus's memoized tables so
+      // session-scoped tags don't leak into the lifecycle test
+      finally LlmQueries.clearCaches(Some(spark))
     assert(failures.isEmpty,
       s"${failures.size} queries crash on a null-ridden corpus:\n" +
         failures.map { case (n, m) => s"  $n: $m" }.mkString("\n"))
