@@ -36,8 +36,9 @@ object BenchShared {
     "triangle_count", "kcore_peel", "bfs_hops",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
-    // winnow_fps consumer (released after itself)
-    "winnow_matches",
+    // winnow_fps consumers: fingerprint stats first (cheap reader),
+    // the cross-doc match join last (release point)
+    "winnow_fingerprint", "winnow_matches",
     "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign",
     "label_propagation", "kmeans_iterate")
 

@@ -36,57 +36,85 @@ object CorpusOpsQueries {
     */
   private val ShardCount = 16
 
-  /** Winnowing window rows (doc_id, p, fp): char 8-gram md5 hashes
-    * over normalized text, min of each sliding 4-window, full windows
-    * only (Schleimer/Wilkerson/Aiken winnowing, SIGMOD 2003 —
-    * public). Shared by winnow_fingerprint (per-doc aggregate) and
-    * winnow_matches (cross-doc shared-fingerprint join); the DuckDB
-    * side of the same construction is [[duckWinnowCtes]]. Position
-    * explode is scan-parallel; the window min is doc-partitioned and
-    * bounded by doc length.
+  /** One-projection winnowing build (doc_id, t, wins): char 8-gram md5
+    * hashes over normalized text and the min of each sliding 4-window,
+    * full windows only (Schleimer/Wilkerson/Aiken winnowing, SIGMOD
+    * 2003 — public) — entirely as per-doc array HOFs. wins[i] (0-based)
+    * is the minimum over gram positions i+1..i+4, i.e. the full window
+    * ENDING at 1-based gram position p = i + 4.
+    *
+    * This replaced the r9 explode + doc-keyed window construction: the
+    * gram hashing is the same ~n_chars md5 evaluations, but nothing
+    * explodes to rows and the 36M-row doc-keyed window SHUFFLE (the
+    * r9 profile's single biggest line: winnow_fingerprint +
+    * winnow_matches together ~16.5 s) is gone — the sliding min is
+    * element_at arithmetic inside the same projection that hashed the
+    * grams, so the whole corpus-wide character pass is one shuffle-free
+    * map over the documents scan.
+    */
+  private def winnowDocBuild(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 8; val w = 4
+    Tables.documents(s, d)
+      .select($"doc_id", TF.normText($"text").as("t"))
+      .filter(length($"t") >= k + w - 1)
+      .withColumn("g", transform(
+        sequence(lit(1), length($"t") - (k - 1)),
+        p => conv(substring(md5($"t".substr(p, lit(k))), 1, 8), 16, 10)
+          .cast("long")))
+      .withColumn("wins", transform(
+        sequence(lit(w), size($"g")),
+        i => least(element_at($"g", i - 3), element_at($"g", i - 2),
+          element_at($"g", i - 1), element_at($"g", i))))
+  }
+
+  /** Memoized per-doc winnowing sketch (doc_id, n_windows, fps):
+    * full-window count plus the DISTINCT fingerprint set as an array —
+    * built by [[winnowDocBuild]] in one shuffle-free pass and shared
+    * by winnow_fingerprint (per-doc stats are array arithmetic on it)
+    * and winnow_matches (explodes fps for the shared-fingerprint
+    * join). ~1 distinct long per ~4 chars of corpus: dramatically
+    * smaller than the window-rows relation (which measurably SPILLED
+    * when cached in r9), so this is the artifact worth keeping hot.
+    * Released after winnow_matches (the family's last consumer).
+    */
+  private[queries] def winnowDocTable(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    LlmQueries.memoized(s, d, "winnow_fps") {
+      winnowDocBuild(s, d)
+        .select(col("doc_id"),
+          size(col("wins")).cast("long").as("n_windows"),
+          array_distinct(col("wins")).as("fps"))
+    }
+
+  /** Distinct per-doc fingerprint rows (doc_id, fp), exploded from the
+    * memoized [[winnowDocTable]] — the row-shaped view winnow_matches'
+    * join branches consume.
+    */
+  private[queries] def winnowFps(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    winnowDocTable(s, d).select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** Winnowing window rows (doc_id, p, fp) WITH gram positions —
+    * [[winnowDocBuild]] posexploded. Only span-level consumers
+    * (substring_dedup_cut) need positions; the fingerprint family
+    * reads the compact [[winnowDocTable]] instead.
     */
   private[queries] def winnowWindows(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = 8; val w = 4
-    val grams = Tables.documents(s, d)
-      .select($"doc_id", TF.normText($"text").as("t"))
-      .filter(length($"t") >= k + w - 1)
-      .select($"doc_id",
-        explode(sequence(lit(1), length($"t") - (k - 1))).as("p"), $"t")
-      .select($"doc_id", $"p",
-        conv(substring(md5($"t".substr($"p", lit(k))), 1, 8), 16, 10)
-          .cast("long").as("h"))
-    val win = Window.partitionBy($"doc_id").orderBy($"p")
-      .rowsBetween(-(w - 1), 0)
-    grams
-      .withColumn("fp", min($"h").over(win))
-      .filter($"p" >= w) // full windows only
-      .select($"doc_id", $"p", $"fp")
+    winnowDocBuild(s, d)
+      .select($"doc_id", posexplode($"wins").as(Seq("i", "fp")))
+      .select($"doc_id", ($"i" + 4).as("p"), $"fp")
   }
 
-  /** Memoized distinct per-doc fingerprint set (doc_id, fp) — the
-    * winnowing sketch store winnow_matches' four plan branches
-    * (df filter, prune join, pair self-join, size join) all read.
-    * Released after winnow_matches (its only consumer).
-    */
-  private[queries] def winnowFps(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    LlmQueries.memoized(s, d, "winnow_fps") {
-      winnowWindows(s, d).select(col("doc_id"), col("fp")).distinct()
-    }
-
-  /** DuckDB mirror of [[winnowWindows]]: CTEs n → g → f; `f` holds
+  /** DuckDB mirror of [[winnowDocBuild]]: CTEs n → g → f; `f` holds
     * (doc_id, p, fp) with the p >= 4 full-window filter applied by
     * the consumer (winnow_fingerprint keeps it in its WHERE so its
-    * committed oracle text stays byte-stable).
-    *
-    * Deliberately NOT memoized: the window-rows relation is ~n_chars
-    * rows (36M at sf0.1) and a measured cache of it SPILLS — three
-    * deserializing consumers cost more cpu than recomputing the
-    * codegen'd construction (89 vs 53 cpu-s at bench scale). The
-    * memoized artifact is the 4× smaller DISTINCT set
-    * ([[winnowFps]]) that winnow_matches' four branches share.
+    * committed oracle text stays byte-stable). The Spark side now
+    * computes the same windows as array HOFs; values are identical
+    * (same grams, same md5-hex→BIGINT hash, same 4-window minima).
     */
   private[queries] val duckWinnowCtes: String =
     s"""n AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents
@@ -313,10 +341,19 @@ object CorpusOpsQueries {
       val wedges = e.join(e.select($"u", $"v".as("w")), Seq("u"))
         .filter($"v" < $"w")
       val tri = wedges.join(e.select($"u".as("v"), $"v".as("w")), Seq("v", "w"))
+      // `capped` surfaces the WedgeCap bound in the RESULT (ADVICE r9):
+      // true = this node's out-adjacency was truncated, so its n_tri is
+      // a lower bound, not an exact count. Dormant (all false) at every
+      // oracle scale; at degenerate-mega-star scale the consumer sees
+      // exactly which counts are estimates. Mirrored in the oracle.
+      val deg = raw.groupBy($"u").agg(count(lit(1)).as("outdeg"))
       tri.select($"u".as("node"))
         .unionAll(tri.select($"v".as("node")))
         .unionAll(tri.select($"w".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+        .join(deg.select($"u".as("node"), $"outdeg"), Seq("node"), "left")
+        .select($"node", $"n_tri",
+          (coalesce($"outdeg", lit(0L)) > WedgeCap).as("capped"))
         .orderBy($"node")
     }),
 
@@ -958,25 +995,23 @@ object CorpusOpsQueries {
     // SIGMOD 2003 — public): char 8-gram hashes over normalized text,
     // then the minimum hash of each sliding 4-window; the distinct
     // window minima are the doc's fingerprint set (guaranteed to
-    // catch any match of length >= k + w - 1 = 11 chars). Fully
-    // relational: position explode (scan-parallel, like the shingle
-    // family), one doc-partitioned window min (per-doc data, bounded
-    // by doc length), one per-doc aggregate. The md5-hex → long hash
-    // is the engine's standard cross-engine hash (dsir_select's
-    // bucket idiom), so the oracle reproduces fingerprints exactly.
-    // At 100 TB: identical shape to dup_ngram_frac — nothing global,
-    // shuffles only by doc_id.
+    // catch any match of length >= k + w - 1 = 11 chars). Since r10
+    // the whole construction is per-doc array HOFs on the memoized
+    // [[winnowDocTable]] — every per-doc statistic here is array
+    // arithmetic on the cached sketch, with NO explode, NO doc-keyed
+    // window shuffle, and no second corpus character pass (the r9
+    // VERDICT's top profile item). The md5-hex → long hash is the
+    // engine's standard cross-engine hash (dsir_select's bucket
+    // idiom), so the oracle reproduces fingerprints exactly.
+    // At 100 TB: a pure map over the documents scan plus one ORDER BY.
     "winnow_fingerprint" -> ((s, d) => {
       import s.implicits._
-      winnowWindows(s, d)
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          countDistinct($"fp").as("n_fp"),
-          min($"fp").as("fp_min"), max($"fp").as("fp_max"))
-        .select($"doc_id", $"n_windows", $"n_fp",
-          rnd($"n_fp".cast("double") / $"n_windows".cast("double"), 6)
+      winnowDocTable(s, d)
+        .select($"doc_id", $"n_windows",
+          size($"fps").cast("long").as("n_fp"),
+          rnd(size($"fps").cast("double") / $"n_windows".cast("double"), 6)
             .as("density"),
-          $"fp_min", $"fp_max")
+          array_min($"fps").as("fp_min"), array_max($"fps").as("fp_max"))
         .orderBy($"doc_id")
     }),
 
@@ -1298,12 +1333,17 @@ object CorpusOpsQueries {
          |tri AS (
          | SELECT w1.u, w1.v, w1.w FROM (
          |  SELECT a.u, a.v, b.v AS w FROM e a JOIN e b ON a.u = b.u AND a.v < b.v) w1
-         | JOIN e c ON c.u = w1.v AND c.v = w1.w)
-         |SELECT node, count(*) AS n_tri FROM (
+         | JOIN e c ON c.u = w1.v AND c.v = w1.w),
+         |deg AS (SELECT doc_a AS node, count(*) AS outdeg FROM cand
+         |        GROUP BY doc_a),
+         |g AS (SELECT node, count(*) AS n_tri FROM (
          | SELECT u AS node FROM tri
          | UNION ALL SELECT v AS node FROM tri
          | UNION ALL SELECT w AS node FROM tri) t
-         |GROUP BY node ORDER BY node""".stripMargin,
+         |GROUP BY node)
+         |SELECT g.node, g.n_tri,
+         | coalesce(d.outdeg, 0) > $WedgeCap AS capped
+         |FROM g LEFT JOIN deg d USING (node) ORDER BY node""".stripMargin,
 
     // plain corpus-wide NTILE in the oracle (DistributedNtile matches
     // NTILE semantics exactly); missing deciles drop out identically

@@ -331,8 +331,12 @@ object CurationQueries {
         .select($"lang", $"doc_id",
           TF.nTokens($"text").cast("long").as("n_tok"),
           TF.qualityScore($"text").as("q"))
+      // asc_nulls_last: Spark asc is NULLS FIRST, DuckDB's is NULLS
+      // LAST — a null quality score (null text) would shift the whole
+      // phase assignment off the oracle (ADVICE r9)
       graft.operators.DistributedNtile
-        .withNtile(base, "lang", Seq($"q", $"doc_id"), 3, "phase")
+        .withNtile(base, "lang",
+          Seq($"q".asc_nulls_last, $"doc_id".asc_nulls_last), 3, "phase")
         .groupBy($"lang", $"phase")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"),
           min($"q").as("q_min"), max($"q").as("q_max"))

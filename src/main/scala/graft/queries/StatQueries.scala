@@ -75,8 +75,12 @@ object StatQueries {
         sum($"pos").as("n_pos"),
         sum(lit(1L) - $"pos").as("n_neg"))
         .withColumn("g", lit(1))
+      // asc_nulls_last on every nullable order key in this file: Spark
+      // ascending sorts NULLS FIRST, DuckDB's default is NULLS LAST, so
+      // a null score/value/price would silently shift every downstream
+      // tile/prefix-sum assignment off the oracle's (ADVICE r9)
       val run = DistributedNtile.withRunningSum(
-        perScore, "g", Seq($"score"), $"n_neg", "cneg")
+        perScore, "g", Seq($"score".asc_nulls_last), $"n_neg", "cneg")
       run.agg(
         sum($"n_pos").as("n_pos"),
         sum($"n_neg").as("n_neg"),
@@ -103,9 +107,9 @@ object StatQueries {
       val tot = base.agg(
         sum($"ia").as("na"), sum($"ib").as("nb"))
       val run1 = DistributedNtile.withRunningSum(
-        perVal, "g", Seq($"value"), $"a", "ca")
+        perVal, "g", Seq($"value".asc_nulls_last), $"a", "ca")
       val run = DistributedNtile.withRunningSum(
-        run1, "g", Seq($"value"), $"b", "cb")
+        run1, "g", Seq($"value".asc_nulls_last), $"b", "cb")
       run.crossJoin(broadcast(tot))
         .select($"value", $"ca", $"cb", $"na", $"nb",
           abs($"ca".cast("double") / $"na".cast("double")
@@ -124,7 +128,8 @@ object StatQueries {
         .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
         .withColumn("g", lit(1))
       DistributedNtile.withNtile(li, "g",
-        Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber"),
+        Seq($"l_extendedprice".asc_nulls_last, $"l_orderkey".asc_nulls_last,
+          $"l_linenumber".asc_nulls_last),
         HistBins, "bin")
         .groupBy($"bin").agg(
           count(lit(1)).as("n"),
@@ -193,7 +198,11 @@ object StatQueries {
         .withColumn("o", coalesce($"o", lit(0L)))
       val e = $"rt".cast("double") * $"ct".cast("double") / $"nn".cast("double")
       val diff = $"o".cast("double") - e
-      val contrib = rnd(diff * diff / e, 6).cast("decimal(18,6)")
+      // decimal(38,6), not (18,6): a per-cell (o-e)²/e is bounded only
+      // by the top-term occurrence total N, which can pass 1e12 at
+      // 100 TB — under ANSI mode an overflowing (18,6) snap is a
+      // runtime error (ab_ttest's decimal(38,4) idiom)
+      val contrib = rnd(diff * diff / e, 6).cast("decimal(38,6)")
       grid.groupBy($"term", $"rt")
         .agg(sum(contrib).cast("double").as("chi2"))
         .orderBy($"chi2".desc, $"term")
@@ -209,7 +218,8 @@ object StatQueries {
       import s.implicits._
       val ev = Tables.events(s, d).select($"event_type", $"value", $"event_id")
       val tiled = DistributedNtile.withNtile(
-        ev, "event_type", Seq($"value", $"event_id"), 4, "tile")
+        ev, "event_type",
+        Seq($"value".asc_nulls_last, $"event_id".asc_nulls_last), 4, "tile")
       val fences = tiled.groupBy($"event_type").agg(
         max(when($"tile" === 1, $"value")).as("q1"),
         max(when($"tile" === 3, $"value")).as("q3"))
@@ -263,7 +273,8 @@ object StatQueries {
         .agg(sum(dec($"o_totalprice")).cast("decimal(18,2)").as("rev"))
         .withColumn("g", lit(1))
       val ranked = DistributedNtile.withRunningSum(
-        r, "g", Seq($"rev", $"o_custkey"), lit(1L), "rank")
+        r, "g", Seq($"rev".asc_nulls_last, $"o_custkey".asc_nulls_last),
+        lit(1L), "rank")
       val agg = ranked.agg(
         count(lit(1)).as("n_cust"),
         sum($"rev").cast("double").as("total_rev"),
@@ -312,7 +323,8 @@ object StatQueries {
       val o = Tables.orders(s, d)
         .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
       DistributedNtile.withNtile(o, "o_orderpriority",
-        Seq($"o_totalprice", $"o_orderkey"), 4, "q")
+        Seq($"o_totalprice".asc_nulls_last, $"o_orderkey".asc_nulls_last),
+        4, "q")
         .groupBy($"o_orderpriority", $"q").agg(
           count(lit(1)).as("n"),
           min($"o_totalprice").as("lo"),
@@ -441,7 +453,7 @@ object StatQueries {
          | FROM grid)
          |SELECT term, rt,
          | CAST(sum(CAST(${Q.duckRnd("diff * diff / e", 6)}
-         |   AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+         |   AS DECIMAL(38,6))) AS DOUBLE) AS chi2
          |FROM x GROUP BY term, rt ORDER BY chi2 DESC, term""".stripMargin,
 
     "iqr_outliers" ->

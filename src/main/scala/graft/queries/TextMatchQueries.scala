@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -51,7 +52,10 @@ object TextMatchQueries {
         .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= MinShared)
-      val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+      // set sizes come straight off the cached per-doc sketch — array
+      // arithmetic, not a re-aggregation of the exploded rows
+      val sizes = CorpusOpsQueries.winnowDocTable(s, d)
+        .select($"doc_id", size($"fps").cast("long").as("n_fp"))
       pairs
         .join(sizes.select($"doc_id".as("doc_a"), $"n_fp".as("nfa")), Seq("doc_a"))
         .join(sizes.select($"doc_id".as("doc_b"), $"n_fp".as("nfb")), Seq("doc_b"))

@@ -268,6 +268,10 @@ object TimeSeriesQueries {
         .filter($"rn" === expr("(m + 1) DIV 2") || $"rn" === expr("m DIV 2 + 1"))
         .agg(count(lit(1)).as("n_mid"), first($"m").as("n_pairs"),
           sum($"slope").as("ssum"))
+        // zero-rows-on-empty convention, matching the oracle's GROUP BY
+        // m: a degenerate corpus (empty / single hour → no slope pairs)
+        // emits NO row, never a global-agg all-null row
+        .filter($"n_mid" > 0)
         .select($"n_pairs",
           rnd($"ssum" / $"n_mid".cast("double"), 6).as("slope_median"))
     }),

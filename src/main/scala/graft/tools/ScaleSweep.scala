@@ -126,9 +126,9 @@ object ScaleSweep {
       // has no events table, so anomaly_mad/seasonal_decompose stay
       // bench-only)
       "dsir_select", "ccnet_buckets",
-      // round-9 corpus/embedding ops (taxonomy_classify rides
-      // corpusFamily above)
-      "winnow_fingerprint", "lm_backoff_score", "length_histogram",
+      // round-9 corpus/embedding ops (taxonomy_classify and — since
+      // r10 — winnow_fingerprint ride corpusFamily above)
+      "lm_backoff_score", "length_histogram",
       "embedding_quantize",
       // twelfth wave (documents-side dataset-assembly ops; the
       // events-side changepoint_cusum stays bench-only like

@@ -812,10 +812,13 @@ class QueriesSpec extends SparkSpecBase {
     for ((a, b) <- edges; c <- adj(a).intersect(adj(b)) if a < b && b < c) {
       triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
     }
-    val got = SparkEntry.queries("triangle_count")(spark, sf)
-      .as[(Long, Long)].collect().toMap
+    val full = SparkEntry.queries("triangle_count")(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    val got = full.map { case (n, t, _) => n -> t }.toMap
     assert(got == triCount.toMap,
       s"got ${got.toSeq.sorted}\nwant ${triCount.toSeq.sorted}")
+    // the WedgeCap estimate flag must be dormant at fixture scale
+    assert(full.forall(!_._3), "capped flag set at fixture scale")
   }
 
   // MAD audit invariants: every statistic recomputes exactly from a

@@ -24,12 +24,24 @@ class Round9Spec extends SparkSpecBase {
       "docs sharing a 43-char run have disjoint fingerprint sets")
     assert(fps(1L).intersect(fps(3L)).isEmpty,
       "unrelated docs share a fingerprint (hash collision in a 3-doc fixture is ~impossible)")
+    // the r10 array-HOF production path must produce the SAME sets as
+    // this independent explode+window replica (the r9 construction)
+    val prod = try {
+      import org.apache.spark.sql.functions._
+      CorpusOpsQueries.winnowDocTable(spark, dir)
+        .select($"doc_id", explode($"fps").as("fp"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    } finally LlmQueries.release(spark, dir, "winnow_fps")
+    assert(prod == fps,
+      s"array-HOF winnow sets diverge from the explode+window replica: $prod vs $fps")
   }
 
   private def Tables_winnowFps(dir: String): Map[Long, Set[Long]] = {
-    // recompute the distinct fingerprint SETS via the same query path
-    // but before the per-doc aggregate: rerun the public query and
-    // also pull (doc_id, fp) pairs through a replica of its stages
+    // an INDEPENDENT reference construction of the fingerprint sets:
+    // explode to gram rows + doc-keyed window min (the r9 production
+    // shape, kept here as a cross-implementation oracle for the
+    // array-HOF build)
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val k = 8; val w = 4
