@@ -31,7 +31,7 @@ object BenchShared {
     "vocab_growth", "zipf_profile", "maxsim_rerank",
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)
-    "bpe_merges", "bpe_apply", "taxonomy_classify", "chi2_terms",
+    "bpe_merges", "bpe_apply", "bpe_decode", "taxonomy_classify", "chi2_terms",
     "good_turing", "unigram_surprise",
     "triangle_count", "kcore_peel", "bfs_hops",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
@@ -53,7 +53,7 @@ object BenchShared {
     "dup_ngram_frac" -> Seq("shingles"),
     "dedup_incremental" -> Seq("bands"),
     "ngram_novelty" -> Seq("shingles_distinct"),
-    "bpe_apply" -> Seq("bpe_words"),
+    "bpe_decode" -> Seq("bpe_words", "bpe_toks"),
     "unigram_surprise" -> Seq("term_rows"),
     "dedup_clusters" -> Seq("candidate_pairs"),
     "knn_rerank" -> Seq("pq_codebook"),

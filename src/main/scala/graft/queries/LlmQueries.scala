@@ -85,6 +85,35 @@ object LlmQueries {
           concat(lit(" "), regexp_replace($"term", "(.)", "$1 ")).as("sym"))
     }
 
+  /** Memoized + persisted encoded-token table (doc_id, i, tok, sym):
+    * every non-empty corpus token with its ordinal and its
+    * sentinel-spaced symbol string after all 5 trained merges. The 5
+    * chained greedy merge folds are the BPE family's dominant cost
+    * (HOF folds evaluate interpreted, ~n_chars work per token) and
+    * bpe_apply and bpe_decode need byte-identical merge output —
+    * computing it once and caching makes decode an id-mapping pass
+    * over cached rows instead of a second full merge of the corpus
+    * (22.5 s → ~3 s at sf0.1). Released after bpe_decode (the
+    * family's last consumer).
+    */
+  private[graft] def bpeToksTable(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "bpe_toks") {
+      import s.implicits._
+      val rules = defs("bpe_merges")(s, d) // (step, a, b, cnt), 5 rows
+      val ruleRow = broadcast(rules.groupBy().pivot("step", 1 to 5)
+        .agg(first($"a").as("a"), first($"b").as("b")))
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("i", "tok")))
+        .filter($"tok" =!= "")
+      val start = concat(lit(" "), regexp_replace($"tok", "(.)", "$1 "))
+      val merged = (1 to 5).foldLeft(start) { (sym, i) =>
+        bpeMergeStep(sym, col(s"${i}_a"), col(s"${i}_b"))
+      }
+      toks.crossJoin(ruleRow)
+        .select($"doc_id", $"i", $"tok", merged.as("sym"))
+    }
+
   /** Greedy left-to-right BPE pair merge over a sentinel-spaced
     * symbol string — exact Sennrich merge-all semantics: scan the
     * symbols once, merge (a,b)→ab, resume AFTER the merged symbol.
@@ -1067,30 +1096,20 @@ object LlmQueries {
 
     // BPE ENCODING with the trained rules — the apply half of the
     // bpe_merges train/apply pair (vocab_build→tokenizer_apply's
-    // shape). The 5 merge rules pivot to ONE row (a1..b5) that
-    // cross-join-broadcasts onto the token scan; each token re-derives
-    // its character symbols and applies the rules in training order as
-    // 5 chained greedy merge folds (bpeMergeStep) — one projection,
-    // no shuffle until the per-doc aggregate. Output is the per-doc
-    // compression audit (char symbols vs BPE symbols), the number a
-    // tokenizer team actually tracks. Each fold merges occurrences
-    // left-to-right exactly as training did, so apply is consistent
-    // with train.
+    // shape). The encoded-token table ([[bpeToksTable]]: the 5 merge
+    // rules pivoted to one broadcast row, each token's character
+    // symbols re-derived and merged in training order as 5 chained
+    // greedy folds) is memoized and shared with bpe_decode — one
+    // projection, no shuffle until the per-doc aggregate. Output is
+    // the per-doc compression audit (char symbols vs BPE symbols),
+    // the number a tokenizer team actually tracks. Each fold merges
+    // occurrences left-to-right exactly as training did, so apply is
+    // consistent with train.
     "bpe_apply" -> ((s, d) => {
       import s.implicits._
-      val rules = defs("bpe_merges")(s, d) // (step, a, b, cnt), 5 rows
-      val ruleRow = broadcast(rules.groupBy().pivot("step", 1 to 5)
-        .agg(first($"a").as("a"), first($"b").as("b")))
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", explode(TF.tokens($"text")).as("t"))
-        .filter($"t" =!= "")
-      val start = concat(lit(" "), regexp_replace($"t", "(.)", "$1 "))
-      val merged = (1 to 5).foldLeft(start) { (sym, i) =>
-        bpeMergeStep(sym, col(s"${i}_a"), col(s"${i}_b"))
-      }
-      toks.crossJoin(ruleRow)
-        .select($"doc_id", length($"t").as("n_char"),
-          (size(split(merged, " ")) - 2).cast("long").as("n_sym"))
+      bpeToksTable(s, d)
+        .select($"doc_id", length($"tok").as("n_char"),
+          (size(split($"sym", " ")) - 2).cast("long").as("n_sym"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           sum($"n_char").as("char_symbols"),
@@ -1098,6 +1117,59 @@ object LlmQueries {
         .select($"doc_id", $"n_tokens", $"char_symbols", $"bpe_symbols",
           ($"bpe_symbols".cast("double") / $"char_symbols".cast("double"))
             .as("compression"))
+        .orderBy($"doc_id")
+    }),
+
+    // BPE DECODE — the ids→text inverse that closes the tokenizer
+    // round-trip (train → encode → ids → decode). The id vocabulary is
+    // the sorted distinct symbol set of the trained top-200 word table
+    // after all 5 merges (position in the sorted array IS the id,
+    // 1-based); encoding maps each token's merged symbols (read from
+    // the memoized [[bpeToksTable]], shared with bpe_apply) to ids via
+    // array_position, decoding maps ids back through the same array
+    // and re-concatenates. OOV symbols (characters outside the trained
+    // vocabulary) decode to '<unk>' and are counted per doc, so
+    // `decoded == normalized text` exactly when n_oov = 0 — the
+    // round-trip invariant Round11Spec pins. Plan shape: the one-row
+    // vocab array broadcasts onto the cached encoded-token rows; the
+    // id lookup and decode are per-row array HOFs, then ONE per-doc
+    // aggregate reassembles documents in token order (sort_array over
+    // (ordinal, token) structs — per-doc row width, same bound as the
+    // winnow sketch). Scan-proportional at any corpus size.
+    "bpe_decode" -> ((s, d) => {
+      import s.implicits._
+      val rules = defs("bpe_merges")(s, d) // (step, a, b, cnt), 5 rows
+      val ruleRow = broadcast(rules.groupBy().pivot("step", 1 to 5)
+        .agg(first($"a").as("a"), first($"b").as("b")))
+      val mergedVocab = (1 to 5).foldLeft($"sym".as("sym")) { (e, i) =>
+        bpeMergeStep(e, col(s"${i}_a"), col(s"${i}_b"))
+      }
+      // id→symbol array: distinct symbols of the fully-merged word
+      // table, sorted ([a-z0-9] only, so Spark and DuckDB collate
+      // identically); ≤ ~50 entries, broadcast as a single row
+      val vocabRow = broadcast(
+        bpeWordTable(s, d).crossJoin(ruleRow)
+          .select(explode(
+            filter(split(mergedVocab, " "), x => x =!= "")).as("sy"))
+          .agg(array_sort(collect_set($"sy")).as("syms")))
+      bpeToksTable(s, d).crossJoin(vocabRow)
+        .select($"doc_id", $"i",
+          transform(filter(split($"sym", " "), x => x =!= ""),
+            x => nullif(array_position($"syms", x), lit(0L))).as("ids"),
+          $"syms")
+        .select($"doc_id", $"i",
+          size($"ids").cast("long").as("n_sym"),
+          size(filter($"ids", v => v.isNull)).cast("long").as("n_oov_t"),
+          array_join(transform($"ids", v =>
+            coalesce(element_at($"syms", v.cast("int")), lit("<unk>"))),
+            "").as("dtok"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"n_sym").as("n_syms"),
+          sum($"n_oov_t").as("n_oov"),
+          array_join(transform(
+            array_sort(collect_list(struct($"i", $"dtok"))),
+            st => st.getField("dtok")), " ").as("decoded"))
         .orderBy($"doc_id")
     }),
 
@@ -2074,6 +2146,43 @@ object LlmQueries {
          | CAST(sum(len(string_split(sym, ' ')) - 2) AS DOUBLE)
          |   / CAST(sum(length(tok)) AS DOUBLE) AS compression
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // same training CTE chain (rules + w5); the id vocabulary is the
+    // sorted distinct symbol list of w5, encode is list_position per
+    // merged symbol, decode re-reads the list at the id and re-joins —
+    // tokens carry their ordinal so string_agg rebuilds document order
+    "bpe_decode" -> {
+      val sym = (1 to 5).foldLeft(
+        "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')") { (e, i) =>
+        duckBpeMerge(e, s"r$i.a", s"r$i.b")
+      }
+      val ruleFrom = (1 to 5).map(i => s"b$i r$i").mkString(", ")
+      s"""WITH $duckBpeTrainCtes,
+         |vv AS (SELECT DISTINCT unnest(string_split(sym, ' ')) AS sy FROM w5),
+         |voc AS (SELECT list(sy ORDER BY sy) AS syms FROM vv WHERE sy <> ''),
+         |dt AS (SELECT doc_id, list_filter($TOKS, t -> t <> '') AS w
+         |       FROM documents),
+         |dtok AS (SELECT doc_id, i, w[i] AS tok
+         |         FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+         |               FROM dt WHERE len(w) > 0) q),
+         |enc AS (SELECT doc_id, i, $sym AS sym FROM dtok, $ruleFrom),
+         |es AS (SELECT doc_id, i,
+         |    list_filter(string_split(sym, ' '), x -> x <> '') AS sl FROM enc),
+         |ids AS (SELECT doc_id, i,
+         |    list_transform(sl, x -> nullif(list_position(syms, x), 0)) AS idl
+         |    FROM es, voc),
+         |dec AS (SELECT doc_id, i, len(idl) AS n_sym,
+         |    len(list_filter(idl, v -> v IS NULL)) AS n_oov_t,
+         |    array_to_string(list_transform(idl,
+         |      v -> CASE WHEN v IS NULL THEN '<unk>' ELSE syms[v] END), '')
+         |      AS dtok
+         |    FROM ids, voc)
+         |SELECT doc_id, count(*) AS n_tokens,
+         | CAST(sum(n_sym) AS BIGINT) AS n_syms,
+         | CAST(sum(n_oov_t) AS BIGINT) AS n_oov,
+         | string_agg(dtok, ' ' ORDER BY i) AS decoded
+         |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "vocab_build" ->

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpecBase}
+import org.apache.spark.sql.functions._
+
+/** Round-11 operators: BPE decode round-trip and substring-level
+  * duplicate-span removal.
+  */
+class Round11Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bpe_decode: decode(encode(x)) == normalized x when no OOV symbols") {
+    val rows = SparkEntry.queries("bpe_decode")(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val norm = graft.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.normText($"text"))
+      .as[(Long, String)].collect().toMap
+    val clean = rows.filter(_._4 == 0L)
+    assert(clean.nonEmpty, "no doc decodes OOV-free — vocab construction is broken")
+    clean.foreach { case (id, nTok, nSym, _, decoded) =>
+      assert(decoded == norm(id),
+        s"doc $id round-trip mismatch: '$decoded' vs '${norm(id)}'")
+      assert(nSym >= nTok, s"doc $id: fewer symbols than tokens")
+    }
+    // OOV decoding is lossy by construction: '<unk>' per missing symbol
+    rows.filter(_._4 > 0L).foreach { case (id, _, _, _, decoded) =>
+      assert(decoded.contains("<unk>"), s"doc $id counts OOV but shows no <unk>")
+    }
+  }
+
+  test("bpe_decode: ids layer is honest — every non-OOV symbol round-trips through its id") {
+    // tiny corpus where the trained vocabulary is fully known: decode
+    // output must equal input exactly (all chars in-vocab)
+    val dir = tmpDir("bpe_rt")
+    Seq(
+      (1L, "aba aba aba cab", "en", "a", 1L),
+      (2L, "cab aba cab bac", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("bpe_decode")(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    try {
+      assert(out(1L)._4 == 0L && out(1L)._5 == "aba aba aba cab")
+      assert(out(2L)._4 == 0L && out(2L)._5 == "cab aba cab bac")
+    } finally LlmQueries.release(spark, dir, "bpe_words")
+  }
+}

@@ -19,25 +19,32 @@ class Round9Spec extends SparkSpecBase {
       (3L, "no overlap with anything else at all zzz", "en", "a", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
-    val fps = Tables_winnowFps(dir)
+    val (fps, nWin) = Tables_winnowFps(dir)
     assert(fps(1L).intersect(fps(2L)).nonEmpty,
       "docs sharing a 43-char run have disjoint fingerprint sets")
     assert(fps(1L).intersect(fps(3L)).isEmpty,
       "unrelated docs share a fingerprint (hash collision in a 3-doc fixture is ~impossible)")
-    // the r10 array-HOF production path must produce the SAME sets as
-    // this independent explode+window replica (the r9 construction)
-    val prod = try {
+    // the r10 array-HOF production path must produce the SAME sets AND
+    // the same per-doc full-window count as this independent
+    // explode+window replica (the r9 construction) — n_windows is the
+    // density denominator in winnow_fingerprint, so pinning only the
+    // set contents would let the window-count semantics drift
+    val (prod, prodWin) = try {
       import org.apache.spark.sql.functions._
-      CorpusOpsQueries.winnowDocTable(spark, dir)
-        .select($"doc_id", explode($"fps").as("fp"))
-        .as[(Long, Long)].collect()
-        .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+      val t = CorpusOpsQueries.winnowDocTable(spark, dir)
+        .select($"doc_id", $"n_windows", $"fps")
+        .as[(Long, Long, Array[Long])].collect()
+      (t.map { case (id, _, f) => id -> f.toSet }.toMap,
+        t.map { case (id, n, _) => id -> n }.toMap)
     } finally LlmQueries.release(spark, dir, "winnow_fps")
     assert(prod == fps,
       s"array-HOF winnow sets diverge from the explode+window replica: $prod vs $fps")
+    assert(prodWin == nWin,
+      s"array-HOF n_windows diverges from the replica's full-window row counts: $prodWin vs $nWin")
   }
 
-  private def Tables_winnowFps(dir: String): Map[Long, Set[Long]] = {
+  private def Tables_winnowFps(
+      dir: String): (Map[Long, Set[Long]], Map[Long, Long]) = {
     // an INDEPENDENT reference construction of the fingerprint sets:
     // explode to gram rows + doc-keyed window min (the r9 production
     // shape, kept here as a cross-implementation oracle for the
@@ -54,10 +61,11 @@ class Round9Spec extends SparkSpecBase {
         conv(substring(md5($"t".substr($"p", lit(k))), 1, 8), 16, 10)
           .cast("long").as("h"))
     val win = Window.partitionBy($"doc_id").orderBy($"p").rowsBetween(-(w - 1), 0)
-    grams.withColumn("fp", min($"h").over(win)).filter($"p" >= w)
-      .select($"doc_id", $"fp").distinct()
+    val full = grams.withColumn("fp", min($"h").over(win)).filter($"p" >= w)
+      .select($"doc_id", $"fp")
       .as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    (full.groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet },
+      full.groupBy(_._1).map { case (id, rows) => id -> rows.length.toLong })
   }
 
   test("winnow_fingerprint: density in (0,1], fp bounds ordered, counts consistent") {
