@@ -37,8 +37,8 @@ object BenchShared {
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
     // winnow_fps consumers: fingerprint stats first (cheap reader),
-    // the cross-doc match join last (release point)
-    "winnow_fingerprint", "winnow_matches",
+    // then the cross-doc match join, then the span cut (release point)
+    "winnow_fingerprint", "winnow_matches", "substring_dedup_cut",
     "knn_pq", "knn_ivfpq", "knn_rerank", "kmeans_assign",
     "label_propagation", "kmeans_iterate")
 
@@ -58,7 +58,7 @@ object BenchShared {
     "dedup_clusters" -> Seq("candidate_pairs"),
     "knn_rerank" -> Seq("pq_codebook"),
     "kmeans_iterate" -> Seq("ivf_cells"),
-    "winnow_matches" -> Seq("winnow_fps"))
+    "substring_dedup_cut" -> Seq("winnow_fps"))
 
   private def maxBucket(grouped: org.apache.spark.sql.DataFrame): Long =
     grouped.agg(org.apache.spark.sql.functions.max("count")).head() match {

@@ -100,12 +100,23 @@ object CorpusOpsQueries {
     * [[winnowDocBuild]] posexploded. Only span-level consumers
     * (substring_dedup_cut) need positions; the fingerprint family
     * reads the compact [[winnowDocTable]] instead.
+    *
+    * posexplode_OUTER, deliberately: for a plain posexplode,
+    * `InferFiltersFromGenerate` synthesizes a `size(wins) > 0`
+    * predicate below the Generate, and predicate pushdown inlines the
+    * whole array-HOF winnow build into it — re-evaluating the
+    * normalization regex PER GRAM inside the predicate's transform
+    * lambdas, O(n_chars²) per document (measured: a single sf0.001
+    * task pegged a core for 14+ minutes). The rule skips outer
+    * generates, and `wins` is never empty here (the `length(t) >= 11`
+    * source filter guarantees >= 1 full window), so _outer is
+    * value-identical and keeps the build evaluated once per doc.
     */
   private[queries] def winnowWindows(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
     winnowDocBuild(s, d)
-      .select($"doc_id", posexplode($"wins").as(Seq("i", "fp")))
+      .select($"doc_id", posexplode_outer($"wins").as(Seq("i", "fp")))
       .select($"doc_id", ($"i" + 4).as("p"), $"fp")
   }
 
@@ -1015,6 +1026,74 @@ object CorpusOpsQueries {
         .orderBy($"doc_id")
     }),
 
+    // SUBSTRING-LEVEL duplicate REMOVAL (keep-first, cut-later — the
+    // output an exact-substring dedup pipeline actually writes, Lee
+    // et al. 2022 "Deduplicating Training Data Makes Language Models
+    // Better"): any winnowing window whose fingerprint FIRST appeared
+    // in an earlier document marks chars [p-3, p+7] of this doc's
+    // normalized text as duplicated; per doc the marked intervals
+    // merge by sorted-interval union (adjacent intervals coalesce)
+    // and the merged spans are cut out of the text. The guarantee is
+    // winnowing's: every 11-char sub-run of a duplicated run shares
+    // its window with the first occurrence, so the WHOLE duplicated
+    // run is always cut; a boundary-straddling window whose min gram
+    // lies inside the run can additionally match, so the cut may
+    // overreach each run edge by at most w - 1 = 3 chars
+    // (spec-pinned bound).
+    // Plan shape: ONE fp -> min(doc_id) aggregate then a keyed join
+    // back onto the position-preserving window rows — NO document
+    // pair join anywhere (unlike winnow_matches there is no pair
+    // report to bound, so no FpDocCap: boilerplate spans are exactly
+    // what a cut operator must remove). The per-doc interval union
+    // exploits the equal window width: with every interval
+    // [p-3, p+7], two sorted windows merge iff their position gap is
+    // <= 11, so islands fall out of LINEAR array HOFs over the sorted
+    // position array (an array-accumulator fold here would copy the
+    // accumulator per element — O(n²) per doc, measured minutes at
+    // sf0.01); text reconstruction joins the between-island segments
+    // with ONE array_join. Row width ∝ duplicated windows — the
+    // winnow sketch's bound. Three keyed shuffles total (fp agg, fp
+    // join, doc agg), all scan-proportional at 100 TB.
+    "substring_dedup_cut" -> ((s, d) => {
+      import s.implicits._
+      val wins = winnowWindows(s, d)
+      val firstDoc = winnowFps(s, d)
+        .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+      val dup = wins.join(firstDoc, Seq("fp"))
+        .filter($"doc_id" > $"first_doc")
+      // islands over sorted positions: a window starts an island when
+      // no predecessor sits within 11 positions; `get` (0-based,
+      // null-safe out of bounds) keeps the boundary comparisons total
+      val ivs = dup.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"p")).as("ps"))
+        .withColumn("idx", sequence(lit(0), size($"ps") - 1))
+        .withColumn("starts", filter($"idx", i =>
+          i === 0 || get($"ps", i) - get($"ps", i - 1) > 11))
+        .withColumn("ends", filter($"idx", i =>
+          i === size($"ps") - 1 || get($"ps", i + 1) - get($"ps", i) > 11))
+        .select($"doc_id", zip_with($"starts", $"ends", (si, ei) =>
+          struct((get($"ps", si) - 3).as("s"), (get($"ps", ei) + 7).as("e")))
+          .as("ivs"))
+      Tables.documents(s, d)
+        .select($"doc_id", TF.normText($"text").as("t"))
+        .join(ivs, Seq("doc_id"), "left")
+        .select($"doc_id", $"t", $"ivs",
+          coalesce(size($"ivs"), lit(0)).cast("long").as("n_spans"),
+          coalesce(aggregate($"ivs", lit(0L), (a, iv) =>
+            a + (iv.getField("e") - iv.getField("s") + 1)), lit(0L))
+            .as("cut_chars"))
+        .select($"doc_id", $"n_spans", $"cut_chars",
+          when($"ivs".isNull, $"t").otherwise(concat(
+            array_join(transform(sequence(lit(0), size($"ivs") - 1), j => {
+              val segStart = when(j === 0, lit(1))
+                .otherwise(get($"ivs", j - 1).getField("e") + 1)
+              $"t".substr(segStart, get($"ivs", j).getField("s") - segStart)
+            }), ""),
+            $"t".substr(element_at($"ivs", -1).getField("e") + 1, length($"t"))))
+            .as("text_dedup"))
+        .orderBy($"doc_id")
+    }),
+
     // Symmetric int8 quantization audit over the embedding table —
     // the compression step an ANN/vector-store deployment applies
     // before indexing (scale = max|x|/127, q = clamp(round(x/scale)),
@@ -1136,6 +1215,41 @@ object CorpusOpsQueries {
              6)} AS density,
          |  min(fp) AS fp_min, max(fp) AS fp_max
          |FROM f WHERE p >= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same windows, same fp -> first-doc rule; the interval union is
+    // gaps-and-islands (equal-width intervals sorted by start, break
+    // when s > prev running max(e) + 1), text reconstruction is
+    // string_agg of the between-interval segments plus the tail —
+    // value-identical to Spark's sorted-array fold
+    "substring_dedup_cut" ->
+      s"""WITH $duckWinnowCtes,
+         |w AS (SELECT doc_id, p, fp FROM f WHERE p >= 4),
+         |fd AS (SELECT fp, min(doc_id) AS first_doc FROM w GROUP BY fp),
+         |dup AS (SELECT w.doc_id, w.p - 3 AS s, w.p + 7 AS e
+         |        FROM w JOIN fd USING (fp) WHERE w.doc_id > fd.first_doc),
+         |m AS (SELECT doc_id, s, e,
+         |    CASE WHEN s <= max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |      THEN 0 ELSE 1 END AS brk FROM dup),
+         |gi AS (SELECT doc_id, s, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM m),
+         |iv AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e
+         |       FROM gi GROUP BY doc_id, grp),
+         |sg AS (SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+         |      AS prev_pos FROM iv),
+         |ck AS (SELECT sg.doc_id, count(*) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS cut_chars,
+         |    string_agg(substr(n.t, prev_pos, s - prev_pos), '' ORDER BY s)
+         |      || substr(n.t, max(e) + 1) AS kept
+         |    FROM sg JOIN n USING (doc_id) GROUP BY sg.doc_id, n.t),
+         |alln AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents)
+         |SELECT alln.doc_id,
+         |  coalesce(ck.n_spans, 0) AS n_spans,
+         |  coalesce(ck.cut_chars, 0) AS cut_chars,
+         |  coalesce(ck.kept, alln.t) AS text_dedup
+         |FROM alln LEFT JOIN ck ON alln.doc_id = ck.doc_id
+         |ORDER BY alln.doc_id""".stripMargin,
 
     // same double op order: scale = max|x|/127, q = clamped
     // floor(x/scale + 0.5), per-dim squared error snapped to 12dp and

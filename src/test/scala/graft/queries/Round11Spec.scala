@@ -31,6 +31,39 @@ class Round11Spec extends SparkSpecBase {
     }
   }
 
+  test("substring_dedup_cut: keep-first span removal on a constructed shared-span corpus") {
+    val dir = tmpDir("subcut")
+    val shared = "the quick brown fox jumps over the lazy dog"
+    Seq(
+      (1L, s"alpha beta $shared gamma", "en", "a", 1L),
+      (2L, s"$shared entirely different tail words here", "en", "a", 1L),
+      (3L, "no overlap with anything else at all zzz", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = try {
+      SparkEntry.queries("substring_dedup_cut")(spark, dir)
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    } finally LlmQueries.release(spark, dir, "winnow_fps")
+    // doc 1 is the FIRST holder of every shared fingerprint: untouched
+    assert(out(1L) == ((1L, 0L, 0L, s"alpha beta $shared gamma")))
+    // doc 3 shares nothing: untouched
+    assert(out(3L) == ((3L, 0L, 0L, "no overlap with anything else at all zzz")))
+    // doc 2 repeats doc 1's 43-char run at its head: winnowing covers
+    // every 11-char sub-run of a duplicate, so the ENTIRE duplicated
+    // run (incl. the boundary space) is cut. A window straddling the
+    // run boundary can still fingerprint-match (its min gram may lie
+    // inside the run), so the cut may overreach the run by at most
+    // w - 1 = 3 chars per side — bounded, hash-dependent.
+    val (_, nSpans, cutChars, kept) = out(2L)
+    val t2 = s"$shared entirely different tail words here"
+    val tail = "entirely different tail words here"
+    assert(nSpans == 1L, s"expected one merged span, got $nSpans")
+    assert(t2.endsWith(kept) && tail.endsWith(kept), s"kept not a clean suffix: '$kept'")
+    assert(kept.length >= tail.length - 3,
+      s"cut overreaches the run by > 3 chars: kept '$kept'")
+    assert(cutChars == t2.length - kept.length, s"cut_chars $cutChars")
+  }
+
   test("bpe_decode: ids layer is honest — every non-OOV symbol round-trips through its id") {
     // tiny corpus where the trained vocabulary is fully known: decode
     // output must equal input exactly (all chars in-vocab)
