@@ -54,6 +54,13 @@ object QaQueries {
   /** Per-source token budget for token_budget_trim. */
   private val BudgetTok = 1000L
 
+  /** Candidate-pair budget for jaccard_band_sweep's exact-Jaccard
+    * pass: above this the sweep switches to the deterministic
+    * hash-rank sample (mirrored into the oracle; dormant at every
+    * fixture scale — sf0.1 has ~40k candidate pairs).
+    */
+  private val PairSampleCap = 200000L
+
   private def hexBucket(c: org.apache.spark.sql.Column, digits: Int) =
     conv(substring(c, 1, digits), 16, 10).cast("long")
 
@@ -97,6 +104,48 @@ object QaQueries {
           .as("prec"))
   }
 
+  /** jaccard_band_sweep's body with the sample cap as a parameter —
+    * production always passes [[PairSampleCap]]; the spec passes a
+    * tiny cap to exercise the ENGAGED sample path at fixture scale
+    * (where the production cap is deliberately dormant).
+    */
+  private[queries] def jaccardBandSweep(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val dsh = LlmQueries.distinctShingleTable(s, d)
+    val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val candAll = LlmQueries.pairTable(s, d)
+    val tot = broadcast(candAll.agg(count(lit(1)).as("n_total")))
+    val cand = candAll.crossJoin(tot)
+      .filter(
+        conv(substring(md5(concat_ws("|", $"doc_a", $"doc_b")), 1, 8), 16, 10)
+          .cast("long") * $"n_total" < lit(cap) * lit(4294967296L))
+      .select($"doc_a", $"doc_b")
+    val inter = cand
+      .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
+    val jacc = cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_int", coalesce($"n_int", lit(0L)))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+      .select(($"n_int".cast("double") /
+        ($"n_a" + $"n_b" - $"n_int").cast("double")).as("jacc"))
+    val bands = jacc
+      .select(floor($"jacc" * 10).cast("int").as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+    val w = graft.operators.BoundedWindow
+      .orderBy("jaccard_band_sweep: <=11 bands", 11L, $"band".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands.withColumn("cum_ge", sum($"n_pairs").over(w))
+      .crossJoin(tot)
+      .select($"band", $"n_pairs", $"cum_ge",
+        ($"n_total" > cap).as("sampled"))
+      .orderBy($"band")
+  }
+
   val defs: Map[String, QueryFn] = Map(
 
     // Dedup-threshold tuning table: the exact-Jaccard distribution of
@@ -106,31 +155,20 @@ object QaQueries {
     // verification threshold. Zero-intersection candidates band at 0
     // (left join keeps them); the band relation is <= 11 rows, so the
     // cumulative rides BoundedWindow.
-    "jaccard_band_sweep" -> ((s, d) => {
-      import s.implicits._
-      val dsh = LlmQueries.distinctShingleTable(s, d)
-      val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = LlmQueries.pairTable(s, d)
-      val inter = cand
-        .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
-        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
-      val jacc = cand
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .withColumn("n_int", coalesce($"n_int", lit(0L)))
-        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
-        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
-        .select(($"n_int".cast("double") /
-          ($"n_a" + $"n_b" - $"n_int").cast("double")).as("jacc"))
-      val bands = jacc
-        .select(floor($"jacc" * 10).cast("int").as("band"))
-        .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
-      val w = graft.operators.BoundedWindow
-        .orderBy("jaccard_band_sweep: <=11 bands", 11L, $"band".desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bands.withColumn("cum_ge", sum($"n_pairs").over(w))
-        .orderBy($"band")
-    }),
+    //
+    // Above [[PairSampleCap]] candidate pairs the sweep reads a
+    // DETERMINISTIC hash-rank sample instead of the full pass (the r9
+    // 100× sweep measured the exact full pass at 614.8 s — a tuning
+    // TABLE does not need every pair): a pair survives iff
+    // md5(doc_a|doc_b)[0..8) * n_total < Cap * 2^32 — pure BIGINT
+    // arithmetic, identical in both engines, corpus-order-free, and
+    // DORMANT (keeps everything) whenever n_total <= Cap, so fixture
+    // oracles are the exact distribution. Expected sample size ≈ Cap;
+    // the `sampled` output column says which mode produced the table
+    // (the triangle_count `capped` honesty convention). Overflow-safe
+    // while n_total < 2^31 pairs — the LSH mega-bucket cap bounds the
+    // pair family far below that.
+    "jaccard_band_sweep" -> ((s, d) => jaccardBandSweep(s, d, PairSampleCap)),
 
     // Per-class precision/recall of the lang_id heuristic against the
     // documents.lang ground truth — the confusion-matrix readout that
@@ -337,14 +375,20 @@ object QaQueries {
   val oracles: Map[String, String] = Map(
 
     // same jacc formula as ngram_jaccard's oracle (list-intersection
-    // form keeps zero-overlap candidates naturally), same banding
+    // form keeps zero-overlap candidates naturally), same banding,
+    // same md5-rank sample rule (identical BIGINT arithmetic, dormant
+    // below the cap)
     "jaccard_band_sweep" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},
+         |ct AS (SELECT count(*) AS n_total FROM cand),
+         |cs AS (SELECT doc_a, doc_b FROM cand, ct
+         |  WHERE ('0x' || substr(md5(doc_a::VARCHAR || '|' || doc_b::VARCHAR),
+         |      1, 8))::BIGINT * n_total < $PairSampleCap * 4294967296),
          |j AS (SELECT
          |  CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
          |   / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
          |      - len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x)))) AS jacc
-         | FROM cand c
+         | FROM cs c
          |  JOIN sh sa ON sa.doc_id = c.doc_a
          |  JOIN sh sb ON sb.doc_id = c.doc_b),
          |b AS (SELECT CAST(floor(jacc * 10) AS INTEGER) AS band,
@@ -352,7 +396,8 @@ object QaQueries {
          |SELECT band, n_pairs,
          | CAST(sum(n_pairs) OVER (ORDER BY band DESC
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |   AS cum_ge
+         |   AS cum_ge,
+         | (SELECT n_total FROM ct) > $PairSampleCap AS sampled
          |FROM b ORDER BY band""".stripMargin,
 
     // composes the lang_id oracle's CASE verbatim — one definition

@@ -11,6 +11,35 @@ class Round11Spec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("jaccard_band_sweep: engaged sample path is the exact md5-rank rule; production cap dormant") {
+    // production cap must be dormant at fixture scale
+    val full = SparkEntry.queries("jaccard_band_sweep")(spark, sf)
+      .as[(Int, Long, Long, Boolean)].collect()
+    assert(full.nonEmpty && full.forall(!_._4),
+      "production PairSampleCap engaged at sf0.001 — it must be dormant at fixture scale")
+    val nFull = full.map(_._2).sum
+    // tiny cap: the engaged path must keep exactly the pairs the
+    // md5-rank rule admits, recomputed driver-side from the candidate
+    // table
+    val cap = 5L
+    val engaged = QaQueries.jaccardBandSweep(spark, sf, cap)
+      .as[(Int, Long, Long, Boolean)].collect()
+    assert(engaged.forall(_._4), "tiny cap did not set sampled=true")
+    val pairs = LlmQueries.pairTable(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rank(a: Long, b: Long): Long = {
+      val hex = md.digest(s"$a|$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val n = pairs.length.toLong
+    val expect = pairs.count { case (a, b) => rank(a, b) * n < cap * 4294967296L }
+    val got = engaged.map(_._2).sum
+    assert(got == expect && got < nFull,
+      s"engaged sample kept $got pairs, md5-rank rule admits $expect (full: $nFull)")
+  }
+
   test("bpe_decode: decode(encode(x)) == normalized x when no OOV symbols") {
     val rows = SparkEntry.queries("bpe_decode")(spark, sf)
       .as[(Long, Long, Long, Long, String)].collect()
