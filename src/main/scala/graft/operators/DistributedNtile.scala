@@ -45,6 +45,25 @@ import org.apache.spark.sql.functions._
   * by registration).
   */
 object DistributedNtile {
+
+  /** Join the data relation to the broadcast per-(partition, group)
+    * stats NULL-SAFELY on the group key: window PARTITION BY treats
+    * NULL as a regular group, so the equi-join shorthand
+    * (`Seq("__pid", group)`) would silently DROP every null-group row
+    * — measured on the null-injected corpus: curriculum_schedule lost
+    * its whole lang=NULL stratum vs the oracle's NTILE. `<=>` keeps
+    * the broadcast plan (null-safe equality is still a hash-join key
+    * in Spark).
+    */
+  private def joinStats(
+      local: DataFrame, offs: DataFrame, group: String): DataFrame =
+    local.join(
+      broadcast(offs
+        .withColumnRenamed("__pid", "__pid2")
+        .withColumnRenamed(group, "__g2")),
+      col("__pid") === col("__pid2") && col(group) <=> col("__g2"))
+      .drop("__pid2", "__g2")
+
   def withNtile(
       df: DataFrame,
       group: String,
@@ -66,8 +85,7 @@ object DistributedNtile {
       .withColumn("__off", coalesce(sum(col("__c")).over(wPrior), lit(0L)))
       .withColumn("__cnt", sum(col("__c")).over(Window.partitionBy(col(group))))
       .select(col("__pid"), col(group), col("__off"), col("__cnt"))
-    local
-      .join(broadcast(offs), Seq("__pid", group))
+    joinStats(local, offs, group)
       .withColumn("__r", col("__lr") + col("__off"))
       .withColumn(out, expr(
         s"""CASE WHEN __r <= (__cnt % $n) * (__cnt DIV $n + 1)
@@ -109,8 +127,7 @@ object DistributedNtile {
       .agg(sum(col("__v")).as("__s"))
       .withColumn("__off", coalesce(sum(col("__s")).over(wPrior), lit(0L)))
       .select(col("__pid"), col(group), col("__off"))
-    local
-      .join(broadcast(offs), Seq("__pid", group))
+    joinStats(local, offs, group)
       .withColumn(out, col("__ls") + col("__off"))
       .drop("__pid", "__v", "__ls", "__off")
   }
@@ -147,8 +164,7 @@ object DistributedNtile {
       .agg(max(col("__v")).as("__m"))
       .withColumn("__carry", max(col("__m")).over(wPrior))
       .select(col("__pid"), col(group), col("__carry"))
-    local
-      .join(broadcast(offs), Seq("__pid", group))
+    joinStats(local, offs, group)
       // greatest() ignores NULL operands in both engines, so a NULL
       // local prefix (first row of a partition) or NULL carry (first
       // partition of a group) degrades to the other side; both NULL

@@ -340,7 +340,10 @@ object CurationQueries {
         .groupBy($"lang", $"phase")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"),
           min($"q").as("q_min"), max($"q").as("q_max"))
-        .orderBy($"lang", $"phase")
+        // asc_nulls_last on the OUTPUT sort too: a null lang stratum
+        // (null-injected corpus) must land where DuckDB's ORDER BY
+        // puts it
+        .orderBy($"lang".asc_nulls_last, $"phase")
     })
   )
 

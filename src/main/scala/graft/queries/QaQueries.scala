@@ -336,7 +336,9 @@ object QaQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_total"),
           sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
           sum(when($"kept", $"n_tok").otherwise(0L)).as("tok_kept"))
-        .orderBy($"source")
+        // null-ridden corpora: the null-source stratum must sort
+        // where DuckDB puts it (NULLS LAST)
+        .orderBy($"source".asc_nulls_last)
     })
   )
 

@@ -329,7 +329,9 @@ object StatQueries {
           count(lit(1)).as("n"),
           min($"o_totalprice").as("lo"),
           max($"o_totalprice").as("hi"))
-        .orderBy($"o_orderpriority", $"q")
+        // null-ridden corpora: a null priority class must sort where
+        // DuckDB puts it (NULLS LAST)
+        .orderBy($"o_orderpriority".asc_nulls_last, $"q")
     }),
 
     // Skyline: documents on the (length, lexical-diversity) Pareto
