@@ -80,7 +80,7 @@ object AnalyticsQueries {
         .groupBy($"r_name", $"n_name")
         .agg(sum(rev).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy($"r_name", $"n_name")
+        .orderBy($"r_name".asc_nulls_last, $"n_name".asc_nulls_last)
     }),
 
     // Islands-and-gaps sessionization: per-event session ordinals via
@@ -120,7 +120,7 @@ object AnalyticsQueries {
       existing.unionByName(batch)
         .groupBy($"event_type")
         .agg(sum($"n").as("n"), sum($"sv").cast("double").as("sum_value"))
-        .orderBy($"event_type")
+        .orderBy($"event_type".asc_nulls_last)
     }),
 
     // Version diff of a keyed table (the data-ops regression report):
@@ -170,7 +170,7 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_sig"),
           sum(pmod($"h", lit(1000000000L))).as("sum_sig"))
-        .orderBy($"l_returnflag")
+        .orderBy($"l_returnflag".asc_nulls_last)
     }),
 
     // Explicit runtime-filter join: high-value orders' keys fold into
@@ -296,7 +296,7 @@ object AnalyticsQueries {
         .groupBy($"supp_region", $"cust_region",
           year($"l_shipdate").as("l_year"))
         .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy($"supp_region", $"cust_region", $"l_year")
+        .orderBy($"supp_region".asc_nulls_last, $"cust_region".asc_nulls_last, $"l_year".asc_nulls_last)
     }),
 
     // TPC-H Q8-shape market share: NATION_2's share of PROMO-part
@@ -328,7 +328,7 @@ object AnalyticsQueries {
           sum(rev).cast("double").as("total_rev"))
         .select($"o_year", $"nation_rev", $"total_rev",
           rnd($"nation_rev" / $"total_rev", 6).as("mkt_share"))
-        .orderBy($"o_year")
+        .orderBy($"o_year".asc_nulls_last)
     })
   )
 

@@ -50,7 +50,7 @@ object CoreQueries {
           max($"l_quantity").as("max_qty"),
           davg($"l_extendedprice").as("avg_price"),
           count(lit(1)).as("n_rows"))
-        .orderBy($"o_orderpriority")
+        .orderBy($"o_orderpriority".asc_nulls_last)
     }),
 
     "agg_distinct" -> ((s, d) => {
@@ -61,7 +61,7 @@ object CoreQueries {
           countDistinct($"l_partkey").as("n_parts"),
           countDistinct($"l_suppkey").as("n_supps"),
           count(lit(1)).as("n_rows"))
-        .orderBy($"l_returnflag")
+        .orderBy($"l_returnflag".asc_nulls_last)
     }),
 
     // HLL++ sketch, surfaced to the driver as an AFFIRMATIVE check:
@@ -84,7 +84,7 @@ object CoreQueries {
           $"l_returnflag", $"n_exact",
           (abs($"approx" - $"n_exact").cast("double") / $"n_exact" <= 0.10)
             .as("approx_ok"))
-        .orderBy($"l_returnflag")
+        .orderBy($"l_returnflag".asc_nulls_last)
     }),
 
     // KLL/GK-style quantile sketch, surfaced affirmatively: the
@@ -169,12 +169,21 @@ object CoreQueries {
 
     "agg_rollup" -> ((s, d) => {
       import s.implicits._
+      // grouping() (not a bare coalesce) labels the rollup totals: on
+      // a null-bearing corpus a DATA null must stay a distinct 'NULL'
+      // stratum, not collide with the 'ALL' total rows (the collision
+      // makes the sort-key space non-unique and the row order
+      // engine-dependent)
       Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping($"l_returnflag").as("g_rf"),
+          grouping($"l_linestatus").as("g_ls"))
         .select(
-          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
-          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          when($"g_rf" === 1, "ALL")
+            .otherwise(coalesce($"l_returnflag", lit("NULL"))).as("returnflag"),
+          when($"g_ls" === 1, "ALL")
+            .otherwise(coalesce($"l_linestatus", lit("NULL"))).as("linestatus"),
           $"sum_qty", $"n_rows")
         .orderBy($"returnflag", $"linestatus")
     }),
@@ -226,7 +235,7 @@ object CoreQueries {
           $"doc_id".cast("string"), lit(".json")).as("key"))
         .select(regexp_replace($"key", "/[^/]*$", "").as("prefix"))
         .distinct()
-        .orderBy($"prefix")
+        .orderBy($"prefix".asc_nulls_last)
     }),
 
     // -- scalar functions ----------------------------------------------
@@ -269,7 +278,7 @@ object CoreQueries {
           get_json_object($"props", "$.k").cast("long").as("k"))
         .groupBy($"event_type")
         .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
-        .orderBy($"event_type")
+        .orderBy($"event_type".asc_nulls_last)
     }),
 
     // VARIANT ingestion path (Spark 4): parse once into the binary
@@ -287,7 +296,7 @@ object CoreQueries {
         .groupBy($"event_type")
         .agg(sum($"k").as("sum_k"), max($"k").as("max_k"),
           count($"miss").as("n_missing_hits"), count(lit(1)).as("n"))
-        .orderBy($"event_type")
+        .orderBy($"event_type".asc_nulls_last)
     }),
 
     // JSON source capability: dump a projection as JSONL, re-read with
@@ -348,7 +357,7 @@ object CoreQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     // CSV source capability: dump as CSV (decimal rendered exactly),
@@ -367,7 +376,7 @@ object CoreQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("value")).cast("double").as("sum_value"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     // ORC source capability: same round-trip through Spark's native
@@ -382,7 +391,7 @@ object CoreQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("value")).cast("double").as("sum_value"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     // XML source capability (Spark 4's native xml data source): dump
@@ -404,7 +413,7 @@ object CoreQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("value")).cast("double").as("sum_value"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     // -- array / map functions (§2.8) ----------------------------------
@@ -531,8 +540,10 @@ object CoreQueries {
         |FROM events""".stripMargin,
 
     "agg_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        | coalesce(l_linestatus, 'ALL') AS linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |   ELSE coalesce(l_returnflag, 'NULL') END AS returnflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |   ELSE coalesce(l_linestatus, 'NULL') END AS linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

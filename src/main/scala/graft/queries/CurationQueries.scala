@@ -59,7 +59,7 @@ object CurationQueries {
             .otherwise("test").as("split"))
         .groupBy($"split", $"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tok"))
-        .orderBy($"split", $"lang")
+        .orderBy($"split".asc_nulls_last, $"lang".asc_nulls_last)
     }),
 
     // Per-domain cap — CCNet/RefinedWeb-style: keep at most K docs per
@@ -71,12 +71,12 @@ object CurationQueries {
     // the final window task.
     "domain_cap" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"source").orderBy($"n_tok".desc, $"doc_id")
+      val w = Window.partitionBy($"source").orderBy($"n_tok".desc, $"doc_id".asc_nulls_last)
       Tables.documents(s, d)
         .select($"source", $"doc_id", TF.nTokens($"text").cast("long").as("n_tok"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= DomainCapK)
-        .orderBy($"source", $"rk")
+        .orderBy($"source".asc_nulls_last, $"rk".asc_nulls_last)
     }),
 
     // Junk/boilerplate detection via the character distribution of the
@@ -316,7 +316,7 @@ object CurationQueries {
           sum(when($"v1" === 1 && $"v2" === 0, 1L).otherwise(0L)).as("n_removed"),
           sum(when($"v1" === 0 && $"v2" === 1, 1L).otherwise(0L)).as("n_added"),
           sum(when($"v1" === 1 && $"v2" === 1, 1L).otherwise(0L)).as("n_kept"))
-        .orderBy($"lang")
+        .orderBy($"lang".asc_nulls_last)
     }),
 
     // Curriculum phases: per-language easy→hard thirds by quality

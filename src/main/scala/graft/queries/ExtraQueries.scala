@@ -41,7 +41,7 @@ object ExtraQueries {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM orders_gba
           |GROUP BY ALL
-          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+          |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin)
     }),
 
     // SQL join-strategy hints: the /*+ BROADCAST, MERGE */ surface a
@@ -58,7 +58,7 @@ object ExtraQueries {
           | count(*) AS n,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM customer_h c JOIN orders_h o ON c_custkey = o_custkey
-          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS LAST""".stripMargin)
     }),
 
     // Parameterized SQL + the IDENTIFIER clause (Spark 4 front-end
@@ -97,7 +97,7 @@ object ExtraQueries {
           | CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
           |   AS DECIMAL(18,4))) AS DOUBLE) AS rev,
           | count(*) AS n
-          |FROM lineitem_su GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          |FROM lineitem_su GROUP BY l_returnflag ORDER BY l_returnflag NULLS LAST""".stripMargin)
     }),
 
     "sql_subquery" -> ((s, d) => {
@@ -161,7 +161,7 @@ object ExtraQueries {
           | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
           |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
-          |FROM orders_fc GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+          |FROM orders_fc GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS LAST""".stripMargin)
     }),
 
     // Ordered string aggregation (Spark 4 listagg / SQL:2016 WITHIN
@@ -331,17 +331,26 @@ object ExtraQueries {
           sqrt(ssqX / (n - lit(1.0))).as("stddev_qty"),
           (ssXY / (n - lit(1.0))).as("covar_qd"),
           (ssXY / sqrt(ssqX * ssqY)).as("corr_qd"))
-        .orderBy($"l_returnflag")
+        .orderBy($"l_returnflag".asc_nulls_last)
     }),
 
     "agg_cube" -> ((s, d) => {
       import s.implicits._
+      // grouping() (not a bare coalesce) labels the cube totals: on a
+      // null-bearing corpus a DATA null must stay a distinct 'NULL'
+      // stratum, not collide with the 'ALL' rollup rows (the collision
+      // makes the sort-key space non-unique and the row order
+      // engine-dependent)
       Tables.lineitem(s, d)
         .cube($"l_returnflag", $"l_linestatus")
-        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping($"l_returnflag").as("g_rf"),
+          grouping($"l_linestatus").as("g_ls"))
         .select(
-          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
-          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          when($"g_rf" === 1, "ALL")
+            .otherwise(coalesce($"l_returnflag", lit("NULL"))).as("returnflag"),
+          when($"g_ls" === 1, "ALL")
+            .otherwise(coalesce($"l_linestatus", lit("NULL"))).as("linestatus"),
           $"sum_qty", $"n_rows")
         .orderBy($"returnflag", $"linestatus")
     }),
@@ -372,7 +381,7 @@ object ExtraQueries {
           expr("bit_or(l_suppkey)").as("bor"),
           expr("bit_xor(l_suppkey)").as("bxor"),
           count(lit(1)).as("n"))
-        .orderBy($"l_returnflag")
+        .orderBy($"l_returnflag".asc_nulls_last)
     }),
 
     // Exact mode per group with a DETERMINISTIC tiebreak (highest
@@ -387,12 +396,12 @@ object ExtraQueries {
         .groupBy($"o_orderpriority", $"o_orderstatus")
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"c".desc, $"o_orderstatus")
+        .orderBy($"c".desc, $"o_orderstatus".asc_nulls_last)
       cnt.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"o_orderpriority", $"o_orderstatus".as("mode_status"),
           $"c".as("mode_count"))
-        .orderBy($"o_orderpriority")
+        .orderBy($"o_orderpriority".asc_nulls_last)
     }),
 
     "math_funcs" -> ((s, d) => {
@@ -451,7 +460,7 @@ object ExtraQueries {
           rnd(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
           rnd(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
           count(lit(1)).as("n"))
-        .orderBy($"o_orderstatus")
+        .orderBy($"o_orderstatus".asc_nulls_last)
     }),
 
     // Multimodal frame sampling: every k-th frame of each "video"
@@ -718,8 +727,10 @@ object ExtraQueries {
         |ORDER BY l_returnflag""".stripMargin,
 
     "agg_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        | coalesce(l_linestatus, 'ALL') AS linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |   ELSE coalesce(l_returnflag, 'NULL') END AS returnflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |   ELSE coalesce(l_linestatus, 'NULL') END AS linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)

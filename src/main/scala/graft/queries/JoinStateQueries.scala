@@ -33,7 +33,7 @@ object JoinStateQueries {
           sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
             .cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
-        .orderBy($"n_name")
+        .orderBy($"n_name".asc_nulls_last)
     }),
 
     "join_outer" -> ((s, d) => {
@@ -239,7 +239,7 @@ object JoinStateQueries {
       import s.implicits._
       Tables.region(s, d).crossJoin(Tables.supplier(s, d))
         .select($"r_name", $"s_name")
-        .orderBy($"r_name", $"s_name")
+        .orderBy($"r_name".asc_nulls_last, $"s_name".asc_nulls_last)
     }),
 
     // Null-safe equality join (`<=>`): NULL keys match each other

@@ -45,7 +45,7 @@ object LayoutQueries {
       graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id", "user_id", buckets = 8)
         .groupBy(dim("c_mktsegment").as("mktsegment"))
         .agg(count(lit(1)).as("n_events"), dsum(ev("value")).as("sum_value"))
-        .orderBy($"mktsegment")
+        .orderBy($"mktsegment".asc_nulls_last)
     }),
 
     // Melt / unpivot: wide per-flag aggregates reshaped to long form
@@ -61,7 +61,7 @@ object LayoutQueries {
         Array($"l_returnflag"),
         Array($"sum_qty", $"sum_price", $"n_items"),
         "metric", "value")
-        .orderBy($"l_returnflag", $"metric")
+        .orderBy($"l_returnflag".asc_nulls_last, $"metric".asc_nulls_last)
     }),
 
     // Trailing 1-hour event-time sum per event type — RANGE frame over
@@ -88,7 +88,7 @@ object LayoutQueries {
           ($"user_id" % 65536).as("zx"),
           (floor($"value").cast("long") % 65536).as("zy"))
         .withColumn("zkey", zkey($"zx", $"zy"))
-        .orderBy($"zkey", $"event_id")
+        .orderBy($"zkey".asc_nulls_last, $"event_id".asc_nulls_last)
     }),
 
     // Modern aggregate surface: count_if / median / bool_and /
@@ -104,7 +104,7 @@ object LayoutQueries {
           median($"value").as("med_value"),
           bool_and($"value" >= 0).as("all_nonneg"),
           bool_or($"value" > 480).as("any_extreme"))
-        .orderBy($"event_type")
+        .orderBy($"event_type".asc_nulls_last)
     }),
 
     // Hive-style partition pruning end-to-end: write orders
@@ -172,7 +172,7 @@ object LayoutQueries {
         .groupBy($"src", $"bin")
         .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"),
           max($"bytes").as("largest"))
-        .orderBy($"src", $"bin")
+        .orderBy($"src".asc_nulls_last, $"bin".asc_nulls_last)
     })
   )
 

@@ -917,7 +917,7 @@ object LlmQueries {
           (sum($"n_chars").cast("double") / count(lit(1)).cast("double")).as("avg_chars"),
           min($"n_chars").as("min_chars"),
           max($"n_chars").as("max_chars"))
-        .orderBy($"lang")
+        .orderBy($"lang".asc_nulls_last)
     }),
 
     "text_quality" -> ((s, d) => {

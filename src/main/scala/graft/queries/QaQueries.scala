@@ -198,7 +198,7 @@ object QaQueries {
           .otherwise(rnd($"tp".cast("double") / $"n_pred".cast("double"), 6)))
         .withColumn("recall", when($"n_true" === 0L, lit(0.0))
           .otherwise(rnd($"tp".cast("double") / $"n_true".cast("double"), 6)))
-        .orderBy($"cls")
+        .orderBy($"cls".asc_nulls_last)
     }),
 
     // LSH candidate-generation quality: recall and precision of
@@ -313,7 +313,7 @@ object QaQueries {
             .as("p_odd"),
           rnd(abs($"n_even".cast("double") / $"t_even".cast("double") -
             $"n_odd".cast("double") / $"t_odd".cast("double")), 6).as("drift"))
-        .orderBy($"source")
+        .orderBy($"source".asc_nulls_last)
     }),
 
     // Best-first per-source selection under a token budget: rank by

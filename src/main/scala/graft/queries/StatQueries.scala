@@ -145,7 +145,7 @@ object StatQueries {
     // The user-journey model behind funnel/next-event prediction.
     "event_transitions" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc_nulls_last, $"event_id".asc_nulls_last)
       val pairs = Tables.events(s, d)
         .withColumn("from_type", lag($"event_type", 1).over(w))
         .filter($"from_type".isNotNull)
@@ -155,7 +155,7 @@ object StatQueries {
         .withColumn("row_n", sum($"n").over(Window.partitionBy($"from_type")))
         .select($"from_type", $"to_type", $"n",
           ($"n".cast("double") / $"row_n".cast("double")).as("p"))
-        .orderBy($"from_type", $"to_type")
+        .orderBy($"from_type".asc_nulls_last, $"to_type".asc_nulls_last)
     }),
 
     // Second-order sequence mining: top-20 event-type TRIGRAM paths
@@ -164,14 +164,14 @@ object StatQueries {
     // aggregate is ≤|types|³ rows.
     "event_trigrams" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc_nulls_last, $"event_id".asc_nulls_last)
       Tables.events(s, d)
         .withColumn("e1", lag($"event_type", 2).over(w))
         .withColumn("e2", lag($"event_type", 1).over(w))
         .filter($"e1".isNotNull)
         .groupBy($"e1", $"e2", $"event_type".as("e3"))
         .agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"e1", $"e2", $"e3")
+        .orderBy($"n".desc, $"e1".asc_nulls_last, $"e2".asc_nulls_last, $"e3".asc_nulls_last)
         .limit(20)
     }),
 

@@ -234,7 +234,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
         .select(unix_millis($"window.start").as("w_start"),
           $"event_type", $"n", $"sum_value")
-        .orderBy($"w_start", $"event_type")
+        .orderBy($"w_start".asc_nulls_last, $"event_type".asc_nulls_last)
     }),
 
     "stream_sliding" -> ((s, d) => {
@@ -244,7 +244,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
         .select(unix_millis($"window.start").as("w_start"),
           $"event_type", $"n", $"sum_value")
-        .orderBy($"w_start", $"event_type")
+        .orderBy($"w_start".asc_nulls_last, $"event_type".asc_nulls_last)
     }),
 
     // session_window: gap-merged per-user sessions; end = last event
@@ -265,13 +265,13 @@ object StreamQueries {
     // formulation: earliest (ts, event_id) per (user, type).
     "stream_dedup" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts".asc_nulls_last, $"event_id".asc_nulls_last)
       Tables.events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"user_id", $"event_type", $"event_id",
           unix_millis($"ts").as("first_ms"))
-        .orderBy($"user_id", $"event_type")
+        .orderBy($"user_id".asc_nulls_last, $"event_type".asc_nulls_last)
     }),
 
     // Stream-stream interval join, batch analog: each purchase paired

@@ -185,24 +185,24 @@ object TimeSeriesQueries {
         .select($"event_type", (ms - pmod(ms, lit(3600000L))).as("hr"), $"value")
         .groupBy($"event_type", $"hr")
         .agg(rnd(davg($"value"), 6).as("y"))
-      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      val w = Window.partitionBy($"event_type").orderBy($"hr".asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val p = Window.partitionBy($"event_type")
       val dev = hourly
         .withColumn("i", row_number().over(
-          Window.partitionBy($"event_type").orderBy($"hr")).cast("double"))
+          Window.partitionBy($"event_type").orderBy($"hr".asc_nulls_last)).cast("double"))
         .withColumn("cum", sum($"y".cast("decimal(18,6)")).over(w).cast("double"))
         .withColumn("total", sum($"y".cast("decimal(18,6)")).over(p).cast("double"))
         .withColumn("cnt", count(lit(1)).over(p).cast("double"))
         .withColumn("dev", rnd(abs($"cum" - $"i" * ($"total" / $"cnt")), 6))
       dev
         .withColumn("rk", row_number().over(
-          Window.partitionBy($"event_type").orderBy($"dev".desc, $"hr")))
+          Window.partitionBy($"event_type").orderBy($"dev".desc, $"hr".asc_nulls_last)))
         .withColumn("n_hours", count(lit(1)).over(p))
         .filter($"rk" === 1)
         .select($"event_type", $"n_hours", $"hr".as("cp_hr"),
           $"dev".as("cusum_stat"))
-        .orderBy($"event_type")
+        .orderBy($"event_type".asc_nulls_last)
     }),
 
     // Deterministic fixed-size uniform sample: rank by a seeded hash of

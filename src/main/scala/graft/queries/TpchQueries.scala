@@ -104,7 +104,7 @@ object TpchQueries {
         .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
         .agg(sum(rev).cast("double").as("sum_profit"),
           count(lit(1)).as("n_items"))
-        .orderBy($"nation", $"o_year".desc)
+        .orderBy($"nation".asc_nulls_last, $"o_year".desc)
     }),
 
     // Q18: large-volume orders — the HAVING-subquery shape. The
