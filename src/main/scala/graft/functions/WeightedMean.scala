@@ -11,24 +11,33 @@ import org.apache.spark.sql.expressions.Aggregator
   * result is bit-identical across partitionings and matches a
   * decimal-summing SQL oracle. Values are rounded to 2dp on entry
   * (the test data's native scale).
+  *
+  * Null semantics follow the SQL aggregate convention (boxed input,
+  * not primitive — a primitive encoder would silently turn NULL
+  * values into 0.0 and skew the mean): a NULL value row contributes
+  * neither its value NOR its weight, and a group with no non-null
+  * values yields NULL, exactly like avg().
   */
-object WeightedMean extends Aggregator[(Double, Long), (JBigDecimal, Long), Double] {
+object WeightedMean
+    extends Aggregator[(java.lang.Double, Long), (JBigDecimal, Long), java.lang.Double] {
 
   def zero: (JBigDecimal, Long) = (JBigDecimal.ZERO.setScale(2), 0L)
 
-  def reduce(b: (JBigDecimal, Long), in: (Double, Long)): (JBigDecimal, Long) = {
-    val x = new JBigDecimal(in._1).setScale(2, RoundingMode.HALF_UP)
-    (b._1.add(x.multiply(JBigDecimal.valueOf(in._2))), b._2 + in._2)
-  }
+  def reduce(b: (JBigDecimal, Long), in: (java.lang.Double, Long)): (JBigDecimal, Long) =
+    if (in._1 == null) b
+    else {
+      val x = new JBigDecimal(in._1.doubleValue).setScale(2, RoundingMode.HALF_UP)
+      (b._1.add(x.multiply(JBigDecimal.valueOf(in._2))), b._2 + in._2)
+    }
 
   def merge(a: (JBigDecimal, Long), b: (JBigDecimal, Long)): (JBigDecimal, Long) =
     (a._1.add(b._1), a._2 + b._2)
 
-  def finish(r: (JBigDecimal, Long)): Double =
-    if (r._2 == 0L) 0.0 else r._1.doubleValue() / r._2.toDouble
+  def finish(r: (JBigDecimal, Long)): java.lang.Double =
+    if (r._2 == 0L) null else Double.box(r._1.doubleValue() / r._2.toDouble)
 
   def bufferEncoder: Encoder[(JBigDecimal, Long)] =
     Encoders.tuple(Encoders.DECIMAL, Encoders.scalaLong)
 
-  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

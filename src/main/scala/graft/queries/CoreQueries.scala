@@ -110,25 +110,33 @@ object CoreQueries {
           $"ps".getItem(0).as("ap50"),
           $"ps".getItem(1).as("ap95"))
       // 5 groups → broadcast; one scan of events computes every
-      // rank count. tol is RELATIVE rank tolerance.
-      val ranked = ev.join(broadcast(ap), $"event_type" === $"g")
+      // rank count. tol is RELATIVE rank tolerance. Null-safe join:
+      // a NULL event_type stratum (null-ridden corpus) is a regular
+      // group and must survive the re-join.
+      val ranked = ev.join(broadcast(ap), $"event_type" <=> $"g")
         .groupBy($"event_type")
         .agg(
           count(lit(1)).as("n"),
+          count($"value").as("nv"),
           sum(when($"value" < $"ap50", 1L).otherwise(0L)).as("lt50"),
           sum(when($"value" <= $"ap50", 1L).otherwise(0L)).as("le50"),
           sum(when($"value" < $"ap95", 1L).otherwise(0L)).as("lt95"),
           sum(when($"value" <= $"ap95", 1L).otherwise(0L)).as("le95"))
       val tol = greatest(lit(0.002), lit(2.0) / $"n")
+      // a group with ZERO non-null values has no percentile to bound —
+      // the within-tolerance contract is vacuously TRUE (matches the
+      // oracle's literal), not a failed rank check against a NULL
+      // estimate
       def okAt(q: Double, lt: String, le: String) =
-        (col(lt).cast("double") / $"n" <= lit(q) + tol) &&
-          (col(le).cast("double") / $"n" >= lit(q) - tol)
+        ($"nv" === 0L) ||
+          ((col(lt).cast("double") / $"n" <= lit(q) + tol) &&
+            (col(le).cast("double") / $"n" >= lit(q) - tol))
       ranked
         .select(
           $"event_type", $"n",
           okAt(0.50, "lt50", "le50").as("ok50"),
           okAt(0.95, "lt95", "le95").as("ok95"))
-        .orderBy($"event_type")
+        .orderBy($"event_type".asc_nulls_last)
     }),
 
     // Mergeable-sketch architecture (the 100 TB cardinality pattern):
@@ -584,7 +592,9 @@ object CoreQueries {
         | substr(text, 1, 10) AS head10,
         | length(text) AS text_len,
         | lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
-        | source || '-' || lang AS tag,
+        | -- concat_ws (not ||): Spark's concat_ws SKIPS null parts
+        | -- (all-null -> ''), || would yield NULL
+        | concat_ws('-', source, lang) AS tag,
         | ends_with(source, '0') AS is_src0
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -676,7 +686,10 @@ object CoreQueries {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
         | len(json_keys(props)) AS n_keys,
-        | array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        | -- coalesce to '': Spark's concat_ws over a NULL key array
+        | -- (null props) returns '', not NULL
+        | coalesce(array_to_string(list_sort(json_keys(props)), ','), '')
+        |   AS keys_sorted,
         | CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"') AS INTEGER) AS first_val
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -706,7 +706,10 @@ object CorpusOpsQueries {
       val perDoc = Tables.documents(s, d)
         .select($"lang", TF.nTokens($"text").cast("long").as("n_tok"),
           TF.qualityScore($"text").as("q"),
-          LlmQueries.gopherPass($"text").cast("long").as("pass"))
+          // when/otherwise, not a bare cast: a NULL text must count as
+          // a gopher FAIL (the oracle's CASE ELSE 0), not null out the
+          // group's pass-rate sum
+          when(LlmQueries.gopherPass($"text"), 1L).otherwise(0L).as("pass"))
       val tot = perDoc.agg(sum($"n_tok").as("total_tok"))
       perDoc.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -720,7 +723,7 @@ object CorpusOpsQueries {
         .withColumn("token_share",
           $"tokens".cast("double") / $"total_tok".cast("double"))
         .drop("total_tok")
-        .orderBy($"lang")
+        .orderBy($"lang".asc_nulls_last)
     }),
 
     // Exact heavy hitters WITHOUT a full-vocabulary shuffle — the
@@ -1107,7 +1110,10 @@ object CorpusOpsQueries {
     // scale 0 and quantize to all-zeros (guarded division).
     "embedding_quantize" -> ((s, d) => {
       import s.implicits._
+      // NULL vectors are unquantizable — skip them, like the oracle's
+      // unnest (which emits no dim rows for a NULL list)
       val e = Tables.embeddings(s, d)
+        .filter($"embedding".isNotNull)
         .select($"vec_id",
           transform($"embedding", v => v.cast("double")).as("x"))
         .withColumn("scale",
@@ -1402,7 +1408,7 @@ object CorpusOpsQueries {
 
     "dedup_incremental" ->
       s"""WITH ${LlmQueries.duckCandidateCtes},
-         |fps AS (SELECT doc_id, md5(array_to_string(list_sort(${LlmQueries.TOKS}), ' ')) AS fp
+         |fps AS (SELECT doc_id, md5(coalesce(array_to_string(list_sort(${LlmQueries.TOKS}), ' '), '')) AS fp
          |        FROM documents),
          |exact_sur AS (
          | SELECT doc_id FROM fps f

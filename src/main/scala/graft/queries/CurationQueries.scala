@@ -178,7 +178,10 @@ object CurationQueries {
       val pass = (nTok >= 5) && (nTok <= 10000) && (TF.punctRatio($"text") <= 0.3)
       val z = lit(1.96)
       val agg = Tables.documents(s, d)
-        .select($"source", pass.cast("long").as("p"))
+        // when/otherwise (not a bare boolean cast): a NULL text makes
+        // `pass` NULL, which must count as a FAIL (the oracle's CASE
+        // ELSE 0), not poison the sum to NULL
+        .select($"source", when(pass, 1L).otherwise(0L).as("p"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"p").as("n_pass"))
       val n = $"n_docs".cast("double")
@@ -508,7 +511,7 @@ object CurationQueries {
     // same fingerprint (md5 of sorted tokens), same version predicates
     "dataset_version_diff" ->
       s"""WITH f AS (SELECT lang,
-         |    md5(array_to_string(list_sort(${LlmQueries.TOKS}), ' ')) AS fp,
+         |    md5(coalesce(array_to_string(list_sort(${LlmQueries.TOKS}), ' '), '')) AS fp,
          |    max(CASE WHEN ((doc_id % 10) + 10) % 10 <> 9 THEN 1 ELSE 0 END)
          |      AS v1,
          |    max(CASE WHEN ((doc_id % 10) + 10) % 10 <> 0 THEN 1 ELSE 0 END)

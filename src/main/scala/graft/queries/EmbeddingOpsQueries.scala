@@ -157,9 +157,11 @@ object EmbeddingOpsQueries {
     "label_propagation" -> ((s, d) => {
       import s.implicits._
       val asg = ivfCells(s, d).select($"vec_id", $"cell")
+      // a NULL label cannot vote (and its nulls-first/last tiebreak
+      // would diverge between engines anyway)
       val seeds = asg
         .join(Tables.embeddings(s, d).select($"vec_id", $"label"), Seq("vec_id"))
-        .filter($"vec_id" % 4 === 0)
+        .filter($"vec_id" % 4 === 0 && $"label".isNotNull)
       val votes = seeds.groupBy($"cell", $"label").agg(count(lit(1)).as("nv"))
       val w = Window.partitionBy($"cell").orderBy($"nv".desc, $"label")
       val win = votes.withColumn("rn", row_number().over(w))
@@ -297,19 +299,21 @@ object EmbeddingOpsQueries {
     // (votes desc, label) tiebreak
     "label_propagation" ->
       s"""WITH c AS (SELECT vec_id AS cell, embedding AS cent
-         |           FROM embeddings WHERE vec_id < $IvfK),
+         |           FROM embeddings
+         |           WHERE vec_id < $IvfK AND embedding IS NOT NULL),
          |a AS (SELECT e.vec_id, c.cell,
          |  ${LlmQueries.duckDot("e.embedding", "e.embedding")}
          |    - 2*${LlmQueries.duckDot("e.embedding", "c.cent")}
          |    + ${LlmQueries.duckDot("c.cent", "c.cent")} AS d2
-         |  FROM embeddings e CROSS JOIN c),
+         |  FROM embeddings e CROSS JOIN c
+         |  WHERE e.embedding IS NOT NULL),
          |r AS (SELECT vec_id, cell,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
          |  FROM a),
          |asg AS (SELECT vec_id, cell FROM r WHERE rn = 1),
          |seeds AS (SELECT s.vec_id, s.cell, em.label
          |  FROM asg s JOIN embeddings em USING (vec_id)
-         |  WHERE s.vec_id % 4 = 0),
+         |  WHERE s.vec_id % 4 = 0 AND em.label IS NOT NULL),
          |v AS (SELECT cell, label, count(*) AS nv
          |  FROM seeds GROUP BY cell, label),
          |w AS (SELECT cell, label, nv,

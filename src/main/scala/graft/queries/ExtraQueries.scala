@@ -803,30 +803,41 @@ object ExtraQueries {
         | CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT) AS n_long
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // every derived column guards on url IS NULL: Spark's concat
+    // null-propagates the whole url when any part is NULL, and
+    // parse_url of NULL is NULL — the literal reconstructions here
+    // must go NULL with it
     "url_funcs" ->
-      """SELECT doc_id,
-        | 'https://' || source || '.example.org/' || lang || '/doc/' ||
-        |   CAST(doc_id AS VARCHAR) || '?ref=' || source || '&x=' ||
-        |   CAST(n_chars % 7 AS VARCHAR) AS url,
-        | source || '.example.org' AS host,
-        | '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
-        | 'ref=' || source || '&x=' || CAST(n_chars % 7 AS VARCHAR) AS query,
-        | source AS ref_param,
-        | 'example.org' AS reg_domain
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH u AS (SELECT doc_id, source, lang, n_chars,
+        |  'https://' || source || '.example.org/' || lang || '/doc/' ||
+        |    CAST(doc_id AS VARCHAR) || '?ref=' || source || '&x=' ||
+        |    CAST(n_chars % 7 AS VARCHAR) AS url
+        | FROM documents)
+        |SELECT doc_id, url,
+        | CASE WHEN url IS NULL THEN NULL
+        |      ELSE source || '.example.org' END AS host,
+        | CASE WHEN url IS NULL THEN NULL
+        |      ELSE '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) END AS path,
+        | CASE WHEN url IS NULL THEN NULL
+        |      ELSE 'ref=' || source || '&x=' || CAST(n_chars % 7 AS VARCHAR)
+        |      END AS query,
+        | CASE WHEN url IS NULL THEN NULL ELSE source END AS ref_param,
+        | CASE WHEN url IS NULL THEN NULL ELSE 'example.org' END AS reg_domain
+        |FROM u ORDER BY doc_id""".stripMargin,
 
-    // outer-unnest emulation: empty sequences pad to [NULL] so the
-    // parent row survives the unnest, then (pos, v) null out.
+    // outer-unnest emulation: empty AND NULL sequences pad to [NULL]
+    // so the parent row survives the unnest (posexplode_outer keeps
+    // it in Spark), then (pos, v) null out.
     "generator_funcs" ->
       """SELECT doc_id, n_items,
-        | CASE WHEN n_items = 0 THEN NULL ELSE pos END AS pos,
-        | CASE WHEN n_items = 0 THEN NULL ELSE v END AS v
+        | CASE WHEN n_items IS NULL OR n_items = 0 THEN NULL ELSE pos END AS pos,
+        | CASE WHEN n_items IS NULL OR n_items = 0 THEN NULL ELSE v END AS v
         |FROM (
         | SELECT doc_id, CAST(len(seq) AS BIGINT) AS n_items,
         |  generate_subscripts(seq2, 1) - 1 AS pos, unnest(seq2) AS v
         | FROM (
         |  SELECT doc_id, seq,
-        |   CASE WHEN len(seq) = 0 THEN [NULL] ELSE seq END AS seq2
+        |   CASE WHEN seq IS NULL OR len(seq) = 0 THEN [NULL] ELSE seq END AS seq2
         |  FROM (
         |   SELECT doc_id,
         |    CASE WHEN n_chars % 4 = 0 THEN CAST([] AS BIGINT[])

@@ -315,9 +315,11 @@ object LlmQueries {
     */
   private val duckPqCtes: String =
     s"""subq AS (
+       |  -- NULL vectors are unindexable (mirrors pqSubvectors' filter)
        |  SELECT vec_id, label, m.range AS m,
        |    embedding[m.range*8+1 : m.range*8+8] AS sub
        |  FROM embeddings, range(0, 8) m
+       |  WHERE embedding IS NOT NULL
        |),
        |seeds AS (
        |  SELECT vec_id AS code, m, sub AS cent FROM subq WHERE vec_id < 64
@@ -740,7 +742,10 @@ object LlmQueries {
     VecFunctions.register(s)
     val subArr = array((0 until PqM).map(m =>
       slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)
+    // NULL vectors are unindexable (slice(NULL) would fan out null
+    // subvectors and poison the code assignment with NULL distances)
     Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), posexplode(subArr).as(Seq("m", "sub")))
   }
 
@@ -837,7 +842,11 @@ object LlmQueries {
   private def ivfCents(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     VecFunctions.register(s)
-    broadcast(Tables.embeddings(s, d).filter(col("vec_id") < IvfK)
+    // a NULL vector can seed no centroid: its cc/d2 go NULL for every
+    // row and min(struct) (nulls-first) would route the whole corpus
+    // into that cell — measured on the null-injected corpus
+    broadcast(Tables.embeddings(s, d)
+      .filter(col("vec_id") < IvfK && col("embedding").isNotNull)
       .select(col("vec_id").as("cell"), col("embedding").as("cent"))
       .withColumn("cc", VecFunctions.vecDot(col("cent"), col("cent"))))
   }
@@ -846,7 +855,9 @@ object LlmQueries {
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     memoized(s, d, "ivf_cells") {
       VecFunctions.register(s)
-      val e = Tables.embeddings(s, d)
+      // NULL vectors are unindexable — same convention as the oracle's
+      // relational form, where a null vector simply has no dim rows
+      val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
       val cents = ivfCents(s, d)
       val d2 = col("xx") -
         lit(2.0) * VecFunctions.vecDot(col("embedding"), col("cent")) + col("cc")
@@ -1587,7 +1598,8 @@ object LlmQueries {
       // of 100 query vectors)
       val subArr = array((0 until PqM).map(m =>
         slice($"embedding", m * PqSubDim + 1, PqSubDim)): _*)
-      val qtab = Tables.embeddings(s, d).filter($"vec_id" < 100)
+      val qtab = Tables.embeddings(s, d)
+        .filter($"vec_id" < 100 && $"embedding".isNotNull)
         .select($"vec_id".as("q_id"), posexplode(subArr).as(Seq("m", "qsub")))
         .join(broadcast(cb), Seq("m"))
         .select($"q_id", $"m", $"code", VecFunctions.vecDot($"qsub", $"cent").as("pdot"))
@@ -1783,7 +1795,8 @@ object LlmQueries {
       val enc = pqAssign(pqSubX(s, d), cb)
       val subArr = array((0 until PqM).map(m =>
         slice($"embedding", m * PqSubDim + 1, PqSubDim)): _*)
-      val qtab = Tables.embeddings(s, d).filter($"vec_id" < 100)
+      val qtab = Tables.embeddings(s, d)
+        .filter($"vec_id" < 100 && $"embedding".isNotNull)
         .select($"vec_id".as("q_id"), posexplode(subArr).as(Seq("m", "qsub")))
         .join(broadcast(cb), Seq("m"))
         .select($"q_id", $"m", $"code", VecFunctions.vecDot($"qsub", $"cent").as("pdot"))
@@ -2005,7 +2018,8 @@ object LlmQueries {
       // the partition a vector lives in
       val cells = ivfCells(s, d).select($"vec_id", $"cell")
       val wc = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
-      val probes = e.filter($"vec_id" < 100)
+      // null query vectors probe nothing (NULL distances everywhere)
+      val probes = e.filter($"vec_id" < 100 && $"embedding".isNotNull)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
         .withColumn("xx", VecFunctions.vecDot($"q_emb", $"q_emb"))
         .crossJoin(broadcast(cents))
@@ -2018,7 +2032,7 @@ object LlmQueries {
       val enc = pqAssign(pqSubX(s, d), cb).join(cells, Seq("vec_id"))
       val subArr = array((0 until PqM).map(m =>
         slice($"embedding", m * PqSubDim + 1, PqSubDim)): _*)
-      val qtab = e.filter($"vec_id" < 100)
+      val qtab = e.filter($"vec_id" < 100 && $"embedding".isNotNull)
         .select($"vec_id".as("q_id"), posexplode(subArr).as(Seq("m", "qsub")))
         .join(broadcast(cb), Seq("m"))
         .select($"q_id", $"m", $"code", VecFunctions.vecDot($"qsub", $"cent").as("pdot"))
@@ -2072,12 +2086,12 @@ object LlmQueries {
 
     "fingerprint" ->
       s"""SELECT doc_id,
-         | md5(array_to_string(list_sort($TOKS), ' ')) AS fp
+         | md5(coalesce(array_to_string(list_sort($TOKS), ' '), '')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "exact_dedup" ->
       s"""SELECT fp, min(doc_id) AS keeper, count(*) AS n_copies FROM
-         | (SELECT doc_id, md5(array_to_string(list_sort($TOKS), ' ')) AS fp
+         | (SELECT doc_id, md5(coalesce(array_to_string(list_sort($TOKS), ' '), '')) AS fp
          |  FROM documents) t
          |GROUP BY fp ORDER BY fp""".stripMargin,
 
@@ -2261,12 +2275,14 @@ object LlmQueries {
 
     "kmeans_assign" ->
       s"""WITH c AS (SELECT vec_id AS cluster_id, embedding AS cent
-         |           FROM embeddings WHERE vec_id < 50),
+         |           FROM embeddings
+         |           WHERE vec_id < 50 AND embedding IS NOT NULL),
          |a AS (SELECT e.vec_id, c.cluster_id,
          |  ${duckDot("e.embedding", "e.embedding")}
          |    - 2*${duckDot("e.embedding", "c.cent")}
          |    + ${duckDot("c.cent", "c.cent")} AS d2
-         |  FROM embeddings e CROSS JOIN c),
+         |  FROM embeddings e CROSS JOIN c
+         |  WHERE e.embedding IS NOT NULL),
          |r AS (SELECT vec_id, cluster_id, d2,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
          |  FROM a)
@@ -2661,18 +2677,20 @@ object LlmQueries {
       val cellD2 = s"${duckDot("e.embedding", "e.embedding")} - 2*${duckDot("e.embedding", "c.cent")} + ${duckDot("c.cent", "c.cent")}"
       s"""WITH $duckPqCtes,
          |cents AS (SELECT vec_id AS cell, embedding AS cent
-         |  FROM embeddings WHERE vec_id < 50),
+         |  FROM embeddings WHERE vec_id < 50 AND embedding IS NOT NULL),
          |cellasg AS (SELECT vec_id, cell FROM (
          |   SELECT e.vec_id, c.cell,
          |     row_number() OVER (PARTITION BY e.vec_id
          |       ORDER BY $cellD2, c.cell) AS rk
-         |   FROM embeddings e CROSS JOIN cents c) t
+         |   FROM embeddings e CROSS JOIN cents c
+         |   WHERE e.embedding IS NOT NULL) t
          |  WHERE rk = 1),
          |probes AS (SELECT q_id, cell FROM (
          |   SELECT e.vec_id AS q_id, c.cell,
          |     row_number() OVER (PARTITION BY e.vec_id
          |       ORDER BY $cellD2, c.cell) AS cr
-         |   FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 100) t
+         |   FROM embeddings e CROSS JOIN cents c
+         |   WHERE e.vec_id < 100 AND e.embedding IS NOT NULL) t
          |  WHERE cr <= 2),
          |sc AS (
          |  SELECT q_id, vec_id, $duckPqFixedSum AS raw

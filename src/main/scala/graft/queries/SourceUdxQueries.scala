@@ -153,14 +153,14 @@ object SourceUdxQueries {
         .groupBy($"o_orderstatus")
         .agg(wmean($"o_totalprice", $"w").as("wmean_price"),
           count(lit(1)).as("n"))
-        .orderBy($"o_orderstatus")
+        .orderBy($"o_orderstatus".asc_nulls_last)
     })
   )
 
   val oracles: Map[String, String] = Map(
     "unzip_fanout" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.json' AS entry_name,
-        | CAST(octet_length(encode('{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"' || replace(replace(text, '\', '\\'), '"', '\"') || '"}')) AS BIGINT) AS n_bytes
+        | CAST(octet_length(encode('{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"' || replace(replace(coalesce(text, ''), '\', '\\'), '"', '\"') || '"}')) AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id < 20 ORDER BY entry_name""".stripMargin,
 
     "file_listing" ->
@@ -198,10 +198,15 @@ object SourceUdxQueries {
         |       FROM documents WHERE text IS NOT NULL) a) b
         |ORDER BY doc_id, idx""".stripMargin,
 
+    // the weight sum skips null-price rows too (their weight guards
+    // on the price) — WeightedMean drops the whole row when the value
+    // is NULL, like avg(); an unguarded sum(w) would divide by extra
+    // weight on a null-bearing corpus
     "udaf_agg" ->
       """SELECT o_orderstatus,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * (o_custkey % 10 + 1)) AS DOUBLE)
-        |  / CAST(sum(o_custkey % 10 + 1) AS DOUBLE) AS wmean_price,
+        |  / CAST(sum(CASE WHEN o_totalprice IS NULL THEN NULL
+        |                  ELSE o_custkey % 10 + 1 END) AS DOUBLE) AS wmean_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )

@@ -253,7 +253,11 @@ object StreamQueries {
       import s.implicits._
       Tables.events(s, d)
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        // coalesce matches the typed session paths (SessEvent.value is
+        // primitive: NULL contributes 0), so all three session
+        // implementations agree on all-null sessions
+        .agg(count(lit(1)).as("n"),
+          dsum(coalesce($"value", lit(0.0))).as("sum_value"))
         .select($"user_id",
           unix_millis($"session_window.start").as("sess_start"),
           unix_millis($"session_window.end").as("sess_end"),
@@ -381,7 +385,11 @@ object StreamQueries {
       |SELECT user_id, min(ts_us) // 1000 AS sess_start,
       | max(ts_us) // 1000 + 1800000 AS sess_end,
       | count(*) AS n,
-      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      | -- coalesce BEFORE the sum: the typed-encoder session path
+      | -- treats a NULL value as 0 (SessEvent.value is primitive), so
+      | -- an all-null session must sum to 0.0 here too, not NULL
+      | CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS sum_value
       |FROM sessions GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
 

@@ -28,13 +28,14 @@ object WindowSetQueries {
 
     "window_lag" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc_nulls_last, $"o_orderkey")
       Tables.orders(s, d)
         .select($"o_custkey", $"o_orderkey", $"o_totalprice",
           lag($"o_totalprice", 1).over(w).as("prev_price"),
           lead($"o_totalprice", 1).over(w).as("next_price"),
           ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta"))
-        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+        .orderBy($"o_custkey", $"o_orderdate".asc_nulls_last, $"o_orderkey")
     }),
 
     // (l_orderkey, l_linenumber) is not unique, so the frame order
@@ -44,13 +45,15 @@ object WindowSetQueries {
     "window_running_sum" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
-          $"l_partkey", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_shipdate".asc_nulls_last, $"l_orderkey", $"l_linenumber",
+          $"l_partkey".asc_nulls_last, $"l_quantity".asc_nulls_last,
+          $"l_extendedprice".asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           sum(dec($"l_quantity")).over(w).cast("double").as("running_qty"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"running_qty".asc_nulls_last)
     }),
 
     // The reference's keep-newest-5-versions GC (compare_schema.py:73-89)
@@ -84,7 +87,8 @@ object WindowSetQueries {
     // — last_value under the default frame would just echo the row).
     "window_first_last" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc_nulls_last, $"o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(s, d)
         .select($"o_custkey", $"o_orderkey",
@@ -107,8 +111,9 @@ object WindowSetQueries {
     "window_median" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
-          $"l_partkey", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_shipdate".asc_nulls_last, $"l_orderkey", $"l_linenumber",
+          $"l_partkey".asc_nulls_last, $"l_quantity".asc_nulls_last,
+          $"l_extendedprice".asc_nulls_last)
         .rowsBetween(-4, Window.currentRow)
       Tables.lineitem(s, d)
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
@@ -116,7 +121,8 @@ object WindowSetQueries {
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
           rnd((get($"srt", ((size($"srt") - 1) / 2).cast("int"))
             + get($"srt", (size($"srt") / 2).cast("int"))) / 2.0, 4).as("med5"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice".asc_nulls_last)
     }),
 
     "set_union" -> ((s, d) => {
@@ -195,7 +201,10 @@ object WindowSetQueries {
          | ${Q.duckRnd("(srt[((len(srt)-1)//2)+1] + srt[(len(srt)//2)+1]) / 2.0", 4)} AS med5
          |FROM (
          | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-         |  list_sort(list(l_extendedprice) OVER w) AS srt
+         |  -- list_filter: Spark's collect_list SKIPS nulls, DuckDB's
+         |  -- list() keeps them — drop them so both frames agree
+         |  list_sort(list_filter(list(l_extendedprice) OVER w,
+         |    x -> x IS NOT NULL)) AS srt
          | FROM lineitem
          | WINDOW w AS (PARTITION BY l_suppkey
          |  ORDER BY l_shipdate, l_orderkey, l_linenumber,

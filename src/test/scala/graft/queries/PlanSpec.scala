@@ -471,8 +471,10 @@ class PlanSpec extends SparkSpecBase {
     // vec_id exchange — partial min(struct) is the map-side combine
     assert(finalSection.contains("partial_min(struct"),
       "assignment shuffles the full N×K expansion")
-    assert(finalSection.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"),
-      "centroid filter not pushed to the parquet scan")
+    // the round-11 null-vector guard must ALSO reach the scan
+    assert(finalSection.contains("LessThan(vec_id,50)")
+        && finalSection.contains("IsNotNull(embedding)"),
+      "centroid/null-vector filters not pushed to the parquet scan")
   }
 
   test("knn_ivfpq: probes/ADC table broadcast, scan side keyed — no cartesian scoring") {
