@@ -36,37 +36,87 @@ object CorpusOpsQueries {
     */
   private val ShardCount = 16
 
-  /** One-projection winnowing build (doc_id, t, wins): char 8-gram md5
-    * hashes over normalized text and the min of each sliding 4-window,
-    * full windows only (Schleimer/Wilkerson/Aiken winnowing, SIGMOD
-    * 2003 — public) — entirely as per-doc array HOFs. wins[i] (0-based)
-    * is the minimum over gram positions i+1..i+4, i.e. the full window
-    * ENDING at 1-based gram position p = i + 4.
+  /** Winnowing doc-length bound: fingerprints (and therefore span
+    * cuts) consider the first N normalized chars of each document —
+    * the MOSS-style size cap. Two reasons, both measured on the 10×
+    * long-doc sweep corpus (VERDICT r10 item 2 / ADVICE r10): the
+    * array-HOF build holds ~2×8 bytes per char in ONE row (no spill
+    * path), and the gram-hash cost is ∝ chars (winnow_fingerprint hit
+    * 213 s when 0.5% of docs carried 12-50k chars). 20k covers every
+    * fixture (adversarial max 5k) so the cap is DORMANT at oracle
+    * scale; it is mirrored verbatim into [[duckWinnowCtes]], so both
+    * engines always fingerprint the same prefix. Bounds per-row array
+    * width at ~320 KB.
+    */
+  private val WinnowMaxChars = 20000
+
+  /** Per-doc winnowing build (doc_id, wins): char 8-gram md5 hashes
+    * over normalized text (capped at [[WinnowMaxChars]]) and the min
+    * of each sliding 4-window, full windows only
+    * (Schleimer/Wilkerson/Aiken winnowing, SIGMOD 2003 — public).
+    * wins[i] (0-based) is the minimum over gram positions i+1..i+4,
+    * i.e. the full window ENDING at 1-based gram position p = i + 4.
     *
-    * This replaced the r9 explode + doc-keyed window construction: the
-    * gram hashing is the same ~n_chars md5 evaluations, but nothing
-    * explodes to rows and the 36M-row doc-keyed window SHUFFLE (the
-    * r9 profile's single biggest line: winnow_fingerprint +
-    * winnow_matches together ~16.5 s) is gone — the sliding min is
-    * element_at arithmetic inside the same projection that hashed the
-    * grams, so the whole corpus-wide character pass is one shuffle-free
-    * map over the documents scan.
+    * IMPERATIVE mapPartitions, deliberately (the documented
+    * last-resort case, alongside heavy_hitters' Misra-Gries pass and
+    * the image/audio codec rows): this is the engine's one char-level
+    * sliding-window computation, and three successive declarative
+    * shapes each hid a measured scale hazard —
+    *  - r9's explode + doc-keyed window: O(n) per doc but a
+    *    corpus-wide char-row SHUFFLE (the r9 profile's biggest line,
+    *    ~16.5 s at sf0.1);
+    *  - r10's array-HOF projection with t.substr(p, k) grams:
+    *    shuffle-free, but UTF8String.substring walks bytes from the
+    *    string start, so grams cost O(p) each = O(n²) per doc
+    *    (measured 2,188 cpu-s on the 10× long-doc sweep corpus);
+    *  - pre-splitting a char array to make grams O(k): CollapseProject
+    *    inlines the split INTO the per-gram lambda (a lambda-embedded
+    *    reference counts as "used once"), re-splitting the whole text
+    *    per gram — worse than the substr it replaced.
+    * The per-partition loop is O(n) per doc, shuffle-free, and has no
+    * expression-layer inlining surface. Hash values are bit-identical
+    * to the declarative form and the oracle (first 4 md5 bytes as
+    * unsigned big-endian = conv(substr(md5_hex, 1, 8), 16, 10));
+    * Round9Spec pins both the fingerprint sets and the window counts
+    * against an independent explode+window replica.
     */
   private def winnowDocBuild(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 8; val w = 4
     Tables.documents(s, d)
-      .select($"doc_id", TF.normText($"text").as("t"))
+      .select($"doc_id",
+        substring(TF.normText($"text"), 1, WinnowMaxChars).as("t"))
       .filter(length($"t") >= k + w - 1)
-      .withColumn("g", transform(
-        sequence(lit(1), length($"t") - (k - 1)),
-        p => conv(substring(md5($"t".substr(p, lit(k))), 1, 8), 16, 10)
-          .cast("long")))
-      .withColumn("wins", transform(
-        sequence(lit(w), size($"g")),
-        i => least(element_at($"g", i - 3), element_at($"g", i - 2),
-          element_at($"g", i - 1), element_at($"g", i))))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) =>
+          val n = t.length - (k - 1)
+          val g = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            md.reset()
+            val h = md.digest(t.substring(i, i + k)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            g(i) = java.lang.Integer.toUnsignedLong(
+              ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) |
+                ((h(2) & 0xff) << 8) | (h(3) & 0xff))
+            i += 1
+          }
+          val wins = new Array[Long](n - (w - 1))
+          var j = 0
+          while (j < wins.length) {
+            var m = g(j)
+            var x = 1
+            while (x < w) { if (g(j + x) < m) m = g(j + x); x += 1 }
+            wins(j) = m
+            j += 1
+          }
+          (id, wins)
+        }
+      }
+      .toDF("doc_id", "wins")
   }
 
   /** Memoized per-doc winnowing sketch (doc_id, n_windows, fps):
@@ -128,8 +178,9 @@ object CorpusOpsQueries {
     * (same grams, same md5-hex→BIGINT hash, same 4-window minima).
     */
   private[queries] val duckWinnowCtes: String =
-    s"""n AS (SELECT doc_id, ${LlmQueries.NORM} AS t FROM documents
-       |           WHERE length(${LlmQueries.NORM}) >= 11),
+    s"""n AS (SELECT doc_id, substr(${LlmQueries.NORM}, 1, $WinnowMaxChars) AS t
+       |           FROM documents
+       |           WHERE length(substr(${LlmQueries.NORM}, 1, $WinnowMaxChars)) >= 11),
        |g AS (SELECT doc_id, p,
        |    ('0x' || substr(md5(substr(t, p, 8)), 1, 8))::BIGINT AS h
        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p

@@ -91,12 +91,16 @@ object CurationQueries {
     // (position explode, shuffle by doc_id only).
     "junk_detect" -> ((s, d) => {
       import s.implicits._
+      // explode the CHAR ARRAY, never positions-plus-the-string: the
+      // position form carried the whole document text in every
+      // exploded row (n_chars copies of an up-to-50k-char string —
+      // measured 197 s at 10× with the long-doc stratum; this form
+      // reads 11 s-scale because Generate prunes the parent text)
       val chars = Tables.documents(s, d)
         .select($"doc_id", TF.normText($"text").as("t"))
         .filter(length($"t") > 0)
-        .select($"doc_id",
-          explode(sequence(lit(1), length($"t"))).as("p"), $"t")
-        .select($"doc_id", $"t".substr($"p", lit(1)).as("ch"))
+        .select($"doc_id", explode(split($"t", "")).as("ch"))
+        .filter($"ch" =!= "")
       val counts = chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
         // per-doc char total via a doc-partitioned window over the
         // (≤37-symbol) count rows — bounded per doc, no second scan

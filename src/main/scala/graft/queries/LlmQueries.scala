@@ -1440,8 +1440,16 @@ object LlmQueries {
     // on ~|candidates|, never |corpus|².
     "fuzzy_match" -> ((s, d) => {
       import s.implicits._
+      // localCheckpoint pins the prefix computation at PER-DOC
+      // cardinality: without the barrier the normalization regex
+      // migrated into the per-pair join stage and re-normalized FULL
+      // texts once per candidate pair — measured 14,937 cpu-s (689 s
+      // wall) on the 10× long-doc sweep corpus vs seconds per-doc.
+      // The checkpointed table is (doc_id, 40 chars): ~50 B/doc at
+      // any corpus size.
       val docs = Tables.documents(s, d)
         .select($"doc_id", substring(TF.normText($"text"), 1, 40).as("t"))
+        .localCheckpoint()
       val cand = pairTable(s, d)
       cand
         .join(docs.select($"doc_id".as("doc_a"), $"t".as("t_a")), Seq("doc_a"))

@@ -72,7 +72,13 @@ object ScaleSweep {
           else if (mod == 13 && docId >= 13) docId - 13 else docId
         val rng = rngFor(cid)
         val v = bVocab.value
-        val len = 20 + rng.nextInt(120)
+        // long-document stratum (0.5%): 2k-8k tokens (~12-50k chars) —
+        // stresses the r10 array-HOF winnow build, whose per-doc
+        // gram/window arrays put row width ∝ doc length (VERDICT r10
+        // item 2 asked for exactly this stratum in the sweep corpus)
+        val len =
+          if (mod == 19 && cid % 10 == 9) 2000 + rng.nextInt(6000)
+          else 20 + rng.nextInt(120)
         // Zipf-ish rank sampling over the frequency-ranked vocab:
         // square a uniform to bias toward head ranks
         val sb = new StringBuilder
@@ -113,6 +119,49 @@ object ScaleSweep {
       .toDF("vec_id", "embedding", "label")
     embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // ---- events: factor× synthetic month (round-11) -----------------
+    // Same schema/distributions as the fixtures (5 event types, 2dp
+    // values, single-keyed json props, 30-day window): factor× more
+    // events over the SAME month and factor× more users, so the
+    // hourly/user-keyed aggregates the time-series waves run get
+    // factor× heavier groups, not a longer timeline.
+    val nBaseEv = graft.Tables.events(spark, base).count()
+    val evTypes = Array("signup", "click", "error", "view", "purchase")
+    val nUsers = 1500L * factor
+    val evs = spark.range(nBaseEv * factor).as[Long].map { id =>
+      val rng = rngFor(900000007L + id)
+      val tsUs = 1704067200000000L + // 2024-01-01 UTC
+        (rng.nextDouble() * 30L * 86400L * 1000000L).toLong
+      (id, tsUs, math.abs(rng.nextLong()) % nUsers,
+        evTypes(rng.nextInt(evTypes.length)),
+        math.floor(rng.nextDouble() * 100000) / 100.0,
+        s"""{"k": ${rng.nextInt(100)}}""")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    evs.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // ---- orders/lineitem: factor× key-shifted replicas (round-11) ---
+    // The TPC-H second batch had sf0.1 readings only. Replicate both
+    // fact tables factor× with the order-key space shifted per replica
+    // (join keys stay consistent across the two tables; custkey /
+    // partkey / suppkey stay in the base dimension range, so the
+    // dimension tables copy over unscaled and every TPC-H join is
+    // factor× heavier on the fact side — the shape that matters).
+    val baseOrders = spark.read.parquet(s"$base/orders.parquet")
+    val keySpan = baseOrders.agg(max($"o_orderkey")).head.getLong(0) + 1
+    val reps = spark.range(factor).select($"id".as("rep"))
+    baseOrders.crossJoin(reps)
+      .withColumn("o_orderkey", $"o_orderkey" + $"rep" * keySpan).drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    spark.read.parquet(s"$base/lineitem.parquet").crossJoin(reps)
+      .withColumn("l_orderkey", $"l_orderkey" + $"rep" * keySpan).drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
     // ---- the heavy family at scale ----------------------------------
     // Bench's shared corpus run order + release schedule (BenchShared,
     // one definition for both harnesses) plus the embedding/ANN and
@@ -122,17 +171,16 @@ object ScaleSweep {
       "knn_bruteforce", "cosine_topk", "knn_ivf", "knn_lsh",
       "lm_score",
       "exact_dedup", "text_stats", "lang_id", "doc_chunk",
-      // round-8 corpus ops (documents-table only — the scale corpus
-      // has no events table, so anomaly_mad/seasonal_decompose stay
-      // bench-only)
+      // round-8 corpus ops (anomaly_mad/seasonal_decompose moved to
+      // the round-11 events block below once the scale corpus grew an
+      // events table)
       "dsir_select", "ccnet_buckets",
       // round-9 corpus/embedding ops (taxonomy_classify and — since
       // r10 — winnow_fingerprint ride corpusFamily above)
       "lm_backoff_score", "length_histogram",
       "embedding_quantize",
-      // twelfth wave (documents-side dataset-assembly ops; the
-      // events-side changepoint_cusum stays bench-only like
-      // anomaly_mad — the scale corpus has no events table)
+      // twelfth wave (documents-side dataset-assembly ops;
+      // changepoint_cusum rides the round-11 events block below)
       "split_assign", "domain_cap", "junk_detect", "line_dedup",
       "length_filter_sweep", "source_reliability", "audio_rms",
       // thirteenth wave (ngram_novelty/kmeans_iterate ride
@@ -153,16 +201,32 @@ object ScaleSweep {
       "curriculum_schedule",
       // eighteenth wave (vocab_growth / zipf_profile ride corpusFamily)
       "embedding_drift", "dataset_version_diff",
-      // nineteenth wave (maxsim_rerank rides corpusFamily; the
-      // scale corpus has no events table, so stream_cdc is bench-only)
-      // waves 20-25 (chi2_terms / winnow_matches / triangle_count
-      // ride corpusFamily; the events/orders/lineitem-side ops —
-      // ks_test, event_transitions/trigrams, user_burstiness,
-      // iqr_outliers, ab_ttest, stream_throttle, hist_equidepth,
-      // group_quantiles, gini_concentration, tpch_*, dpp_join,
-      // xml_scan — are bench-only like anomaly_mad)
+      // nineteenth wave (maxsim_rerank rides corpusFamily); waves
+      // 20-25 (chi2_terms / winnow_matches / triangle_count ride
+      // corpusFamily; the events/orders/lineitem-side ops ride the
+      // round-11 blocks below)
       "auc_eval", "pareto_front", "cooccur_window",
-      "grouped_linear_fit", "compaction_plan")
+      "grouped_linear_fit", "compaction_plan",
+      // round-11: waves 26-32 + the winnow/bpe additions ride
+      // corpusFamily above (kcore_peel, bfs_hops, good_turing,
+      // substring_dedup_cut, bpe_decode, label_propagation); the
+      // documents-side Kneser-Ney LM joins here
+      "kneser_ney_lm",
+      // round-11: events-side time-series/stat waves — the scale
+      // corpus now carries a factor× events month
+      "trend_test", "theil_sen", "autocorr_lag", "event_trigrams",
+      "event_transitions", "ks_test", "user_burstiness", "iqr_outliers",
+      "ab_ttest", "anomaly_mad", "changepoint_cusum",
+      "seasonal_decompose", "stream_throttle",
+      // round-11: orders/lineitem-side stats + the full TPC-H batch —
+      // the scale corpus now carries factor× key-shifted fact tables
+      "hist_equidepth", "group_quantiles", "gini_concentration",
+      "tpch_pricing", "tpch_market_share", "tpch_volume_shipping",
+      "tpch_custdist", "tpch_forecast_revenue", "tpch_large_orders",
+      "tpch_order_priority", "tpch_product_profit", "tpch_promo_share",
+      "tpch_returned_items", "tpch_shipping_priority",
+      "tpch_small_qty_revenue", "tpch_supplier_parts",
+      "tpch_top_supplier")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
