@@ -33,7 +33,7 @@ object BenchShared {
     // point); candidate_pairs consumers before dedup_clusters (same)
     "bpe_merges", "bpe_apply", "bpe_decode", "taxonomy_classify", "chi2_terms",
     "good_turing", "unigram_surprise",
-    "triangle_count", "kcore_peel", "bfs_hops",
+    "triangle_count", "kcore_peel", "bfs_hops", "jaccard_link_pred",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
     // winnow_fps consumers: fingerprint stats first (cheap reader),

@@ -1201,6 +1201,92 @@ object CorpusOpsQueries {
           ($"sum_c2".cast("double") / ($"n_tokens" * $"n_tokens").cast("double"))
             .as("simpson"))
         .orderBy($"doc_id")
+    }),
+
+    // Template-cluster detection (wave 33): documents that differ only
+    // in their NUMBERS collapse to one md5 "template" key after a
+    // digit-run mask over the normalized text — the CCNet-style
+    // machine-generated-page signal exact_dedup misses (each page is
+    // unique, the skeleton is not). Pure scan projection + one
+    // map-side-combinable hash aggregate: at 100 TB the shuffle
+    // carries one pre-aggregated row per template key, never text.
+    // NULL text yields a NULL template key in both engines, so dirty
+    // rows surface as one honest NULL cluster instead of vanishing.
+    "template_dedup" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5(regexp_replace(TF.normText($"text"), "[0-9]+", "0"))
+            .as("template"))
+        .groupBy($"template")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("rep_doc"))
+        .filter($"n_docs" > 1)
+        .orderBy($"n_docs".desc, $"template".asc_nulls_last)
+    }),
+
+    // Tokenizer fertility by language (wave 33): subword-per-word
+    // ratio of the BPE-ish pre-tokenizer vs whitespace words — the
+    // standard tokenizer-evaluation statistic ("how many pieces does
+    // a word shatter into in each language"), the aggregate readout
+    // the per-doc token_count table stops short of. One scan, one
+    // |langs|-row aggregate; the ratio divides two exact integer sums
+    // once, so no double-accumulation order exists.
+    "tokenizer_fertility" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", TF.nTokens($"text").cast("long").as("ws"),
+          TF.bpeTokenCount($"text").cast("long").as("bpe"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"ws").as("ws_tokens"), sum($"bpe").as("bpe_tokens"))
+        .select($"lang", $"n_docs", $"ws_tokens", $"bpe_tokens",
+          when(coalesce($"ws_tokens", lit(0L)) === 0L,
+            lit(null).cast("double"))
+            .otherwise(rnd($"bpe_tokens".cast("double") /
+              $"ws_tokens".cast("double"), 6)).as("fertility"))
+        .orderBy($"lang".asc_nulls_last)
+    }),
+
+    // Link prediction over the near-dup candidate graph (wave 33):
+    // top-50 NON-edge pairs ranked by neighborhood Jaccard
+    // (common-neighbors / union-of-neighborhoods) — "these two docs
+    // share most of their near-dup neighbors but no LSH band put them
+    // together", the transitive-dup audit that catches what banding
+    // narrowly missed. Wedge enumeration rides triangle_count's
+    // [[WedgeCap]] discipline (per-node adjacency truncated to the
+    // WedgeCap smallest neighbor ids, so wedge work is ≤ WedgeCap²
+    // per node at any scale); `capped` surfaces per pair whether any
+    // counted wedge center was truncated (true ⇒ cn is a lower
+    // bound), the triangle_count honesty convention. Degrees in the
+    // denominator stay UNtruncated. Dormant at oracle scale,
+    // spec-pinned.
+    "jaccard_link_pred" -> ((s, d) => {
+      import s.implicits._
+      val e = LlmQueries.pairTable(s, d)
+      val sym = e.select($"doc_a".as("u"), $"doc_b".as("v"))
+        .unionAll(e.select($"doc_b".as("u"), $"doc_a".as("v")))
+      val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val adj = sym
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy($"u").orderBy($"v")))
+        .filter($"rn" <= WedgeCap).drop("rn")
+        .join(deg, Seq("u"))
+        .withColumn("cap", $"deg" > WedgeCap)
+      val cn = adj.select($"u", $"v", $"cap")
+        .join(adj.select($"u", $"v".as("w")), Seq("u"))
+        .filter($"v" < $"w")
+        .groupBy($"v".as("doc_a"), $"w".as("doc_b"))
+        .agg(count(lit(1)).as("cn"),
+          max(when($"cap", 1).otherwise(0)).as("capx"))
+      cn.join(e, Seq("doc_a", "doc_b"), "left_anti")
+        .join(deg.select($"u".as("doc_a"), $"deg".as("deg_a")), Seq("doc_a"))
+        .join(deg.select($"u".as("doc_b"), $"deg".as("deg_b")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"cn", $"deg_a", $"deg_b",
+          rnd($"cn".cast("double") /
+            ($"deg_a" + $"deg_b" - $"cn").cast("double"), 6).as("jacc"),
+          ($"capx" === 1).as("capped"))
+        .orderBy($"jacc".desc, $"doc_a", $"doc_b")
+        .limit(50)
     })
   )
 
@@ -1772,6 +1858,63 @@ object CorpusOpsQueries {
          |SELECT doc_id, n_tokens, n_types,
          | CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
          | CAST(sum_c2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
-         |FROM p ORDER BY doc_id""".stripMargin
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // same digit-run mask over the same normalization, same md5 key;
+    // NULL text -> NULL template group in both engines
+    "template_dedup" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  md5(regexp_replace(${LlmQueries.NORM}, '[0-9]+', '0', 'g'))
+         |    AS template
+         | FROM documents)
+         |SELECT template, count(*) AS n_docs, min(doc_id) AS rep_doc
+         |FROM m GROUP BY template HAVING count(*) > 1
+         |ORDER BY n_docs DESC, template""".stripMargin,
+
+    // same whitespace-token count (NTOK) and BPE-ish pre-tokenizer
+    // regex, exact integer sums, one closing division
+    "tokenizer_fertility" ->
+      s"""WITH t AS (SELECT lang, CAST(${LlmQueries.NTOK} AS BIGINT) AS ws,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+         | FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         | CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         | CASE WHEN coalesce(sum(ws), 0) = 0 THEN NULL
+         |      ELSE ${Q.duckRnd(
+             "CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)", 6)}
+         | END AS fertility
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays the LSH candidate pipeline (shared CTEs), the same
+    // WedgeCap-truncated adjacency, the same untruncated degrees
+    "jaccard_link_pred" ->
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+         |adj AS (SELECT a.u, a.v, deg.deg, deg.deg > $WedgeCap AS cap
+         | FROM (SELECT u, v,
+         |        row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+         |       FROM sym) a
+         | JOIN deg ON deg.u = a.u WHERE a.rn <= $WedgeCap),
+         |w AS (SELECT a1.v AS doc_a, a2.v AS doc_b, a1.cap
+         | FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v),
+         |cnt AS (SELECT doc_a, doc_b, count(*) AS cn,
+         |  max(CASE WHEN cap THEN 1 ELSE 0 END) AS capx
+         | FROM w GROUP BY doc_a, doc_b),
+         |ne AS (SELECT c.doc_a, c.doc_b, c.cn, c.capx FROM cnt c
+         | LEFT JOIN cand e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+         | WHERE e.doc_a IS NULL)
+         |SELECT ne.doc_a, ne.doc_b, cn,
+         | da.deg AS deg_a, db.deg AS deg_b,
+         | ${Q.duckRnd(
+             "CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE)", 6)}
+         |   AS jacc,
+         | capx = 1 AS capped
+         |FROM ne JOIN deg da ON da.u = ne.doc_a
+         | JOIN deg db ON db.u = ne.doc_b
+         |ORDER BY jacc DESC, ne.doc_a, ne.doc_b LIMIT 50""".stripMargin
   )
 }

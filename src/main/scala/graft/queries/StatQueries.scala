@@ -60,6 +60,20 @@ object StatQueries {
     */
   private val PosLabel = 5
 
+  /** Session gap for sessionize: a new session starts after 30 min of
+    * inactivity (the analytics-industry default). Mirrored.
+    */
+  private val SessionGapMs = 1800000L
+
+  /** Benford first-digit expected shares log10(1 + 1/d), d = 1..9 —
+    * computed ONCE in the JVM and inlined into BOTH engines as the
+    * same shortest-round-trip double literal (Double.toString), so no
+    * engine evaluates a libm log at query time (transcendentals
+    * differ in the last ulp across engines; literals cannot).
+    */
+  private val BenfordShares: Seq[Double] =
+    (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+
   val defs: Map[String, QueryFn] = Map(
     // Tie-corrected Mann-Whitney AUC of embedding[0] as a scorer of
     // label >= PosLabel: per distinct score s, U gains
@@ -356,6 +370,151 @@ object StatQueries {
         .filter($"y" === $"ymax" && ($"rmax".isNull || $"rmax" < $"y"))
         .select($"doc_id", $"x".as("len_chars"), $"y".as("uniq_tokens"))
         .orderBy($"len_chars".desc, $"doc_id")
+    }),
+
+    // Gap-based sessionization (wave 33): the batch form of the
+    // classic event-analytics primitive — per-user sessions split at
+    // [[SessionGapMs]] of inactivity, with per-session rollups. One
+    // user-keyed shuffle feeds the lag window, the running-sum window
+    // AND the (user, session) aggregate (hash partitioning on user_id
+    // satisfies all three — the interval_merge one-shuffle shape).
+    // NULL timestamps sort last (both engines) and each becomes its
+    // own degenerate 1-event session — dirty rows surface, nothing
+    // shifts the real sessions.
+    "sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(
+        $"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc_nulls_last, $"event_id".asc_nulls_last)
+      val sess = ev
+        .withColumn("prev", lag($"ms", 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull || $"ms" - $"prev" > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+          countDistinct($"event_type").as("n_types"))
+        .withColumn("duration_ms", $"end_ms" - $"start_ms")
+        .orderBy($"user_id".asc_nulls_last, $"session_id")
+    }),
+
+    // Mann-Whitney U rank-sum test with tie correction (wave 33):
+    // does the click value distribution sit above view's — the
+    // nonparametric sibling of ab_ttest (median-robust, the right
+    // test when values are skewed). Average ranks come DOUBLED
+    // (2·below + n + 1, integral) off one distributed prefix sum
+    // over the distinct-value relation, so R1, U1 and the tie term
+    // Σ(t³−t) are exact integers in decimal until the one closing
+    // z = (U1 − n₁n₂/2)/σ_tie sequence (±,×,÷,sqrt only — sqrt is
+    // IEEE-correctly-rounded, cross-engine-safe; no transcendentals).
+    "mann_whitney" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .filter($"event_type".isin("click", "view"))
+        .select($"value",
+          when($"event_type" === "click", 1L).otherwise(0L).as("ia"))
+      val perVal = base.groupBy($"value").agg(
+        sum($"ia").as("na"), sum(lit(1L) - $"ia").as("nb"))
+        .withColumn("n", $"na" + $"nb")
+        .withColumn("g", lit(1))
+      val run = DistributedNtile.withRunningSum(
+        perVal, "g", Seq($"value".asc_nulls_last), $"n", "cum")
+      val agg = run.agg(
+        sum($"na").as("n_a"), sum($"nb").as("n_b"),
+        sum($"na".cast("decimal(18,0)") *
+          (lit(2L) * ($"cum" - $"n") + $"n" + lit(1L)).cast("decimal(19,0)"))
+          .as("r1x2"),
+        sum(($"n".cast("decimal(12,0)") * $"n".cast("decimal(12,0)")
+          * $"n".cast("decimal(12,0)") - $"n").cast("decimal(38,0)"))
+          .as("tie3"))
+      val (nad, nbd) = ($"n_a".cast("double"), $"n_b".cast("double"))
+      val nd = nad + nbd
+      val u1x2 = ($"r1x2" - $"n_a".cast("decimal(19,0)")
+        * ($"n_a" + lit(1L)).cast("decimal(19,0)")).cast("double")
+      val varU = nad * nbd / lit(12.0) *
+        ((nd + lit(1.0)) - $"tie3".cast("double") / (nd * (nd - lit(1.0))))
+      agg.select($"n_a", $"n_b",
+        (u1x2 / lit(2.0)).as("u1"),
+        $"tie3".cast("double").as("tie_term"),
+        when($"n_a" === 0L || $"n_b" === 0L || $"n_a" + $"n_b" < 2L,
+          lit(null).cast("double"))
+          .otherwise(rnd((u1x2 - nad * nbd) / (lit(2.0) * sqrt(varU)), 6))
+          .as("z_stat"))
+    }),
+
+    // Cramér's V association between event type and hour-of-day
+    // (wave 33): the normalized-χ² effect size behind "is traffic
+    // composition time-dependent". Contingency cells are one
+    // map-side-combinable aggregate; the χ² grid is the bounded
+    // |types|×24 crossJoin of the two marginals (absent cells
+    // contribute their expectation, the chi2_terms convention);
+    // contributions are decimal-snapped so the double total is
+    // partition-order-free. NULL keys are coalesced to sentinel
+    // categories up front — dirty rows form honest categories
+    // instead of being dropped by null-rejecting grid joins.
+    "cramers_v" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(
+        coalesce($"event_type", lit("__null__")).as("t"),
+        coalesce(expr("unix_millis(ts) DIV 3600000 % 24"), lit(-1L)).as("h"))
+      val cell = ev.groupBy($"t", $"h").agg(count(lit(1)).as("o"))
+      val rt = cell.groupBy($"t").agg(sum($"o").as("rt"))
+      val ct = cell.groupBy($"h").agg(sum($"o").as("ct"))
+      val nn = cell.agg(sum($"o").as("nn"))
+      val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(nn))
+        .join(cell, Seq("t", "h"), "left")
+        .withColumn("o", coalesce($"o", lit(0L)))
+      val e = $"rt".cast("double") * $"ct".cast("double") / $"nn".cast("double")
+      val diff = $"o".cast("double") - e
+      val contrib = rnd(diff * diff / e, 6).cast("decimal(38,6)")
+      val gagg = grid.agg(
+        max($"nn").as("n"),
+        countDistinct($"t").as("r_levels"),
+        countDistinct($"h").as("c_levels"),
+        sum(contrib).cast("double").as("chi2"))
+      gagg.select($"n", $"r_levels", $"c_levels", $"chi2",
+        when($"n".isNull || $"n" === 0L ||
+          least($"r_levels", $"c_levels") < 2L, lit(null).cast("double"))
+          .otherwise(rnd(sqrt($"chi2" / ($"n".cast("double") *
+            (least($"r_levels", $"c_levels") - lit(1L)).cast("double"))), 6))
+          .as("v"))
+    }),
+
+    // Benford first-digit conformance of order totals (wave 33): the
+    // data-forensics screen for fabricated/synthetic numeric columns.
+    // The leading significant digit comes from the DECIMAL string
+    // rendering (both engines print scale-2 decimals identically —
+    // no double formatting, no log10 at query time: expected shares
+    // are [[BenfordShares]] literals). Always 9 rows (static digit
+    // spine), zero-filled; one scan, 9-group aggregate.
+    "benford_test" -> ((s, d) => {
+      import s.implicits._
+      val shares = BenfordShares.zipWithIndex
+        .map { case (sh, i) => (i + 1, sh) }
+        .toDF("digit", "exp_share")
+      val counts = Tables.orders(s, d)
+        .filter($"o_totalprice" > 0)
+        .select(regexp_extract(dec($"o_totalprice").cast("string"),
+          "[1-9]", 0).cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum($"n").as("nt"))
+      val ntd = $"nt".cast("double")
+      val ed = ntd * $"exp_share"
+      shares.join(counts, Seq("digit"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select($"digit", $"n",
+          when(coalesce($"nt", lit(0L)) === 0L, lit(null).cast("double"))
+            .otherwise(rnd($"n".cast("double") / ntd, 6)).as("obs_share"),
+          rnd($"exp_share", 6).as("exp_share"),
+          when(coalesce($"nt", lit(0L)) === 0L, lit(null).cast("double"))
+            .otherwise(rnd(($"n".cast("double") - ed) *
+              ($"n".cast("double") - ed) / ed, 6)).as("chi2_part"))
+        .orderBy($"digit")
     }))
 
   import LlmQueries.{NORM, NTOK, TOKS}
@@ -560,5 +719,131 @@ object StatQueries {
          |SELECT doc_id, x AS len_chars, y AS uniq_tokens
          |FROM p JOIN r USING (x)
          |WHERE y = ymax AND (rmax IS NULL OR rmax < y)
-         |ORDER BY len_chars DESC, doc_id""".stripMargin)
+         |ORDER BY len_chars DESC, doc_id""".stripMargin,
+
+    // same ms derivation (epoch_us // 1000 = unix_millis), same gap
+    // flag (NULL-ts rows each open their own degenerate session in
+    // both engines), same one-key rollup
+    "sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(ts) // 1000 AS ms FROM events),
+         |f AS (SELECT user_id, event_id, event_type, ms,
+         |  CASE WHEN lag(ms) OVER w IS NULL
+         |        OR ms - lag(ms) OVER w > $SessionGapMs
+         |       THEN 1 ELSE 0 END AS new_s
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |s AS (SELECT user_id, event_type, ms,
+         |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         | FROM f)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         | min(ms) AS start_ms, max(ms) AS end_ms,
+         | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         | max(ms) - min(ms) AS duration_ms
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    // same doubled average ranks off the same distinct-value prefix
+    // sum, same exact-decimal R1/U1/tie-term, same closing IEEE
+    // sequence for z
+    "mann_whitney" ->
+      """WITH base AS (SELECT value,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT value, CAST(sum(ia) AS BIGINT) AS na,
+        |  CAST(sum(1 - ia) AS BIGINT) AS nb FROM base GROUP BY value),
+        |r AS (SELECT na, nb, na + nb AS n,
+        |  CAST(sum(na + nb) OVER (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        | FROM g),
+        |a AS (SELECT
+        |  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        |  sum(CAST(na AS DECIMAL(18,0))
+        |    * CAST(2 * (cum - n) + n + 1 AS DECIMAL(19,0))) AS r1x2,
+        |  sum(CAST(CAST(n AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))
+        |    * CAST(n AS DECIMAL(12,0)) - n AS DECIMAL(38,0))) AS tie3
+        | FROM r)
+        |SELECT n_a, n_b,
+        | CAST(r1x2 - CAST(n_a AS DECIMAL(19,0))
+        |   * CAST(n_a + 1 AS DECIMAL(19,0)) AS DOUBLE) / 2.0 AS u1,
+        | CAST(tie3 AS DOUBLE) AS tie_term,
+        | CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN NULL
+        |  ELSE floor(((CAST(r1x2 - CAST(n_a AS DECIMAL(19,0))
+        |      * CAST(n_a + 1 AS DECIMAL(19,0)) AS DOUBLE)
+        |    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |   / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |     * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |       - CAST(tie3 AS DOUBLE)
+        |         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |           * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))))
+        |   * 1000000.0 + 0.5) / 1000000.0
+        | END AS z_stat
+        |FROM a""".stripMargin,
+
+    // same sentinel-coalesced keys, same bounded marginal grid with
+    // expected-count cells, same decimal-snapped contributions
+    "cramers_v" ->
+      s"""WITH e AS (SELECT coalesce(event_type, '__null__') AS t,
+         |  coalesce(((epoch_us(ts) // 1000) // 3600000) % 24, -1) AS h
+         | FROM events),
+         |cell AS (SELECT t, h, count(*) AS o FROM e GROUP BY t, h),
+         |rt AS (SELECT t, CAST(sum(o) AS BIGINT) AS rt FROM cell GROUP BY t),
+         |ct AS (SELECT h, CAST(sum(o) AS BIGINT) AS ct FROM cell GROUP BY h),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cell),
+         |grid AS (SELECT rt.t, rt.rt, ct.h, ct.ct, nn.nn,
+         |  coalesce(cell.o, 0) AS o
+         | FROM rt CROSS JOIN ct CROSS JOIN nn
+         | LEFT JOIN cell ON cell.t = rt.t AND cell.h = ct.h),
+         |x AS (SELECT nn, t, h,
+         |  CAST(o AS DOUBLE)
+         |    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)
+         |    AS diff,
+         |  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE) AS ee
+         | FROM grid),
+         |a AS (SELECT max(nn) AS n,
+         |  CAST(count(DISTINCT t) AS BIGINT) AS r_levels,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS c_levels,
+         |  CAST(sum(CAST(${Q.duckRnd("diff * diff / ee", 6)}
+         |    AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+         | FROM x)
+         |SELECT n, r_levels, c_levels, chi2,
+         | CASE WHEN n IS NULL OR n = 0 OR least(r_levels, c_levels) < 2
+         |  THEN NULL
+         |  ELSE ${Q.duckRnd(
+             "sqrt(chi2 / (CAST(n AS DOUBLE)" +
+               " * CAST(least(r_levels, c_levels) - 1 AS DOUBLE)))", 6)}
+         | END AS v
+         |FROM a""".stripMargin,
+
+    // the digit spine and the Benford shares are the same inlined
+    // shortest-round-trip double literals Spark uses — no log10 is
+    // evaluated by either engine at query time
+    "benford_test" -> {
+      val digitList = (1 to 9).mkString("[", ", ", "]")
+      val shareList = BenfordShares
+        .map(sh => s"CAST($sh AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT unnest($digitList) AS digit,
+         |  unnest($shareList) AS exp_raw),
+         |c AS (SELECT CAST(regexp_extract(
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |    '[1-9]') AS INTEGER) AS digit, count(*) AS n
+         | FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+         |SELECT d.digit, coalesce(c.n, 0) AS n,
+         | CASE WHEN coalesce(nt, 0) = 0 THEN NULL
+         |  ELSE ${Q.duckRnd(
+             "CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(nt AS DOUBLE)", 6)}
+         | END AS obs_share,
+         | ${Q.duckRnd("exp_raw", 6)} AS exp_share,
+         | CASE WHEN coalesce(nt, 0) = 0 THEN NULL
+         |  ELSE ${Q.duckRnd(
+             "(CAST(coalesce(c.n, 0) AS DOUBLE) - CAST(nt AS DOUBLE) * exp_raw)" +
+               " * (CAST(coalesce(c.n, 0) AS DOUBLE) - CAST(nt AS DOUBLE) * exp_raw)" +
+               " / (CAST(nt AS DOUBLE) * exp_raw)", 6)}
+         | END AS chi2_part
+         |FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t
+         |ORDER BY d.digit""".stripMargin
+    })
 }
