@@ -1212,6 +1212,12 @@ object CorpusOpsQueries {
     // carries one pre-aggregated row per template key, never text.
     // NULL text yields a NULL template key in both engines, so dirty
     // rows surface as one honest NULL cluster instead of vanishing.
+    // Emits the FULL template profile (singletons included) rather
+    // than filtering to n_docs > 1: whether any cluster exists is
+    // fixture-shape-dependent (none below sf0.1), and a result that
+    // can be empty at the oracle scale makes the hash check vacuous —
+    // the good_turing rule (DESIGN.md, waves 30-32). Consumers read
+    // clusters as the n_docs > 1 prefix of the ordering.
     "template_dedup" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -1220,7 +1226,6 @@ object CorpusOpsQueries {
             .as("template"))
         .groupBy($"template")
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("rep_doc"))
-        .filter($"n_docs" > 1)
         .orderBy($"n_docs".desc, $"template".asc_nulls_last)
     }),
 
@@ -1868,7 +1873,7 @@ object CorpusOpsQueries {
          |    AS template
          | FROM documents)
          |SELECT template, count(*) AS n_docs, min(doc_id) AS rep_doc
-         |FROM m GROUP BY template HAVING count(*) > 1
+         |FROM m GROUP BY template
          |ORDER BY n_docs DESC, template""".stripMargin,
 
     // same whitespace-token count (NTOK) and BPE-ish pre-tokenizer

@@ -553,4 +553,40 @@ class PlanSpec extends SparkSpecBase {
     assert(rankWindows.forall(_.partitionSpec.size >= 2),
       "rank window must partition by (__pid, lang), not lang alone")
   }
+
+  test("sessionize: lag window, running-sum window and session aggregate share ONE user shuffle") {
+    val p = finalPlan("sessionize")
+    assert(!p.contains("Join"), "sessionize must not join")
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1,
+      s"expected both windows + the session aggregate to reuse the user_id shuffle, got $exchanges")
+  }
+
+  test("template_dedup: one scan, map-side partial aggregate, no join") {
+    // sf0.01, not sf0.001: the tiny fixture has no template cluster,
+    // and AQE folds an empty result to EmptyRelation — no scan to pin
+    val df = SparkEntry.queries("template_dedup")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "template_dedup must not join")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalSection).size == 1,
+      "template_dedup must read the corpus exactly once:\n" + finalSection.take(4000))
+    assert("partial_count".r.findAllIn(finalSection).nonEmpty,
+      "template aggregate lost its map-side partial half — the shuffle would carry raw rows")
+  }
+
+  test("jaccard_link_pred: keyed joins only — no cartesian, anti join planned as LeftAnti") {
+    val p = finalPlan("jaccard_link_pred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge/degree joins must stay keyed:\n" + p.take(2000))
+    assert(p.contains("LeftAnti"), "existing-edge exclusion lost its anti join")
+  }
+
+  test("benford_test: positive-price filter pushed to the orders scan") {
+    val p = finalPlan("benford_test")
+    assert(p.contains("GreaterThan(o_totalprice"),
+      "o_totalprice > 0 did not reach the parquet reader:\n" + p.take(2000))
+  }
 }

@@ -25,9 +25,12 @@ class Wave33Spec extends SparkSpecBase {
       .write.parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("template_dedup")(spark, dir)
       .as[(String, Long, Long)].collect()
-    // exactly one cluster: docs 1-3 share the digit-masked skeleton
-    assert(rows.length == 1 && rows.head._2 == 3L && rows.head._3 == 1L,
-      s"expected one 3-doc template cluster with rep 1, got ${rows.toSeq}")
+    // the full profile: one 3-doc cluster (docs 1-3 share the
+    // digit-masked skeleton) leading the ordering, then 2 singletons
+    assert(rows.length == 3, s"expected 3 template groups, got ${rows.toSeq}")
+    assert(rows.head._2 == 3L && rows.head._3 == 1L,
+      s"expected a 3-doc template cluster with rep 1 first, got ${rows.toSeq}")
+    assert(rows.tail.forall(_._2 == 1L), s"singleton tail wrong: ${rows.toSeq}")
   }
 
   test("tokenizer_fertility: per-lang ratio >= 1 and sums match the per-doc token_count table") {
