@@ -210,17 +210,22 @@ object ScaleSweep {
       // round-11: waves 26-32 + the winnow/bpe additions ride
       // corpusFamily above (kcore_peel, bfs_hops, good_turing,
       // substring_dedup_cut, bpe_decode, label_propagation); the
-      // documents-side Kneser-Ney LM joins here
-      "kneser_ney_lm",
+      // documents-side Kneser-Ney LM joins here; wave 34's scan-bound
+      // corpus-QA ops ride along (jaccard_link_pred is in corpusFamily)
+      "kneser_ney_lm", "template_dedup", "tokenizer_fertility",
       // round-11: events-side time-series/stat waves — the scale
-      // corpus now carries a factor× events month
+      // corpus now carries a factor× events month (wave 34:
+      // sessionize / mann_whitney / cramers_v)
       "trend_test", "theil_sen", "autocorr_lag", "event_trigrams",
       "event_transitions", "ks_test", "user_burstiness", "iqr_outliers",
       "ab_ttest", "anomaly_mad", "changepoint_cusum",
       "seasonal_decompose", "stream_throttle",
+      "sessionize", "mann_whitney", "cramers_v",
       // round-11: orders/lineitem-side stats + the full TPC-H batch —
       // the scale corpus now carries factor× key-shifted fact tables
+      // (wave 34: benford_test)
       "hist_equidepth", "group_quantiles", "gini_concentration",
+      "benford_test",
       "tpch_pricing", "tpch_market_share", "tpch_volume_shipping",
       "tpch_custdist", "tpch_forecast_revenue", "tpch_large_orders",
       "tpch_order_priority", "tpch_product_profit", "tpch_promo_share",
