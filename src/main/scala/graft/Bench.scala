@@ -143,6 +143,7 @@ object Bench {
       .withExtensions(new graft.plans.GraftSparkExtensions) // vec_dot + optimizer rules
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.BoundedWindow.muteNoPartitionWarning()
     // Warm the JVM (codegen, parquet reader paths) so the first
     // measured query doesn't absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -23,6 +23,7 @@ object Verify {
       .withExtensions(new graft.plans.GraftSparkExtensions) // vec_dot + optimizer rules
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.BoundedWindow.muteNoPartitionWarning()
     new java.io.File(outDir).mkdirs()
     // A query that fails here silently vanishes from the driver's
     // correctness record (its row simply never appears) — round 7 lost

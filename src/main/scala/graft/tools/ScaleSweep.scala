@@ -44,6 +44,7 @@ object ScaleSweep {
       .withExtensions(new graft.plans.GraftSparkExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.BoundedWindow.muteNoPartitionWarning()
     import spark.implicits._
 
     // ---- corpus generation ------------------------------------------

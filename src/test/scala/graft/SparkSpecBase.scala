@@ -19,6 +19,7 @@ object SparkTestSession {
       .withExtensions(new graft.plans.GraftSparkExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.operators.BoundedWindow.muteNoPartitionWarning()
     s
   }
 }
