@@ -21,6 +21,16 @@ import Q.QueryFn
   */
 object MediaFingerprintQueries {
 
+  /** Hamming verification threshold for image_neardup (bits of 64).
+    * Mirrored into the oracle. 6 keeps the synthetic gradient space's
+    * near-shift structure (hamming 1-6 pairs exist at every fixture
+    * scale, so the oracle compare is never vacuously empty) while
+    * rejecting the unrelated-image mass at 20+ bits. Declared ahead
+    * of [[oracles]] because the SQL string interpolates it eagerly at
+    * object init.
+    */
+  private val HammingMax = 6
+
   val defs: Map[String, QueryFn] = Map(
 
     // Average-hash (aHash) over a deterministic 16×16 grayscale
@@ -149,6 +159,45 @@ object MediaFingerprintQueries {
         }
         .toDF("doc_id", "n_windows", "fp", "n_rising")
         .orderBy($"doc_id")
+    }),
+
+    // Perceptual image near-dup pairing (round 11, wave 34): the
+    // dedup JOIN the aHash signatures exist for — simhash_neardup's
+    // banded-Hamming design applied to images. The join runs in
+    // SIGNATURE space, not instance space: hashes group first
+    // (count + min-doc representative), the 64-bit hash splits into
+    // four 16-bit bands, equal-band signatures pair, and candidates
+    // verify by bit_count(xor) <= [[HammingMax]]. Instance
+    // multiplicity rides along as n_a·n_b pair counts — a million
+    // copies of two near-identical images is ONE output row, never a
+    // 10¹² instance-pair explosion (the property that makes image
+    // dedup joinable at 100 TB: band buckets scale with DISTINCT
+    // signatures / 2^16, and the downstream instance expansion is a
+    // keyed join against the hash groups). All-integer end to end.
+    "image_neardup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val h = defs("image_ahash")(s, d)
+        .groupBy($"ahash")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("rep_doc"))
+      val bands = h.select($"ahash", $"n_docs", $"rep_doc",
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright($"ahash", 16 * j).bitwiseAND(lit(0xFFFFL))
+            .as("key"))): _*)).as("bk"))
+        .select($"ahash", $"n_docs", $"rep_doc", $"bk.band", $"bk.key")
+      val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
+        .filter($"a.ahash" < $"b.ahash")
+        .select($"a.ahash".as("ahash_a"), $"b.ahash".as("ahash_b"),
+          $"a.n_docs".as("n_a"), $"b.n_docs".as("n_b"),
+          $"a.rep_doc".as("rep_a"), $"b.rep_doc".as("rep_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count($"ahash_a".bitwiseXOR($"ahash_b")).cast("int"))
+        .filter($"hamming" <= HammingMax)
+        .select($"ahash_a", $"ahash_b", $"hamming", $"n_a", $"n_b",
+          $"rep_a", $"rep_b", ($"n_a" * $"n_b").as("n_pairs"))
+        .orderBy($"hamming", $"ahash_a", $"ahash_b")
     })
   )
 
@@ -159,32 +208,61 @@ object MediaFingerprintQueries {
   private def bitTerm(j: Int): String =
     if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
 
+  /** Per-doc aHash CTE chain (same pixel formula, same integer
+    * block/global means, same strict compare, same bit packing with
+    * the min-long convention for bit 63 via [[bitTerm]] — the
+    * simhash-combine precedent; partial sums stay in BIGINT range
+    * for the same reason documented there). ONE definition shared by
+    * the image_ahash and image_neardup oracles so the signature
+    * arithmetic cannot diverge between them.
+    */
+  private val duckAhashCtes: String = {
+    val combine = (0 until 64)
+      .map(j => s"WHEN $j THEN ${bitTerm(j)}")
+      .mkString(" ")
+    s"""px AS (SELECT doc_id, x.range AS x, y.range AS y,
+       |    ((doc_id * 7 + x.range * 3 + y.range * 5) % 256 + 256) % 256 AS v
+       |  FROM documents, range(0, 16) x, range(0, 16) y),
+       |g AS (SELECT doc_id, sum(v) // 256 AS gmean FROM px GROUP BY doc_id),
+       |b AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS j, sum(v) // 4 AS bmean
+       |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)),
+       |bt AS (SELECT b.doc_id,
+       |    sum(CASE b.j $combine END) AS ahash, count(*) AS nset
+       |  FROM b JOIN g ON b.doc_id = g.doc_id
+       |  WHERE b.bmean > g.gmean GROUP BY b.doc_id),
+       |ah AS (SELECT g.doc_id, CAST(g.gmean AS BIGINT) AS gmean,
+       |  CAST(coalesce(bt.ahash, 0) AS BIGINT) AS ahash,
+       |  CAST(coalesce(bt.nset, 0) AS BIGINT) AS nset
+       | FROM g LEFT JOIN bt ON g.doc_id = bt.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
-    // same pixel formula, same integer block/global means, same strict
-    // compare, same bit packing (min-long convention for bit 63 via
-    // bitTerm — the simhash-combine precedent; partial sums stay in
-    // BIGINT range for the same reason documented there)
-    "image_ahash" -> {
-      val combine = (0 until 64)
-        .map(j => s"WHEN $j THEN ${bitTerm(j)}")
-        .mkString(" ")
-      s"""WITH px AS (SELECT doc_id, x.range AS x, y.range AS y,
-         |    ((doc_id * 7 + x.range * 3 + y.range * 5) % 256 + 256) % 256 AS v
-         |  FROM documents, range(0, 16) x, range(0, 16) y),
-         |g AS (SELECT doc_id, sum(v) // 256 AS gmean FROM px GROUP BY doc_id),
-         |b AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS j, sum(v) // 4 AS bmean
-         |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)),
-         |bt AS (SELECT b.doc_id,
-         |    sum(CASE b.j $combine END) AS ahash, count(*) AS nset
-         |  FROM b JOIN g ON b.doc_id = g.doc_id
-         |  WHERE b.bmean > g.gmean GROUP BY b.doc_id)
-         |SELECT g.doc_id, CAST(g.gmean AS BIGINT) AS mean_px,
-         |  CAST(coalesce(bt.ahash, 0) AS BIGINT) AS ahash,
-         |  CAST(coalesce(bt.nset, 0) AS BIGINT) AS n_bits_set
-         |FROM g LEFT JOIN bt ON g.doc_id = bt.doc_id
-         |ORDER BY g.doc_id""".stripMargin
-    },
+    "image_ahash" ->
+      s"""WITH $duckAhashCtes
+         |SELECT doc_id, gmean AS mean_px, ahash, nset AS n_bits_set
+         |FROM ah ORDER BY doc_id""".stripMargin,
+
+    // same signature grouping, same four 16-bit bands, same
+    // xor/bit_count verification at the same threshold
+    "image_neardup" ->
+      s"""WITH $duckAhashCtes,
+         |h AS (SELECT ahash, count(*) AS n_docs, min(doc_id) AS rep_doc
+         |  FROM ah GROUP BY ahash),
+         |bd AS (SELECT h.ahash, h.n_docs, h.rep_doc, j.range AS band,
+         |    (h.ahash >> (16 * j.range)) & 65535 AS key
+         |  FROM h, range(0, 4) j),
+         |cand AS (SELECT DISTINCT a.ahash AS ahash_a, b.ahash AS ahash_b,
+         |    a.n_docs AS n_a, b.n_docs AS n_b,
+         |    a.rep_doc AS rep_a, b.rep_doc AS rep_b
+         |  FROM bd a JOIN bd b
+         |   ON a.band = b.band AND a.key = b.key AND a.ahash < b.ahash)
+         |SELECT ahash_a, ahash_b,
+         |  CAST(bit_count(xor(ahash_a, ahash_b)) AS INTEGER) AS hamming,
+         |  n_a, n_b, rep_a, rep_b, n_a * n_b AS n_pairs
+         |FROM cand
+         |WHERE bit_count(xor(ahash_a, ahash_b)) <= $HammingMax
+         |ORDER BY hamming, ahash_a, ahash_b""".stripMargin,
 
     // same closed-form PCM, same window energies, same rising-edge bits
     "audio_fingerprint" ->

@@ -196,7 +196,7 @@ object ScaleSweep {
       "mixture_drift", "token_budget_trim",
       // sixteenth wave (the tpch_* ops are bench-only — the scale
       // corpus has no lineitem)
-      "image_ahash", "audio_fingerprint", "nn_descent_step",
+      "image_ahash", "image_neardup", "audio_fingerprint", "nn_descent_step",
       // seventeenth wave (minhash_b_bit / simhash_recall_eval /
       // kcore_peel ride corpusFamily; sql_group_by_all is bench-only)
       "curriculum_schedule",

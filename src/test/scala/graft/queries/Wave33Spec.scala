@@ -162,6 +162,42 @@ class Wave33Spec extends SparkSpecBase {
       s"v $v vs brute $bv")
   }
 
+  test("image_neardup: matches a driver-side banded-Hamming replica; never vacuously empty") {
+    val rows = SparkEntry.queries("image_neardup")(spark, sf)
+      .as[(Long, Long, Int, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "no near-dup image pairs at fixture scale — the oracle check would be vacuous")
+    // driver-side replica from the closed-form pixel model
+    def ahash(id: Long): Long = {
+      val px = Array.tabulate(16, 16)((x, y) =>
+        java.lang.Math.floorMod(id * 7 + x * 3 + y * 5, 256L))
+      val gmean = px.flatten.sum / 256
+      var h = 0L
+      for (by <- 0 until 8; bx <- 0 until 8)
+        if ((px(2 * bx)(2 * by) + px(2 * bx + 1)(2 * by) +
+          px(2 * bx)(2 * by + 1) + px(2 * bx + 1)(2 * by + 1)) / 4 > gmean)
+          h |= 1L << (by * 8 + bx)
+      h
+    }
+    val n = graft.Tables.documents(spark, sf).count()
+    val groups = (0L until n).groupBy(ahash)
+    val dh = groups.keys.toSeq
+    val brute = (for {
+      a <- dh; b <- dh
+      if a < b
+      if (0 until 4).exists(j => ((a >> (16 * j)) & 0xFFFF) == ((b >> (16 * j)) & 0xFFFF))
+      hd = java.lang.Long.bitCount(a ^ b)
+      if hd <= 6
+    } yield (a, b) -> (hd, groups(a).size.toLong, groups(b).size.toLong,
+      groups(a).min, groups(b).min)).toMap
+    assert(rows.length == brute.size,
+      s"pair count ${rows.length} vs replica ${brute.size}")
+    rows.foreach { case (a, b, hd, na, nb, ra, rb, np) =>
+      val (bhd, bna, bnb, bra, brb) = brute((a, b))
+      assert(hd == bhd && na == bna && nb == bnb && ra == bra && rb == brb
+        && np == bna * bnb, s"pair ($a,$b) diverges from replica")
+    }
+  }
+
   test("benford_test: digit spine complete, counts total, chi2 parts recompute") {
     val rows = SparkEntry.queries("benford_test")(spark, sf)
       .as[(Int, Long, Double, Double, Double)].collect()
