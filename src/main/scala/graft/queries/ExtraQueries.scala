@@ -357,11 +357,20 @@ object ExtraQueries {
 
     "agg_grouping_sets" -> ((s, d) => {
       // explicit grouping sets via SQL (the Dataset API routes this
-      // through the same Expand operator as rollup/cube)
+      // through the same Expand operator as rollup/cube).
+      // grouping() disambiguation, not bare coalesce (the rollup/cube
+      // null-corpus fix): a DATA-null status group and the () total
+      // row would both render ('ALL','ALL') — identical sort keys
+      // with different counts, so row order (and the driver hash)
+      // flips between engines/runs on null-bearing corpora. With
+      // grouping(), data nulls read 'NULL' and only true totals read
+      // 'ALL' — every output key is unique again.
       Tables.orders(s, d).createOrReplaceTempView("orders_gs")
       s.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-          | coalesce(o_orderpriority, 'ALL') AS priority,
+        """SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+          |       ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+          | CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+          |      ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
           | count(*) AS n,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM orders_gs
@@ -736,9 +745,12 @@ object ExtraQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
+    // same grouping() disambiguation — data nulls 'NULL', totals 'ALL'
     "agg_grouping_sets" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        | coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+        |      ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+        | CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+        |      ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
         | count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
