@@ -30,6 +30,16 @@ python3 scripts/check.py /tmp/null_corpus /tmp/null_corpus/verify_out \
   ccnet_buckets curriculum_schedule auc_eval ks_test hist_equidepth \
   iqr_outliers gini_concentration group_quantiles token_budget_trim || rc=1
 
+step "order-tie audit (presentation ORDER BY must determine row order)"
+# oracle SQL is corpus-independent; reuse the sf0.01 dump for both.
+# A hazard here is a query whose green hash compare is luck — two
+# engines happening to break an order tie the same way (round 11:
+# agg_grouping_sets, window_median).
+python3 scripts/tie_audit.py /root/testdata/sf0.01 \
+  target/verify_out/oracle_sql.json || rc=1
+python3 scripts/tie_audit.py /tmp/null_corpus \
+  target/verify_out/oracle_sql.json || rc=1
+
 step "sbt test"
 sbt -batch test || rc=1
 

@@ -121,8 +121,15 @@ object WindowSetQueries {
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
           rnd((get($"srt", ((size($"srt") - 1) / 2).cast("int"))
             + get($"srt", (size($"srt") / 2).cast("int"))) / 2.0, 4).as("med5"))
+        // med5 closes the ORDER BY: (l_orderkey, l_linenumber) is NOT
+        // unique in lineitem, so on a null-ridden corpus two rows can
+        // share every other key (extendedprice NULL on both) while
+        // their medians differ — an engine-dependent row-order tie
+        // the hash compare only catches when the engines happen to
+        // break it differently (the agg_grouping_sets lesson: order
+        // by ALL output columns, then row order IS row content)
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber",
-          $"l_extendedprice".asc_nulls_last)
+          $"l_extendedprice".asc_nulls_last, $"med5".asc_nulls_last)
     }),
 
     "set_union" -> ((s, d) => {
@@ -210,7 +217,7 @@ object WindowSetQueries {
          |  ORDER BY l_shipdate, l_orderkey, l_linenumber,
          |           l_partkey, l_quantity, l_extendedprice
          |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) t
-         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice, med5""".stripMargin,
 
     "window_first_last" ->
       """SELECT o_custkey, o_orderkey,
