@@ -27,7 +27,8 @@ object BenchShared {
     "boilerplate_ngrams", "lsh_recall_eval", "jaccard_band_sweep",
     "ngram_novelty",
     "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
-    "heavy_hitters", "rrf_fusion", "collocation_pmi", "vocab_coverage",
+    "heavy_hitters", "cms_heavy_hitters", "rrf_fusion",
+    "collocation_pmi", "vocab_coverage",
     "vocab_growth", "zipf_profile", "maxsim_rerank",
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -49,6 +49,16 @@ object CorpusOpsQueries {
     * width at ~320 KB.
     */
   private val WinnowMaxChars = 20000
+
+  /** Count-min-sketch geometry for cms_heavy_hitters (depth × width
+    * counters) and the exact-top-K readout size. W = 256 keeps the
+    * expected overcount ≈ N/256 visible at fixture scale (a sketch
+    * whose error the oracle can SEE is a tested sketch); production
+    * widths just change the literal. Mirrored.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256L
+  private val CmsTopK = 20
 
   /** Per-doc winnowing build (doc_id, wins): char 8-gram md5 hashes
     * over normalized text (capped at [[WinnowMaxChars]]) and the min
@@ -816,6 +826,42 @@ object CorpusOpsQueries {
         .select($"term", $"cnt",
           ($"cnt".cast("double") / lit(n).cast("double")).as("share"))
         .orderBy($"cnt".desc, $"term")
+    }),
+
+    // Count-min-sketch heavy hitters (wave 35): the SKETCH-based
+    // sibling of heavy_hitters — at 100 TB the exact Misra–Gries
+    // pass still exact-counts its candidates; a CMS answers "how
+    // often (approximately) does ANY term occur" from D×W = 4×256
+    // mergeable integer counters, constant state no matter the
+    // corpus (the streaming/distributed-merge property: counter
+    // grids from different shards ADD). Hashes are seeded md5 →
+    // BIGINT (engine-reproducible), so the sketch itself is under
+    // value oracle, not just its contract. Counters build from the
+    // VOCABULARY-scale term-count relation, not the token stream —
+    // summing per-term counts into buckets is arithmetically the
+    // token-level sketch at a fraction of the rows (term_rows is the
+    // one corpus-scale input, shared/memoized). The readout checks
+    // the CMS guarantee where it matters: est ≥ exact on the exact
+    // top-20, with the overcount surfaced per term.
+    "cms_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      def bucket(r: Column, term: Column): Column =
+        conv(substring(md5(concat(r.cast("string"), lit(":"), term)),
+          1, 8), 16, 10).cast("long") % CmsWidth
+      val depths = explode(array((0 until CmsDepth).map(lit(_)): _*)).as("r")
+      val tc = LlmQueries.termTable(s, d)
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val counters = tc.select($"term", $"cnt", depths)
+        .withColumn("bucket", bucket($"r", $"term"))
+        .groupBy($"r", $"bucket").agg(sum($"cnt").as("c"))
+      val top = tc.orderBy($"cnt".desc, $"term").limit(CmsTopK)
+      top.select($"term", $"cnt", depths)
+        .withColumn("bucket", bucket($"r", $"term"))
+        .join(counters, Seq("r", "bucket"))
+        .groupBy($"term", $"cnt").agg(min($"c").as("cms_est"))
+        .select($"term", $"cnt".as("exact_cnt"), $"cms_est",
+          ($"cms_est" - $"cnt").as("overcount"))
+        .orderBy($"exact_cnt".desc, $"term")
     }),
 
     // Deterministic shard planning — the "write N balanced output
@@ -1836,6 +1882,31 @@ object CorpusOpsQueries {
          |FROM tt CROSS JOIN n
          |GROUP BY term, n HAVING count(*) * 200 > n
          |ORDER BY cnt DESC, term""".stripMargin,
+
+    // same seeded-md5 bucket hashes, same D×W counter grid built
+    // from the same term-count relation, same min-over-rows estimate
+    "cms_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |tt AS (SELECT term FROM t WHERE term <> ''),
+         |tc AS (SELECT term, count(*) AS cnt FROM tt GROUP BY term),
+         |r AS (SELECT range AS r FROM range(0, $CmsDepth)),
+         |rw AS (SELECT tc.term, tc.cnt, r.r,
+         |  ('0x' || substr(md5(r.r::VARCHAR || ':' || tc.term), 1, 8))::BIGINT
+         |    % $CmsWidth AS bucket
+         | FROM tc CROSS JOIN r),
+         |counters AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c
+         | FROM rw GROUP BY r, bucket),
+         |top AS (SELECT term, cnt FROM tc
+         | ORDER BY cnt DESC, term LIMIT $CmsTopK),
+         |tb AS (SELECT top.term, top.cnt, r.r,
+         |  ('0x' || substr(md5(r.r::VARCHAR || ':' || top.term), 1, 8))::BIGINT
+         |    % $CmsWidth AS bucket
+         | FROM top CROSS JOIN r)
+         |SELECT term, cnt AS exact_cnt, min(c) AS cms_est,
+         | min(c) - cnt AS overcount
+         |FROM tb JOIN counters USING (r, bucket)
+         |GROUP BY term, cnt
+         |ORDER BY exact_cnt DESC, term""".stripMargin,
 
     "shard_plan" -> {
       val hv = LlmQueries.duckHex8ToBigint("h")

@@ -31,6 +31,14 @@ object MediaFingerprintQueries {
     */
   private val HammingMax = 6
 
+  /** Hamming verification threshold for audio_neardup (bits of the
+    * ≤ 9-bit rising-edge fingerprint). 2 with three 3-bit bands:
+    * pigeonhole guarantees any pair within hamming 2 shares at least
+    * one intact band, so banded candidate generation is COMPLETE at
+    * this threshold. Mirrored into the oracle.
+    */
+  private val AudioHammingMax = 2
+
   val defs: Map[String, QueryFn] = Map(
 
     // Average-hash (aHash) over a deterministic 16×16 grayscale
@@ -198,6 +206,45 @@ object MediaFingerprintQueries {
         .select($"ahash_a", $"ahash_b", $"hamming", $"n_a", $"n_b",
           $"rep_a", $"rep_b", ($"n_a" * $"n_b").as("n_pairs"))
         .orderBy($"hamming", $"ahash_a", $"ahash_b")
+    }),
+
+    // Acoustic near-dup pairing (wave 35): image_neardup's
+    // signature-space design applied to the audio fingerprints —
+    // clips pair only WITHIN an n_windows length class (different
+    // durations are never near-dups), the ≤ 9-bit rising-edge
+    // fingerprint splits into three 3-bit bands, equal-band
+    // signatures pair, and bit_count(xor) ≤ [[AudioHammingMax]]
+    // verifies. The join runs over DISTINCT (n_windows, fp)
+    // signatures with instance multiplicity riding as n_a·n_b — the
+    // signature space is bounded (5 length classes × 2^8), so the
+    // candidate join's cost is CONSTANT in corpus size; only the
+    // signature grouping scan grows. All-integer end to end.
+    "audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val h = defs("audio_fingerprint")(s, d)
+        .groupBy($"n_windows", $"fp")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("rep_doc"))
+      val bands = h.select($"n_windows", $"fp", $"n_docs", $"rep_doc",
+        explode(array((0 until 3).map(j => struct(lit(j).as("band"),
+          shiftright($"fp", 3 * j).bitwiseAND(lit(7L))
+            .as("key"))): _*)).as("bk"))
+        .select($"n_windows", $"fp", $"n_docs", $"rep_doc",
+          $"bk.band", $"bk.key")
+      val cand = bands.as("a").join(bands.as("b"),
+          Seq("n_windows", "band", "key"))
+        .filter(col("a.fp") < col("b.fp"))
+        .select($"n_windows", col("a.fp").as("fp_a"), col("b.fp").as("fp_b"),
+          col("a.n_docs").as("n_a"), col("b.n_docs").as("n_b"),
+          col("a.rep_doc").as("rep_a"), col("b.rep_doc").as("rep_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("int"))
+        .filter($"hamming" <= AudioHammingMax)
+        .select($"n_windows", $"fp_a", $"fp_b", $"hamming", $"n_a", $"n_b",
+          $"rep_a", $"rep_b", ($"n_a" * $"n_b").as("n_pairs"))
+        .orderBy($"n_windows", $"hamming", $"fp_a", $"fp_b")
     })
   )
 
@@ -266,23 +313,56 @@ object MediaFingerprintQueries {
 
     // same closed-form PCM, same window energies, same rising-edge bits
     "audio_fingerprint" ->
-      s"""WITH s AS (SELECT doc_id,
-         |    unnest(range(0, 800 + ((doc_id % 5 + 5) % 5) * 160)) AS i
-         |  FROM documents),
-         |a AS (SELECT doc_id, i // 160 AS w,
-         |    ((doc_id * 31 + i * 17) % 2003 + 2003) % 2003 - 1001 AS amp
-         |  FROM s),
-         |wq AS (SELECT doc_id, w, sum(amp * amp) AS ssq
-         |       FROM a GROUP BY doc_id, w),
-         |dl AS (SELECT doc_id, w, ssq,
-         |    lead(ssq) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
-         |  FROM wq)
-         |SELECT doc_id, count(*) AS n_windows,
-         |  CAST(coalesce(sum(CASE WHEN nxt > ssq THEN
-         |    CASE w ${(0 to 8).map(k => s"WHEN $k THEN ${1L << k}").mkString(" ")} END
-         |    ELSE 0 END), 0) AS BIGINT) AS fp,
-         |  CAST(coalesce(sum(CASE WHEN nxt > ssq THEN 1 ELSE 0 END), 0)
-         |    AS BIGINT) AS n_rising
-         |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      s"""WITH $duckAudioFpCtes
+         |SELECT doc_id, n_windows, fp, n_rising
+         |FROM afp ORDER BY doc_id""".stripMargin,
+
+    // same per-length-class signature grouping, same three 3-bit
+    // bands, same xor/bit_count verification at the same threshold
+    "audio_neardup" ->
+      s"""WITH $duckAudioFpCtes,
+         |h AS (SELECT n_windows, fp, count(*) AS n_docs,
+         |  min(doc_id) AS rep_doc FROM afp GROUP BY n_windows, fp),
+         |bd AS (SELECT h.n_windows, h.fp, h.n_docs, h.rep_doc,
+         |    j.range AS band, (h.fp >> (3 * j.range)) & 7 AS key
+         |  FROM h, range(0, 3) j),
+         |cand AS (SELECT DISTINCT a.n_windows, a.fp AS fp_a, b.fp AS fp_b,
+         |    a.n_docs AS n_a, b.n_docs AS n_b,
+         |    a.rep_doc AS rep_a, b.rep_doc AS rep_b
+         |  FROM bd a JOIN bd b
+         |   ON a.n_windows = b.n_windows AND a.band = b.band
+         |   AND a.key = b.key AND a.fp < b.fp)
+         |SELECT n_windows, fp_a, fp_b,
+         |  CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming,
+         |  n_a, n_b, rep_a, rep_b, n_a * n_b AS n_pairs
+         |FROM cand
+         |WHERE bit_count(xor(fp_a, fp_b)) <= $AudioHammingMax
+         |ORDER BY n_windows, hamming, fp_a, fp_b""".stripMargin
   )
+
+  /** Per-doc audio fingerprint CTE chain (same closed-form PCM, same
+    * window energies, same rising-edge bit packing) — ONE definition
+    * shared by the audio_fingerprint and audio_neardup oracles so
+    * the signature arithmetic cannot diverge between them. Yields
+    * `afp(doc_id, n_windows, fp, n_rising)`.
+    */
+  private lazy val duckAudioFpCtes: String =
+    s"""s AS (SELECT doc_id,
+       |    unnest(range(0, 800 + ((doc_id % 5 + 5) % 5) * 160)) AS i
+       |  FROM documents),
+       |a AS (SELECT doc_id, i // 160 AS w,
+       |    ((doc_id * 31 + i * 17) % 2003 + 2003) % 2003 - 1001 AS amp
+       |  FROM s),
+       |wq AS (SELECT doc_id, w, sum(amp * amp) AS ssq
+       |       FROM a GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, w, ssq,
+       |    lead(ssq) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+       |  FROM wq),
+       |afp AS (SELECT doc_id, count(*) AS n_windows,
+       |  CAST(coalesce(sum(CASE WHEN nxt > ssq THEN
+       |    CASE w ${(0 to 8).map(k => s"WHEN $k THEN ${1L << k}").mkString(" ")} END
+       |    ELSE 0 END), 0) AS BIGINT) AS fp,
+       |  CAST(coalesce(sum(CASE WHEN nxt > ssq THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_rising
+       | FROM dl GROUP BY doc_id)""".stripMargin
 }

@@ -71,6 +71,22 @@ object StatQueries {
     */
   private val KendallMinOrders = 5L
 
+  /** Session gap for interval_overlap_join's interval construction
+    * (96 h): the fixture's users emit ~2 events/day, so the 30-min
+    * sessionize gap yields instant [t,t] intervals that never
+    * overlap (measured: 0 rows at every sf). 96 h produces multi-day
+    * activity intervals — 35/379 overlap pairs at sf0.001/sf0.01 —
+    * which is the regime an interval×interval join exists for.
+    * Mirrored.
+    */
+  private val OverlapGapMs = 345600000L
+
+  /** Time-bucket width for interval_overlap_join's equi-join key
+    * (1 week). 96 h-gap intervals span ≤ ~6 buckets in the fixture,
+    * so the explode fan-out is small and bounded.
+    */
+  private val OverlapBucketMs = 604800000L
+
   /** Benford first-digit expected shares log10(1 + 1/d), d = 1..9 —
     * computed ONCE in the JVM and inlined into BOTH engines as the
     * same shortest-round-trip double literal (Double.toString), so no
@@ -647,6 +663,59 @@ object StatQueries {
         .orderBy($"o_custkey")
     }),
 
+    // Interval × interval overlap join (wave 35): which of a user's
+    // view sessions overlap which of their click sessions — the
+    // attribution primitive behind "was the purchase inside an active
+    // browsing window". Both interval sets are corpus-derived (the
+    // sessionize construction per event type at the 96 h activity
+    // gap — see [[OverlapGapMs]]), so neither side broadcasts; the
+    // join is the canonical BUCKETED interval join: each interval
+    // explodes into the week-buckets it spans
+    // (gap-bounded sessions span few), pairs meet in a co-partitioned
+    // (user, bucket) equi-join, multi-bucket double-matches collapse
+    // via DISTINCT, and the exact overlap predicate verifies — no
+    // nested-loop, no corpus×corpus cross join at any scale. The
+    // oracle uses DuckDB's direct range join (buckets are a pure
+    // execution strategy, invisible in the result). NULL-timestamp
+    // degenerate sessions carry NULL bounds and drop out of interval
+    // semantics identically in both engines (NULL comparisons).
+    "interval_overlap_join" -> ((s, d) => {
+      import s.implicits._
+      def sessions(kind: String) = {
+        val ev = Tables.events(s, d).filter($"event_type" === kind)
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ms".asc_nulls_last, $"event_id".asc_nulls_last)
+        ev.withColumn("prev", lag($"ms", 1).over(w))
+          .withColumn("new_s",
+            when($"prev".isNull || $"ms" - $"prev" > OverlapGapMs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum($"new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(count(lit(1)).as("n_ev"),
+            min($"ms").as("st"), max($"ms").as("en"))
+      }
+      val va = sessions("view").select($"user_id",
+        $"sid".as("view_session"), $"n_ev".as("n_view_events"),
+        $"st".as("va_st"), $"en".as("va_en"))
+      val cl = sessions("click").select($"user_id",
+        $"sid".as("click_session"), $"n_ev".as("n_click_events"),
+        $"st".as("cl_st"), $"en".as("cl_en"))
+      val vb = va.withColumn("bucket", explode(expr(
+        s"sequence(va_st DIV $OverlapBucketMs, va_en DIV $OverlapBucketMs)")))
+      val cb = cl.withColumn("bucket", explode(expr(
+        s"sequence(cl_st DIV $OverlapBucketMs, cl_en DIV $OverlapBucketMs)")))
+      vb.join(cb, Seq("user_id", "bucket"))
+        .drop("bucket").distinct()
+        .filter($"va_st" <= $"cl_en" && $"cl_st" <= $"va_en")
+        .select($"user_id", $"view_session", $"click_session",
+          $"n_view_events", $"n_click_events",
+          (least($"va_en", $"cl_en") - greatest($"va_st", $"cl_st"))
+            .as("overlap_ms"))
+        .orderBy($"user_id", $"view_session", $"click_session")
+    }),
+
     // Benford first-digit conformance of order totals (wave 33): the
     // data-forensics screen for fabricated/synthetic numeric columns.
     // The leading significant digit comes from the DECIMAL string
@@ -1103,9 +1172,41 @@ object StatQueries {
          |FROM pc JOIN cnt USING (ck) WHERE n_orders >= $KendallMinOrders
          |ORDER BY o_custkey""".stripMargin,
 
+    // same per-type session construction, but a DIRECT range join —
+    // the bucket expansion is a Spark execution strategy the result
+    // is invisible to
+    "interval_overlap_join" -> {
+      def sessCte(kind: String, tag: String) =
+        s"""f$tag AS (SELECT user_id, event_id, ms,
+           |  CASE WHEN lag(ms) OVER w IS NULL
+           |        OR ms - lag(ms) OVER w > $OverlapGapMs
+           |       THEN 1 ELSE 0 END AS new_s
+           | FROM e WHERE event_type = '$kind'
+           | WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+           |s$tag AS (SELECT user_id, ms,
+           |  CAST(sum(new_s) OVER (PARTITION BY user_id
+           |    ORDER BY ms, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS sid
+           | FROM f$tag),
+           |g$tag AS (SELECT user_id, sid, count(*) AS n_ev,
+           |  min(ms) AS st, max(ms) AS en
+           | FROM s$tag GROUP BY user_id, sid)""".stripMargin
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(ts) // 1000 AS ms FROM events),
+         |${sessCte("view", "v")},
+         |${sessCte("click", "c")}
+         |SELECT gv.user_id, gv.sid AS view_session, gc.sid AS click_session,
+         | gv.n_ev AS n_view_events, gc.n_ev AS n_click_events,
+         | least(gv.en, gc.en) - greatest(gv.st, gc.st) AS overlap_ms
+         |FROM gv JOIN gc ON gv.user_id = gc.user_id
+         | AND gv.st <= gc.en AND gc.st <= gv.en
+         |ORDER BY gv.user_id, view_session, click_session""".stripMargin
+    },
+
     // the digit spine and the Benford shares are the same inlined
-    // shortest-round-trip double literals Spark uses — no log10 is
-    // evaluated by either engine at query time
+    // shortest-round-trip double literals Spark uses — no query-time
+    // log10 anywhere
     "benford_test" -> {
       val digitList = (1 to 9).mkString("[", ", ", "]")
       val shareList = BenfordShares

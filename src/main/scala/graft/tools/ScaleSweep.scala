@@ -196,7 +196,8 @@ object ScaleSweep {
       "mixture_drift", "token_budget_trim",
       // sixteenth wave (the tpch_* ops are bench-only — the scale
       // corpus has no lineitem)
-      "image_ahash", "image_neardup", "audio_fingerprint", "nn_descent_step",
+      "image_ahash", "image_neardup", "audio_fingerprint",
+      "audio_neardup", "nn_descent_step",
       // seventeenth wave (minhash_b_bit / simhash_recall_eval /
       // kcore_peel ride corpusFamily; sql_group_by_all is bench-only)
       "curriculum_schedule",
@@ -225,7 +226,7 @@ object ScaleSweep {
       // wave 35 events-side (kruskal/levene/emd are cell-aggregate
       // bounded — the corpus-scale work is one map-side-combinable
       // groupBy each)
-      "kruskal_wallis", "levene_test", "emd_1d",
+      "kruskal_wallis", "levene_test", "emd_1d", "interval_overlap_join",
       // round-11: orders/lineitem-side stats + the full TPC-H batch —
       // the scale corpus now carries factor× key-shifted fact tables
       // (wave 34: benford_test)

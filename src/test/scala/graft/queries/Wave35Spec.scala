@@ -182,4 +182,91 @@ class Wave35Spec extends SparkSpecBase {
       assert(e(a, c) <= e(a, b) + e(b, c) + 1e-9, "EMD triangle inequality")
     }
   }
+
+  test("audio_neardup: complete vs brute-force signature-space pairing at hamming <= 2") {
+    val fps = SparkEntry.queries("audio_fingerprint")(spark, sf)
+      .select("doc_id", "n_windows", "fp")
+      .as[(Long, Long, Long)].collect()
+    val sigs = fps.groupBy(t => (t._2, t._3)).map { case ((nw, fp), ds) =>
+      (nw, fp, ds.length.toLong, ds.map(_._1).min)
+    }.toSeq
+    val brute = (for {
+      (nw, fa, na, ra) <- sigs; (nw2, fb, nb, rb) <- sigs
+      if nw == nw2 && fa < fb &&
+        java.lang.Long.bitCount(fa ^ fb) <= 2
+    } yield (nw, fa, fb, java.lang.Long.bitCount(fa ^ fb), na, nb, ra, rb,
+      na * nb)).toSet
+    val rows = SparkEntry.queries("audio_neardup")(spark, sf)
+      .as[(Long, Long, Long, Int, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(rows.nonEmpty, "vacuous at fixture scale")
+    // banded candidate generation must be COMPLETE at hamming <= 2
+    // (3 bands x 3 bits, pigeonhole) — set equality, not subset
+    assert(rows == brute,
+      s"missing: ${(brute -- rows).take(3)}; extra: ${(rows -- brute).take(3)}")
+  }
+
+  test("cms_heavy_hitters: matches a driver-side sketch replica; est >= exact always") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(r: Int, term: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$r:$term").substring(0, 8), 16) % 256L
+    val counts = LlmQueries.termTable(spark, sf)
+      .groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    val counters = scala.collection.mutable.Map
+      .empty[(Int, Long), Long].withDefaultValue(0L)
+    counts.foreach { case (t, c) =>
+      (0 until 4).foreach(r => counters((r, bucket(r, t))) += c)
+    }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val rows = SparkEntry.queries("cms_heavy_hitters")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == top.map(_._1),
+      "top-20 term set/order diverges from exact counts")
+    rows.foreach { case (term, exact, est, over) =>
+      assert(exact == counts(term))
+      val brute = (0 until 4).map(r => counters((r, bucket(r, term)))).min
+      assert(est == brute, s"$term: est $est vs replica $brute")
+      assert(est >= exact && over == est - exact,
+        s"CMS guarantee violated for $term: est $est < exact $exact")
+    }
+  }
+
+  test("interval_overlap_join: matches brute-force session overlap on the fixture") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "unix_millis(ts) AS ms")
+      .as[(Long, Long, String, Long)].collect()
+    def sessions(kind: String): Seq[(Long, Long, Long, Long, Long)] =
+      ev.filter(_._3 == kind).groupBy(_._1).toSeq.flatMap {
+        case (u, es) =>
+          val sorted = es.sortBy(e => (e._4, e._2))
+          var sid = 0L
+          var prev = Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long)] // (sid, ms, 1)
+          sorted.foreach { e =>
+            if (prev == Long.MinValue || e._4 - prev > 345600000L) sid += 1
+            prev = e._4
+            out += ((sid, e._4, 1L))
+          }
+          out.groupBy(_._1).map { case (s0, ms0) =>
+            (u, s0, ms0.size.toLong, ms0.map(_._2).min, ms0.map(_._2).max)
+          }
+      }
+    val va = sessions("view")
+    val cl = sessions("click")
+    val brute = (for {
+      (u, sv, nv, st1, en1) <- va
+      (u2, sc, nc, st2, en2) <- cl
+      if u == u2 && st1 <= en2 && st2 <= en1
+    } yield (u, sv, sc, nv, nc,
+      math.min(en1, en2) - math.max(st1, st2))).toSet
+    val rows = SparkEntry.queries("interval_overlap_join")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows.nonEmpty, "vacuous at fixture scale")
+    assert(rows == brute,
+      s"missing: ${(brute -- rows).take(3)}; extra: ${(rows -- brute).take(3)}")
+  }
 }
