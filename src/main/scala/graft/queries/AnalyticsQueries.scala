@@ -349,7 +349,14 @@ object AnalyticsQueries {
         .filter($"value".isNotNull)
         .select(coalesce($"event_type", lit("__null__")).as("t"),
           floor($"value" / lit(EmdBinWidth)).cast("long").as("bin"))
-      val cell = ev.groupBy($"t", $"bin").agg(count(lit(1)).as("n"))
+      // the one corpus-scale pass, memoized: three consumers (bin
+      // spine, per-type totals, grid fill) would otherwise each
+      // re-execute the scan+aggregate lineage — 3 corpus scans for a
+      // ≤|types|×|bins|-row relation (the bigram_lm one-pass rule;
+      // the cached table is bounded, so it is never released)
+      val cell = LlmQueries.memoized(s, d, "emd_cells") {
+        ev.groupBy($"t", $"bin").agg(count(lit(1)).as("n"))
+      }
       val bins = cell.select($"bin").distinct()
       val tot = cell.groupBy($"t").agg(sum($"n").as("nt"))
       val grid = tot.crossJoin(broadcast(bins))
