@@ -589,4 +589,59 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("GreaterThan(o_totalprice"),
       "o_totalprice > 0 did not reach the parquet reader:\n" + p.take(2000))
   }
+
+  test("audio_neardup: one decode chain (ReusedExchange), verify folded into the keyed join") {
+    val p = finalPlan("audio_neardup")
+    assert(p.contains("ReusedExchange"),
+      "b-side must reuse the a-side signature shuffle — the codec chain may run only once:\n" +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banded pairing must stay a keyed join")
+    assert(p.contains("bit_count"),
+      "Hamming verification must sit in the join condition / filter")
+  }
+
+  test("kendall_tau: null filters pushed, pair join keyed on custkey") {
+    val p = finalPlan("kendall_tau")
+    assert(p.contains("IsNotNull(o_custkey"),
+      "null exclusion did not reach the orders scan:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the per-customer pair join must stay keyed — its quadratic is bounded by the group")
+  }
+
+  test("interval_overlap_join: per-type filters pushed, one user shuffle per session leg, keyed bucket join") {
+    // sf0.01 — the sf0.001 fixture has few overlap pairs but the plan
+    // shape is scale-invariant; use the bigger corpus for stability
+    val df = SparkEntry.queries("interval_overlap_join")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(event_type,view)") && p.contains("EqualTo(event_type,click)"),
+      "session-leg type predicates did not reach the events scans:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval pairing must stay a keyed (user, bucket) equi-join")
+    val finalSection = p.split("== Initial Plan ==").head
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(finalSection).size
+    assert(userShuffles == 2,
+      s"expected exactly one user_id shuffle per session leg, got $userShuffles:\n" +
+        finalSection.take(3000))
+  }
+
+  test("cms_heavy_hitters: term_rows cache shared, top-k never a global sort") {
+    val p = finalPlan("cms_heavy_hitters")
+    assert(p.contains("InMemoryTableScan"),
+      "both branches must read the shared memoized term_rows cache:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "the exact top-20 readout must plan as a top-k, not a global sort")
+  }
+
+  test("emd_1d: cell consumers read the memoized grid (AQE reuses the rest)") {
+    val p = finalPlan("emd_1d")
+    val finalSection = p.split("== Initial Plan ==").head
+    // one InMemoryTableScan suffices: AQE stage reuse collapses the
+    // a/b CDF sides onto shared shuffle stages, so the cached cell
+    // appears once and the remaining consumers ride reused stages
+    assert(finalSection.contains("InMemoryTableScan"),
+      "cell consumers must read the cached cell table, not fresh scans:\n" +
+        finalSection.take(3000))
+  }
 }
