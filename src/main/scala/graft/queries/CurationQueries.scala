@@ -142,6 +142,56 @@ object CurationQueries {
         .orderBy($"doc_id")
     }),
 
+    // URL canonicalization + dedup (wave 36): the fetch-list dedup a
+    // crawl pipeline runs BEFORE fetching — strip fragments, tracking
+    // params, default ports and trailing slashes, lowercase the
+    // scheme://host prefix (paths stay case-sensitive), then group.
+    // The corpus is URL-free, so each doc gets a deterministic
+    // synthetic URL whose variant class (doc_id mod 4) exercises one
+    // canonicalization rule each — the pii_scrub synthetic-column
+    // precedent: the oracle then pins the whole normalize chain
+    // value-for-value. The chain is a single codegen'd
+    // regexp_replace/concat projection over one scan + one hash
+    // aggregate — embarrassingly parallel at any scale. No $1/\\1
+    // regex backreferences anywhere: Java and RE2 spell them
+    // differently, so the chain sticks to plain patterns both
+    // engines parse identically.
+    "url_dedup" -> ((s, d) => {
+      import s.implicits._
+      val host = concat(lit("WWW.Site"), ($"doc_id" % 7).cast("string"),
+        lit(".Example.com"))
+      val path = concat(lit("/articles/item"),
+        ($"doc_id" % 13).cast("string"))
+      val raw = when($"doc_id" % 4 === 0,
+          concat(lit("http://"), host, lit(":80"), path,
+            lit("?utm_source=feed&utm_campaign=x")))
+        .when($"doc_id" % 4 === 1,
+          concat(lit("HTTP://"), lower(host), path, lit("/")))
+        .when($"doc_id" % 4 === 2,
+          concat(lit("https://"), host, lit(":443"), path,
+            lit("#section-2")))
+        .otherwise(
+          concat(lit("https://"), lower(host), path,
+            lit("?ref=kept&utm_medium=email")))
+      val canon = concat(
+        lower(regexp_extract(col("_u3"), "^([^/]+//[^/]+)", 1)),
+        regexp_extract(col("_u3"), "^[^/]+//[^/]+(.*)$", 1))
+      Tables.documents(s, d)
+        .select($"doc_id", raw.as("raw_url"))
+        .withColumn("_u0", regexp_replace($"raw_url", "#.*$", ""))
+        .withColumn("_u1", regexp_replace(
+          regexp_replace($"_u0", "utm_[a-z]+=[^&#]*&", ""),
+          "[?&]utm_[a-z]+=[^&#]*", ""))
+        .withColumn("_u2", regexp_replace($"_u1", "/$", ""))
+        .withColumn("_u3", expr(
+          "replace(replace(_u2, ':80/', '/'), ':443/', '/')"))
+        .select($"doc_id", canon.as("canonical_url"), $"raw_url")
+        .groupBy($"canonical_url")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper"),
+          countDistinct($"raw_url").as("n_raw_variants"))
+        .orderBy($"canonical_url")
+    }),
+
     // Retention sweep — the dataset-card table answering "how much
     // survives a minimum-length filter at T?" for a ladder of
     // thresholds, in ONE scan: each doc fans out to the 6 fixed
@@ -415,6 +465,45 @@ object CurationQueries {
          |  END AS dup_seg_frac
          |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same synthetic variant classes, same normalize chain ('g' on
+    // every regexp_replace — DuckDB replaces first-match by default
+    // where Spark replaces all), same grouping
+    "url_dedup" ->
+      """WITH hosts AS (SELECT doc_id,
+        |  'WWW.Site' || (doc_id % 7)::VARCHAR || '.Example.com' AS host,
+        |  '/articles/item' || (doc_id % 13)::VARCHAR AS path
+        | FROM documents),
+        |raw AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |    'http://' || host || ':80' || path
+        |      || '?utm_source=feed&utm_campaign=x'
+        |  WHEN doc_id % 4 = 1 THEN
+        |    'HTTP://' || lower(host) || path || '/'
+        |  WHEN doc_id % 4 = 2 THEN
+        |    'https://' || host || ':443' || path || '#section-2'
+        |  ELSE
+        |    'https://' || lower(host) || path || '?ref=kept&utm_medium=email'
+        |  END AS raw_url
+        | FROM hosts),
+        |c AS (SELECT doc_id, raw_url,
+        |  replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(raw_url, '#.*$', '', 'g'),
+        |          'utm_[a-z]+=[^&#]*&', '', 'g'),
+        |        '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+        |      '/$', '', 'g'),
+        |    ':80/', '/'), ':443/', '/') AS u3
+        | FROM raw),
+        |k AS (SELECT doc_id, raw_url,
+        |  lower(regexp_extract(u3, '^([^/]+//[^/]+)', 1))
+        |    || regexp_extract(u3, '^[^/]+//[^/]+(.*)$', 1) AS canonical_url
+        | FROM c)
+        |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper,
+        | CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants
+        |FROM k GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     // same threshold ladder, same exact retention ratios
     "length_filter_sweep" -> {

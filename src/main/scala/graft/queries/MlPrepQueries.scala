@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
+import graft.operators.DistributedNtile
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -342,6 +343,54 @@ object MlPrepQueries {
         .select($"q_id", $"n_hits",
           ($"n_hits".cast("double") / 5.0).as("recall_at_5"))
         .orderBy($"q_id")
+    }),
+
+    // Split-conformal calibration (wave 36): the distribution-free
+    // prediction-interval machinery a model-serving pipeline runs
+    // over held-out scores — compute the ceil((n+1)(1−α)) order
+    // statistic of the calibration nonconformity scores (α = 0.1,
+    // exact integer rank arithmetic, no quantile interpolation) and
+    // evaluate empirical coverage on the disjoint test split. The
+    // calibration/test split is the seeded-md5 uniform (its own
+    // "conf:" prefix — split_assign's independence discipline); the
+    // order statistic is "min score with cum ≥ k" off one
+    // distributed prefix sum over DISTINCT scores (auc_eval's
+    // machinery — no global sort); the coverage pass is one
+    // map-side-combinable aggregate with the scalar q̂ broadcast.
+    // Everything is exact: q̂ is an actual data value, k is integer,
+    // and the one closing division is snapped.
+    "conformal_calibration" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.embeddings(s, d)
+        .filter($"label".isNotNull && element_at($"embedding", 1).isNotNull)
+        .select($"vec_id",
+          abs(element_at($"embedding", 1).cast("double") -
+            $"label".cast("double") / lit(9.0)).as("nonconf"),
+          (conv(substring(md5(concat(lit("conf:"),
+            $"vec_id".cast("string"))), 1, 8), 16, 10)
+            .cast("long") < lit(2147483648L)).as("is_cal"))
+      val cal = scored.filter($"is_cal")
+      val nc = cal.agg(count(lit(1)).as("n_cal"))
+      val calScores = cal.groupBy($"nonconf").agg(count(lit(1)).as("n"))
+        .withColumn("g", lit(1))
+      val run = DistributedNtile.withRunningSum(
+        calScores, "g", Seq($"nonconf".asc_nulls_last), $"n", "cum")
+      val qrow = run.crossJoin(broadcast(nc))
+        .filter($"cum" >= expr("(9 * (n_cal + 1) + 9) DIV 10"))
+        .agg(min($"nonconf").as("q_hat"))
+      scored.filter(!$"is_cal")
+        .crossJoin(broadcast(qrow))
+        .agg(count(lit(1)).as("n_test"),
+          coalesce(sum(when($"nonconf" <= $"q_hat", 1L).otherwise(0L)),
+            lit(0L)).as("n_covered"),
+          min($"q_hat").as("q_hat"))
+        .crossJoin(broadcast(nc))
+        .select($"n_cal",
+          expr("(9 * (n_cal + 1) + 9) DIV 10").as("k_rank"),
+          $"q_hat", $"n_test", $"n_covered",
+          when($"n_test" === 0L, lit(null).cast("double"))
+            .otherwise(rnd($"n_covered".cast("double") /
+              $"n_test".cast("double"), 6)).as("coverage"))
     })
   )
 
@@ -556,6 +605,38 @@ object MlPrepQueries {
          |  CAST(count(iv.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
          |FROM ex LEFT JOIN iv
          |  ON ex.q_id = iv.q_id AND ex.neighbor_id = iv.neighbor_id
-         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin,
+
+    // same seeded split, same integer rank, same order statistic off
+    // the same distinct-score prefix sum, same snapped coverage
+    "conformal_calibration" ->
+      """WITH s AS (SELECT vec_id,
+        |  abs(CAST(embedding[1] AS DOUBLE) - CAST(label AS DOUBLE) / 9.0)
+        |    AS nonconf,
+        |  ('0x' || substr(md5('conf:' || vec_id::VARCHAR), 1, 8))::BIGINT
+        |    < 2147483648 AS is_cal
+        | FROM embeddings
+        | WHERE label IS NOT NULL AND embedding[1] IS NOT NULL),
+        |cal AS (SELECT nonconf FROM s WHERE is_cal),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |cs AS (SELECT nonconf, count(*) AS n FROM cal GROUP BY nonconf),
+        |run AS (SELECT nonconf,
+        |  CAST(sum(n) OVER (ORDER BY nonconf
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        | FROM cs),
+        |q AS (SELECT min(nonconf) AS q_hat FROM run CROSS JOIN nc
+        | WHERE cum >= (9 * (n_cal + 1) + 9) // 10),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(coalesce(sum(CASE WHEN nonconf <= q_hat THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_covered,
+        |  min(q_hat) AS q_hat
+        | FROM s CROSS JOIN q WHERE NOT is_cal)
+        |SELECT nc.n_cal, (9 * (nc.n_cal + 1) + 9) // 10 AS k_rank,
+        | t.q_hat, t.n_test, t.n_covered,
+        | CASE WHEN t.n_test = 0 THEN NULL
+        |  ELSE floor(CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS coverage
+        |FROM t CROSS JOIN nc""".stripMargin
   )
 }

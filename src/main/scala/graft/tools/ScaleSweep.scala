@@ -183,6 +183,9 @@ object ScaleSweep {
       // twelfth wave (documents-side dataset-assembly ops;
       // changepoint_cusum rides the round-11 events block below)
       "split_assign", "domain_cap", "junk_detect", "line_dedup",
+      // wave 36: url_dedup is a pure scan projection + hash agg;
+      // conformal_calibration is auc_eval-shaped (embeddings side)
+      "url_dedup", "conformal_calibration",
       "length_filter_sweep", "source_reliability", "audio_rms",
       // thirteenth wave (ngram_novelty/kmeans_iterate ride
       // corpusFamily above; quality_calibration is lm_score-shaped)

@@ -269,4 +269,64 @@ class Wave35Spec extends SparkSpecBase {
     assert(rows == brute,
       s"missing: ${(brute -- rows).take(3)}; extra: ${(rows -- brute).take(3)}")
   }
+
+  test("url_dedup: variant classes merge; canonical form is fully normalized") {
+    val rows = SparkEntry.queries("url_dedup")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == 500L, "every doc lands in exactly one group")
+    // merging must actually happen: the synthetic variant classes are
+    // designed to collide within the (host, path) identity space
+    assert(rows.exists(_._4 > 1L), "no canonical group merged raw variants")
+    rows.foreach { case (u, _, _, _) =>
+      assert(u == u.toLowerCase, s"canonical not lowercased: $u")
+      assert(!u.contains("#") && !u.contains("utm_") && !u.endsWith("/") &&
+        !u.contains(":80") && !u.contains(":443"),
+        s"normalization incomplete: $u")
+      assert(u.startsWith("http://") || u.startsWith("https://"))
+    }
+    // keep-first: keeper is the min doc_id among the group's members —
+    // spot-check by recomputing one group's membership brute-force
+    val g = rows.maxBy(_._2)
+    val members = (0L until 500L).filter { id =>
+      val host = s"www.site${id % 7}.example.com"
+      val path = s"/articles/item${id % 13}"
+      val scheme = if (id % 4 <= 1) "http" else "https"
+      s"$scheme://$host$path" == g._1
+    }
+    assert(members.nonEmpty && g._3 == members.min && g._2 == members.size.toLong,
+      s"group ${g._1}: got (n=${g._2}, keeper=${g._3}), brute (${members.size}, ${members.min})")
+  }
+
+  test("conformal_calibration: exact order statistic and coverage near 1 - alpha") {
+    val rows = SparkEntry.queries("conformal_calibration")(spark, sf)
+      .as[(Long, Long, Double, Long, Long, Double)].collect()
+    assert(rows.length == 1)
+    val (nCal, kRank, qHat, nTest, nCov, coverage) =
+      (rows.head._1, rows.head._2, rows.head._3, rows.head._4,
+        rows.head._5, rows.head._6)
+    // brute-force replica off the same deterministic split
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scored = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(element_at(embedding, 1) as double) AS s",
+        "cast(label as double) AS y")
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, sc, y) =>
+        val isCal =
+          java.lang.Long.parseLong(md5hex(s"conf:$id").substring(0, 8), 16) <
+            2147483648L
+        (math.abs(sc - y / 9.0), isCal)
+      }
+    val cal = scored.filter(_._2).map(_._1).sorted
+    val test0 = scored.filterNot(_._2).map(_._1)
+    assert(nCal == cal.length.toLong && nTest == test0.length.toLong)
+    val k = (9 * (cal.length + 1) + 9) / 10
+    assert(kRank == k.toLong)
+    assert(qHat == cal(k - 1), s"q_hat $qHat vs brute ${cal(k - 1)}")
+    assert(nCov == test0.count(_ <= qHat).toLong)
+    // the conformal guarantee: empirical coverage concentrates near
+    // 1 - alpha = 0.9 (generous band — the fixture is small)
+    assert(coverage > 0.8 && coverage <= 1.0, s"coverage $coverage")
+  }
 }
