@@ -86,6 +86,10 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("bpe_merge"),
+      new ExpressionInfo(classOf[BpeMergeAll].getName, "bpe_merge"),
+      (exprs: Seq[Expression]) => BpeMergeAll(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

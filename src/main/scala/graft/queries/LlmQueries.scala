@@ -117,14 +117,26 @@ object LlmQueries {
   /** Greedy left-to-right BPE pair merge over a sentinel-spaced
     * symbol string — exact Sennrich merge-all semantics: scan the
     * symbols once, merge (a,b)→ab, resume AFTER the merged symbol.
-    * A string-accumulator fold (aggregate HOF) rather than a literal
-    * replace(' a b '→' ab '): single-pass replace shares the sentinel
-    * space between back-to-back occurrences and skips every second
-    * one (' d i n i n g ' with rule (i,n) must give [d,in,in,g], not
-    * [d,in,i,n,g]). Mirrored in the oracle via DuckDB list_reduce
-    * (duckBpeMerge) so both engines carry reference semantics.
+    * Since round 11 this routes to the codegen'd
+    * [[graft.plans.BpeMergeAll]] expression: the prior HOF fold
+    * (kept below as [[bpeMergeStepHof]], equivalence-pinned in
+    * Round11BpeSpec) evaluated interpreted with a boxed accumulator
+    * per symbol — chained ×5 over every corpus token it made
+    * bpe_apply the bench's most expensive query. Mirrored in the
+    * oracle via DuckDB list_reduce (duckBpeMerge) so both engines
+    * carry reference semantics.
     */
   private def bpeMergeStep(sym: Column, a: Column, b: Column): Column = {
+    graft.plans.BpeFunctions.register(org.apache.spark.sql.SparkSession.active)
+    graft.plans.BpeFunctions.bpeMerge(sym, a, b)
+  }
+
+  /** The pre-round-11 interpreted fold — retained ONLY as the
+    * executable specification for Round11BpeSpec's equivalence pin
+    * (the codegen expression must stay bit-identical to this
+    * construction on the real corpus).
+    */
+  private[graft] def bpeMergeStepHof(sym: Column, a: Column, b: Column): Column = {
     val toks = filter(split(sym, " "), t => t =!= "")
     val folded = aggregate(toks, lit(""), (acc, x) =>
       when(acc === "", x)
