@@ -49,6 +49,9 @@ object BenchShared {
     * released table a later query still wants is simply rebuilt.
     */
   val releaseAfter: Map[String, Seq[String]] = Map(
+    // corpus-scale pair relation with a single consumer (eb_cells, by
+    // contrast, is |sources|-bounded and stays cached)
+    "assoc_rules" -> Seq("basket_items"),
     "minhash_est" -> Seq("minhash_sigs"),
     "simhash_recall_eval" -> Seq("simhash"),
     "dup_ngram_frac" -> Seq("shingles"),

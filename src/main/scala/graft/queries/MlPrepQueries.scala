@@ -391,8 +391,64 @@ object MlPrepQueries {
           when($"n_test" === 0L, lit(null).cast("double"))
             .otherwise(rnd($"n_covered".cast("double") /
               $"n_test".cast("double"), 6)).as("coverage"))
+    }),
+
+    // Isotonic calibration fit — PAVA via the minimax identity
+    // fitted(b) = max_{i≤b} min_{j≥b} mean(y over bins i..j)
+    // (Barlow et al. 1972, public; equal to pool-adjacent-violators
+    // on the binned data, the standard score-calibration step next
+    // to conformal_calibration). Scale shape: the ONLY corpus-scale
+    // stage is the equi-width binned (n, Σy) aggregate (map-side
+    // combinable); prefix sums and the (i,j,b) minimax lattice run
+    // on the ≤IsoBins-row grid (BoundedWindow + two bounded
+    // non-equi joins — broadcast nested loop over ≤32³ combos).
+    // Segment means are SCALED-INTEGER divisions ((Σy·10⁹) DIV n —
+    // exact, identical cross-engine; labels are 0-9 so the scaled
+    // numerator stays far under long range at any sweep scale), so
+    // the max/min lattice never compares a double; the one closing
+    // rescale is a single correctly-rounded IEEE division.
+    "isotonic_fit" -> ((s, d) => {
+      import s.implicits._
+      val sc = Tables.embeddings(s, d)
+        .filter($"label".isNotNull && element_at($"embedding", 1).isNotNull)
+        .select(element_at($"embedding", 1).cast("double").as("score"),
+          $"label".cast("long").as("y"))
+      val mm = sc.agg(min($"score").as("lo"), max($"score").as("hi"))
+      val cells = sc.crossJoin(broadcast(mm))
+        .select(
+          when($"hi" <= $"lo", lit(0L)).otherwise(
+            least(lit(IsoBins - 1),
+              floor(($"score" - $"lo") * IsoBins.toDouble / ($"hi" - $"lo"))
+                .cast("long"))).as("bin"),
+          $"y")
+        .groupBy($"bin").agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+      val w = graft.operators.BoundedWindow
+        .orderBy("isotonic_fit: bin grid", IsoBins, $"bin".asc)
+      val pre = cells
+        .withColumn("cn", sum($"n").over(w))
+        .withColumn("cy", sum($"sy").over(w))
+      val segs = pre.as("i").join(pre.as("j"), col("i.bin") <= col("j.bin"))
+        .select(col("i.bin").as("si"), col("j.bin").as("sj"),
+          expr("""((j.cy - i.cy + i.sy) * CAST(1000000000 AS BIGINT))
+                 | DIV (j.cn - i.cn + i.n)""".stripMargin.replace("\n", " "))
+            .as("ms"))
+      val fit = segs
+        .join(cells.select($"bin"), $"si" <= $"bin" && $"bin" <= $"sj")
+        .groupBy($"bin", $"si").agg(min($"ms").as("mn"))
+        .groupBy($"bin").agg(max($"mn").as("fs"))
+      cells.join(fit, Seq("bin"))
+        .select($"bin", $"n",
+          rnd($"sy".cast("double") / $"n".cast("double"), 6).as("mean_raw"),
+          ($"fs".cast("double") / lit(1.0e9)).as("fitted"))
+        .orderBy($"bin")
     })
   )
+
+  /** Equi-width score-bin count for isotonic_fit — bounded grid, so
+    * the minimax lattice is ≤ IsoBins³ rows regardless of corpus
+    * size. Mirrored in the oracle.
+    */
+  private val IsoBins = 32L
 
   import LlmQueries.{NORM, NTOK, TOKS, duckShingleCtes}
 
@@ -637,6 +693,41 @@ object MlPrepQueries {
         | CASE WHEN t.n_test = 0 THEN NULL
         |  ELSE floor(CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
         |    * 1000000.0 + 0.5) / 1000000.0 END AS coverage
-        |FROM t CROSS JOIN nc""".stripMargin
+        |FROM t CROSS JOIN nc""".stripMargin,
+
+    // same equi-width bins, same scaled-integer segment means, same
+    // minimax lattice over the bounded grid
+    "isotonic_fit" ->
+      s"""WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
+         |    CAST(label AS BIGINT) AS y
+         |  FROM embeddings
+         |  WHERE label IS NOT NULL AND embedding[1] IS NOT NULL),
+         |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+         |cells AS (SELECT CASE WHEN hi <= lo THEN 0
+         |    ELSE least($IsoBins - 1, CAST(floor((score - lo) * $IsoBins.0
+         |      / (hi - lo)) AS BIGINT)) END AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+         |  FROM s, mm GROUP BY 1),
+         |pre AS (SELECT bin, n, sy,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |    CAST(sum(sy) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+         |  FROM cells),
+         |segs AS (SELECT i.bin AS si, j.bin AS sj,
+         |    ((j.cy - i.cy + i.sy) * 1000000000) // (j.cn - i.cn + i.n)
+         |      AS ms
+         |  FROM pre i JOIN pre j ON i.bin <= j.bin),
+         |mn AS (SELECT c.bin, s.si, min(s.ms) AS mn FROM segs s
+         |  JOIN cells c ON s.si <= c.bin AND c.bin <= s.sj
+         |  GROUP BY c.bin, s.si),
+         |fit AS (SELECT bin, CAST(max(mn) AS BIGINT) AS fs FROM mn
+         |  GROUP BY bin)
+         |SELECT c.bin, c.n,
+         |  ${Q.duckRnd("CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE)", 6)}
+         |    AS mean_raw,
+         |  CAST(f.fs AS DOUBLE) / 1000000000.0 AS fitted
+         |FROM cells c JOIN fit f ON c.bin = f.bin
+         |ORDER BY c.bin""".stripMargin
   )
 }

@@ -339,6 +339,58 @@ object QaQueries {
         // null-ridden corpora: the null-source stratum must sort
         // where DuckDB puts it (NULLS LAST)
         .orderBy($"source".asc_nulls_last)
+    }),
+
+    // Empirical-Bayes beta-binomial shrinkage of per-source junk
+    // rates (method-of-moments prior — the standard stabilizer for
+    // small-source rate estimates before domain_cap / source_mix
+    // decisions act on them). Scale shape: ONE corpus scan → a
+    // |sources|-bounded (n, x) aggregate; everything after runs on
+    // that bounded relation (two scalar aggregates broadcast back).
+    // Rates are SCALED-INTEGER divisions ((x·10⁹) DIV n — exact,
+    // identical cross-engine; x·10⁹ fits long up to ~9.2e9 junk
+    // docs per source), the prior moments stay in exact integers /
+    // decimals until one fixed IEEE sequence per source, and v = 0
+    // or a non-positive concentration degenerates to the raw rate
+    // (alpha/beta null) — mirrored.
+    "eb_shrinkage" -> ((s, d) => {
+      import s.implicits._
+      // memoized: the |sources|-bounded cell table has three
+      // consumers (prior mean, prior variance, the final select) —
+      // cached it costs ONE corpus scan; bounded, so never released
+      // (the emd_cells rule)
+      val per = LlmQueries.memoized(s, d, "eb_cells") {
+        Tables.documents(s, d)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"n_chars" < 200L, 1L).otherwise(0L)).as("x"))
+          .withColumn("rs", expr("(x * CAST(1000000000 AS BIGINT)) DIV n"))
+      }
+      val mv = per
+        .agg(count(lit(1)).as("k"), sum($"rs").as("srs"))
+        .withColumn("ms", expr("srs DIV k"))
+        .select($"k", $"ms")
+      val vv = per.crossJoin(broadcast(mv))
+        .groupBy($"k", $"ms")
+        .agg(sum((($"rs" - $"ms") * ($"rs" - $"ms")).cast("decimal(38,0)"))
+          .as("vnum"))
+      val prior = vv.select(
+          ($"ms".cast("double") / lit(1.0e9)).as("m"),
+          (($"vnum".cast("double") / $"k".cast("double")) / lit(1.0e18))
+            .as("v"))
+        .withColumn("c", when($"v" > lit(0.0),
+          ($"m" * (lit(1.0) - $"m")) / $"v" - lit(1.0)))
+      per.crossJoin(broadcast(prior))
+        .select($"source", $"n", $"x",
+          rnd($"x".cast("double") / $"n".cast("double"), 6).as("raw_rate"),
+          when($"c" > lit(0.0), rnd($"m" * $"c", 6)).as("alpha"),
+          when($"c" > lit(0.0), rnd((lit(1.0) - $"m") * $"c", 6)).as("beta"),
+          when($"c" > lit(0.0),
+            rnd(($"x".cast("double") + $"m" * $"c") /
+              ($"n".cast("double") + $"c"), 6))
+            .otherwise(rnd($"x".cast("double") / $"n".cast("double"), 6))
+            .as("shrunk"))
+        .orderBy($"source".asc_nulls_last)
     })
   )
 
@@ -528,6 +580,42 @@ object QaQueries {
          |    AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN cum - n_tok < $BudgetTok THEN n_tok ELSE 0 END)
          |    AS BIGINT) AS tok_kept
-         |FROM r GROUP BY source ORDER BY source""".stripMargin
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // same scaled-integer rates, same method-of-moments prior, same
+    // degenerate fallback
+    "eb_shrinkage" ->
+      """WITH per AS (SELECT source, count(*) AS n,
+        |    CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x
+        |  FROM documents GROUP BY source),
+        |rs AS (SELECT source, n, x, (x * 1000000000) // n AS rs FROM per),
+        |mv AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(rs) AS BIGINT) AS srs FROM rs),
+        |ms AS (SELECT k, srs // k AS ms FROM mv),
+        |vv AS (SELECT k, ms,
+        |    CAST(sum(CAST((r.rs - ms) * (r.rs - ms) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS vnum
+        |  FROM rs r CROSS JOIN ms GROUP BY k, ms),
+        |pr AS (SELECT CAST(ms AS DOUBLE) / 1000000000.0 AS m,
+        |    (CAST(vnum AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / 1000000000000000000.0 AS v
+        |  FROM vv),
+        |pc AS (SELECT m, v, CASE WHEN v > 0.0
+        |    THEN (m * (1.0 - m)) / v - 1.0 ELSE NULL END AS c FROM pr)
+        |SELECT source, n, x,
+        |  floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS raw_rate,
+        |  CASE WHEN c > 0.0
+        |    THEN floor(m * c * 1000000.0 + 0.5) / 1000000.0 END AS alpha,
+        |  CASE WHEN c > 0.0
+        |    THEN floor((1.0 - m) * c * 1000000.0 + 0.5) / 1000000.0
+        |    END AS beta,
+        |  CASE WHEN c > 0.0
+        |    THEN floor((CAST(x AS DOUBLE) + m * c)
+        |      / (CAST(n AS DOUBLE) + c) * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0
+        |      + 0.5) / 1000000.0 END AS shrunk
+        |FROM rs CROSS JOIN pc ORDER BY source""".stripMargin
   )
 }

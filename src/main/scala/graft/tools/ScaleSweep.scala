@@ -240,7 +240,11 @@ object ScaleSweep {
       "tpch_order_priority", "tpch_product_profit", "tpch_promo_share",
       "tpch_returned_items", "tpch_shipping_priority",
       "tpch_small_qty_revenue", "tpch_supplier_parts",
-      "tpch_top_supplier")
+      "tpch_top_supplier",
+      // wave 37: assoc_rules/rfm ride the factor× fact tables;
+      // isotonic_fit (embeddings) and eb_shrinkage (documents) are
+      // bounded-grid aggregates off one corpus scan each
+      "assoc_rules", "rfm_segmentation", "isotonic_fit", "eb_shrinkage")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings

@@ -644,4 +644,28 @@ class PlanSpec extends SparkSpecBase {
       "cell consumers must read the cached cell table, not fresh scans:\n" +
         finalSection.take(3000))
   }
+
+  test("assoc_rules: memoized pairs, Apriori prune broadcast, top-k never a global sort") {
+    try {
+      val p = finalPlan("assoc_rules")
+      val finalSection = p.split("== Initial Plan ==").head
+      assert(finalSection.contains("InMemoryTableScan"),
+        "pair consumers must read the memoized basket_items:\n" +
+          finalSection.take(3000))
+      assert(p.contains("TakeOrderedAndProject"),
+        "rule ranking must be a top-k, not a global sort")
+      // the basket self-join must be keyed (broadcast or shuffled hash
+      // join), never a cartesian over the pruned item stream
+      assert(!finalSection.contains("CartesianProduct"),
+        "basket self-join degenerated to a cartesian")
+    } finally graft.queries.LlmQueries.release(spark, sf, "basket_items")
+  }
+
+  test("eb_shrinkage: prior consumers read the memoized cell table") {
+    val p = finalPlan("eb_shrinkage")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("InMemoryTableScan"),
+      "prior consumers must read the cached eb_cells:\n" +
+        finalSection.take(3000))
+  }
 }
