@@ -205,8 +205,63 @@ object EmbeddingOpsQueries {
         .select($"label", $"n_even", $"n_odd",
           rnd(sqrt($"s2"), 6).as("centroid_shift"))
         .orderBy($"label")
+    }),
+
+    // Maximal-marginal-relevance diversification (Carbonell &
+    // Goldstein 1998 — public): greedy top-5 selection maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    // retrieval-diversity step between ANN recall and a context
+    // window. Greedy is inherently sequential in k, so the unroll is
+    // the fps_coreset chaining: each step broadcasts its 1-row
+    // argmax (TakeOrdered, never a global sort) and folds the new
+    // pick's similarity into every remaining candidate's running max
+    // — lazy frames, no driver collect. Scale shape: MMR always runs
+    // AFTER retrieval on a bounded candidate pool (here vec_id <
+    // MmrPoolN mirrors the retrieval cut), so every pass is a
+    // broadcast probe over a bounded relation regardless of corpus
+    // size. rel/sim are 6dp-snapped BEFORE the argmax in both
+    // engines; the score is one IEEE sequence over snapped inputs
+    // with λ and 1−λ as independent literals (never computed from
+    // each other — 1.0 − 0.7 is not 0.3 in IEEE).
+    "mmr_diversify" -> ((s, d) => {
+      import s.implicits._
+      val e = withNorm(Tables.embeddings(s, d)).filter($"vec_id" < MmrPoolN)
+      val qv = broadcast(e.filter($"vec_id" === 0L)
+        .select($"embedding".as("q_emb"), $"nrm".as("q_nrm")))
+      val base = e.crossJoin(qv)
+        .select($"vec_id", $"embedding", $"nrm",
+          rnd(cosFromNorms($"embedding", $"q_emb", $"nrm", $"q_nrm"), 6)
+            .as("rel"))
+        .withColumn("msim", lit(0.0)) // max over the empty selected set
+      val (_, picks) =
+        (1 to 5).foldLeft((base, Seq.empty[org.apache.spark.sql.DataFrame])) {
+          case ((cand, sel), step) =>
+            val pick = cand
+              .withColumn("score",
+                lit(MmrLambda) * $"rel" - lit(MmrMu) * $"msim")
+              .orderBy($"score".desc, $"vec_id").limit(1)
+            val pb = broadcast(pick.select($"vec_id".as("s_id"),
+              $"embedding".as("s_emb"), $"nrm".as("s_nrm")))
+            val next = cand.crossJoin(pb).filter($"vec_id" =!= $"s_id")
+              .select($"vec_id", $"embedding", $"nrm", $"rel",
+                greatest($"msim",
+                  rnd(cosFromNorms($"embedding", $"s_emb", $"nrm", $"s_nrm"),
+                    6)).as("msim"))
+            (next,
+              sel :+ pick.select(lit(step).as("k"), $"vec_id", $"rel",
+                $"msim", $"score"))
+        }
+      picks.reduce(_.unionAll(_)).orderBy($"k")
     })
   )
+
+  /** MMR candidate-pool bound (the retrieval cut the pool mirrors)
+    * and the relevance/diversity trade-off. λ and μ = 1−λ are
+    * SEPARATE literals mirrored digit-for-digit in the oracle.
+    */
+  private val MmrPoolN = 200L
+  private val MmrLambda = 0.7
+  private val MmrMu = 0.3
 
   /** NN-Descent neighbor-of-neighbor step (Dong et al. 2011 —
     * public): given the current label-blocked top-3 kNN digraph,
@@ -441,6 +496,38 @@ object EmbeddingOpsQueries {
          |  FROM embeddings GROUP BY label)
          |SELECT sh.label, c.n_even, c.n_odd,
          |  ${Q.duckRnd("sqrt(s2)", 6)} AS centroid_shift
-         |FROM sh JOIN c ON sh.label = c.label ORDER BY sh.label""".stripMargin
+         |FROM sh JOIN c ON sh.label = c.label ORDER BY sh.label""".stripMargin,
+
+    // same snapped rel/sim, same greedy chaining, same independent
+    // 0.7 / 0.3 literals, same (score desc, vec_id) argmax tiebreak
+    "mmr_diversify" -> {
+      val greedy = (2 to 5).map { i =>
+        s"""p${i - 1} AS (SELECT vec_id, embedding, rel, msim,
+           |  0.7 * rel - 0.3 * msim AS score FROM c${i - 1}
+           |  ORDER BY score DESC, vec_id LIMIT 1),
+           |c$i AS (SELECT c.vec_id, c.embedding, c.rel,
+           |  greatest(c.msim,
+           |    ${Q.duckRnd(duckCos("c.embedding", "p.embedding"), 6)})
+           |    AS msim
+           | FROM c${i - 1} c CROSS JOIN p${i - 1} p
+           | WHERE c.vec_id <> p.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS k, vec_id, rel, msim, score FROM p$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < $MmrPoolN),
+         |q AS (SELECT embedding AS q_emb FROM e WHERE vec_id = 0),
+         |c1 AS (SELECT e.vec_id, e.embedding,
+         |  ${Q.duckRnd(duckCos("e.embedding", "q.q_emb"), 6)} AS rel,
+         |  0.0 AS msim
+         | FROM e CROSS JOIN q),
+         |$greedy,
+         |p5 AS (SELECT vec_id, embedding, rel, msim,
+         |  0.7 * rel - 0.3 * msim AS score FROM c5
+         |  ORDER BY score DESC, vec_id LIMIT 1)
+         |$out
+         |ORDER BY k""".stripMargin
+    }
   )
 }

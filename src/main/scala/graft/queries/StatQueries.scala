@@ -747,7 +747,64 @@ object StatQueries {
             .otherwise(rnd(($"n".cast("double") - ed) *
               ($"n".cast("double") - ed) / ed, 6)).as("chi2_part"))
         .orderBy($"digit")
+    }),
+
+    // Stationary distribution of the first-order event-type Markov
+    // chain (event_transitions' matrix) via MarkovIters power-
+    // iteration steps. All arithmetic is scaled-integer: transition
+    // probabilities are (c·10⁹) DIV c_row, each step's mass is
+    // Σ(v_i·p_ij) DIV 10⁹ with the sum carried in decimal so it
+    // cannot overflow at any state count, and every intermediate is
+    // an exact integer — the oracle replays the identical steps as
+    // unrolled CTEs (pagerank_lite's convention). Transitions into
+    // states with no outgoing edge are dropped (the chain restricted
+    // to its from-state domain, so mass never parks in a sink) and
+    // the vector is normalized once at the END. Scale shape: ONE
+    // corpus pass (the user-keyed lag window) → a ≤|types|² matrix;
+    // the iteration runs on broadcast-size relations only. Null
+    // event types cannot form chain states (equi-join semantics
+    // would silently drop their incoming edges — excluded up front,
+    // mirrored).
+    "markov_stationary" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc_nulls_last, $"event_id".asc_nulls_last)
+      val cnt = Tables.events(s, d)
+        .filter($"event_type".isNotNull)
+        .withColumn("f", lag($"event_type", 1).over(w))
+        .filter($"f".isNotNull)
+        .groupBy($"f", $"event_type".as("t"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy($"f").agg(sum($"c").as("cf"))
+      val states = cnt.select($"f".as("st")).distinct()
+      val tr = broadcast(cnt
+        .join(tot, Seq("f"))
+        .join(states.select($"st".as("t")), Seq("t"))
+        .select($"f", $"t",
+          expr("(c * CAST(1000000000 AS BIGINT)) DIV cf").as("ps")))
+      val k = states.agg(count(lit(1)).as("kk"))
+      val v0 = states.crossJoin(broadcast(k))
+        .select($"st", expr("CAST(1000000000 AS BIGINT) DIV kk").as("v"))
+      val vN = (1 to MarkovIters).foldLeft(v0) { (v, _) =>
+        v.join(tr, $"st" === $"f")
+          .groupBy($"t")
+          .agg(expr("CAST(sum(CAST(v AS DECIMAL(20,0)) * " +
+            "CAST(ps AS DECIMAL(20,0))) DIV 1000000000 AS BIGINT)").as("v"))
+          .select($"t".as("st"), $"v")
+      }
+      val sv = vN.agg(sum($"v").as("tv"))
+      vN.crossJoin(broadcast(sv))
+        .select($"st".as("state"), $"v".as("v_scaled"),
+          rnd($"v".cast("double") / $"tv".cast("double"), 6).as("pi"))
+        .orderBy($"state")
     }))
+
+  /** Power-iteration step count for markov_stationary — enough for a
+    * handful-of-states chain to settle at 6dp, small enough that the
+    * unrolled-CTE oracle and the chained tiny joins stay readable.
+    * Mirrored in the oracle's CTE count.
+    */
+  private val MarkovIters = 10
 
   import LlmQueries.{NORM, NTOK, TOKS}
 
@@ -1232,5 +1289,37 @@ object StatQueries {
          | END AS chi2_part
          |FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t
          |ORDER BY d.digit""".stripMargin
+    },
+
+    // same scaled-integer matrix, same unrolled steps, same
+    // end-of-run normalization
+    "markov_stationary" -> {
+      val steps = (1 to MarkovIters).map(i =>
+        s"""v$i AS (SELECT tr.t AS st,
+           |  CAST(sum(CAST(v.v AS HUGEINT) * tr.ps) // 1000000000
+           |    AS BIGINT) AS v
+           | FROM v${i - 1} v JOIN tr ON v.st = tr.f GROUP BY tr.t)"""
+          .stripMargin).mkString(",\n")
+      s"""WITH p AS (SELECT from_type AS f, event_type AS t FROM (
+         |  SELECT event_type, lag(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+         |  FROM events WHERE event_type IS NOT NULL) x
+         | WHERE from_type IS NOT NULL),
+         |cnt AS (SELECT f, t, count(*) AS c FROM p GROUP BY f, t),
+         |tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM cnt
+         |  GROUP BY f),
+         |states AS (SELECT DISTINCT f AS st FROM cnt),
+         |tr AS (SELECT c.f, c.t, (c.c * 1000000000) // t2.cf AS ps
+         |  FROM cnt c JOIN tot t2 USING (f)
+         |  JOIN states s ON c.t = s.st),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM states),
+         |v0 AS (SELECT st, 1000000000 // kk AS v
+         |  FROM states CROSS JOIN kk),
+         |$steps,
+         |tv AS (SELECT CAST(sum(v) AS BIGINT) AS tv
+         |  FROM v$MarkovIters)
+         |SELECT st AS state, v AS v_scaled,
+         |  ${Q.duckRnd("CAST(v AS DOUBLE) / CAST(tv AS DOUBLE)", 6)} AS pi
+         |FROM v$MarkovIters CROSS JOIN tv ORDER BY state""".stripMargin
     })
 }

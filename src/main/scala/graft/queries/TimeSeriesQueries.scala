@@ -347,6 +347,60 @@ object TimeSeriesQueries {
         .select($"doc_id", $"lang", $"source", md5($"doc_id".cast("string")).as("h"))
         .orderBy($"h", $"doc_id")
         .limit(50)
+    }),
+
+    // Kaplan–Meier survival (Kaplan & Meier 1958 — public) over
+    // per-user activity spans: duration = whole minutes between a
+    // user's first and last event; a user is an OBSERVED exit if
+    // they ever purchased, censored otherwise. Corpus-scale work is
+    // ONE user-keyed aggregate; the estimator runs on the duration
+    // grid, bounded by the window's minute count (30-day fixture →
+    // ≤43200 rows, declared via BoundedWindow). KM's product is
+    // inherently sequential under truncated rational arithmetic, so
+    // it folds over ONE collected array of grid structs inside a
+    // single projection (the winnow array discipline): s' =
+    // (s·(n−d)) DIV n at 10¹² scale with the multiply carried in
+    // decimal — both engines replay the identical truncation chain
+    // (oracle: recursive CTE over the ranked grid). Only event times
+    // (d > 0) enter the product, per the KM definition; the risk set
+    // counts censored users too (suffix counts off the bounded
+    // running sum). Null users/timestamps carry no duration —
+    // excluded, mirrored.
+    "survival_km" -> ((s, d) => {
+      import s.implicits._
+      val users = Tables.events(s, d)
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .groupBy($"user_id")
+        .agg(
+          expr("(max(unix_millis(ts)) - min(unix_millis(ts))) DIV 60000")
+            .as("dur"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("obs"))
+      val grid = users.groupBy($"dur")
+        .agg(count(lit(1)).as("m"), sum($"obs").as("dd"))
+      val nTot = grid.agg(sum($"m").as("n_tot"))
+      val w = graft.operators.BoundedWindow
+        .orderBy("survival_km: minute grid", 43200L, $"dur".asc)
+      val risk = grid.crossJoin(broadcast(nTot))
+        .withColumn("cum", sum($"m").over(w))
+        .select($"dur", $"dd", ($"n_tot" - $"cum" + $"m").as("nr"))
+        .filter($"dd" > 0L)
+      risk
+        .groupBy()
+        .agg(sort_array(collect_list(struct($"dur", $"nr", $"dd"))).as("g"))
+        .selectExpr(
+          """inline(aggregate(g,
+            |  cast(array() as
+            |    array<struct<dur:bigint,nr:bigint,dd:bigint,s:bigint>>),
+            |  (acc, x) -> array_append(acc, named_struct(
+            |    'dur', x.dur, 'nr', x.nr, 'dd', x.dd,
+            |    's', CAST((CAST(if(size(acc) = 0, 1000000000000,
+            |           element_at(acc, -1).s) AS DECIMAL(38,0))
+            |         * (x.nr - x.dd)) DIV x.nr AS BIGINT)))))"""
+            .stripMargin.replace("\n", " "))
+        .selectExpr("dur AS t_min", "nr AS n_risk", "dd AS d_events",
+          "CAST(s AS DOUBLE) / 1000000000000.0 AS survival")
+        .orderBy($"t_min")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -559,5 +613,37 @@ object TimeSeriesQueries {
          |    count(*) OVER (PARTITION BY event_type) AS n_hours FROM d)
          |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, hr AS cp_hr,
          |  dev AS cusum_stat
-         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)
+         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // same minute durations, same suffix risk set, same scaled-
+    // integer truncation chain (recursive CTE = the engine's fold)
+    "survival_km" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    (max(epoch_us(ts) // 1000) - min(epoch_us(ts) // 1000))
+        |      // 60000 AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS obs
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |g AS (SELECT dur, count(*) AS m, CAST(sum(obs) AS BIGINT) AS dd
+        |  FROM u GROUP BY dur),
+        |nt AS (SELECT CAST(sum(m) AS BIGINT) AS n_tot FROM g),
+        |r AS (SELECT dur, dd, nr, row_number() OVER (ORDER BY dur) AS rn
+        |  FROM (SELECT dur, dd,
+        |      n_tot - CAST(sum(m) OVER (ORDER BY dur ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) + m AS nr
+        |    FROM g CROSS JOIN nt) x
+        |  WHERE dd > 0),
+        |km AS (
+        |  SELECT rn, dur, nr, dd,
+        |    CAST((1000000000000 * (nr - dd)) // nr AS BIGINT) AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.dur, r.nr, r.dd,
+        |    CAST((CAST(km.s AS HUGEINT) * (r.nr - r.dd)) // r.nr
+        |      AS BIGINT)
+        |  FROM km JOIN r ON r.rn = km.rn + 1)
+        |SELECT dur AS t_min, nr AS n_risk, dd AS d_events,
+        |  CAST(s AS DOUBLE) / 1000000000000.0 AS survival
+        |FROM km ORDER BY t_min""".stripMargin)
 }

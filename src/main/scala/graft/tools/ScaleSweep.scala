@@ -244,7 +244,12 @@ object ScaleSweep {
       // wave 37: assoc_rules/rfm ride the factor× fact tables;
       // isotonic_fit (embeddings) and eb_shrinkage (documents) are
       // bounded-grid aggregates off one corpus scan each
-      "assoc_rules", "rfm_segmentation", "isotonic_fit", "eb_shrinkage")
+      "assoc_rules", "rfm_segmentation", "isotonic_fit", "eb_shrinkage",
+      // wave 38: survival_km/markov_stationary ride the factor×
+      // events month; mmr_diversify's pool is retrieval-bounded
+      // (constant work at any corpus size) — swept to prove exactly
+      // that
+      "survival_km", "markov_stationary", "mmr_diversify")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings

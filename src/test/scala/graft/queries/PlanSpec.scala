@@ -668,4 +668,22 @@ class PlanSpec extends SparkSpecBase {
       "prior consumers must read the cached eb_cells:\n" +
         finalSection.take(3000))
   }
+
+  test("mmr_diversify: pool cut pushed to the scan, argmax is a 1-row top-k") {
+    val p = finalPlan("mmr_diversify")
+    assert(p.contains("LessThan(vec_id,200)"),
+      "pool bound must reach the parquet scan")
+    assert(p.contains("TakeOrderedAndProject(limit=1"),
+      "greedy argmax must be a top-k, not a global sort")
+  }
+
+  test("survival_km: null filters pushed, one events scan feeds the grid") {
+    val p = finalPlan("survival_km")
+    assert(p.contains("IsNotNull(user_id)"),
+      "null-user filter must reach the parquet scan")
+    // the estimator itself runs on the bounded duration grid: the
+    // only corpus-scale stage is the user-keyed aggregate
+    assert(p.contains("hashpartitioning(user_id"),
+      "per-user aggregate must shuffle on user_id")
+  }
 }
