@@ -441,8 +441,43 @@ object MlPrepQueries {
           rnd($"sy".cast("double") / $"n".cast("double"), 6).as("mean_raw"),
           ($"fs".cast("double") / lit(1.0e9)).as("fitted"))
         .orderBy($"bin")
+    }),
+
+    // Quantile normalization (the cross-assay feature alignment
+    // standard): each event type's value distribution is mapped onto
+    // the POOLED per-quantile profile, so every group shares one
+    // marginal distribution. Per-type quantile buckets ride
+    // DistributedNtile (skew-free exact NTILE — a dominant type
+    // never routes through one task); the pooled profile is a
+    // ≤QnBuckets-row decimal-exact aggregate broadcast back onto
+    // the per-(type, bucket) summary. Reported per cell: the raw
+    // mean and the normalized (pooled) mean the transform assigns.
+    "quantile_normalize" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("t"),
+          $"value", $"event_id")
+      val tiled = DistributedNtile.withNtile(base, "t",
+        Seq($"value".asc_nulls_last, $"event_id".asc_nulls_last),
+        QnBuckets, "qb")
+      val cells = tiled.groupBy($"t", $"qb")
+        .agg(count(lit(1)).as("n"), sum(dec($"value")).as("sv"))
+      val pooled = cells.groupBy($"qb")
+        .agg((sum($"sv").cast("double") /
+          sum($"n").cast("double")).as("mean_norm"))
+      cells.join(broadcast(pooled), Seq("qb"))
+        .select($"t", $"qb", $"n",
+          rnd($"sv".cast("double") / $"n".cast("double"), 6).as("mean_raw"),
+          rnd($"mean_norm", 6).as("mean_norm"))
+        .orderBy($"t", $"qb")
     })
   )
+
+  /** Quantile-bucket count for quantile_normalize — the pooled
+    * profile resolution. Mirrored in the oracle.
+    */
+  private val QnBuckets = 16
 
   /** Equi-width score-bin count for isotonic_fit — bounded grid, so
     * the minimax lattice is ≤ IsoBins³ rows regardless of corpus
@@ -728,6 +763,28 @@ object MlPrepQueries {
          |    AS mean_raw,
          |  CAST(f.fs AS DOUBLE) / 1000000000.0 AS fitted
          |FROM cells c JOIN fit f ON c.bin = f.bin
-         |ORDER BY c.bin""".stripMargin
+         |ORDER BY c.bin""".stripMargin,
+
+    // same per-type NTILE (DistributedNtile mirrors SQL NTILE), same
+    // decimal value sums, same pooled-profile division
+    "quantile_normalize" ->
+      s"""WITH b AS (SELECT coalesce(event_type, '__null__') AS t,
+         |    value, event_id,
+         |    CAST(ntile($QnBuckets) OVER (
+         |      PARTITION BY coalesce(event_type, '__null__')
+         |      ORDER BY value, event_id) AS INTEGER) AS qb
+         |  FROM events WHERE value IS NOT NULL),
+         |cells AS (SELECT t, qb, count(*) AS n,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+         |  FROM b GROUP BY t, qb),
+         |pooled AS (SELECT qb,
+         |    CAST(sum(sv) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mean_norm
+         |  FROM cells GROUP BY qb)
+         |SELECT c.t, c.qb, c.n,
+         |  ${Q.duckRnd("CAST(c.sv AS DOUBLE) / CAST(c.n AS DOUBLE)", 6)}
+         |    AS mean_raw,
+         |  ${Q.duckRnd("p.mean_norm", 6)} AS mean_norm
+         |FROM cells c JOIN pooled p ON c.qb = p.qb
+         |ORDER BY c.t, c.qb""".stripMargin
   )
 }

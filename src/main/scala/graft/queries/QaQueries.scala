@@ -391,6 +391,36 @@ object QaQueries {
             .otherwise(rnd($"x".cast("double") / $"n".cast("double"), 6))
             .as("shrunk"))
         .orderBy($"source".asc_nulls_last)
+    }),
+
+    // Noised count release in the discrete-Laplace shape (the
+    // two-sided-geometric mechanism DP count releases use): noise =
+    // G₁ − G₂ with each Gᵢ a geometric(1/2) read off the TRAILING
+    // ZERO BITS of a 32-bit key-derived hash — tz(x) = bit_count(
+    // (x & -x) − 1), exact integer, codegen'd, identical
+    // cross-engine. DETERMINISM CAVEAT (by design, stated): hash-
+    // derived noise makes the release REPRODUCIBLE pipeline plumbing
+    // for tests and diffs; an actual privacy deployment must swap in
+    // true randomness — the mechanism's shape, not its entropy
+    // source, is what this operator pins. Scale: one corpus scan →
+    // |sources|-bounded aggregate; the noise is a projection.
+    "dp_noise_counts" -> ((s, d) => {
+      import s.implicits._
+      def tz(tag: String) = {
+        val h = conv(substring(md5(concat(lit(tag),
+          coalesce($"source", lit("__null__")))), 1, 8), 16, 10)
+          .cast("long")
+        when(h === 0L, lit(32L))
+          .otherwise(bit_count(h.bitwiseAND(-h) - 1).cast("long"))
+      }
+      Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_true"))
+        .select($"source", $"n_true", tz("dpa:").as("g_a"), tz("dpb:").as("g_b"))
+        .select($"source", $"n_true", $"g_a", $"g_b",
+          ($"g_a" - $"g_b").as("noise"),
+          ($"n_true" + $"g_a" - $"g_b").as("n_released"))
+        .orderBy($"source".asc_nulls_last)
     })
   )
 
@@ -616,6 +646,27 @@ object QaQueries {
         |      / (CAST(n AS DOUBLE) + c) * 1000000.0 + 0.5) / 1000000.0
         |    ELSE floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0
         |      + 0.5) / 1000000.0 END AS shrunk
-        |FROM rs CROSS JOIN pc ORDER BY source""".stripMargin
+        |FROM rs CROSS JOIN pc ORDER BY source""".stripMargin,
+
+    // same 32-bit hash keys, same trailing-zero geometric read, same
+    // two-sided difference
+    "dp_noise_counts" ->
+      """WITH c AS (SELECT source, count(*) AS n_true FROM documents
+        |  GROUP BY source),
+        |h AS (SELECT source, n_true,
+        |  ('0x' || substr(md5('dpa:' || coalesce(source, '__null__')),
+        |    1, 8))::BIGINT AS ha,
+        |  ('0x' || substr(md5('dpb:' || coalesce(source, '__null__')),
+        |    1, 8))::BIGINT AS hb
+        | FROM c),
+        |g AS (SELECT source, n_true,
+        |  CASE WHEN ha = 0 THEN CAST(32 AS BIGINT)
+        |    ELSE CAST(bit_count((ha & (-ha)) - 1) AS BIGINT) END AS g_a,
+        |  CASE WHEN hb = 0 THEN CAST(32 AS BIGINT)
+        |    ELSE CAST(bit_count((hb & (-hb)) - 1) AS BIGINT) END AS g_b
+        | FROM h)
+        |SELECT source, n_true, g_a, g_b, g_a - g_b AS noise,
+        |  n_true + g_a - g_b AS n_released
+        |FROM g ORDER BY source""".stripMargin
   )
 }

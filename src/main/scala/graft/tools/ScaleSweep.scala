@@ -249,7 +249,11 @@ object ScaleSweep {
       // events month; mmr_diversify's pool is retrieval-bounded
       // (constant work at any corpus size) — swept to prove exactly
       // that
-      "survival_km", "markov_stationary", "mmr_diversify")
+      "survival_km", "markov_stationary", "mmr_diversify",
+      // wave 39: quantile_normalize rides the events month
+      // (DistributedNtile skew-free path); dp_noise_counts is one
+      // documents aggregate + a noise projection
+      "quantile_normalize", "dp_noise_counts")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
