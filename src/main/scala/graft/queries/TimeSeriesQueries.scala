@@ -401,7 +401,79 @@ object TimeSeriesQueries {
         .selectExpr("dur AS t_min", "nr AS n_risk", "dd AS d_events",
           "CAST(s AS DOUBLE) / 1000000000000.0 AS survival")
         .orderBy($"t_min")
+    }),
+
+    // Dynamic time warping (Sakoe & Chiba 1978 — public) between
+    // event-type daily-count series — the sequence-similarity
+    // operator Spark has no native analog for. DTW's DP is
+    // inherently sequential, but only ACROSS rows: within a row the
+    // recurrence new[j] = c[j] + min(m[j], new[j-1]) unrolls to the
+    // min-plus closed form new[j] = S[j] + min_{k≤j}(m[k] − S[k−1])
+    // (S = prefix cost sums, m[k] = min(prev[k], prev[k−1]); m[1] =
+    // prev[1] carries the left boundary), which is pure array
+    // arithmetic. So the whole DP is ONE aggregate-HOF fold over the
+    // first series' elements with the previous DP row as the
+    // accumulator — everything integer-exact, mirrored in DuckDB by
+    // a list_reduce whose folded list wraps scalars as 1-element
+    // rows so the accumulator type matches. Scale shape: one
+    // map-side-combinable (type, day) cell aggregate is the only
+    // corpus-scale stage; series are zero-filled on a shared day
+    // spine CAPPED at DtwMaxDays from the first observed day (the
+    // WinnowMaxChars rule — row width stays bounded no matter the
+    // ingest window), and the pair relation is ≤|types|²/2 rows.
+    // Null timestamps/types carry no day — excluded, mirrored.
+    "dtw_distance" -> ((s, d) => {
+      import s.implicits._
+      val cells = Tables.events(s, d)
+        .filter($"ts".isNotNull && $"event_type".isNotNull)
+        .select($"event_type".as("t"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+        .groupBy($"t", $"day").agg(count(lit(1)).as("n"))
+      val d0 = cells.agg(min($"day").as("d0"))
+      val bounded = cells.crossJoin(broadcast(d0))
+        .filter($"day" < $"d0" + DtwMaxDays)
+      val span = bounded.groupBy($"d0").agg(max($"day").as("d1"))
+      val series = bounded.groupBy($"t")
+        .agg(map_from_arrays(collect_list($"day"), collect_list($"n"))
+          .as("m"))
+        .crossJoin(broadcast(span))
+        .select($"t",
+          expr("transform(sequence(d0, d1)," +
+            " dd -> coalesce(element_at(m, dd), CAST(0 AS BIGINT)))")
+            .as("s"))
+      val pairs = series.as("a").join(series.as("b"), col("a.t") < col("b.t"))
+        .select(col("a.t").as("type_a"), col("b.t").as("type_b"),
+          col("a.s").as("va"), col("b.s").as("vb"))
+      // prefix cost sums S for row i (cost row = |ai − vb[.]|),
+      // re-inlined at each use — SQL lambdas have no let-binding;
+      // the series is DtwMaxDays-bounded so the n³ row cost is flat
+      def prefS(ai: String, upTo: String) =
+        s"aggregate(slice(transform(vb, x -> abs($ai - x)), 1, $upTo)," +
+          s" CAST(0 AS BIGINT), (acc, y) -> acc + y)"
+      val row0 =
+        s"transform(sequence(1, size(vb)), j -> ${prefS("element_at(va, 1)", "j")})"
+      val newRow =
+        s"""transform(sequence(1, size(vb)), j ->
+           |  ${prefS("ai", "j")} + array_min(slice(
+           |    transform(sequence(1, size(vb)), k ->
+           |      IF(k = 1, element_at(prev, 1),
+           |         least(element_at(prev, k), element_at(prev, k - 1)))
+           |      - IF(k = 1, CAST(0 AS BIGINT), ${prefS("ai", "k - 1")})),
+           |    1, j)))""".stripMargin.replace("\n", " ")
+      pairs.selectExpr("type_a", "type_b", "size(va) AS n_days",
+        s"""element_at(
+           |  aggregate(slice(va, 2, size(va) - 1), $row0,
+           |    (prev, ai) -> $newRow),
+           |  size(vb)) AS dtw""".stripMargin.replace("\n", " "))
+        .orderBy($"type_a", $"type_b")
     }))
+
+  /** Day-spine cap for dtw_distance — series length is bounded at
+    * DtwMaxDays from the first observed day regardless of the ingest
+    * window, so per-pair DP cost and per-row array width are
+    * constants. Mirrored in the oracle.
+    */
+  private val DtwMaxDays = 366L
 
   val oracles: Map[String, String] = Map(
     // same integral S and tie-corrected variance, same closing z
@@ -645,5 +717,52 @@ object TimeSeriesQueries {
         |  FROM km JOIN r ON r.rn = km.rn + 1)
         |SELECT dur AS t_min, nr AS n_risk, dd AS d_events,
         |  CAST(s AS DOUBLE) / 1000000000000.0 AS survival
-        |FROM km ORDER BY t_min""".stripMargin)
+        |FROM km ORDER BY t_min""".stripMargin,
+
+    // same day spine + cap, same min-plus closed-form rows, same
+    // integer DP; the folded list wraps scalars as 1-element rows so
+    // list_reduce's accumulator type matches (row 0 is the seed)
+    "dtw_distance" -> {
+      def prefS(ai: String, upTo: String) =
+        "CAST(list_sum(list_slice(list_transform(vb, x -> " +
+          s"abs($ai - x)), 1, $upTo)) AS BIGINT)"
+      val row0 =
+        s"list_transform(range(1, len(vb) + 1), j -> ${prefS("va[1]", "j")})"
+      val newRow =
+        s"""list_transform(range(1, len(vb) + 1), j ->
+           |  ${prefS("xi[1]", "j")} + list_min(list_slice(
+           |    list_transform(range(1, len(vb) + 1), k ->
+           |      CASE WHEN k = 1 THEN prev[1]
+           |           ELSE least(prev[k], prev[k - 1]) END
+           |      - CASE WHEN k = 1 THEN CAST(0 AS BIGINT)
+           |             ELSE ${prefS("xi[1]", "k - 1")} END),
+           |    1, j)))""".stripMargin.replace("\n", " ")
+      s"""WITH cells AS (SELECT event_type AS t,
+         |    (epoch_us(ts) // 1000) // 86400000 AS day, count(*) AS n
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |dmin AS (SELECT min(day) AS d0 FROM cells),
+         |bounded AS (SELECT t, day, n FROM cells CROSS JOIN dmin
+         |  WHERE day < d0 + $DtwMaxDays),
+         |span AS (SELECT d0, max(day) AS d1
+         |  FROM bounded CROSS JOIN dmin GROUP BY d0),
+         |days AS (SELECT unnest(range(d0, d1 + 1)) AS dd FROM span),
+         |types AS (SELECT DISTINCT t FROM bounded),
+         |grid AS (SELECT ty.t, d.dd, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |  FROM types ty CROSS JOIN days d
+         |  LEFT JOIN bounded c ON c.t = ty.t AND c.day = d.dd),
+         |series AS (SELECT t, list(n ORDER BY dd) AS s FROM grid
+         |  GROUP BY t),
+         |pairs AS (SELECT a.t AS type_a, b.t AS type_b,
+         |    a.s AS va, b.s AS vb
+         |  FROM series a JOIN series b ON a.t < b.t)
+         |SELECT type_a, type_b, CAST(len(va) AS INTEGER) AS n_days,
+         |  list_extract(
+         |    list_reduce(
+         |      list_prepend($row0,
+         |        list_transform(va[2:], x -> [x])),
+         |      (prev, xi) -> $newRow),
+         |    len(vb)) AS dtw
+         |FROM pairs ORDER BY type_a, type_b""".stripMargin
+    })
 }

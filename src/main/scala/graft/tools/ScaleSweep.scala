@@ -253,7 +253,10 @@ object ScaleSweep {
       // wave 39: quantile_normalize rides the events month
       // (DistributedNtile skew-free path); dp_noise_counts is one
       // documents aggregate + a noise projection
-      "quantile_normalize", "dp_noise_counts")
+      "quantile_normalize", "dp_noise_counts",
+      // wave 40: one (type, day) cell aggregate is the only
+      // corpus-scale stage; the DP runs on capped bounded arrays
+      "dtw_distance")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
