@@ -43,7 +43,8 @@ object SparkEntry {
       MediaFingerprintQueries.defs ++
       StatQueries.defs ++
       TpchQueries.defs ++
-      TextMatchQueries.defs
+      TextMatchQueries.defs ++
+      ProfilingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -67,5 +68,6 @@ object SparkEntry {
       MediaFingerprintQueries.oracles ++
       StatQueries.oracles ++
       TpchQueries.oracles ++
-      TextMatchQueries.oracles
+      TextMatchQueries.oracles ++
+      ProfilingQueries.oracles
 }

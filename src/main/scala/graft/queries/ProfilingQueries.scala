@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Forty-first wave — data-profiling and drift-monitoring operators:
+  * the discovery passes a lakehouse runs BEFORE trusting a new feed
+  * (Metanome-style dependency profiling) and the monitoring pass it
+  * runs forever after (binned-histogram drift). Plus the classic
+  * readability quality signal for the curation stack.
+  *
+  * Scale/perf design:
+  *  - `inclusion_deps` (FK-candidate discovery): each candidate pair
+  *    is distinct(child) ⟕ distinct(parent) — the distincts are
+  *    map-side-combinable hash aggregates and the join shuffles on
+  *    the key only for big-big pairs (lineitem→orders); true
+  *    dimension parents broadcast. Never an all-column scan: each
+  *    leg reads exactly one column (`ReadSchema` is 1 field).
+  *  - `fd_discovery` (functional-dependency check): one
+  *    determinant-keyed aggregate per candidate (partial agg counts
+  *    distinct dependents per group), then a single-row rollup.
+  *    Linear in each table, shuffle keyed by the determinant.
+  *  - `histogram_drift`: Population-Stability-shaped monitoring that
+  *    is TRANSCENDENTAL-FREE (the collocation_pmi rule: libm `ln`
+  *    differs in ULPs across engines, `sqrt` is IEEE-correctly
+  *    rounded, so PSI's `ln(p/q)` is replaced by total-variation and
+  *    Hellinger-via-Bhattacharyya `sqrt(1 − Σ√(pq))` — both standard
+  *    drift distances). One stats pass (min/max of ts and value),
+  *    one (type, half, bin) cell aggregate — the corpus-scale work
+  *    is all map-side-combinable; the 10-bin grid per type is
+  *    constant-size. Per-bin terms snap to decimal(18,9) before the
+  *    final sum, so the 10-term reduction is exact and
+  *    order-independent under any partitioning.
+  *  - `flesch_readability`: pure scan projection (three codegen'd
+  *    regexp counts per doc) + one source-keyed aggregate; per-doc
+  *    scores snap to 4dp then sum on decimal(18,6), so the mean is
+  *    partition-order-independent.
+  */
+object ProfilingQueries {
+
+  /** Inclusion-dependency candidates: (child table, child col,
+    * parent table, parent col, parent-is-dimension). The last flag
+    * picks broadcast for the parent distinct side; big-big pairs
+    * (lineitem→orders) shuffle on the key. The same list generates
+    * the oracle SQL, so engine and oracle can never drift.
+    */
+  private val InclCandidates: Seq[(String, String, String, String, Boolean)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", false),
+    ("lineitem", "l_partkey", "part", "p_partkey", true),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", true),
+    ("orders", "o_custkey", "customer", "c_custkey", true),
+    ("customer", "c_nationkey", "nation", "n_nationkey", true),
+    // a DISCOVERED dependency (event actors are drawn from the
+    // customer key space) and its partial reverse — the negative
+    // control: most customers never appear as event actors, so
+    // containment stays well below 1. The reverse parent is a fact
+    // table whose distinct-actor set is unbounded at scale → no
+    // broadcast on that leg.
+    ("events", "user_id", "customer", "c_custkey", true),
+    ("customer", "c_custkey", "events", "user_id", false))
+
+  /** Functional-dependency candidates: (table, determinant,
+    * dependent). Mix of true keys (first three) and violations.
+    */
+  private val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("nation", "n_nationkey", "n_name"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("documents", "doc_id", "source"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_orderkey", "l_partkey"))
+
+  private def tbl(s: SparkSession, d: String, name: String): DataFrame =
+    name match {
+      case "events" => Tables.events(s, d)
+      case t        => Tables.t(s, d, t)
+    }
+
+  val defs: Map[String, QueryFn] = Map(
+
+    // FK-candidate discovery (unary inclusion dependencies): for each
+    // declared (child.col, parent.col) pair, the fraction of distinct
+    // non-null child values present in the parent. containment = 1 ⇒
+    // a valid FK target; the events→customer control stays partial.
+    "inclusion_deps" -> ((s, d) => {
+      import s.implicits._
+      val per = InclCandidates.map { case (ct, cc, pt, pc, dim) =>
+        val c = tbl(s, d, ct).select(col(cc).cast("long").as("k"))
+          .where($"k".isNotNull).distinct()
+        val p0 = tbl(s, d, pt).select(col(pc).cast("long").as("k"))
+          .where($"k".isNotNull).distinct()
+          .withColumn("hit", lit(1))
+        val p = if (dim) broadcast(p0) else p0
+        c.join(p, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            coalesce(sum($"hit"), lit(0)).cast("long").as("n_hit"))
+          .select(lit(s"$ct.$cc").as("child_col"),
+            lit(s"$pt.$pc").as("parent_col"), $"n_child", $"n_hit")
+      }
+      per.reduce(_.unionAll(_))
+        .select($"child_col", $"parent_col", $"n_child", $"n_hit",
+          when($"n_child" > 0L,
+            rnd($"n_hit".cast("double") / $"n_child".cast("double"), 6))
+            .as("containment"),
+          ($"n_hit" === $"n_child").as("holds"))
+        .orderBy($"child_col", $"parent_col")
+    }),
+
+    // Functional-dependency check: does the determinant fix the
+    // dependent? Per candidate: groups with >1 distinct dependent
+    // (NULL counted as a value via a sentinel so a null-dependent
+    // group is judged, not skipped).
+    "fd_discovery" -> ((s, d) => {
+      import s.implicits._
+      val per = FdCandidates.map { case (t, det, dep) =>
+        tbl(s, d, t)
+          .where(col(det).isNotNull)
+          .select(col(det).cast("string").as("det"),
+            coalesce(col(dep).cast("string"), lit("__null__")).as("dep"))
+          .groupBy($"det")
+          .agg(countDistinct($"dep").as("card"))
+          .agg(count(lit(1)).as("n_groups"),
+            coalesce(sum(when($"card" > 1L, 1L).otherwise(0L)), lit(0L))
+              .as("n_violating"),
+            max($"card").as("max_card"))
+          .select(lit(t).as("tbl"), lit(det).as("det_col"),
+            lit(dep).as("dep_col"), $"n_groups", $"n_violating",
+            $"max_card", ($"n_violating" === 0L).as("holds"))
+      }
+      per.reduce(_.unionAll(_)).orderBy($"tbl", $"det_col", $"dep_col")
+    }),
+
+    // Binned-histogram drift between the two time halves of the
+    // events feed (reference window vs current window — the
+    // ML-monitoring canary). 10 equal-width bins over the observed
+    // value range, Laplace-smoothed per-half distributions, then
+    // total-variation distance and Hellinger distance (via the
+    // Bhattacharyya coefficient H = √(1 − Σ√(pq)) — sqrt only, no
+    // libm ln, per the transcendental rule). Per-bin terms snap to
+    // decimal(18,9) so the 10-term sums are exact both engines.
+    "histogram_drift" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"ts".isNotNull && $"event_type".isNotNull &&
+          $"value".isNotNull)
+        .select($"event_type".as("t"), unix_millis($"ts").as("ms"),
+          $"value".cast("double").as("v"))
+      val st = ev.agg(min($"ms").as("ms0"), max($"ms").as("ms1"),
+        min($"v").as("v0"), max($"v").as("v1"))
+      val binned = ev.crossJoin(broadcast(st))
+        .withColumn("half",
+          expr("CASE WHEN ms <= (ms0 + ms1) DIV 2 THEN 0 ELSE 1 END"))
+        .withColumn("w", ($"v1" - $"v0") / lit(10.0))
+        .withColumn("bin",
+          when($"w" === 0.0, lit(0))
+            .otherwise(least(floor(($"v" - $"v0") / $"w"), lit(9.0))
+              .cast("int")))
+      val cells = binned.groupBy($"t", $"bin")
+        .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when($"half" === 1, 1L).otherwise(0L)).as("cb"))
+      val totals = cells.groupBy($"t")
+        .agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val grid = totals.crossJoin(
+        broadcast(s.range(10).select($"id".cast("int").as("bin"))))
+      val terms = grid
+        .join(cells, Seq("t", "bin"), "left")
+        .select($"t", $"na", $"nb",
+          (coalesce($"ca", lit(0L)) + 1L).cast("double") /
+            ($"na" + 10L).cast("double") as "p",
+          (coalesce($"cb", lit(0L)) + 1L).cast("double") /
+            ($"nb" + 10L).cast("double") as "q")
+        .select($"t", $"na", $"nb",
+          rnd(abs($"p" - $"q"), 9).cast("decimal(18,9)").as("tv"),
+          rnd(sqrt($"p" * $"q"), 9).cast("decimal(18,9)").as("bc"))
+      terms.groupBy($"t")
+        .agg(first($"na").as("n_a"), first($"nb").as("n_b"),
+          sum($"tv").as("stv"), sum($"bc").as("sbc"))
+        .select($"t".as("event_type"), $"n_a", $"n_b",
+          rnd(lit(0.5) * $"stv".cast("double"), 6).as("tvd"),
+          rnd(sqrt(greatest(lit(1.0) - $"sbc".cast("double"), lit(0.0))), 6)
+            .as("hellinger"))
+        .withColumn("drifted", $"tvd" > 0.1)
+        .orderBy($"event_type")
+    }),
+
+    // Flesch reading-ease per source: 206.835 − 1.015·(words/sents)
+    // − 84.6·(syllables/words), with sentences = [.!?]+ runs in the
+    // raw text (min 1) and syllables ≈ [aeiouy]+ vowel groups in the
+    // lowercased text — the standard regex approximation. Per-doc
+    // scores snap to 4dp, sum on decimal(18,6) (exact), mean back in
+    // double space.
+    "flesch_readability" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d)
+        .where($"text".isNotNull)
+        .select($"source",
+          TF.nTokens($"text").cast("long").as("w"),
+          greatest(regexp_count($"text", lit("[.!?]+")), lit(1))
+            .cast("long").as("sent"),
+          regexp_count(lower($"text"), lit("[aeiouy]+"))
+            .cast("long").as("syl"))
+        .where($"w" > 0L)
+        .select($"source",
+          rnd(lit(206.835)
+            - lit(1.015) * ($"w".cast("double") / $"sent".cast("double"))
+            - lit(84.6) * ($"syl".cast("double") / $"w".cast("double")),
+            4).as("score"))
+      scored.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"score".cast("decimal(18,6)")).as("ssc"),
+          sum(when($"score" < 30.0, 1L).otherwise(0L)).as("n_difficult"))
+        .select($"source", $"n_docs",
+          rnd($"ssc".cast("double") / $"n_docs".cast("double"), 4)
+            .as("avg_flesch"),
+          $"n_difficult",
+          rnd($"n_difficult".cast("double") / $"n_docs".cast("double"), 6)
+            .as("difficult_frac"))
+        .orderBy($"source".asc_nulls_last)
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    // same candidate list, same distinct-⟕-distinct shape
+    "inclusion_deps" -> {
+      val legs = InclCandidates.map { case (ct, cc, pt, pc, _) =>
+        s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
+           |  (SELECT count(*) FROM
+           |    (SELECT DISTINCT CAST($cc AS BIGINT) AS k FROM $ct
+           |     WHERE $cc IS NOT NULL) c) AS n_child,
+           |  (SELECT count(*) FROM
+           |    (SELECT DISTINCT CAST($cc AS BIGINT) AS k FROM $ct
+           |     WHERE $cc IS NOT NULL) c
+           |    JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS k FROM $pt
+           |          WHERE $pc IS NOT NULL) p USING (k)) AS n_hit""".stripMargin
+      }
+      s"""WITH u AS (${legs.mkString("\nUNION ALL\n")})
+         |SELECT child_col, parent_col, n_child, n_hit,
+         |  CASE WHEN n_child > 0 THEN ${Q.duckRnd(
+        "CAST(n_hit AS DOUBLE) / CAST(n_child AS DOUBLE)", 6)}
+         |  END AS containment,
+         |  n_hit = n_child AS holds
+         |FROM u ORDER BY child_col, parent_col""".stripMargin
+    },
+
+    // same candidate list, same null-sentinel dependent
+    "fd_discovery" -> {
+      val legs = FdCandidates.map { case (t, det, dep) =>
+        s"""SELECT '$t' AS tbl, '$det' AS det_col, '$dep' AS dep_col,
+           |  count(*) AS n_groups,
+           |  coalesce(CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_violating,
+           |  max(card) AS max_card,
+           |  coalesce(CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) = 0 AS holds
+           |FROM (SELECT count(DISTINCT coalesce(CAST($dep AS VARCHAR),
+           |    '__null__')) AS card
+           |  FROM $t WHERE $det IS NOT NULL GROUP BY $det) g""".stripMargin
+      }
+      s"""SELECT * FROM (${legs.mkString("\nUNION ALL\n")}) u
+         |ORDER BY tbl, det_col, dep_col""".stripMargin
+    },
+
+    // same half split, same bin arithmetic (one IEEE op sequence),
+    // same decimal(18,9) snap before the 10-term sums
+    "histogram_drift" ->
+      s"""WITH ev AS (SELECT event_type AS t, epoch_ms(ts) AS ms,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL),
+         |st AS (SELECT min(ms) AS ms0, max(ms) AS ms1,
+         |    min(v) AS v0, max(v) AS v1 FROM ev),
+         |b AS (SELECT t,
+         |    CASE WHEN ms <= (ms0 + ms1) // 2 THEN 0 ELSE 1 END AS half,
+         |    CASE WHEN (v1 - v0) / 10.0 = 0.0 THEN 0
+         |      ELSE CAST(least(floor((v - v0) / ((v1 - v0) / 10.0)), 9.0)
+         |        AS INT) END AS bin
+         |  FROM ev, st),
+         |cells AS (SELECT t, bin,
+         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM b GROUP BY t, bin),
+         |tot AS (SELECT t, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM cells GROUP BY t),
+         |grid AS (SELECT t, na, nb, gs.bin FROM tot,
+         |    (SELECT unnest(range(0, 10)) AS bin) gs),
+         |pq AS (SELECT g.t, g.na, g.nb,
+         |    CAST(coalesce(c.ca, 0) + 1 AS DOUBLE) /
+         |      CAST(g.na + 10 AS DOUBLE) AS p,
+         |    CAST(coalesce(c.cb, 0) + 1 AS DOUBLE) /
+         |      CAST(g.nb + 10 AS DOUBLE) AS q
+         |  FROM grid g LEFT JOIN cells c ON g.t = c.t AND g.bin = c.bin),
+         |terms AS (SELECT t, na, nb,
+         |    CAST(${Q.duckRnd("abs(p - q)", 9)} AS DECIMAL(18,9)) AS tv,
+         |    CAST(${Q.duckRnd("sqrt(p * q)", 9)} AS DECIMAL(18,9)) AS bc
+         |  FROM pq),
+         |agg AS (SELECT t, any_value(na) AS n_a, any_value(nb) AS n_b,
+         |    sum(tv) AS stv, sum(bc) AS sbc FROM terms GROUP BY t)
+         |SELECT t AS event_type, n_a, n_b,
+         |  ${Q.duckRnd("0.5 * CAST(stv AS DOUBLE)", 6)} AS tvd,
+         |  ${Q.duckRnd(
+        "sqrt(greatest(1.0 - CAST(sbc AS DOUBLE), 0.0))", 6)} AS hellinger,
+         |  ${Q.duckRnd("0.5 * CAST(stv AS DOUBLE)", 6)} > 0.1 AS drifted
+         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // same regex trio, same 4dp per-doc snap + decimal(18,6) sum
+    "flesch_readability" ->
+      s"""WITH sc AS (SELECT source,
+         |    ${Q.duckRnd(
+        "206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))" +
+          " - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))", 4)} AS score
+         |  FROM (SELECT source,
+         |      ${graft.queries.LlmQueries.NTOK} AS w,
+         |      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent,
+         |      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+         |    FROM documents WHERE text IS NOT NULL) t
+         |  WHERE w > 0)
+         |SELECT source, count(*) AS n_docs,
+         |  ${Q.duckRnd(
+        "CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)", 4)} AS avg_flesch,
+         |  CAST(sum(CASE WHEN score < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_difficult,
+         |  ${Q.duckRnd(
+        "CAST(sum(CASE WHEN score < 30.0 THEN 1 ELSE 0 END) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)", 6)} AS difficult_frac
+         |FROM sc GROUP BY source ORDER BY source ASC NULLS LAST""".stripMargin)
+}

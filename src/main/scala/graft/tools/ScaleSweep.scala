@@ -256,7 +256,12 @@ object ScaleSweep {
       "quantile_normalize", "dp_noise_counts",
       // wave 40: one (type, day) cell aggregate is the only
       // corpus-scale stage; the DP runs on capped bounded arrays
-      "dtw_distance")
+      "dtw_distance",
+      // wave 41: inclusion/fd profile the factor× fact tables
+      // (distinct + det-keyed aggregates); histogram_drift rides the
+      // events month; flesch_readability is a pure documents scan
+      "inclusion_deps", "fd_discovery", "histogram_drift",
+      "flesch_readability")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
