@@ -401,8 +401,92 @@ object CurationQueries {
         // (null-injected corpus) must land where DuckDB's ORDER BY
         // puts it
         .orderBy($"lang".asc_nulls_last, $"phase")
+    }),
+
+    // Simpson diversity per source (wave 42): collision probability
+    // of the token distribution, D = Σc(c−1)/(n(n−1)) — the UNBIASED
+    // estimator, integer-exact until one final division (no
+    // transcendentals: this is the Rényi-2 counterpart of Shannon
+    // entropy, which the cross-engine libm rule bars). The inverse
+    // (Hill number of order 2) is the "effective vocabulary" the
+    // corpus-card reports. One scan → (source, term) aggregate →
+    // source rollup; per-term products stay in int64 (safe while any
+    // single term stays under ~3·10⁹ occurrences per source) and the
+    // sums ride decimal(38,0), so overflow is bounded and exact.
+    "simpson_diversity" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.documents(s, d)
+        .where($"text".isNotNull)
+        .select($"source", explode(TF.tokens($"text")).as("term"))
+        .where($"term" =!= "")
+        .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+      c.groupBy($"source")
+        .agg(sum($"c").as("n_tok"), count(lit(1)).as("n_types"),
+          sum(($"c" * ($"c" - 1L)).cast("decimal(38,0)")).as("sc2"))
+        .select($"source", $"n_tok", $"n_types",
+          when($"n_tok" > 1L,
+            rnd($"sc2".cast("double") /
+              ($"n_tok".cast("double") * ($"n_tok" - 1L).cast("double")), 9))
+            .as("simpson"),
+          when($"sc2" > 0,
+            rnd(($"n_tok".cast("double") * ($"n_tok" - 1L).cast("double")) /
+              $"sc2".cast("double"), 4)).as("effective_types"))
+        .orderBy($"source".asc_nulls_last)
+    }),
+
+    // Burrows' Delta between sources (wave 42): the classic
+    // authorship-attribution distance — z-score each source's
+    // relative frequency of the corpus-wide top-30 terms against the
+    // across-source mean/std, then Delta(a,b) = mean |z_a − z_b|.
+    // The corpus-scale work is ONE (source, term) count aggregate;
+    // everything after runs on the bounded |sources|×30 grid (zero
+    // counts included — a source that never uses a top term is
+    // evidence, not a missing row). Frequencies snap to
+    // decimal(18,12) and every cross-row sum rides decimals, so
+    // means/stds are partition-order-independent; σ=0 terms
+    // contribute z=0 by convention in both engines.
+    "burrows_delta" -> ((s, d) => {
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .where($"text".isNotNull && $"source".isNotNull)
+        .select($"source", explode(TF.tokens($"text")).as("term"))
+        .where($"term" =!= "")
+      val counts = tok.groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+      val top = counts.groupBy($"term").agg(sum($"c").as("tc"))
+        .orderBy($"tc".desc, $"term").limit(BurrowsK)
+      val grid = totals.crossJoin(broadcast(top.select($"term")))
+        .join(counts, Seq("source", "term"), "left")
+        .select($"source", $"term",
+          rnd(coalesce($"c", lit(0L)).cast("double") / $"n".cast("double"),
+            12).cast("decimal(18,12)").as("f"))
+      val mu = $"s1".cast("double") / $"k".cast("double")
+      val stats = grid.groupBy($"term")
+        .agg(count(lit(1)).as("k"), sum($"f").as("s1"),
+          sum(rnd($"f".cast("double") * $"f".cast("double"), 18)
+            .cast("decimal(38,18)")).as("s2"))
+        .select($"term", mu.as("mu"),
+          sqrt(greatest($"s2".cast("double") / $"k".cast("double") - mu * mu,
+            lit(0.0))).as("sigma"))
+      val z = grid.join(broadcast(stats), Seq("term"))
+        .select($"source", $"term",
+          when($"sigma" > 0.0, ($"f".cast("double") - $"mu") / $"sigma")
+            .otherwise(lit(0.0)).as("z"))
+      val za = z.select($"term", $"source".as("source_a"), $"z".as("z_a"))
+      val zb = z.select($"term", $"source".as("source_b"), $"z".as("z_b"))
+      za.join(zb, Seq("term")).where($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(rnd(abs($"z_a" - $"z_b"), 9).cast("decimal(18,9)")).as("sd"))
+        .select($"source_a", $"source_b", $"n_terms",
+          rnd($"sd".cast("double") / $"n_terms".cast("double"), 6)
+            .as("delta"))
+        .orderBy($"source_a", $"source_b")
     })
   )
+
+  /** Burrows' Delta top-term pool size, mirrored into the oracle. */
+  private val BurrowsK = 30
 
   val oracles: Map[String, String] = Map(
 
@@ -632,6 +716,69 @@ object CurationQueries {
          |SELECT lang, phase, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
          |  min(q) AS q_min, max(q) AS q_max
-         |FROM t GROUP BY lang, phase ORDER BY lang, phase""".stripMargin
+         |FROM t GROUP BY lang, phase ORDER BY lang, phase""".stripMargin,
+
+    // same unbiased estimator, same int64 per-term products,
+    // same decimal(38,0) sums
+    "simpson_diversity" ->
+      s"""WITH t AS (SELECT source, unnest(${LlmQueries.TOKS}) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT source, term, count(*) AS c FROM t
+         |  WHERE term <> '' GROUP BY source, term),
+         |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    count(*) AS n_types,
+         |    sum(CAST(c * (c - 1) AS DECIMAL(38,0))) AS sc2
+         |  FROM c GROUP BY source)
+         |SELECT source, n_tok, n_types,
+         |  CASE WHEN n_tok > 1 THEN ${Q.duckRnd(
+        "CAST(sc2 AS DOUBLE) / (CAST(n_tok AS DOUBLE)" +
+          " * CAST(n_tok - 1 AS DOUBLE))", 9)} END AS simpson,
+         |  CASE WHEN sc2 > 0 THEN ${Q.duckRnd(
+        "(CAST(n_tok AS DOUBLE) * CAST(n_tok - 1 AS DOUBLE))" +
+          " / CAST(sc2 AS DOUBLE)", 4)} END AS effective_types
+         |FROM a ORDER BY source ASC NULLS LAST""".stripMargin,
+
+    // same top-30 pool (tc DESC, term tiebreak), same decimal snaps,
+    // same σ=0 ⇒ z=0 convention
+    "burrows_delta" ->
+      s"""WITH t AS (SELECT source, unnest(${LlmQueries.TOKS}) AS term
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |cn AS (SELECT source, term, count(*) AS c FROM t
+         |  WHERE term <> '' GROUP BY source, term),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cn
+         |  GROUP BY source),
+         |top AS (SELECT term FROM (SELECT term, sum(c) AS tc FROM cn
+         |  GROUP BY term ORDER BY tc DESC, term LIMIT $BurrowsK) tt),
+         |grid AS (SELECT tot.source, top.term,
+         |    CAST(${Q.duckRnd(
+        "CAST(coalesce(cn.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)", 12)}
+         |      AS DECIMAL(18,12)) AS f
+         |  FROM tot CROSS JOIN top
+         |  LEFT JOIN cn ON cn.source = tot.source AND cn.term = top.term),
+         |st AS (SELECT term, count(*) AS k, sum(f) AS s1,
+         |    sum(CAST(${Q.duckRnd(
+        "CAST(f AS DOUBLE) * CAST(f AS DOUBLE)", 18)} AS DECIMAL(38,18)))
+         |      AS s2
+         |  FROM grid GROUP BY term),
+         |st2 AS (SELECT term,
+         |    CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+         |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+         |      - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+         |        * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)) AS sigma
+         |  FROM st),
+         |z AS (SELECT g.source, g.term,
+         |    CASE WHEN sigma > 0.0
+         |      THEN (CAST(f AS DOUBLE) - mu) / sigma ELSE 0.0 END AS z
+         |  FROM grid g JOIN st2 USING (term)),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_terms,
+         |    sum(CAST(${Q.duckRnd("abs(a.z - b.z)", 9)} AS DECIMAL(18,9)))
+         |      AS sd
+         |  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT source_a, source_b, n_terms,
+         |  ${Q.duckRnd("CAST(sd AS DOUBLE) / CAST(n_terms AS DOUBLE)", 6)}
+         |    AS delta
+         |FROM p ORDER BY source_a, source_b""".stripMargin
   )
 }

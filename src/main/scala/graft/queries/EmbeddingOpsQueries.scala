@@ -252,8 +252,72 @@ object EmbeddingOpsQueries {
                 $"msim", $"score"))
         }
       picks.reduce(_.unionAll(_)).orderBy($"k")
+    }),
+
+    // Johnson-Lindenstrauss random projection (wave 42): project the
+    // 64-dim embeddings onto RpK=8 Rademacher directions and rank
+    // vector pairs by PROJECTED distance — the dimensionality-
+    // reduction candidate generator (project once per vector, then
+    // pair scoring costs 8 mults instead of 64). The ±1 sign matrix
+    // is md5-derived ONCE in Scala and embedded as literals in BOTH
+    // engines' plans (no cross-engine hash arithmetic); each
+    // projection is one codegen'd vec_dot against a constant sign
+    // vector — a pure scan projection, zero shuffles until the
+    // bounded 200-vector eval join. d2 sums are explicit 8-term
+    // left-associated chains, the same IEEE sequence both engines.
+    "rp_project" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.VecFunctions.register(s)
+      val projCols = (0 until RpK).map { j =>
+        (graft.plans.VecFunctions.vecDot($"embedding",
+          array(rpSigns(j).map(v => lit(v.toFloat)): _*)) / sqrt(lit(8.0)))
+          .as(s"p$j")
+      }
+      val proj = Tables.embeddings(s, d)
+        .where($"vec_id" < RpEvalN && $"embedding".isNotNull)
+        .select(($"vec_id" +: (graft.plans.VecFunctions
+          .vecDot($"embedding", $"embedding").as("sd") +: projCols)): _*)
+      val a = proj.columns.foldLeft(proj)((df, c) =>
+        df.withColumnRenamed(c, s"a_$c"))
+      val b = proj.columns.foldLeft(proj)((df, c) =>
+        df.withColumnRenamed(c, s"b_$c"))
+      val emb = Tables.embeddings(s, d)
+        .where($"vec_id" < RpEvalN && $"embedding".isNotNull)
+      val d2p = (0 until RpK)
+        .map(j => (col(s"a_p$j") - col(s"b_p$j")) *
+          (col(s"a_p$j") - col(s"b_p$j")))
+        .reduce(_ + _)
+      a.join(b, $"a_vec_id" < $"b_vec_id")
+        .join(emb.select($"vec_id".as("a_vec_id"), $"embedding".as("ea")),
+          Seq("a_vec_id"))
+        .join(emb.select($"vec_id".as("b_vec_id"), $"embedding".as("eb")),
+          Seq("b_vec_id"))
+        .select($"a_vec_id".as("vec_a"), $"b_vec_id".as("vec_b"),
+          rnd(d2p, 6).as("d2_proj"),
+          rnd($"a_sd" + $"b_sd" - lit(2.0) *
+            graft.plans.VecFunctions.vecDot($"ea", $"eb"), 6).as("d2_true"))
+        .orderBy($"d2_proj", $"vec_a", $"vec_b")
+        .limit(20)
     })
   )
+
+  /** rp_project constants: projection width, eval-pair vector bound. */
+  private val RpK = 8
+  private val RpDim = 64
+  private val RpEvalN = 200L
+
+  /** Deterministic Rademacher sign matrix: sign(j)(i) = ±1 off the
+    * low bit of md5("rp:i:j") — computed once HERE and embedded as
+    * literals into both the Spark plan and the DuckDB oracle, so the
+    * two engines never have to agree on hash arithmetic.
+    */
+  private val rpSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(RpK, RpDim) { (j, i) =>
+      val h = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
 
   /** MMR candidate-pool bound (the retrieval cut the pool mirrors)
     * and the relevance/diversity trade-off. λ and μ = 1−λ are
@@ -528,6 +592,32 @@ object EmbeddingOpsQueries {
          |  ORDER BY score DESC, vec_id LIMIT 1)
          |$out
          |ORDER BY k""".stripMargin
+    },
+
+    // same literal sign matrix (generated by the same Scala code),
+    // same left-to-right dot order, same 8-term left-assoc d2 chain
+    "rp_project" -> {
+      def sgnList(j: Int): String =
+        "[" + rpSigns(j).map(v => s"$v.0").mkString(", ") + "]"
+      val projLegs = (0 until RpK).map { j =>
+        s"${LlmQueries.duckDot("embedding", sgnList(j))} / sqrt(8.0) AS p$j"
+      }.mkString(",\n         |    ")
+      val d2p = (0 until RpK)
+        .map(j => s"(a.p$j - b.p$j) * (a.p$j - b.p$j)")
+        .mkString(" + ")
+      s"""WITH pr AS (SELECT vec_id,
+         |    ${LlmQueries.duckDot("embedding", "embedding")} AS sd,
+         |    $projLegs
+         |  FROM embeddings WHERE vec_id < $RpEvalN
+         |    AND embedding IS NOT NULL)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${Q.duckRnd(d2p, 6)} AS d2_proj,
+         |  ${Q.duckRnd("a.sd + b.sd - 2.0 * " +
+        LlmQueries.duckDot("ea.embedding", "eb.embedding"), 6)} AS d2_true
+         |FROM pr a JOIN pr b ON a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |ORDER BY d2_proj, vec_a, vec_b LIMIT 20""".stripMargin
     }
   )
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
@@ -189,18 +188,25 @@ object ProfilingQueries {
     // Flesch reading-ease per source: 206.835 − 1.015·(words/sents)
     // − 84.6·(syllables/words), with sentences = [.!?]+ runs in the
     // raw text (min 1) and syllables ≈ [aeiouy]+ vowel groups in the
-    // lowercased text — the standard regex approximation. Per-doc
-    // scores snap to 4dp, sum on decimal(18,6) (exact), mean back in
-    // double space.
+    // lowercased text — the standard regex approximation. Words are
+    // counted as [a-z0-9]+ runs in the lowercased text, which equals
+    // TF.nTokens by construction (normText turns every non-alnum
+    // char into a separator, so tokens ARE the maximal alnum runs —
+    // Wave42Spec pins the equality) without materializing the token
+    // array: the 10× sweep measured the split-array build at ~3× the
+    // whole query's cost on the long-doc stratum. Per-doc scores
+    // snap to 4dp, sum on decimal(18,6) (exact), mean back in double
+    // space.
     "flesch_readability" -> ((s, d) => {
       import s.implicits._
       val scored = Tables.documents(s, d)
         .where($"text".isNotNull)
+        .withColumn("lo", lower($"text"))
         .select($"source",
-          TF.nTokens($"text").cast("long").as("w"),
+          regexp_count($"lo", lit("[a-z0-9]+")).cast("long").as("w"),
           greatest(regexp_count($"text", lit("[.!?]+")), lit(1))
             .cast("long").as("sent"),
-          regexp_count(lower($"text"), lit("[aeiouy]+"))
+          regexp_count($"lo", lit("[aeiouy]+"))
             .cast("long").as("syl"))
         .where($"w" > 0L)
         .select($"source",
@@ -312,7 +318,7 @@ object ProfilingQueries {
         "206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))" +
           " - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))", 4)} AS score
          |  FROM (SELECT source,
-         |      ${graft.queries.LlmQueries.NTOK} AS w,
+         |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
          |      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent,
          |      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
          |    FROM documents WHERE text IS NOT NULL) t

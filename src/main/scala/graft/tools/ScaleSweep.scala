@@ -261,7 +261,11 @@ object ScaleSweep {
       // (distinct + det-keyed aggregates); histogram_drift rides the
       // events month; flesch_readability is a pure documents scan
       "inclusion_deps", "fd_discovery", "histogram_drift",
-      "flesch_readability")
+      "flesch_readability",
+      // wave 42: rp_project is a pure embeddings scan projection +
+      // bounded eval join; simpson/burrows are one (source, term)
+      // corpus aggregate each, bounded-grid arithmetic after
+      "rp_project", "simpson_diversity", "burrows_delta")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
