@@ -90,6 +90,10 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       new ExpressionInfo(classOf[BpeMergeAll].getName, "bpe_merge"),
       (exprs: Seq[Expression]) => BpeMergeAll(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
+      FunctionIdentifier("char_run_counts"),
+      new ExpressionInfo(classOf[CharRunCounts].getName, "char_run_counts"),
+      (exprs: Seq[Expression]) => CharRunCounts(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

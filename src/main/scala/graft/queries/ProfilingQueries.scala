@@ -186,28 +186,27 @@ object ProfilingQueries {
     }),
 
     // Flesch reading-ease per source: 206.835 − 1.015·(words/sents)
-    // − 84.6·(syllables/words), with sentences = [.!?]+ runs in the
-    // raw text (min 1) and syllables ≈ [aeiouy]+ vowel groups in the
-    // lowercased text — the standard regex approximation. Words are
-    // counted as [a-z0-9]+ runs in the lowercased text, which equals
-    // TF.nTokens by construction (normText turns every non-alnum
-    // char into a separator, so tokens ARE the maximal alnum runs —
-    // Wave42Spec pins the equality) without materializing the token
-    // array: the 10× sweep measured the split-array build at ~3× the
-    // whole query's cost on the long-doc stratum. Per-doc scores
-    // snap to 4dp, sum on decimal(18,6) (exact), mean back in double
-    // space.
+    // − 84.6·(syllables/words), with words = alnum runs (equal to
+    // TF.nTokens by construction: normText turns every non-alnum
+    // char into a separator, so tokens ARE the maximal alnum runs),
+    // sentences = [.!?]+ runs (min 1), and syllables ≈ [aeiouy]+
+    // vowel-group runs — the standard regex approximation, but
+    // counted by [[graft.plans.CharRunCounts]]: ONE codegen'd byte
+    // pass instead of three regex traversals (the 10× sweep measured
+    // the regex formulation at 71 s — the whole query's cost;
+    // Wave42Spec pins the expression equal to the regexes AND to
+    // TF.nTokens corpus-wide). Per-doc scores snap to 4dp, sum on
+    // decimal(18,6) (exact), mean back in double space.
     "flesch_readability" -> ((s, d) => {
       import s.implicits._
+      graft.plans.TextRunFunctions.register(s)
       val scored = Tables.documents(s, d)
         .where($"text".isNotNull)
-        .withColumn("lo", lower($"text"))
+        .withColumn("rc", graft.plans.TextRunFunctions.charRunCounts($"text"))
         .select($"source",
-          regexp_count($"lo", lit("[a-z0-9]+")).cast("long").as("w"),
-          greatest(regexp_count($"text", lit("[.!?]+")), lit(1))
-            .cast("long").as("sent"),
-          regexp_count($"lo", lit("[aeiouy]+"))
-            .cast("long").as("syl"))
+          $"rc.words".as("w"),
+          greatest($"rc.sentences", lit(1L)).as("sent"),
+          $"rc.syllables".as("syl"))
         .where($"w" > 0L)
         .select($"source",
           rnd(lit(206.835)

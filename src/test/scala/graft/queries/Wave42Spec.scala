@@ -13,13 +13,35 @@ class Wave42Spec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("flesch words: regexp_count('[a-z0-9]+') equals TF.nTokens corpus-wide") {
+  test("CharRunCounts equals the regex trio and TF.nTokens corpus-wide") {
+    graft.plans.TextRunFunctions.register(spark)
+    val rc = graft.plans.TextRunFunctions.charRunCounts($"text")
     val diff = Tables.documents(spark, sf)
       .filter("text IS NOT NULL")
-      .select(TF.nTokens($"text").cast("long").as("a"),
-        regexp_count(lower($"text"), lit("[a-z0-9]+")).cast("long").as("b"))
-      .filter($"a" =!= $"b").count()
-    assert(diff == 0L, s"$diff docs disagree between split-count and run-count")
+      .select(
+        TF.nTokens($"text").cast("long").as("a"),
+        regexp_count(lower($"text"), lit("[a-z0-9]+")).cast("long").as("b"),
+        regexp_count(lower($"text"), lit("[aeiouy]+")).cast("long").as("c"),
+        regexp_count($"text", lit("[.!?]+")).cast("long").as("e"),
+        rc.getField("words").as("w"),
+        rc.getField("syllables").as("y"),
+        rc.getField("sentences").as("sn"))
+      .filter($"a" =!= $"b" || $"b" =!= $"w" || $"c" =!= $"y" ||
+        $"e" =!= $"sn")
+      .count()
+    assert(diff == 0L, s"$diff docs disagree across the three formulations")
+    // non-ASCII: multi-byte code points break runs exactly like the
+    // regex classes (bytes >= 0x80 are in no class)
+    val probe = Seq("héllo wörld. Ça va?! xy9z", "", "...", "aeiou Émile")
+      .toDF("text")
+      .select(graft.plans.TextRunFunctions.charRunCounts($"text").as("rc"),
+        regexp_count(lower($"text"), lit("[a-z0-9]+")).cast("long").as("b"),
+        regexp_count(lower($"text"), lit("[aeiouy]+")).cast("long").as("c"),
+        regexp_count($"text", lit("[.!?]+")).cast("long").as("e"))
+      .filter($"rc.words" =!= $"b" || $"rc.syllables" =!= $"c" ||
+        $"rc.sentences" =!= $"e")
+      .count()
+    assert(probe == 0L, "non-ASCII probe rows disagree with the regexes")
   }
 
   test("rp_project: matches a from-scratch driver-side projection and pairing") {
