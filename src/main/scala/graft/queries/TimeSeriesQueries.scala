@@ -466,6 +466,110 @@ object TimeSeriesQueries {
            |    (prev, ai) -> $newRow),
            |  size(vb)) AS dtw""".stripMargin.replace("\n", " "))
         .orderBy($"type_a", $"type_b")
+    }),
+
+    // SAX symbolization (wave 43, Lin et al. 2003): z-normalize each
+    // type's daily-count series, PAA-compress it to a ≤10-segment
+    // word, map segment means onto the 4-letter alphabet via the
+    // standard N(0,1) quartile breakpoints (±0.6745 — literals, no
+    // inverse-CDF at query time). The corpus-scale work is the one
+    // (type, day) cell aggregate; the fold is array arithmetic on
+    // the DtwMaxDays-capped spine. Integer Σx/Σx² keep μ/σ exact-
+    // input; every per-segment sum is a fixed-order array fold, so
+    // doubles are bit-identical cross-engine with no rounding step.
+    "sax_symbolize" -> ((s, d) => {
+      import s.implicits._
+      // segment k of w covers 1-based [ (k·n) div w + 1, ((k+1)·n) div w ]
+      def lo = s"(k * n_days) DIV w + 1"
+      def hi = s"((k + 1) * n_days) DIV w"
+      val mz =
+        s"""CASE WHEN sigma = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE aggregate(slice(s, $lo, $hi - ($lo) + 1),
+           |  CAST(0 AS DOUBLE),
+           |  (acc, x) -> acc + (CAST(x AS DOUBLE) - mu) / sigma)
+           |  / CAST($hi - ($lo) + 1 AS DOUBLE) END""".stripMargin
+          .replace("\n", " ")
+      daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s",
+          "aggregate(s, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sx",
+          "aggregate(s, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS sx2")
+        .selectExpr("event_type", "n_days", "s",
+          "least(10, n_days) AS w",
+          "CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu",
+          "sqrt(greatest(CAST(sx2 AS DOUBLE) / CAST(n_days AS DOUBLE)" +
+            " - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))" +
+            " * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))," +
+            " CAST(0 AS DOUBLE))) AS sigma")
+        .selectExpr("event_type", "n_days", "w AS sax_w",
+          s"""array_join(transform(sequence(0, w - 1), k ->
+             |  CASE WHEN $mz < -0.6745 THEN 'a'
+             |       WHEN $mz < 0.0 THEN 'b'
+             |       WHEN $mz < 0.6745 THEN 'c'
+             |       ELSE 'd' END), '') AS sax""".stripMargin
+            .replace("\n", " "))
+        .orderBy($"event_type")
+    }),
+
+    // Holt's linear (double-exponential) smoothing per type (wave
+    // 43): level/trend recursion folded over the train split (all
+    // but the last 7 days), α=0.5 / β=0.3 literals, then a 7-day
+    // holdout MAE — the classic baseline forecaster with its own
+    // backtest. Fold accumulator is a (level, trend) struct; every
+    // step is the same IEEE op sequence both engines (the recursion
+    // re-inlines the new level where it feeds the trend — SQL
+    // lambdas have no let-binding).
+    "holt_forecast" -> ((s, d) => {
+      import s.implicits._
+      val nl = "0.5 * CAST(x AS DOUBLE) + 0.5 * (acc.l + acc.b)"
+      daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+        .filter($"n_days" >= HoltMinDays)
+        .selectExpr("event_type", "n_days",
+          "s", "n_days - 7 AS n_train")
+        .selectExpr("event_type", "n_days",
+          s"""aggregate(slice(s, 3, n_train - 2),
+             |  named_struct(
+             |    'l', CAST(element_at(s, 1) AS DOUBLE),
+             |    'b', CAST(element_at(s, 2) AS DOUBLE)
+             |       - CAST(element_at(s, 1) AS DOUBLE)),
+             |  (acc, x) -> named_struct(
+             |    'l', $nl,
+             |    'b', 0.3 * (($nl) - acc.l) + 0.7 * acc.b)) AS hb""".stripMargin
+            .replace("\n", " "),
+          "s", "n_train")
+        .selectExpr("event_type", "n_days", "hb.l AS l", "hb.b AS b",
+          s"""aggregate(sequence(1, 7), CAST(0 AS DOUBLE), (acc, h) ->
+             |  acc + abs(hb.l + CAST(h AS DOUBLE) * hb.b
+             |    - CAST(element_at(s, n_train + h) AS DOUBLE)))
+             |  / 7.0 AS mae""".stripMargin.replace("\n", " "))
+        .select($"event_type", $"n_days", rnd($"l", 6).as("level"),
+          rnd($"b", 6).as("trend"), rnd($"mae", 6).as("mae"))
+        .orderBy($"event_type")
+    }),
+
+    // Tukey median polish, one row+column sweep (wave 43): robust
+    // two-way decomposition of the (type × day) count matrix —
+    // x = row_effect + col_effect + residual with MEDIANS, the
+    // outlier-resistant alternative to seasonal_decompose's means;
+    // the top-|residual| cells are the anomaly report. Cell counts
+    // are integers and medians of dyadic rationals are exact in IEEE
+    // (mean-of-two-middles), so every residual is bit-identical
+    // cross-engine with no rounding needed — the snap is display
+    // only. One (type, day) aggregate; the polish runs on the
+    // bounded grid.
+    "median_polish" -> ((s, d) => {
+      import s.implicits._
+      val g = dayGrid(s, d).withColumn("x", $"n".cast("double"))
+      val rm = g.groupBy($"t").agg(median($"x").as("rm"))
+      val r1 = g.join(broadcast(rm), Seq("t"))
+        .withColumn("r1", $"x" - $"rm")
+      val cm = r1.groupBy($"day").agg(median($"r1").as("cm"))
+      r1.join(broadcast(cm), Seq("day"))
+        .select($"t".as("event_type"), $"day", $"n",
+          rnd($"rm", 6).as("row_med"), rnd($"cm", 6).as("col_med"),
+          rnd($"r1" - $"cm", 6).as("residual"))
+        .orderBy(rnd(abs($"r1" - $"cm"), 6).desc, $"event_type", $"day")
+        .limit(50)
     }))
 
   /** Day-spine cap for dtw_distance — series length is bounded at
@@ -474,6 +578,54 @@ object TimeSeriesQueries {
     * constants. Mirrored in the oracle.
     */
   private val DtwMaxDays = 366L
+
+  /** holt_forecast minimum series length: 2 seed days + ≥0 fold days
+    * on the train split and a full 7-day holdout.
+    */
+  private val HoltMinDays = 9L
+
+  /** Wave-43 substrate: dtw_distance's bounded zero-filled daily
+    * series per event type, factored for reuse (dtw itself predates
+    * the helper and keeps its pinned inline construction).
+    */
+  private def daySeries(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bounded = dayCells(s, d)
+    val span = bounded.groupBy($"d0").agg(max($"day").as("d1"))
+    bounded.groupBy($"t")
+      .agg(map_from_arrays(collect_list($"day"), collect_list($"n")).as("m"))
+      .crossJoin(broadcast(span))
+      .select($"t",
+        expr("transform(sequence(d0, d1)," +
+          " dd -> coalesce(element_at(m, dd), CAST(0 AS BIGINT)))").as("s"))
+  }
+
+  /** Bounded (t, day, n) cells, d0 carried for the spine. */
+  private def dayCells(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .select($"event_type".as("t"),
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+      .groupBy($"t", $"day").agg(count(lit(1)).as("n"))
+    val d0 = cells.agg(min($"day").as("d0"))
+    cells.crossJoin(broadcast(d0)).filter($"day" < $"d0" + DtwMaxDays)
+  }
+
+  /** Zero-filled (t, day, n) grid over the full bounded spine. */
+  private def dayGrid(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bounded = dayCells(s, d)
+    val span = bounded.groupBy($"d0").agg(max($"day").as("d1"))
+    val days = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = bounded.select($"t").distinct()
+    types.crossJoin(broadcast(days))
+      .join(bounded.select($"t", $"day", $"n"), Seq("t", "day"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+  }
 
   val oracles: Map[String, String] = Map(
     // same integral S and tie-corrected variance, same closing z
@@ -764,5 +916,110 @@ object TimeSeriesQueries {
          |      (prev, xi) -> $newRow),
          |    len(vb)) AS dtw
          |FROM pairs ORDER BY type_a, type_b""".stripMargin
-    })
+    },
+
+    // same spine, same integer Σx/Σx², same fixed-order segment folds
+    "sax_symbolize" -> {
+      def lo = "(k * n_days) // w + 1"
+      def hi = "((k + 1) * n_days) // w"
+      val mz =
+        s"""CASE WHEN sigma = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE list_sum(list_transform(list_slice(s, $lo, $hi),
+           |  x -> (CAST(x AS DOUBLE) - mu) / sigma))
+           |  / CAST($hi - ($lo) + 1 AS DOUBLE) END""".stripMargin
+          .replace("\n", " ")
+      s"""WITH $duckDayCtes,
+         |st AS (SELECT t AS event_type, len(s) AS n_days, s,
+         |    CAST(list_sum(s) AS BIGINT) AS sx,
+         |    CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sx2
+         |  FROM series),
+         |zs AS (SELECT event_type, n_days, s,
+         |    least(10, n_days) AS w,
+         |    CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+         |    sqrt(greatest(CAST(sx2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+         |      - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+         |        * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)),
+         |      CAST(0 AS DOUBLE))) AS sigma
+         |  FROM st)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+         |  CAST(w AS INTEGER) AS sax_w,
+         |  array_to_string(list_transform(range(0, w), k ->
+         |    CASE WHEN $mz < -0.6745 THEN 'a'
+         |         WHEN $mz < 0.0 THEN 'b'
+         |         WHEN $mz < 0.6745 THEN 'c'
+         |         ELSE 'd' END), '') AS sax
+         |FROM zs ORDER BY event_type""".stripMargin
+    },
+
+    // same seed, same re-inlined level inside the trend step, same
+    // 7-day holdout fold
+    "holt_forecast" -> {
+      val nl = "0.5 * xi[1] + 0.5 * (acc[1] + acc[2])"
+      s"""WITH $duckDayCtes,
+         |tr AS (SELECT t AS event_type, len(s) AS n_days, s,
+         |    len(s) - 7 AS n_train
+         |  FROM series WHERE len(s) >= $HoltMinDays),
+         |fold AS (SELECT event_type, n_days, s, n_train,
+         |    list_reduce(
+         |      list_prepend(
+         |        [CAST(s[1] AS DOUBLE),
+         |         CAST(s[2] AS DOUBLE) - CAST(s[1] AS DOUBLE)],
+         |        list_transform(list_slice(s, 3, n_train),
+         |          x -> [CAST(x AS DOUBLE)])),
+         |      (acc, xi) -> [$nl,
+         |        0.3 * (($nl) - acc[1]) + 0.7 * acc[2]]) AS hb
+         |  FROM tr),
+         |m AS (SELECT event_type, n_days, hb[1] AS l, hb[2] AS b,
+         |    list_sum(list_transform(range(1, 8), h ->
+         |      abs(hb[1] + CAST(h AS DOUBLE) * hb[2]
+         |        - CAST(s[n_train + h] AS DOUBLE)))) / 7.0 AS mae
+         |  FROM fold)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+         |  ${Q.duckRnd("l", 6)} AS level, ${Q.duckRnd("b", 6)} AS trend,
+         |  ${Q.duckRnd("mae", 6)} AS mae
+         |FROM m ORDER BY event_type""".stripMargin
+    },
+
+    // same zero-filled grid, same exact dyadic medians (duck median =
+    // quantile_cont 0.5 = mean-of-middles, exact on dyadic doubles)
+    "median_polish" ->
+      s"""WITH $duckDayCtes,
+         |g AS (SELECT t, dd, n, CAST(n AS DOUBLE) AS x FROM grid),
+         |rm AS (SELECT t, median(x) AS rm FROM g GROUP BY t),
+         |r1 AS (SELECT g.t, g.dd, g.n, g.x, rm.rm, g.x - rm.rm AS r1
+         |  FROM g JOIN rm ON g.t = rm.t),
+         |cm AS (SELECT dd, median(r1) AS cm FROM r1 GROUP BY dd),
+         |r2 AS (SELECT r1.t, r1.dd, r1.n, r1.rm, cm.cm,
+         |    r1.r1 - cm.cm AS r2
+         |  FROM r1 JOIN cm ON r1.dd = cm.dd)
+         |SELECT t AS event_type, dd AS day, CAST(n AS BIGINT) AS n,
+         |  ${Q.duckRnd("rm", 6)} AS row_med, ${Q.duckRnd("cm", 6)} AS col_med,
+         |  ${Q.duckRnd("r2", 6)} AS residual
+         |FROM r2
+         |ORDER BY ${Q.duckRnd("abs(r2)", 6)} DESC, event_type, day
+         |LIMIT 50""".stripMargin)
+
+  /** The dtw oracle's bounded zero-filled series construction,
+    * factored for the wave-43 oracles (cells → … → grid → series).
+    * A def, not a val: the oracles map above interpolates it at
+    * object-construction time, before a later-in-file val would
+    * initialize.
+    */
+  private def duckDayCtes: String =
+    s"""cells AS (SELECT event_type AS t,
+       |    (epoch_us(ts) // 1000) // 86400000 AS day, count(*) AS n
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |dmin AS (SELECT min(day) AS d0 FROM cells),
+       |bounded AS (SELECT t, day, n FROM cells CROSS JOIN dmin
+       |  WHERE day < d0 + $DtwMaxDays),
+       |span AS (SELECT d0, max(day) AS d1
+       |  FROM bounded CROSS JOIN dmin GROUP BY d0),
+       |days AS (SELECT unnest(range(d0, d1 + 1)) AS dd FROM span),
+       |types AS (SELECT DISTINCT t FROM bounded),
+       |grid AS (SELECT ty.t, d.dd, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |  FROM types ty CROSS JOIN days d
+       |  LEFT JOIN bounded c ON c.t = ty.t AND c.day = d.dd),
+       |series AS (SELECT t, list(n ORDER BY dd) AS s FROM grid
+       |  GROUP BY t)""".stripMargin
 }

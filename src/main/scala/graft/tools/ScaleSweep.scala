@@ -265,7 +265,10 @@ object ScaleSweep {
       // wave 42: rp_project is a pure embeddings scan projection +
       // bounded eval join; simpson/burrows are one (source, term)
       // corpus aggregate each, bounded-grid arithmetic after
-      "rp_project", "simpson_diversity", "burrows_delta")
+      "rp_project", "simpson_diversity", "burrows_delta",
+      // wave 43: all three ride the (type, day) cell aggregate on
+      // the capped spine; the folds are bounded-array arithmetic
+      "sax_symbolize", "holt_forecast", "median_polish")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
