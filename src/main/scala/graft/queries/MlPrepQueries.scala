@@ -471,8 +471,78 @@ object MlPrepQueries {
           rnd($"sv".cast("double") / $"n".cast("double"), 6).as("mean_raw"),
           rnd($"mean_norm", 6).as("mean_norm"))
         .orderBy($"t", $"qb")
+    }),
+
+    // One ALS half-step for implicit feedback (wave 44, Hu et al.
+    // 2008's shape at k=2): fix the item (event-type) factors, solve
+    // every user's 2×2 ridge normal equations in closed form — the
+    // distributed update a recommender training pipeline runs per
+    // sweep. Item factors are md5-derived INTEGERS in [0,1000)
+    // (identical cross-engine), so every normal-equation entry is an
+    // exact int64 sum off ONE (user, type)-keyed count aggregate;
+    // only the final 2×2 solve runs in doubles (same op order both
+    // engines). Linear in events, shuffle keyed by (user, type) then
+    // user.
+    "als_user_factors" -> ((s, d) => {
+      import s.implicits._
+      def yv(tag: String) =
+        conv(substring(md5(concat(lit(tag), $"event_type")), 1, 4), 16, 10)
+          .cast("long") % 1000L
+      val r = Tables.events(s, d)
+        .where($"user_id".isNotNull && $"event_type".isNotNull)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("r"))
+        .select($"user_id", $"r",
+          yv("alsy1:").as("y1"), yv("alsy2:").as("y2"))
+      val agg = r.groupBy($"user_id").agg(
+        sum($"r").as("n_events"),
+        sum($"y1" * $"y1").as("a11"),
+        sum($"y1" * $"y2").as("a12"),
+        sum($"y2" * $"y2").as("a22"),
+        sum($"r" * $"y1").as("b1"),
+        sum($"r" * $"y2").as("b2"))
+      val a11 = ($"a11" + AlsLambda).cast("double")
+      val a22 = ($"a22" + AlsLambda).cast("double")
+      val a12 = $"a12".cast("double")
+      val b1 = $"b1".cast("double")
+      val b2 = $"b2".cast("double")
+      val det = a11 * a22 - a12 * a12
+      agg.select($"user_id", $"n_events",
+        rnd((a22 * b1 - a12 * b2) / det, 6).as("u1"),
+        rnd((a11 * b2 - a12 * b1) / det, 6).as("u2"))
+        .orderBy($"user_id")
+    }),
+
+    // Hashing-trick featurization (wave 44, Weinberger et al. 2009):
+    // every token maps to one of 64 md5 buckets — the fixed-width
+    // featurization that needs NO vocabulary build or broadcast (the
+    // property that makes it the streaming/oov-safe alternative to
+    // vocab_build at corpus scale). Reported per source as the
+    // bucket-count profile with normalized weights; one scan, one
+    // (source, bucket) aggregate, output bounded at
+    // |sources| × 64.
+    "feature_hash" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables.documents(s, d)
+        .where($"text".isNotNull)
+        .select($"source", explode(TF.tokens($"text")).as("term"))
+        .where($"term" =!= "")
+        .select($"source",
+          (conv(substring(md5(concat(lit("fh:"), $"term")), 1, 8), 16, 10)
+            .cast("long") % FhBuckets).as("bucket"))
+      val c = t.groupBy($"source", $"bucket").agg(count(lit(1)).as("n"))
+      // window, not a self-join on source: a NULL source stratum must
+      // keep its rows (equi-join keys drop nulls; partitions don't)
+      c.withColumn("n_tok",
+        sum($"n").over(Window.partitionBy($"source")))
+        .select($"source", $"bucket", $"n",
+          rnd($"n".cast("double") / $"n_tok".cast("double"), 6).as("weight"))
+        .orderBy($"source".asc_nulls_last, $"bucket")
     })
   )
+
+  /** ALS ridge term and feature-hash width, mirrored in the oracles. */
+  private val AlsLambda = 1000L
+  private val FhBuckets = 64L
 
   /** Quantile-bucket count for quantile_normalize — the pooled
     * profile resolution. Mirrored in the oracle.
@@ -785,6 +855,56 @@ object MlPrepQueries {
          |    AS mean_raw,
          |  ${Q.duckRnd("p.mean_norm", 6)} AS mean_norm
          |FROM cells c JOIN pooled p ON c.qb = p.qb
-         |ORDER BY c.t, c.qb""".stripMargin
+         |ORDER BY c.t, c.qb""".stripMargin,
+
+    // same md5 item factors, same int64 normal equations, same
+    // closed-form 2×2 solve op order
+    "als_user_factors" ->
+      s"""WITH r AS (SELECT user_id, event_type, count(*) AS r
+         |  FROM events WHERE user_id IS NOT NULL
+         |    AND event_type IS NOT NULL GROUP BY 1, 2),
+         |y AS (SELECT user_id, r,
+         |    ('0x' || substr(md5('alsy1:' || event_type), 1, 4))::BIGINT
+         |      % 1000 AS y1,
+         |    ('0x' || substr(md5('alsy2:' || event_type), 1, 4))::BIGINT
+         |      % 1000 AS y2
+         |  FROM r),
+         |a AS (SELECT user_id,
+         |    CAST(sum(r) AS BIGINT) AS n_events,
+         |    CAST(sum(y1 * y1) AS BIGINT) AS a11,
+         |    CAST(sum(y1 * y2) AS BIGINT) AS a12,
+         |    CAST(sum(y2 * y2) AS BIGINT) AS a22,
+         |    CAST(sum(r * y1) AS BIGINT) AS b1,
+         |    CAST(sum(r * y2) AS BIGINT) AS b2
+         |  FROM y GROUP BY user_id)
+         |SELECT user_id, n_events,
+         |  ${Q.duckRnd(
+        "(CAST(a22 + 1000 AS DOUBLE) * CAST(b1 AS DOUBLE)" +
+          " - CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE))" +
+          " / (CAST(a11 + 1000 AS DOUBLE) * CAST(a22 + 1000 AS DOUBLE)" +
+          " - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))", 6)} AS u1,
+         |  ${Q.duckRnd(
+        "(CAST(a11 + 1000 AS DOUBLE) * CAST(b2 AS DOUBLE)" +
+          " - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE))" +
+          " / (CAST(a11 + 1000 AS DOUBLE) * CAST(a22 + 1000 AS DOUBLE)" +
+          " - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))", 6)} AS u2
+         |FROM a ORDER BY user_id""".stripMargin,
+
+    // same md5 buckets, same normalized weights
+    "feature_hash" ->
+      s"""WITH t AS (SELECT source, unnest(${LlmQueries.TOKS}) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT source,
+         |    ('0x' || substr(md5('fh:' || term), 1, 8))::BIGINT % 64
+         |      AS bucket
+         |  FROM t WHERE term <> ''),
+         |c AS (SELECT source, bucket, count(*) AS n FROM b
+         |  GROUP BY source, bucket)
+         |SELECT source, bucket, n,
+         |  ${Q.duckRnd(
+        "CAST(n AS DOUBLE)" +
+          " / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)", 6)}
+         |    AS weight
+         |FROM c ORDER BY source ASC NULLS LAST, bucket""".stripMargin
   )
 }

@@ -424,6 +424,58 @@ object StatQueries {
         .orderBy($"user_id".asc_nulls_last, $"session_id")
     }),
 
+    // Session type-mix outliers (wave 44): score each session by the
+    // squared L2 distance between its event-type distribution and
+    // the corpus-wide one — the bot/anomaly screen over sessionize's
+    // sessions. The absent-type terms are folded into a GLOBAL
+    // constant (Σ(p_s−p_g)² = Σ_present[(p_s−p_g)²−p_g²] + Σ_all
+    // p_g²), so no session×type grid is ever built: one sessionize
+    // window pass + one (session, type) aggregate, linear in events.
+    // Per-term values snap to decimal(18,12) before the per-session
+    // sum, keeping the score partition-order-independent.
+    "session_outliers" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"user_id".isNotNull && $"ts".isNotNull &&
+          $"event_type".isNotNull)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ms"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc_nulls_last, $"event_id".asc_nulls_last)
+      val sess = ev
+        .withColumn("prev", lag($"ms", 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull || $"ms" - $"prev" > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val st = sess.groupBy($"user_id", $"session_id", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val sn = st.groupBy($"user_id", $"session_id")
+        .agg(sum($"c").as("n_events"))
+      val g = ev.groupBy($"event_type").agg(count(lit(1)).as("cg"))
+        .crossJoin(broadcast(
+          ev.groupBy().agg(count(lit(1)).cast("double").as("nn"))))
+        .select($"event_type", ($"cg".cast("double") / $"nn").as("pg"))
+      val const = g.agg(
+        sum(rnd($"pg" * $"pg", 12).cast("decimal(18,12)")).as("csum"))
+      val terms = st.join(sn, Seq("user_id", "session_id"))
+        .join(broadcast(g), Seq("event_type"))
+        .select($"user_id", $"session_id", $"n_events",
+          rnd(($"c".cast("double") / $"n_events".cast("double") - $"pg") *
+            ($"c".cast("double") / $"n_events".cast("double") - $"pg") -
+            $"pg" * $"pg", 12).cast("decimal(18,12)").as("term"))
+      terms.groupBy($"user_id", $"session_id")
+        .agg(first($"n_events").as("n_events"), sum($"term").as("tsum"))
+        .crossJoin(broadcast(const))
+        .select($"user_id", $"session_id", $"n_events",
+          rnd($"tsum".cast("double") + $"csum".cast("double"), 6)
+            .as("score"))
+        .orderBy(rnd($"tsum".cast("double") + $"csum".cast("double"), 6)
+          .desc, $"user_id", $"session_id")
+        .limit(20)
+    }),
+
     // Mann-Whitney U rank-sum test with tie correction (wave 33):
     // does the click value distribution sit above view's — the
     // nonparametric sibling of ab_ttest (median-robust, the right
@@ -1032,6 +1084,52 @@ object StatQueries {
          | max(ms) - min(ms) AS duration_ms
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // same session construction, same folded-constant decomposition,
+    // same decimal(18,12) per-term snap
+    "session_outliers" -> {
+      val score = "CAST(tsum AS DOUBLE) + CAST(csum AS DOUBLE)"
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(ts) // 1000 AS ms FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |f AS (SELECT user_id, event_id, event_type, ms,
+         |  CASE WHEN lag(ms) OVER w IS NULL
+         |        OR ms - lag(ms) OVER w > $SessionGapMs
+         |       THEN 1 ELSE 0 END AS new_s
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |s AS (SELECT user_id, event_type,
+         |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         | FROM f),
+         |st AS (SELECT user_id, session_id, event_type, count(*) AS c
+         |  FROM s GROUP BY 1, 2, 3),
+         |sn AS (SELECT user_id, session_id,
+         |    CAST(sum(c) AS BIGINT) AS n_events
+         |  FROM st GROUP BY 1, 2),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM e),
+         |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) / nn AS pg
+         |  FROM e, nn GROUP BY event_type, nn),
+         |cst AS (SELECT sum(CAST(${Q.duckRnd("pg * pg", 12)}
+         |    AS DECIMAL(18,12))) AS csum FROM g),
+         |terms AS (SELECT st.user_id, st.session_id, sn.n_events,
+         |    CAST(${Q.duckRnd(
+        "(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE) - pg)" +
+          " * (CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE) - pg)" +
+          " - pg * pg", 12)} AS DECIMAL(18,12)) AS term
+         |  FROM st JOIN sn ON st.user_id = sn.user_id
+         |    AND st.session_id = sn.session_id
+         |  JOIN g ON st.event_type = g.event_type),
+         |a AS (SELECT user_id, session_id, any_value(n_events) AS n_events,
+         |    sum(term) AS tsum
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT user_id, session_id, n_events,
+         |  ${Q.duckRnd(score, 6)} AS score
+         |FROM a, cst
+         |ORDER BY ${Q.duckRnd(score, 6)} DESC, user_id, session_id
+         |LIMIT 20""".stripMargin
+    },
 
     // same doubled average ranks off the same distinct-value prefix
     // sum, same exact-decimal R1/U1/tie-term, same closing IEEE

@@ -268,7 +268,11 @@ object ScaleSweep {
       "rp_project", "simpson_diversity", "burrows_delta",
       // wave 43: all three ride the (type, day) cell aggregate on
       // the capped spine; the folds are bounded-array arithmetic
-      "sax_symbolize", "holt_forecast", "median_polish")
+      "sax_symbolize", "holt_forecast", "median_polish",
+      // wave 44: als/session ride the factor× events month (one
+      // keyed aggregate + one window pass); feature_hash is a pure
+      // documents scan + (source, bucket) aggregate
+      "als_user_factors", "feature_hash", "session_outliers")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
