@@ -299,6 +299,42 @@ object CorpusOpsQueries {
         .orderBy($"cluster")
     }),
 
+    // Golden-record merge (wave 45): FIELD-LEVEL survivorship over
+    // the near-dup clusters — where dedup_keep_best keeps one whole
+    // document, the golden record composes the merged row a master-
+    // data pipeline publishes: canonical id = min doc_id, length =
+    // the cluster max, lang/source = the cluster MODE (count desc,
+    // value asc tiebreak — deterministic). Only multi-member
+    // clusters surface (singletons have nothing to merge). Rides the
+    // memoized cluster labels; two bounded cluster-keyed aggregates
+    // + two top-1 windows — no new corpus-scale stage.
+    "golden_record" -> ((s, d) => {
+      import s.implicits._
+      val m = clusterLabels(s, d)
+        .select($"doc_id", $"lbl".as("cluster"))
+        .join(Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"source", $"n_chars"), Seq("doc_id"))
+      val sizes = m.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"),
+          min($"doc_id").as("canonical_id"),
+          max($"n_chars").as("max_chars"))
+        .where($"n_members" >= 2L)
+      def modeOf(c: String, out: String) = {
+        val w = Window.partitionBy($"cluster")
+          .orderBy($"cnt".desc, col(c).asc_nulls_last)
+        m.groupBy($"cluster", col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .where($"rk" === 1)
+          .select($"cluster", col(c).as(out))
+      }
+      sizes
+        .join(modeOf("lang", "lang_mode"), Seq("cluster"))
+        .join(modeOf("source", "source_mode"), Seq("cluster"))
+        .select($"cluster", $"n_members", $"canonical_id", $"max_chars",
+          $"lang_mode", $"source_mode")
+        .orderBy($"cluster")
+    }),
+
     // BM25 top terms per document — the retrieval-grade upgrade of
     // tfidf_topk: term saturation (k1) and document-length
     // normalization (b) in the standard Okapi form, with the idf as
@@ -1560,6 +1596,37 @@ object CorpusOpsQueries {
          |      ORDER BY q.quality DESC, c.doc_id) AS rk
          |  FROM clusters c JOIN q USING (doc_id)) x
          |WHERE rk = 1 ORDER BY cluster""".stripMargin,
+
+    // same recursive closure, same mode tiebreak (count desc, value
+    // asc nulls last), same ≥2-member cut
+    "golden_record" ->
+      s"""WITH RECURSIVE ${LlmQueries.duckCandidateCtes},
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM cand),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+         |),
+         |clusters AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+         |m AS (SELECT c.cluster, d.doc_id, d.lang, d.source, d.n_chars
+         |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+         |sizes AS (SELECT cluster, count(*) AS n_members,
+         |    min(doc_id) AS canonical_id, max(n_chars) AS max_chars
+         |  FROM m GROUP BY cluster HAVING count(*) >= 2),
+         |lm AS (SELECT cluster, lang AS lang_mode FROM (
+         |  SELECT cluster, lang, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY count(*) DESC, lang ASC NULLS LAST) AS rk
+         |  FROM m GROUP BY cluster, lang) x WHERE rk = 1),
+         |sm AS (SELECT cluster, source AS source_mode FROM (
+         |  SELECT cluster, source, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY count(*) DESC, source ASC NULLS LAST) AS rk
+         |  FROM m GROUP BY cluster, source) x WHERE rk = 1)
+         |SELECT s.cluster, s.n_members, s.canonical_id, s.max_chars,
+         |  lm.lang_mode, sm.source_mode
+         |FROM sizes s JOIN lm ON s.cluster = lm.cluster
+         |  JOIN sm ON s.cluster = sm.cluster
+         |ORDER BY s.cluster""".stripMargin,
 
     "bm25_topk" -> {
       // literals composed the way the Spark side folds them

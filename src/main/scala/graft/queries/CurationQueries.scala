@@ -482,8 +482,57 @@ object CurationQueries {
           rnd($"sd".cast("double") / $"n_terms".cast("double"), 6)
             .as("delta"))
         .orderBy($"source_a", $"source_b")
+    }),
+
+    // TextTiling-lite topic segmentation (wave 45, Hearst 1997's
+    // shape): slice each document into 20-token blocks, score
+    // adjacent blocks by distinct-token Jaccard, and cut a segment
+    // boundary where similarity drops below 0.1 — the topic-aware
+    // chunker next to doc_chunk's fixed windows (chunking at topic
+    // shifts instead of mid-topic is what keeps training sequences
+    // coherent). Pure per-document array arithmetic after one scan:
+    // integer set sizes → one exact rational per gap; the mean
+    // similarity is a fixed-order fold. Zero shuffles.
+    "texttiling_segments" -> ((s, d) => {
+      import s.implicits._
+      val jacc =
+        s"""CAST(size(array_intersect(
+           |  array_distinct(slice(toks, i * $TtBlock + 1, $TtBlock)),
+           |  array_distinct(slice(toks, (i + 1) * $TtBlock + 1, $TtBlock))))
+           |  AS DOUBLE) /
+           |CAST(size(array_distinct(slice(toks, i * $TtBlock + 1, $TtBlock)))
+           |  + size(array_distinct(slice(toks, (i + 1) * $TtBlock + 1, $TtBlock)))
+           |  - size(array_intersect(
+           |      array_distinct(slice(toks, i * $TtBlock + 1, $TtBlock)),
+           |      array_distinct(slice(toks, (i + 1) * $TtBlock + 1, $TtBlock))))
+           |  AS DOUBLE)""".stripMargin.replace("\n", " ")
+      Tables.documents(s, d)
+        .where($"text".isNotNull && length(TF.normText($"text")) > 0)
+        .select($"doc_id", TF.tokens($"text").as("toks"))
+        .selectExpr("doc_id", "toks", "size(toks) AS n_tok",
+          s"(size(toks) + ${TtBlock - 1}) DIV $TtBlock AS n_blocks")
+        .selectExpr("doc_id", "n_tok", "n_blocks",
+          s"""CASE WHEN n_blocks >= 2
+             |  THEN transform(sequence(0, n_blocks - 2), i -> $jacc)
+             |  ELSE array() END AS sims""".stripMargin.replace("\n", " "))
+        .selectExpr("doc_id", "n_tok", "n_blocks",
+          s"size(filter(sims, x -> x < $TtCut)) AS n_boundaries",
+          s"""CASE WHEN n_blocks >= 2 THEN
+             |  aggregate(sims, CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+             |    / CAST(n_blocks - 1 AS DOUBLE) END AS mean_sim""".stripMargin
+            .replace("\n", " "))
+        .select($"doc_id", $"n_tok", $"n_blocks", $"n_boundaries",
+          ($"n_boundaries" + 1).as("n_segments"),
+          rnd($"mean_sim", 6).as("mean_sim"))
+        .orderBy($"doc_id")
     })
   )
+
+  /** TextTiling block width (tokens) and boundary cut, mirrored in
+    * the oracle.
+    */
+  private val TtBlock = 20
+  private val TtCut = 0.1
 
   /** Burrows' Delta top-term pool size, mirrored into the oracle. */
   private val BurrowsK = 30
@@ -779,6 +828,43 @@ object CurationQueries {
          |SELECT source_a, source_b, n_terms,
          |  ${Q.duckRnd("CAST(sd AS DOUBLE) / CAST(n_terms AS DOUBLE)", 6)}
          |    AS delta
-         |FROM p ORDER BY source_a, source_b""".stripMargin
+         |FROM p ORDER BY source_a, source_b""".stripMargin,
+
+    // same block width, same distinct-set Jaccard, same fixed-order
+    // mean fold (duck list_intersect over pre-distinct lists has no
+    // duplicates, matching Spark's array_intersect)
+    "texttiling_segments" -> {
+      val jacc =
+        s"""CAST(len(list_intersect(
+           |  list_distinct(list_slice(toks, i * $TtBlock + 1, (i + 1) * $TtBlock)),
+           |  list_distinct(list_slice(toks, (i + 1) * $TtBlock + 1, (i + 2) * $TtBlock))))
+           |  AS DOUBLE) /
+           |CAST(len(list_distinct(list_slice(toks, i * $TtBlock + 1, (i + 1) * $TtBlock)))
+           |  + len(list_distinct(list_slice(toks, (i + 1) * $TtBlock + 1, (i + 2) * $TtBlock)))
+           |  - len(list_intersect(
+           |      list_distinct(list_slice(toks, i * $TtBlock + 1, (i + 1) * $TtBlock)),
+           |      list_distinct(list_slice(toks, (i + 1) * $TtBlock + 1, (i + 2) * $TtBlock))))
+           |  AS DOUBLE)""".stripMargin.replace("\n", " ")
+      s"""WITH t AS (SELECT doc_id, ${LlmQueries.TOKS} AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(${LlmQueries.NORM}) > 0),
+         |b AS (SELECT doc_id, toks, len(toks) AS n_tok,
+         |    (len(toks) + ${TtBlock - 1}) // $TtBlock AS n_blocks
+         |  FROM t),
+         |sm AS (SELECT doc_id, n_tok, n_blocks,
+         |    CASE WHEN n_blocks >= 2
+         |      THEN list_transform(range(0, n_blocks - 1), i -> $jacc)
+         |      ELSE [] END AS sims
+         |  FROM b)
+         |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+         |  CAST(n_blocks AS BIGINT) AS n_blocks,
+         |  CAST(len(list_filter(sims, x -> x < $TtCut)) AS INTEGER)
+         |    AS n_boundaries,
+         |  CAST(len(list_filter(sims, x -> x < $TtCut)) + 1 AS INTEGER)
+         |    AS n_segments,
+         |  CASE WHEN n_blocks >= 2 THEN ${Q.duckRnd(
+        "list_sum(sims) / CAST(n_blocks - 1 AS DOUBLE)", 6)} END AS mean_sim
+         |FROM sm ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -224,7 +224,69 @@ object ProfilingQueries {
           rnd($"n_difficult".cast("double") / $"n_docs".cast("double"), 6)
             .as("difficult_frac"))
         .orderBy($"source".asc_nulls_last)
+    }),
+
+    // Higher-moment column profiling (wave 45): exact skewness and
+    // excess kurtosis for the declared 2dp numeric columns — the
+    // distribution-shape screen profile_table's min/max/sum pass
+    // cannot see (fat tails, asymmetry — the columns that break
+    // equal-width histograms and z-score rules). Two passes per
+    // column: (Σcents, n) → integer pseudo-mean μ = Σ DIV n, then
+    // central power sums Σd..Σd⁴ about μ — all EXACT integer/decimal
+    // arithmetic (cents ≤ ~10⁷ ⇒ d⁴ ≤ 10²⁸ in decimal(38,0), sums
+    // < 10³⁸ far beyond sweep scale; libm-free: skew = m₃/(m₂√m₂),
+    // kurt = m₄/m₂² − 3, sqrt is IEEE-exact). Moments are about the
+    // FLOORED integer mean by construction — documented, identical
+    // both engines, and shift-invariant estimators are insensitive
+    // to the ≤1-cent shift.
+    "moments_profile" -> ((s, d) => {
+      import s.implicits._
+      val per = MomentCols.map { case (tn, cn) =>
+        val c = tbl(s, d, tn)
+          .select((col(cn).cast("decimal(18,2)") * 100).cast("long").as("c"))
+          .where($"c".isNotNull)
+        val st = c.agg(sum($"c".cast("decimal(38,0)")).as("sc"),
+          count(lit(1)).as("n"))
+          .select($"sc", $"n",
+            expr("CAST(sc AS BIGINT) DIV n").as("mu"))
+        // operand widths sized so every decimal product stays ≤ 38
+        // digits in BOTH engines (DuckDB rejects 38×38 multiplies at
+        // bind time): |dv| ≤ 3·10⁸ cents (declared data bound: no
+        // profiled column deviates more than ~$3M from its mean), so
+        // dv: (10,0), d2 = dv² < 10¹⁷: declared (19,0) — one digit
+        // wider than DuckDB's int64 decimal ceiling (width 18), which
+        // forces its multiplies onto int128 instead of overflowing the
+        // int64 fast path; products reach (29,0)/(38,0) and the sums
+        // stay inside decimal(38,0).
+        val sums = c.crossJoin(broadcast(st))
+          .select($"sc", $"n", ($"c" - $"mu").cast("decimal(10,0)").as("dv"))
+          .select($"sc", $"n", $"dv", ($"dv" * $"dv").cast("decimal(19,0)").as("d2"))
+          .groupBy($"sc", $"n")
+          .agg(sum($"d2").as("s2"),
+            sum($"d2" * $"dv").as("s3"),
+            sum($"d2" * $"d2").as("s4"))
+        val m2 = $"s2".cast("double") / $"n".cast("double")
+        val m3 = $"s3".cast("double") / $"n".cast("double")
+        val m4 = $"s4".cast("double") / $"n".cast("double")
+        sums.select(lit(tn).as("tbl"), lit(cn).as("col_name"), $"n",
+          rnd($"sc".cast("double") / $"n".cast("double") / 100.0, 6)
+            .as("mean"),
+          rnd(sqrt(m2) / 100.0, 6).as("std"),
+          when(m2 > 0.0, rnd(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+          when(m2 > 0.0, rnd(m4 / (m2 * m2) - 3.0, 6)).as("ex_kurtosis"))
+      }
+      per.reduce(_.unionAll(_)).orderBy($"tbl", $"col_name")
     }))
+
+  /** moments_profile column list (2dp-decimal columns by the data
+    * model), shared between the engine and the generated oracle.
+    */
+  private val MomentCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_discount"),
+    ("orders", "o_totalprice"),
+    ("events", "value"))
 
   val oracles: Map[String, String] = Map(
 
@@ -331,5 +393,48 @@ object ProfilingQueries {
          |  ${Q.duckRnd(
         "CAST(sum(CASE WHEN score < 30.0 THEN 1 ELSE 0 END) AS DOUBLE)" +
           " / CAST(count(*) AS DOUBLE)", 6)} AS difficult_frac
-         |FROM sc GROUP BY source ORDER BY source ASC NULLS LAST""".stripMargin)
+         |FROM sc GROUP BY source ORDER BY source ASC NULLS LAST""".stripMargin,
+
+    // same candidate list, same floored integer pseudo-mean, same
+    // decimal operand widths, same closing IEEE sequences
+    "moments_profile" -> {
+      val legs = MomentCols.map { case (tn, cn) =>
+        val m2 = "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+        val m3 = "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        val m4 = "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+        s"""SELECT '$tn' AS tbl, '$cn' AS col_name, n,
+           |  ${Q.duckRnd(
+          "CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 6)} AS mean,
+           |  ${Q.duckRnd(s"sqrt($m2) / 100.0", 6)} AS std,
+           |  CASE WHEN $m2 > 0.0 THEN ${Q.duckRnd(
+          s"($m3) / (($m2) * sqrt($m2))", 6)} END AS skewness,
+           |  CASE WHEN $m2 > 0.0 THEN ${Q.duckRnd(
+          s"($m4) / (($m2) * ($m2)) - 3.0", 6)} END AS ex_kurtosis
+           |FROM (
+           |  SELECT sc, n,
+           |    sum(d2) AS s2, sum(d2 * dv) AS s3, sum(d2 * d2) AS s4
+           |  FROM (
+           |    SELECT sc, n, dv, CAST(dv * dv AS DECIMAL(19,0)) AS d2
+           |    FROM (
+           |      SELECT st.sc, st.n,
+           |        CAST(c.c - st.mu AS DECIMAL(10,0)) AS dv
+           |      FROM (SELECT CAST(CAST($cn AS DECIMAL(18,2)) * 100
+           |            AS BIGINT) AS c
+           |          FROM $tn WHERE $cn IS NOT NULL) c
+           |      CROSS JOIN (
+           |        SELECT sum(CAST(c AS DECIMAL(38,0))) AS sc,
+           |          count(*) AS n,
+           |          CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT)
+           |            // count(*) AS mu
+           |        FROM (SELECT CAST(CAST($cn AS DECIMAL(18,2)) * 100
+           |              AS BIGINT) AS c
+           |            FROM $tn WHERE $cn IS NOT NULL) c2) st
+           |    ) t
+           |  ) t2
+           |  GROUP BY sc, n
+           |) a""".stripMargin
+      }
+      s"""SELECT * FROM (${legs.mkString("\nUNION ALL\n")}) u
+         |ORDER BY tbl, col_name""".stripMargin
+    })
 }

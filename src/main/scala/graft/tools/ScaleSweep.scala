@@ -272,7 +272,11 @@ object ScaleSweep {
       // wave 44: als/session ride the factor× events month (one
       // keyed aggregate + one window pass); feature_hash is a pure
       // documents scan + (source, bucket) aggregate
-      "als_user_factors", "feature_hash", "session_outliers")
+      "als_user_factors", "feature_hash", "session_outliers",
+      // wave 45: moments ride the factor× fact tables (two exact-
+      // integer passes per column); texttiling is a pure documents
+      // scan; golden_record rides the memoized cluster labels
+      "moments_profile", "texttiling_segments", "golden_record")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
