@@ -463,8 +463,61 @@ object AnalyticsQueries {
           sum($"frequency").as("n_orders"),
           sum($"monetary").cast("double").as("revenue"))
         .orderBy($"r_tile", $"f_tile", $"m_tile")
+    }),
+
+    // Marketing attribution (wave 46): for every purchase, credit the
+    // FIRST and LAST non-purchase touch inside the 7-day lookback —
+    // first-touch vs last-touch, the two models every attribution
+    // report contrasts. One user-keyed window shuffle computes each
+    // purchase's first/last touch TIMESTAMP via conditional min/max
+    // over an event-time RANGE frame (peers at the same ms excluded
+    // by the −1 upper bound); the touch's type resolves through a
+    // (user, ms)-keyed join + min_by/max_by on event_id — no
+    // per-purchase scan, no self-cartesian. Output is the per-type
+    // credit table.
+    "attribution_touch" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"user_id".isNotNull && $"ts".isNotNull &&
+          $"event_type".isNotNull)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms")
+        .rangeBetween(-AttrWindowMs, -1L)
+      val p = ev
+        .withColumn("ft_ms",
+          min(when($"event_type" =!= "purchase", $"ms")).over(w))
+        .withColumn("lt_ms",
+          max(when($"event_type" =!= "purchase", $"ms")).over(w))
+        .where($"event_type" === "purchase" && $"ft_ms".isNotNull)
+        .select($"user_id", $"event_id".as("p_id"), $"ft_ms", $"lt_ms")
+      // fully renamed touch columns: p and touches share lineage (both
+      // project ev), so p("user_id") === touches("user_id") resolves
+      // both sides to the SAME attribute — a trivially-true predicate
+      // that silently crosses users. Disambiguate by name, not by
+      // dataframe reference.
+      val touches = ev.where($"event_type" =!= "purchase")
+        .select($"user_id".as("t_user"), $"ms".as("t_ms"),
+          $"event_id".as("t_id"), $"event_type".as("t_type"))
+      val firsts = p.join(touches,
+          $"user_id" === $"t_user" && $"ft_ms" === $"t_ms")
+        .groupBy($"p_id")
+        .agg(min_by($"t_type", $"t_id").as("event_type"))
+        .select($"event_type", lit(1L).as("f"), lit(0L).as("l"))
+      val lasts = p.join(touches,
+          $"user_id" === $"t_user" && $"lt_ms" === $"t_ms")
+        .groupBy($"p_id")
+        .agg(max_by($"t_type", $"t_id").as("event_type"))
+        .select($"event_type", lit(0L).as("f"), lit(1L).as("l"))
+      firsts.unionAll(lasts)
+        .groupBy($"event_type")
+        .agg(sum($"f").as("n_first_touch"), sum($"l").as("n_last_touch"))
+        .orderBy($"event_type")
     })
   )
+
+  /** Attribution lookback window (7 days), mirrored in the oracle. */
+  private val AttrWindowMs = 7L * 86400000L
 
   /** Apriori frequent-item bar: an item must appear in ≥ 1/denom of
     * baskets (0.05 %) to enter the pair stage — integer cross-multiply,
@@ -726,6 +779,37 @@ object AnalyticsQueries {
         |SELECT r_tile, f_tile, m_tile, count(*) AS n_customers,
         |  CAST(sum(frequency) AS BIGINT) AS n_orders,
         |  CAST(sum(monetary) AS DOUBLE) AS revenue
-        |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same RANGE-frame conditional min/max, same min_by/max_by
+    // tiebreak on the unique event_id
+    "attribution_touch" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(ts) // 1000 AS ms
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |pw AS (SELECT user_id, event_id, event_type, ms,
+         |    min(CASE WHEN event_type <> 'purchase' THEN ms END) OVER w
+         |      AS ft_ms,
+         |    max(CASE WHEN event_type <> 'purchase' THEN ms END) OVER w
+         |      AS lt_ms
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms
+         |    RANGE BETWEEN $AttrWindowMs PRECEDING AND 1 PRECEDING)),
+         |p AS (SELECT user_id, event_id AS p_id, ft_ms, lt_ms FROM pw
+         |  WHERE event_type = 'purchase' AND ft_ms IS NOT NULL),
+         |t AS (SELECT user_id, ms, event_id AS t_id, event_type AS t_type
+         |  FROM e WHERE event_type <> 'purchase'),
+         |firsts AS (SELECT min_by(t.t_type, t.t_id) AS event_type,
+         |    CAST(1 AS BIGINT) AS f, CAST(0 AS BIGINT) AS l
+         |  FROM p JOIN t ON p.user_id = t.user_id AND p.ft_ms = t.ms
+         |  GROUP BY p.p_id),
+         |lasts AS (SELECT max_by(t.t_type, t.t_id) AS event_type,
+         |    CAST(0 AS BIGINT) AS f, CAST(1 AS BIGINT) AS l
+         |  FROM p JOIN t ON p.user_id = t.user_id AND p.lt_ms = t.ms
+         |  GROUP BY p.p_id),
+         |u AS (SELECT * FROM firsts UNION ALL SELECT * FROM lasts)
+         |SELECT event_type, CAST(sum(f) AS BIGINT) AS n_first_touch,
+         |  CAST(sum(l) AS BIGINT) AS n_last_touch
+         |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

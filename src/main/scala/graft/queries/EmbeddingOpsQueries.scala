@@ -298,8 +298,56 @@ object EmbeddingOpsQueries {
             graft.plans.VecFunctions.vecDot($"ea", $"eb"), 6).as("d2_true"))
         .orderBy($"d2_proj", $"vec_a", $"vec_b")
         .limit(20)
+    }),
+
+    // DBSCAN role assignment (wave 46, Ester et al. 1996's core/
+    // border/noise trichotomy): a vector is CORE with ≥ MinPts
+    // ε-neighbors, BORDER if not core but adjacent to a core, NOISE
+    // otherwise. The ε-neighborhood is embNearPairs' label-blocked
+    // snapped-cosine join at its own radius (cos > 0.25 — the
+    // fixtures' same-label cosines top out at ~0.45, so semdedup's
+    // 0.8 would make every fixture vector trivially noise); blocking
+    // on the label keeps candidate generation bucketed, never
+    // all-pairs — the same 100 TB answer as the dedup family. After
+    // the pair join: two degree aggregates + one semi-join.
+    "dbscan_core" -> ((s, d) => {
+      import s.implicits._
+      val e = LlmQueries.withNorm(Tables.embeddings(s, d))
+      val ea = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"),
+        $"nrm".as("nrm_a"), $"label")
+      val eb = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"),
+        $"nrm".as("nrm_b"), $"label")
+      val pairs = ea.join(eb, Seq("label"))
+        .filter($"vec_a" < $"vec_b")
+        .filter(rnd(LlmQueries.cosFromNorms($"emb_a", $"emb_b",
+          $"nrm_a", $"nrm_b"), 6) > DbscanEps)
+        .select($"vec_a", $"vec_b")
+      val sym = pairs.unionAll(
+        pairs.select($"vec_b".as("vec_a"), $"vec_a".as("vec_b")))
+      val deg = sym.groupBy($"vec_a").agg(count(lit(1)).as("n_neighbors"))
+        .withColumnRenamed("vec_a", "vec_id")
+      val da = Tables.embeddings(s, d).select($"vec_id")
+        .join(deg, Seq("vec_id"), "left")
+        .withColumn("n_neighbors", coalesce($"n_neighbors", lit(0L)))
+      val core = da.where($"n_neighbors" >= DbscanMinPts)
+        .select($"vec_id".as("c_id"))
+      val hcn = sym.join(core, sym("vec_b") === core("c_id"))
+        .select(sym("vec_a").as("vec_id")).distinct()
+        .withColumn("has_core_nb", lit(1))
+      da.join(hcn, Seq("vec_id"), "left")
+        .select($"vec_id", $"n_neighbors",
+          when($"n_neighbors" >= DbscanMinPts, "core")
+            .when($"has_core_nb" === 1, "border")
+            .otherwise("noise").as("role"))
+        .orderBy($"vec_id")
     })
   )
+
+  /** DBSCAN core threshold (ε-neighbors, self excluded) and the
+    * cosine radius, mirrored in the oracle.
+    */
+  private val DbscanMinPts = 3L
+  private val DbscanEps = 0.25
 
   /** rp_project constants: projection width, eval-pair vector bound. */
   private val RpK = 8
@@ -618,6 +666,33 @@ object EmbeddingOpsQueries {
          |  JOIN embeddings ea ON ea.vec_id = a.vec_id
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id
          |ORDER BY d2_proj, vec_a, vec_b LIMIT 20""".stripMargin
-    }
+    },
+
+    // same label-blocked snapped-cosine neighborhood at the DBSCAN
+    // radius, same MinPts cut
+    "dbscan_core" ->
+      s"""WITH p AS (SELECT vec_a, vec_b FROM (
+         |   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${Q.duckRnd(LlmQueries.duckCos("a.embedding", "b.embedding"), 6)}
+         |      AS cos_sim
+         |   FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |  WHERE cos_sim > $DbscanEps),
+         |sym AS (SELECT vec_a, vec_b FROM p
+         |        UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM p),
+         |deg AS (SELECT vec_a AS vec_id, count(*) AS n FROM sym
+         |  GROUP BY vec_a),
+         |da AS (SELECT e.vec_id, CAST(coalesce(deg.n, 0) AS BIGINT)
+         |    AS n_neighbors
+         |  FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.vec_id),
+         |core AS (SELECT vec_id FROM da WHERE n_neighbors >= $DbscanMinPts),
+         |hcn AS (SELECT DISTINCT sym.vec_a AS vec_id FROM sym
+         |  JOIN core ON sym.vec_b = core.vec_id)
+         |SELECT da.vec_id, da.n_neighbors,
+         |  CASE WHEN da.n_neighbors >= $DbscanMinPts THEN 'core'
+         |       WHEN hcn.vec_id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role
+         |FROM da LEFT JOIN hcn ON da.vec_id = hcn.vec_id
+         |ORDER BY da.vec_id""".stripMargin
   )
 }

@@ -545,8 +545,49 @@ object MlPrepQueries {
         .select($"source", $"bucket", $"n",
           rnd($"n".cast("double") / $"n_tok".cast("double"), 6).as("weight"))
         .orderBy($"source".asc_nulls_last, $"bucket")
+    }),
+
+    // Leakage-safe churn labeling (wave 46): the supervised-label
+    // prep every retention model needs, built the one correct way —
+    // features come ONLY from events at or before the cutoff (7 days
+    // before the feed's end), the label ONLY from activity after it.
+    // A user seen solely after the cutoff has no feature row (no
+    // training example without features); recency is measured AT the
+    // cutoff, never across it. All integer arithmetic; one
+    // user-keyed aggregate + one broadcast anti-ish join.
+    "churn_labels" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"user_id".isNotNull && $"ts".isNotNull &&
+          $"event_type".isNotNull)
+        .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+      val mx = ev.agg(max($"ms").as("mx"))
+        .select(($"mx" - lit(ChurnHorizonMs)).as("cutoff"))
+      val evc = ev.crossJoin(broadcast(mx))
+      val post = evc.where($"ms" > $"cutoff")
+        .select($"user_id").distinct().withColumn("active_after", lit(1))
+      evc.where($"ms" <= $"cutoff")
+        .groupBy($"user_id", $"cutoff")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L))
+            .as("n_click"),
+          sum(when($"event_type" === "view", 1L).otherwise(0L))
+            .as("n_view"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"),
+          countDistinct(expr("ms DIV 86400000")).as("days_active"),
+          max($"ms").as("last_ms"))
+        .join(post, Seq("user_id"), "left")
+        .select($"user_id", $"n_events", $"n_click", $"n_view",
+          $"n_purchase", $"days_active",
+          expr("(cutoff - last_ms) DIV 86400000").as("recency_days"),
+          $"active_after".isNull.as("churned"))
+        .orderBy($"user_id")
     })
   )
+
+  /** Churn label horizon: the post-cutoff observation window. */
+  private val ChurnHorizonMs = 7L * 86400000L
 
   /** ALS ridge term and feature-hash width, mirrored in the oracles. */
   private val AlsLambda = 1000L
@@ -915,6 +956,31 @@ object MlPrepQueries {
         "CAST(n AS DOUBLE)" +
           " / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)", 6)}
          |    AS weight
-         |FROM c ORDER BY source ASC NULLS LAST, bucket""".stripMargin
+         |FROM c ORDER BY source ASC NULLS LAST, bucket""".stripMargin,
+
+    // same cutoff, same at-or-before/after split, same integer
+    // features
+    "churn_labels" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 1000 AS ms
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |cut AS (SELECT max(ms) - $ChurnHorizonMs AS cutoff FROM e),
+         |post AS (SELECT DISTINCT user_id FROM e, cut WHERE ms > cutoff),
+         |f AS (SELECT user_id, any_value(cutoff) AS cutoff,
+         |    count(*) AS n_events,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_click,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_view,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_purchase,
+         |    CAST(count(DISTINCT ms // 86400000) AS BIGINT) AS days_active,
+         |    max(ms) AS last_ms
+         |  FROM e, cut WHERE ms <= cutoff GROUP BY user_id)
+         |SELECT f.user_id, f.n_events, f.n_click, f.n_view, f.n_purchase,
+         |  f.days_active, (f.cutoff - f.last_ms) // 86400000 AS recency_days,
+         |  post.user_id IS NULL AS churned
+         |FROM f LEFT JOIN post ON f.user_id = post.user_id
+         |ORDER BY f.user_id""".stripMargin
   )
 }

@@ -241,39 +241,68 @@ object ProfilingQueries {
     // to the ≤1-cent shift.
     "moments_profile" -> ((s, d) => {
       import s.implicits._
-      val per = MomentCols.map { case (tn, cn) =>
-        val c = tbl(s, d, tn)
-          .select((col(cn).cast("decimal(18,2)") * 100).cast("long").as("c"))
-          .where($"c".isNotNull)
-        val st = c.agg(sum($"c".cast("decimal(38,0)")).as("sc"),
-          count(lit(1)).as("n"))
-          .select($"sc", $"n",
-            expr("CAST(sc AS BIGINT) DIV n").as("mu"))
-        // operand widths sized so every decimal product stays ≤ 38
-        // digits in BOTH engines (DuckDB rejects 38×38 multiplies at
-        // bind time): |dv| ≤ 3·10⁸ cents (declared data bound: no
-        // profiled column deviates more than ~$3M from its mean), so
-        // dv: (10,0), d2 = dv² < 10¹⁷: declared (19,0) — one digit
-        // wider than DuckDB's int64 decimal ceiling (width 18), which
-        // forces its multiplies onto int128 instead of overflowing the
-        // int64 fast path; products reach (29,0)/(38,0) and the sums
-        // stay inside decimal(38,0).
-        val sums = c.crossJoin(broadcast(st))
-          .select($"sc", $"n", ($"c" - $"mu").cast("decimal(10,0)").as("dv"))
-          .select($"sc", $"n", $"dv", ($"dv" * $"dv").cast("decimal(19,0)").as("d2"))
-          .groupBy($"sc", $"n")
-          .agg(sum($"d2").as("s2"),
-            sum($"d2" * $"dv").as("s3"),
-            sum($"d2" * $"d2").as("s4"))
-        val m2 = $"s2".cast("double") / $"n".cast("double")
-        val m3 = $"s3".cast("double") / $"n".cast("double")
-        val m4 = $"s4".cast("double") / $"n".cast("double")
-        sums.select(lit(tn).as("tbl"), lit(cn).as("col_name"), $"n",
-          rnd($"sc".cast("double") / $"n".cast("double") / 100.0, 6)
-            .as("mean"),
-          rnd(sqrt(m2) / 100.0, 6).as("std"),
-          when(m2 > 0.0, rnd(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
-          when(m2 > 0.0, rnd(m4 / (m2 * m2) - 3.0, 6)).as("ex_kurtosis"))
+      // TWO scans per TABLE (not per column): the first 100× sweep
+      // measured the per-column formulation at 326 s — 10 fact-table
+      // scans; grouping the columns of one table into one multi-
+      // aggregate pass cuts lineitem from 6 scans to 2.
+      //
+      // Operand widths sized so every decimal product stays ≤ 38
+      // digits in BOTH engines (DuckDB rejects 38×38 multiplies at
+      // bind time): |dv| ≤ 3·10⁸ cents (declared data bound: no
+      // profiled column deviates more than ~$3M from its mean), so
+      // dv: (10,0), d2 = dv² < 10¹⁷: declared (19,0) — one digit
+      // wider than DuckDB's int64 decimal ceiling (width 18), which
+      // forces its multiplies onto int128 instead of overflowing the
+      // int64 fast path; products reach (29,0)/(38,0) and the sums
+      // stay inside decimal(38,0).
+      val per = MomentCols.groupBy(_._1).toSeq.flatMap { case (tn, cols) =>
+        val cents = tbl(s, d, tn).select(cols.map { case (_, cn) =>
+          (col(cn).cast("decimal(18,2)") * 100).cast("long").as(s"c_$cn")
+        }: _*)
+        val pass1 = cents.agg(
+          count(lit(1)).as("ignored"),
+          cols.flatMap { case (_, cn) =>
+            Seq(sum(col(s"c_$cn").cast("decimal(38,0)")).as(s"sc_$cn"),
+              count(col(s"c_$cn")).as(s"n_$cn"))
+          }: _*)
+          .select(cols.flatMap { case (_, cn) =>
+            Seq(col(s"sc_$cn"), col(s"n_$cn"),
+              expr(s"CAST(sc_$cn AS BIGINT) DIV n_$cn").as(s"mu_$cn"))
+          }: _*)
+        val dvs = cents.crossJoin(broadcast(pass1))
+          .select(cols.flatMap { case (_, cn) =>
+            Seq(col(s"sc_$cn"), col(s"n_$cn"),
+              (col(s"c_$cn") - col(s"mu_$cn")).cast("decimal(10,0)")
+                .as(s"dv_$cn"))
+          }: _*)
+          .select(cols.flatMap { case (_, cn) =>
+            Seq(col(s"sc_$cn"), col(s"n_$cn"), col(s"dv_$cn"),
+              (col(s"dv_$cn") * col(s"dv_$cn")).cast("decimal(19,0)")
+                .as(s"d2_$cn"))
+          }: _*)
+        val sums = dvs.groupBy(
+          cols.flatMap { case (_, cn) =>
+            Seq(col(s"sc_$cn"), col(s"n_$cn"))
+          }: _*)
+          .agg(count(lit(1)).as("ignored2"),
+            cols.flatMap { case (_, cn) =>
+              Seq(sum(col(s"d2_$cn")).as(s"s2_$cn"),
+                sum(col(s"d2_$cn") * col(s"dv_$cn")).as(s"s3_$cn"),
+                sum(col(s"d2_$cn") * col(s"d2_$cn")).as(s"s4_$cn"))
+            }: _*)
+        cols.map { case (_, cn) =>
+          val n = col(s"n_$cn")
+          val m2 = col(s"s2_$cn").cast("double") / n.cast("double")
+          val m3 = col(s"s3_$cn").cast("double") / n.cast("double")
+          val m4 = col(s"s4_$cn").cast("double") / n.cast("double")
+          sums.where(n > 0L).select(lit(tn).as("tbl"),
+            lit(cn).as("col_name"), n.as("n"),
+            rnd(col(s"sc_$cn").cast("double") / n.cast("double") / 100.0, 6)
+              .as("mean"),
+            rnd(sqrt(m2) / 100.0, 6).as("std"),
+            when(m2 > 0.0, rnd(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+            when(m2 > 0.0, rnd(m4 / (m2 * m2) - 3.0, 6)).as("ex_kurtosis"))
+        }
       }
       per.reduce(_.unionAll(_)).orderBy($"tbl", $"col_name")
     }))

@@ -276,7 +276,11 @@ object ScaleSweep {
       // wave 45: moments ride the factor× fact tables (two exact-
       // integer passes per column); texttiling is a pure documents
       // scan; golden_record rides the memoized cluster labels
-      "moments_profile", "texttiling_segments", "golden_record")
+      "moments_profile", "texttiling_segments", "golden_record",
+      // wave 46: dbscan rides the memoized embedding pair table;
+      // churn/attribution ride the factor× events month (one keyed
+      // aggregate / one window pass each)
+      "dbscan_core", "churn_labels", "attribution_touch")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
