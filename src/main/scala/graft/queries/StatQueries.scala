@@ -61,6 +61,19 @@ object StatQueries {
     */
   private val PosLabel = 5
 
+  /** ndcg_eval cutoff and its 10 discount constants 1/log2(r+1),
+    * r = 1..10. The doubles are computed HERE once; the oracle embeds
+    * their shortest round-trip decimal repr via [[ndcgDiscSql]], so
+    * both engines multiply by bit-identical constants and no log2 is
+    * evaluated at query time in either engine.
+    */
+  private val NdcgK = 10
+  private val NdcgDisc: IndexedSeq[Double] =
+    (1 to NdcgK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private def ndcgDiscSql: String =
+    NdcgDisc.map(dd => s"CAST('${java.lang.Double.toString(dd)}' AS DOUBLE)")
+      .mkString("[", ", ", "]")
+
   /** Session gap for sessionize: a new session starts after 30 min of
     * inactivity (the analytics-industry default). Mirrored.
     */
@@ -124,6 +137,64 @@ object StatQueries {
         .select($"n_pos", $"n_neg", $"u2",
           ($"u2".cast("double") /
             (lit(2.0) * $"n_pos" * $"n_neg")).as("auc"))
+    }),
+
+    // NDCG@10 ranking evaluation (wave 47, Järvelin & Kekäläinen
+    // 2002): treats each user as a query, `value` as the ranker's
+    // score, and event_type as graded relevance (purchase 7, click 3,
+    // view 1 — the 2^rel−1 gains pre-folded). Per user: DCG over the
+    // top-10 by score, IDCG over the top-10 by gain, ndcg = dcg/idcg.
+    // Two row_number passes share ONE user-keyed exchange; rows
+    // outside both top-10s are dropped before the per-user aggregate,
+    // so state per user is ≤ 20 rows regardless of history length.
+    // Determinism: the 10 discount constants 1/log2(r+1) are shared
+    // LITERALS (shortest round-trip repr — no cross-engine log2), each
+    // term gain·disc is one exact IEEE product, and both engines fold
+    // the ≤10 terms in rank order — dcg/idcg are bit-identical with
+    // no snap; only the cross-user mean snaps (12dp decimal sum).
+    "ndcg_eval" -> ((s, d) => {
+      import s.implicits._
+      val discArr = array(NdcgDisc.map(lit): _*)
+      val base = Tables.events(s, d)
+        .where($"user_id".isNotNull)
+        .select($"user_id", $"event_id", $"value",
+          expr("CASE event_type WHEN 'purchase' THEN 7 WHEN 'click' THEN 3" +
+            " WHEN 'view' THEN 1 ELSE 0 END").cast("long").as("g"))
+      val wR = Window.partitionBy($"user_id")
+        .orderBy($"value".desc_nulls_last, $"event_id")
+      val wI = Window.partitionBy($"user_id").orderBy($"g".desc, $"event_id")
+      val ranked = base
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("irn", row_number().over(wI))
+        .where($"rn" <= NdcgK || $"irn" <= NdcgK)
+        .select($"user_id", $"g", $"rn", $"irn",
+          // guarded: a row kept for its irn can carry rn > K, where
+          // the discount lookup must not be evaluated (ANSI element_at
+          // throws out-of-bounds)
+          when($"rn" <= NdcgK,
+            $"g".cast("double") * element_at(discArr, $"rn")).as("td"),
+          when($"irn" <= NdcgK,
+            $"g".cast("double") * element_at(discArr, $"irn")).as("ti"))
+      def fold(c: String) =
+        s"aggregate(transform(array_sort($c), p -> p.v)," +
+          " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+      val perUser = ranked.groupBy($"user_id").agg(
+        sort_array(collect_list(when($"rn" <= NdcgK,
+          struct($"rn", $"td".as("v"))))).as("dl"),
+        sort_array(collect_list(when($"irn" <= NdcgK,
+          struct($"irn".as("rn"), $"ti".as("v"))))).as("il"))
+        .selectExpr("user_id", s"${fold("dl")} AS dcg", s"${fold("il")} AS idcg")
+        .select($"user_id",
+          when($"idcg" > 0, $"dcg" / $"idcg").otherwise(lit(0.0)).as("ndcg"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(rnd($"ndcg", 12).cast("decimal(20,12)")).as("sm"),
+        coalesce(sum(when($"ndcg" === 1.0, 1L)), lit(0L)).as("n_perfect"))
+        .select($"n_users",
+          when($"n_users" > 0,
+            rnd($"sm".cast("double") / $"n_users".cast("double"), 6))
+            .as("mean_ndcg"),
+          $"n_perfect")
     }),
 
     // Two-sample Kolmogorov-Smirnov: sup-norm distance between the
@@ -878,6 +949,41 @@ object StatQueries {
          |   / (2.0 * CAST(sum(n_pos) AS BIGINT) * CAST(sum(n_neg) AS BIGINT))
          |   AS auc
          |FROM r""".stripMargin,
+
+    // same shared discount literals, same rank-ordered fold, same
+    // 12dp decimal mean
+    "ndcg_eval" ->
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |  CAST(CASE event_type WHEN 'purchase' THEN 7 WHEN 'click' THEN 3
+         |    WHEN 'view' THEN 1 ELSE 0 END AS BIGINT) AS g
+         | FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT user_id, g,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY value DESC NULLS LAST, event_id) AS rn,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY g DESC, event_id) AS irn FROM e),
+         |f AS (SELECT * FROM r WHERE rn <= $NdcgK OR irn <= $NdcgK),
+         |g1 AS (SELECT user_id,
+         |  list(CAST(g AS DOUBLE) * ($ndcgDiscSql)[rn] ORDER BY rn)
+         |    FILTER (WHERE rn <= $NdcgK) AS dl,
+         |  list(CAST(g AS DOUBLE) * ($ndcgDiscSql)[irn] ORDER BY irn)
+         |    FILTER (WHERE irn <= $NdcgK) AS il
+         | FROM f GROUP BY user_id),
+         |s2 AS (SELECT user_id,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), coalesce(dl, [])),
+         |    (a, x) -> a + x) AS dcg,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), coalesce(il, [])),
+         |    (a, x) -> a + x) AS idcg
+         | FROM g1),
+         |n AS (SELECT user_id,
+         |  CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg FROM s2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_users,
+         | CASE WHEN count(*) > 0 THEN ${Q.duckRnd(
+          s"CAST(sum(CAST(${Q.duckRnd("ndcg", 12)} AS DECIMAL(20,12))) AS DOUBLE)"
+            + " / count(*)", 6)} END AS mean_ndcg,
+         | CAST(coalesce(sum(CASE WHEN ndcg = 1.0 THEN 1 ELSE 0 END), 0)
+         |   AS BIGINT) AS n_perfect
+         |FROM n""".stripMargin,
 
     "ks_test" ->
       """WITH base AS (SELECT value,

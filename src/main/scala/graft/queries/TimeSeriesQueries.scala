@@ -468,6 +468,69 @@ object TimeSeriesQueries {
         .orderBy($"type_a", $"type_b")
     }),
 
+    // Largest-Triangle-Three-Buckets downsampling (wave 47,
+    // Steinarsson 2013) — the dashboard-grade shape-preserving
+    // decimation of each type's daily-count series to ≤ LttbOut
+    // points. The corpus-scale work is the one (type, day) cell
+    // aggregate behind daySeries; the walk itself is a fold over the
+    // bounded spine. EXACT INTEGER arithmetic throughout: the usual
+    // triangle area vs the next bucket's AVERAGE point is scaled by
+    // that bucket's count c, so area·2·c =
+    // (ax·c − Σx)·(y_j − ay) − (ax − j)·(Σy − ay·c) stays in int64
+    // (x-coordinates are day indexes ≤ DtwMaxDays; y are counts) —
+    // no doubles, no rounding, bit-identical argmax cross-engine
+    // with ties broken toward the earliest index by strict >.
+    // Per-bucket constants (range, count, Σx closed-form, Σy slice
+    // fold) are hoisted into one struct array so the inner argmax is
+    // O(bucket) with no nested re-folds.
+    "lttb_downsample" -> ((s, d) => {
+      import s.implicits._
+      val w = LttbOut - 2 // middle buckets
+      val m = "(CAST(n_days AS BIGINT) - 2)"
+      def lo = s"((i * $m) DIV $w + 2)"
+      def hi = s"(((i + 1) * $m) DIV $w + 1)"
+      def nlo = s"(((i + 1) * $m) DIV $w + 2)"
+      def nhi = s"least((((i + 2) * $m) DIV $w + 1), CAST(n_days AS BIGINT))"
+      val bk = "element_at(bks, CAST(i + 1 AS INT))"
+      val ax = "element_at(sel, -1)"
+      val ay = s"element_at(s, CAST($ax AS INT))"
+      def area(j: String) =
+        s"abs(($ax * $bk.c - $bk.sx) * (element_at(s, CAST($j AS INT)) - $ay)" +
+          s" - ($ax - $j) * ($bk.sy - $ay * $bk.c))"
+      daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+        .selectExpr("event_type", "n_days", "s",
+          s"""CASE WHEN n_days <= $LttbOut THEN CAST(array() AS
+             |  ARRAY<STRUCT<lo: BIGINT, hi: BIGINT, c: BIGINT,
+             |    sx: BIGINT, sy: BIGINT>>)
+             |ELSE transform(sequence(0, ${w - 1}), i -> named_struct(
+             |  'lo', $lo, 'hi', $hi,
+             |  'c', $nhi - $nlo + 1,
+             |  'sx', (($nlo + $nhi) * ($nhi - $nlo + 1)) DIV 2,
+             |  'sy', aggregate(slice(s, CAST($nlo AS INT),
+             |          CAST($nhi - $nlo + 1 AS INT)),
+             |        CAST(0 AS BIGINT), (a2, x2) -> a2 + x2))) END
+             |AS bks""".stripMargin.replace("\n", " "))
+        .selectExpr("event_type", "n_days", "s",
+          s"""CASE WHEN n_days <= $LttbOut
+             |THEN sequence(CAST(1 AS BIGINT), CAST(n_days AS BIGINT))
+             |ELSE aggregate(sequence(0, ${w - 1}),
+             |  array(CAST(1 AS BIGINT)),
+             |  (sel, i) -> concat(sel, array(
+             |    aggregate(sequence($bk.lo, $bk.hi),
+             |      named_struct('j', CAST(0 AS BIGINT), 'a', CAST(-1 AS BIGINT)),
+             |      (b, j) -> CASE WHEN ${area("j")} > b.a
+             |        THEN named_struct('j', j, 'a', ${area("j")})
+             |        ELSE b END).j)),
+             |  sel -> concat(sel, array(CAST(n_days AS BIGINT)))) END
+             |AS sel""".stripMargin.replace("\n", " "))
+        .select($"event_type", $"n_days", $"s",
+          posexplode($"sel").as(Seq("pos0", "idx")))
+        .select($"event_type", $"n_days", ($"pos0" + 1).as("pos"), $"idx",
+          element_at($"s", $"idx".cast("int")).as("y"))
+        .orderBy($"event_type", $"pos")
+    }),
+
     // SAX symbolization (wave 43, Lin et al. 2003): z-normalize each
     // type's daily-count series, PAA-compress it to a ≤10-segment
     // word, map segment means onto the 4-letter alphabet via the
@@ -583,6 +646,12 @@ object TimeSeriesQueries {
     * on the train split and a full 7-day holdout.
     */
   private val HoltMinDays = 9L
+
+  /** lttb_downsample output size: first + last + (LttbOut−2) bucket
+    * representatives. Bounded output per series regardless of the
+    * spine length. Mirrored in the oracle.
+    */
+  private val LttbOut = 20
 
   /** Wave-43 substrate: dtw_distance's bounded zero-filled daily
     * series per event type, factored for reuse (dtw itself predates
@@ -916,6 +985,57 @@ object TimeSeriesQueries {
          |      (prev, xi) -> $newRow),
          |    len(vb)) AS dtw
          |FROM pairs ORDER BY type_a, type_b""".stripMargin
+    },
+
+    // same spine, same hoisted per-bucket integer constants, same
+    // scaled-by-c integer triangle areas, same strict-> tie-break
+    "lttb_downsample" -> {
+      val w = LttbOut - 2
+      val m = "(n_days - 2)"
+      def lo = s"((i * $m) // $w + 2)"
+      def hi = s"(((i + 1) * $m) // $w + 1)"
+      def nlo = s"(((i + 1) * $m) // $w + 2)"
+      def nhi = s"least((((i + 2) * $m) // $w + 1), n_days)"
+      val bk = s"bks[CAST(xi[1] + 1 AS INTEGER)]"
+      val ax = "sel[-1]"
+      val ay = s"s[CAST($ax AS INTEGER)]"
+      def area(j: String) =
+        s"abs(($ax * $bk.c - $bk.sx) * (s[CAST($j AS INTEGER)] - $ay)" +
+          s" - ($ax - $j) * ($bk.sy - $ay * $bk.c))"
+      s"""WITH $duckDayCtes,
+         |st AS (SELECT t AS event_type, CAST(len(s) AS BIGINT) AS n_days, s
+         |  FROM series),
+         |bu AS (SELECT event_type, n_days, s,
+         |    CASE WHEN n_days <= $LttbOut THEN
+         |      CAST([] AS STRUCT(lo BIGINT, hi BIGINT, c BIGINT,
+         |        sx BIGINT, sy BIGINT)[])
+         |    ELSE list_transform(range(0, $w), i -> {
+         |      'lo': $lo, 'hi': $hi,
+         |      'c': $nhi - $nlo + 1,
+         |      'sx': (($nlo + $nhi) * ($nhi - $nlo + 1)) // 2,
+         |      'sy': CAST(list_sum(list_slice(s, CAST($nlo AS INTEGER),
+         |              CAST($nhi AS INTEGER))) AS BIGINT)}) END AS bks
+         |  FROM st),
+         |fin AS (SELECT event_type, n_days, s,
+         |    CASE WHEN n_days <= $LttbOut THEN range(1, n_days + 1)
+         |    ELSE list_reduce(
+         |      list_prepend([CAST(1 AS BIGINT)],
+         |        list_transform(range(0, $w), i -> [i])),
+         |      (sel, xi) -> list_append(sel,
+         |        (list_reduce(
+         |          list_prepend([$bk.lo - 1, CAST(-1 AS BIGINT)],
+         |            list_transform(range($bk.lo, $bk.hi + 1), j -> [j, 0])),
+         |          (b, e) -> CASE WHEN ${area("e[1]")} > b[2]
+         |            THEN [e[1], ${area("e[1]")}]
+         |            ELSE b END))[1])) || [n_days] END AS sel
+         |  FROM bu)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+         |  CAST(i AS INTEGER) AS pos,
+         |  CAST(sel[CAST(i AS INTEGER)] AS BIGINT) AS idx,
+         |  CAST(s[CAST(sel[CAST(i AS INTEGER)] AS INTEGER)] AS BIGINT) AS y
+         |FROM (SELECT event_type, n_days, s, sel,
+         |    unnest(range(1, len(sel) + 1)) AS i FROM fin)
+         |ORDER BY event_type, pos""".stripMargin
     },
 
     // same spine, same integer Σx/Σx², same fixed-order segment folds

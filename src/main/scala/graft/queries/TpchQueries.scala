@@ -37,6 +37,11 @@ object TpchQueries {
   /** Q18 quantity threshold (mirrored into the oracle). */
   private val BigOrderQty = 300
 
+  /** hits_scores fixed power-iteration count — small enough that the
+    * oracle stays an unrolled-CTE chain (pagerank_lite's convention).
+    */
+  private val HitsIters = 3
+
   /** Exact decimal casts for money×rate arithmetic (the
     * AnalyticsQueries idiom: product stays within 38 digits).
     */
@@ -44,6 +49,58 @@ object TpchQueries {
   private def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(4,2)")
 
   val defs: Map[String, QueryFn] = Map(
+    // HITS hubs & authorities (wave 47, Kleinberg 1999) over the
+    // customer→supplier bipartite graph induced by lineitem⋈orders —
+    // the link-analysis dual of pagerank_lite: customers are hubs
+    // (buy from many good suppliers), suppliers are authorities
+    // (sold-to by many good customers). HitsIters fixed power
+    // iterations; per half-iteration ONE edge-keyed join + one keyed
+    // aggregate + a one-row broadcast max for the ∞-norm normalize —
+    // the same per-round shape as pagerank_lite, so the same 100 TB
+    // posture (no adjacency on the driver, no cross join; the edge
+    // relation shuffles once per side per round on its join key).
+    // Determinism: scores snap to 12dp, contributions sum as exact
+    // decimal (order-free), the max-normalize divides two identically
+    // derived doubles. Output is the top-20 of each role under a
+    // (role, score desc, key) total order.
+    "hits_scores" -> ((s, d) => {
+      import s.implicits._
+      // Lineage policy (pagerank_lite's): the edge relation and each
+      // round's score frame are referenced 2× downstream (next
+      // half-round + its ∞-norm max, plus the closing top-20s), so
+      // without truncation the recompute tree DOUBLES per round. A
+      // LAZY localCheckpoint collapses each to a LogicalRDD computed
+      // once on the caller's action — the big lineitem⋈orders
+      // distinct runs exactly once however many rounds reference it.
+      val ed = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".cast("long").as("c"),
+          $"l_suppkey".cast("long").as("sp"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      var h = ed.select($"c").distinct().withColumn("h", lit(1.0))
+      var a: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        val ar = ed.join(h, "c").groupBy($"sp")
+          .agg(sum($"h".cast("decimal(20,12)")).cast("double").as("ar"))
+          .localCheckpoint(eager = false)
+        val amax = ar.agg(max($"ar").as("am"))
+        a = ar.crossJoin(broadcast(amax))
+          .select($"sp", rnd($"ar" / $"am", 12).as("a"))
+        val hr = ed.join(a, "sp").groupBy($"c")
+          .agg(sum($"a".cast("decimal(20,12)")).cast("double").as("hr"))
+          .localCheckpoint(eager = false)
+        val hmax = hr.agg(max($"hr").as("hm"))
+        h = hr.crossJoin(broadcast(hmax))
+          .select($"c", rnd($"hr" / $"hm", 12).as("h"))
+      }
+      val topA = a.orderBy($"a".desc, $"sp").limit(20)
+        .select(lit("authority").as("role"), $"sp".as("key"), $"a".as("score"))
+      val topH = h.orderBy($"h".desc, $"c").limit(20)
+        .select(lit("hub").as("role"), $"c".as("key"), $"h".as("score"))
+      topA.union(topH).orderBy($"role", $"score".desc, $"key")
+    }),
+
     // Q3: top-10 unshipped BUILDING-segment orders by outstanding
     // revenue as of the cutoff date.
     "tpch_shipping_priority" -> ((s, d) => {
@@ -254,6 +311,38 @@ object TpchQueries {
       | * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same distinct edge relation, same decimal contribution sums,
+    // same 12dp max-normalize, unrolled per iteration
+    "hits_scores" -> {
+      val rounds = (1 to HitsIters).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (SELECT sp,
+           |  CAST(sum(CAST(h AS DECIMAL(20,12))) AS DOUBLE) AS ar
+           |  FROM ed JOIN $prevH USING (c) GROUP BY sp),
+           |a$i AS (SELECT sp,
+           |  ${Q.duckRnd(s"ar / (SELECT max(ar) FROM a${i}r)", 12)} AS a
+           |  FROM a${i}r),
+           |h${i}r AS (SELECT c,
+           |  CAST(sum(CAST(a AS DECIMAL(20,12))) AS DOUBLE) AS hr
+           |  FROM ed JOIN a$i USING (sp) GROUP BY c),
+           |h$i AS (SELECT c,
+           |  ${Q.duckRnd(s"hr / (SELECT max(hr) FROM h${i}r)", 12)} AS h
+           |  FROM h${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+         |    CAST(l_suppkey AS BIGINT) AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM ed),
+         |$rounds,
+         |ta AS (SELECT 'authority' AS role, sp AS key, a AS score
+         |  FROM a$HitsIters ORDER BY a DESC, sp LIMIT 20),
+         |th AS (SELECT 'hub' AS role, c AS key, h AS score
+         |  FROM h$HitsIters ORDER BY h DESC, c LIMIT 20)
+         |SELECT role, key, score
+         |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         |ORDER BY role, score DESC, key""".stripMargin
+    },
+
     "tpch_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(sum($Rev) AS DOUBLE) AS revenue,
          | epoch_ms(o_orderdate) AS o_date_ms, o_orderpriority

@@ -280,7 +280,13 @@ object ScaleSweep {
       // wave 46: dbscan rides the memoized embedding pair table;
       // churn/attribution ride the factor× events month (one keyed
       // aggregate / one window pass each)
-      "dbscan_core", "churn_labels", "attribution_touch")
+      "dbscan_core", "churn_labels", "attribution_touch",
+      // wave 47: ndcg rides the factor× events month (two window
+      // passes on ONE user-keyed exchange, ≤20 rows/user after);
+      // hits rides the factor× fact tables (keyed joins + aggregates
+      // per iteration); lttb rides the (type, day) cell aggregate,
+      // the walk is bounded-array integer arithmetic
+      "ndcg_eval", "hits_scores", "lttb_downsample")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
