@@ -117,6 +117,122 @@ object CharRunCounts {
     StructField("sentences", LongType, nullable = false)))
 }
 
+/** One-pass writing-system classifier counts over a string column:
+  * `struct(latin, digit, cyr, greek, cjk, n_cp)` — CODE-POINT counts
+  * of Latin letters, ASCII digits, Cyrillic (U+0400–U+04FF), Greek
+  * (U+0370–U+03FF), CJK Unified (U+4E00–U+9FFF), and the total
+  * code-point count. The UTF-8 decode is inlined into the byte loop
+  * (lead-byte dispatch, no String allocation, no regex): a 2-byte
+  * lead consumes its continuation, a 3/4-byte lead likewise, and a
+  * malformed lead degrades to one code point — so `n_cp` equals the
+  * regex engines' code-point `length()` on any well-formed UTF-8 and
+  * every class count equals the corresponding RE2/Java character-
+  * class count (`[A-Za-z]`, `[0-9]`, `[\x{0400}-\x{04FF}]`, …).
+  * CharRunCounts' fused-traversal rationale applied to script
+  * detection: five regexp_replace passes collapse into one scan.
+  */
+case class CharClassCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = CharClassCounts.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"char_class_counts expects string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    var lat = 0L; var dig = 0L; var cyr = 0L; var grk = 0L; var cjk = 0L
+    var n = 0L
+    var i = 0
+    while (i < b.length) {
+      val b0 = b(i) & 0xFF
+      var cp = 0xFFFD
+      var adv = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < b.length) {
+        cp = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F); adv = 2
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < b.length) {
+        cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) |
+          (b(i + 2) & 0x3F); adv = 3
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < b.length) {
+        cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F); adv = 4
+      }
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) lat += 1
+      else if (cp >= '0' && cp <= '9') dig += 1
+      else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+      else if (cp >= 0x0370 && cp <= 0x03FF) grk += 1
+      else if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+      n += 1
+      i += adv
+    }
+    new GenericInternalRow(Array[Any](lat, dig, cyr, grk, cjk, n))
+  }
+
+  // Same generated-Java constraints as CharRunCounts (no //-comments,
+  // no leading "||" continuations).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val b0 = ctx.freshName("b0")
+      val cp = ctx.freshName("cp")
+      val adv = ctx.freshName("adv")
+      val lat = ctx.freshName("lat")
+      val dig = ctx.freshName("dig")
+      val cyr = ctx.freshName("cyr")
+      val grk = ctx.freshName("grk")
+      val cjk = ctx.freshName("cjk")
+      val n = ctx.freshName("n")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long $lat = 0L; long $dig = 0L; long $cyr = 0L;
+         |long $grk = 0L; long $cjk = 0L; long $n = 0L;
+         |int $i = 0;
+         |while ($i < $b.length) {
+         |  int $b0 = $b[$i] & 0xFF;
+         |  int $cp = 0xFFFD;
+         |  int $adv = 1;
+         |  if ($b0 < 0x80) { $cp = $b0; }
+         |  else if (($b0 & 0xE0) == 0xC0 && $i + 1 < $b.length) {
+         |    $cp = (($b0 & 0x1F) << 6) ^ ($b[$i + 1] & 0x3F); $adv = 2;
+         |  } else if (($b0 & 0xF0) == 0xE0 && $i + 2 < $b.length) {
+         |    $cp = (($b0 & 0x0F) << 12) ^ (($b[$i + 1] & 0x3F) << 6)
+         |      ^ ($b[$i + 2] & 0x3F); $adv = 3;
+         |  } else if (($b0 & 0xF8) == 0xF0 && $i + 3 < $b.length) {
+         |    $cp = (($b0 & 0x07) << 18) ^ (($b[$i + 1] & 0x3F) << 12)
+         |      ^ (($b[$i + 2] & 0x3F) << 6) ^ ($b[$i + 3] & 0x3F); $adv = 4;
+         |  }
+         |  if ($cp >= 'A' && $cp <= 'Z') $lat++;
+         |  else if ($cp >= 'a' && $cp <= 'z') $lat++;
+         |  else if ($cp >= '0' && $cp <= '9') $dig++;
+         |  else if ($cp >= 0x0400 && $cp <= 0x04FF) $cyr++;
+         |  else if ($cp >= 0x0370 && $cp <= 0x03FF) $grk++;
+         |  else if ($cp >= 0x4E00 && $cp <= 0x9FFF) $cjk++;
+         |  $n++;
+         |  $i += $adv;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[]{$lat, $dig, $cyr, $grk, $cjk, $n});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassCounts =
+    copy(child = newChild)
+}
+
+object CharClassCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("latin", LongType, nullable = false),
+    StructField("digit", LongType, nullable = false),
+    StructField("cyr", LongType, nullable = false),
+    StructField("greek", LongType, nullable = false),
+    StructField("cjk", LongType, nullable = false),
+    StructField("n_cp", LongType, nullable = false)))
+}
+
 /** Session registration + Column API (VecFunctions' pattern). */
 object TextRunFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -125,7 +241,14 @@ object TextRunFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("char_run_counts")))
       reg.createOrReplaceTempFunction(
         "char_run_counts", exprs => CharRunCounts(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("char_class_counts")))
+      reg.createOrReplaceTempFunction(
+        "char_class_counts", exprs => CharClassCounts(exprs(0)), "built-in")
   }
 
   def charRunCounts(c: Column): Column = call_function("char_run_counts", c)
+
+  def charClassCounts(c: Column): Column =
+    call_function("char_class_counts", c)
 }

@@ -94,6 +94,10 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       new ExpressionInfo(classOf[CharRunCounts].getName, "char_run_counts"),
       (exprs: Seq[Expression]) => CharRunCounts(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
+      (exprs: Seq[Expression]) => CharClassCounts(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -547,6 +547,39 @@ object MlPrepQueries {
         .orderBy($"source".asc_nulls_last, $"bucket")
     }),
 
+    // Out-of-fold smoothed target encoding (wave 48) — the
+    // categorical-feature encoder every tabular model pipeline runs,
+    // built the one leakage-safe way: each row's encoding comes ONLY
+    // from the OTHER folds (fold = event_id mod TeFolds), with an
+    // additive-smoothing pull toward the global prior so rare
+    // categories don't memorize their own targets. ONE corpus-scale
+    // (category, fold) aggregate; the out-of-fold totals come from a
+    // category-partitioned window over that ≤|categories|×folds grid
+    // (a window, not a self-join — a NULL category stratum must keep
+    // its rows). All-integer until the single closing division chain
+    // (fixed IEEE op order, no snap needed).
+    "target_encode" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"event_id".isNotNull)
+        .select($"event_type",
+          pmod($"event_id", lit(TeFolds.toLong)).as("fold"),
+          when($"value" > TeTarget, 1L).otherwise(0L).as("y"))
+      val cell = ev.groupBy($"event_type", $"fold")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+      val g = cell.agg(sum($"n").as("gn"), sum($"sy").as("gsy"))
+      val wCat = Window.partitionBy($"event_type")
+      cell.crossJoin(broadcast(g))
+        .withColumn("nt", sum($"n").over(wCat))
+        .withColumn("syt", sum($"sy").over(wCat))
+        .select($"event_type", $"fold",
+          ($"nt" - $"n").as("n_oof"), ($"syt" - $"sy").as("sum_oof"),
+          ((($"syt" - $"sy").cast("double")
+            + lit(TeAlpha) * ($"gsy".cast("double") / $"gn".cast("double")))
+            / (($"nt" - $"n").cast("double") + lit(TeAlpha))).as("enc"))
+        .orderBy($"event_type".asc_nulls_last, $"fold")
+    }),
+
     // Leakage-safe churn labeling (wave 46): the supervised-label
     // prep every retention model needs, built the one correct way —
     // features come ONLY from events at or before the cutoff (7 days
@@ -589,6 +622,14 @@ object MlPrepQueries {
   /** Churn label horizon: the post-cutoff observation window. */
   private val ChurnHorizonMs = 7L * 86400000L
 
+  /** target_encode fold count, binary-target threshold (median-ish on
+    * the fixture's value distribution), and smoothing strength —
+    * literals mirrored in the oracle.
+    */
+  private val TeFolds = 5
+  private val TeTarget = 50.0
+  private val TeAlpha = 20.0
+
   /** ALS ridge term and feature-hash width, mirrored in the oracles. */
   private val AlsLambda = 1000L
   private val FhBuckets = 64L
@@ -611,6 +652,29 @@ object MlPrepQueries {
        | CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len($TOKS) END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // same pmod fold, same out-of-fold window subtraction, same
+    // single closing division chain
+    "target_encode" ->
+      s"""WITH e AS (SELECT event_type,
+         |    ((event_id % $TeFolds) + $TeFolds) % $TeFolds AS fold,
+         |    CASE WHEN value > $TeTarget THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE event_id IS NOT NULL),
+         |cell AS (SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy
+         |  FROM e GROUP BY event_type, fold),
+         |g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+         |    CAST(sum(sy) AS BIGINT) AS gsy FROM cell),
+         |w AS (SELECT event_type, fold, n, sy,
+         |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+         |    CAST(sum(sy) OVER (PARTITION BY event_type) AS BIGINT) AS syt
+         |  FROM cell)
+         |SELECT event_type, fold, nt - n AS n_oof, syt - sy AS sum_oof,
+         | (CAST(syt - sy AS DOUBLE)
+         |    + $TeAlpha * (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE)))
+         |   / (CAST(nt - n AS DOUBLE) + $TeAlpha) AS enc
+         |FROM w CROSS JOIN g
+         |ORDER BY event_type NULLS LAST, fold""".stripMargin,
 
     // same md5 order key, same shard bucket, same positional-hash
     // signature reduced mod 1e9+7

@@ -185,6 +185,44 @@ object ProfilingQueries {
         .orderBy($"event_type")
     }),
 
+    // Writing-system detection (wave 49) — the script-mix profile a
+    // multilingual corpus curation pass runs before language-ID can
+    // be trusted (lang_id's n-gram heuristic assumes Latin text):
+    // per doc, CODE-POINT counts of Latin/digit/Cyrillic/Greek/CJK
+    // via [[graft.plans.CharClassCounts]] — ONE codegen'd byte pass
+    // with the UTF-8 decode inlined, where the regex formulation is
+    // five regexp_replace traversals (flesch_readability's lesson) —
+    // then a majority-rule classification (class share ≥ 1/2, checked
+    // in EXACT integer arithmetic 2·class ≥ total, priority order on
+    // ties) and a (lang, script) cross-tab with the mean Latin share.
+    "script_detect" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.TextRunFunctions.register(s)
+      val perDoc = Tables.documents(s, d)
+        .withColumn("cc", graft.plans.TextRunFunctions.charClassCounts($"text"))
+        .select($"lang", $"cc.latin".as("lat"), $"cc.digit".as("dig"),
+          $"cc.cyr".as("cyr"), $"cc.greek".as("grk"), $"cc.cjk".as("cjk"))
+        .withColumn("s5", $"lat" + $"dig" + $"cyr" + $"grk" + $"cjk")
+        .withColumn("script",
+          when($"s5".isNull || $"s5" === 0L, lit("none"))
+            .when($"lat" * 2 >= $"s5", lit("latin"))
+            .when($"dig" * 2 >= $"s5", lit("digit"))
+            .when($"cyr" * 2 >= $"s5", lit("cyrillic"))
+            .when($"grk" * 2 >= $"s5", lit("greek"))
+            .when($"cjk" * 2 >= $"s5", lit("cjk"))
+            .otherwise(lit("mixed")))
+      perDoc.groupBy($"lang", $"script")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"s5" > 0,
+            rnd($"lat".cast("double") / $"s5".cast("double"), 6)
+              .cast("decimal(18,6)"))).cast("double").as("sls"),
+          count(when($"s5" > 0, 1)).as("n_nz"))
+        .select($"lang", $"script", $"n_docs",
+          when($"n_nz" > 0, rnd($"sls" / $"n_nz".cast("double"), 6))
+            .as("mean_latin_share"))
+        .orderBy($"lang".asc_nulls_last, $"script")
+    }),
+
     // Flesch reading-ease per source: 206.835 − 1.015·(words/sents)
     // − 84.6·(syllables/words), with words = alnum runs (equal to
     // TF.nTokens by construction: normText turns every non-alnum
@@ -318,6 +356,42 @@ object ProfilingQueries {
     ("events", "value"))
 
   val oracles: Map[String, String] = Map(
+
+    // same code-point class counts (regex formulation — the
+    // expression is pinned equal to it by Wave49Spec), same exact
+    // 2·class ≥ total majority rule, same priority order
+    "script_detect" ->
+      s"""WITH cc AS (SELECT lang,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lat,
+         |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig,
+         |  length(regexp_replace(text,
+         |    '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS cyr,
+         |  length(regexp_replace(text,
+         |    '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS grk,
+         |  length(regexp_replace(text,
+         |    '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk
+         | FROM documents),
+         |sc AS (SELECT lang, lat, dig, cyr, grk, cjk,
+         |  lat + dig + cyr + grk + cjk AS s5 FROM cc),
+         |cl AS (SELECT lang, lat, s5,
+         |  CASE WHEN s5 IS NULL OR s5 = 0 THEN 'none'
+         |    WHEN lat * 2 >= s5 THEN 'latin'
+         |    WHEN dig * 2 >= s5 THEN 'digit'
+         |    WHEN cyr * 2 >= s5 THEN 'cyrillic'
+         |    WHEN grk * 2 >= s5 THEN 'greek'
+         |    WHEN cjk * 2 >= s5 THEN 'cjk'
+         |    ELSE 'mixed' END AS script
+         | FROM sc)
+         |SELECT lang, script, CAST(count(*) AS BIGINT) AS n_docs,
+         | CASE WHEN count(CASE WHEN s5 > 0 THEN 1 END) > 0 THEN
+         |  ${Q.duckRnd(
+          "CAST(sum(CASE WHEN s5 > 0 THEN CAST(" +
+            Q.duckRnd("CAST(lat AS DOUBLE) / CAST(s5 AS DOUBLE)", 6) +
+            " AS DECIMAL(18,6)) END) AS DOUBLE)" +
+            " / count(CASE WHEN s5 > 0 THEN 1 END)", 6)}
+         | END AS mean_latin_share
+         |FROM cl GROUP BY lang, script
+         |ORDER BY lang NULLS LAST, script""".stripMargin,
 
     // same candidate list, same distinct-⟕-distinct shape
     "inclusion_deps" -> {

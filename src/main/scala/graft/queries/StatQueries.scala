@@ -68,6 +68,39 @@ object StatQueries {
     * evaluated at query time in either engine.
     */
   private val NdcgK = 10
+
+  /** woe_iv binary-target threshold (median-ish of the fixture value
+    * distribution; shared with target_encode's TeTarget by value, not
+    * by coupling), fdr_bh family size and FDR level q — literals
+    * mirrored in the oracles.
+    */
+  private val WoeTarget = 50.0
+  private val FdrTerms = 200
+  private val FdrQ = 0.05
+
+  /** poisson_bootstrap_ci replicate count, the 2^52 divisor turning
+    * 13 md5 hex chars into u ∈ [0,1), and the Poisson(1) inverse-CDF
+    * thresholds c_k = P(X ≤ k) for k = 0..7 (w = first k with
+    * u < c_k, else 8). The doubles are computed HERE once and embed
+    * into the oracle as shortest round-trip literals
+    * ([[bootCumSql]]), so both engines draw identical weights.
+    */
+  private val BootR = 40
+  private val Pow52 = 4503599627370496.0
+  private val BootCum: IndexedSeq[Double] = {
+    val e1 = math.exp(-1.0)
+    val ps = Iterator.iterate((e1, 0)) { case (p, k) =>
+      (p / (k + 1), k + 1)
+    }.map(_._1).take(8).toIndexedSeq
+    ps.scanLeft(0.0)(_ + _).drop(1)
+  }
+  private def bootCumSql(uExpr: String): String = {
+    val cases = BootCum.zipWithIndex.map { case (c, k) =>
+      s"WHEN $uExpr < CAST('${java.lang.Double.toString(c)}' AS DOUBLE)" +
+        s" THEN $k"
+    }.mkString(" ")
+    s"CASE $cases ELSE ${BootCum.length} END"
+  }
   private val NdcgDisc: IndexedSeq[Double] =
     (1 to NdcgK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
   private def ndcgDiscSql: String =
@@ -195,6 +228,199 @@ object StatQueries {
             rnd($"sm".cast("double") / $"n_users".cast("double"), 6))
             .as("mean_ndcg"),
           $"n_perfect")
+    }),
+
+    // Weight of Evidence / Information Value (wave 48) — the credit-
+    // scoring-lineage feature-screening statistic: per category,
+    // woe = ln(smoothed positive share / smoothed negative share),
+    // iv_term = (share diff)·woe, and the feature's total IV. ONE
+    // corpus-scale category aggregate; everything after runs on the
+    // ≤|categories| grid. The ln is the one transcendental — snapped
+    // to 10dp (engines' ln may differ in the last ulp); shares are
+    // exact-integer ratios, the IV total sums 10dp decimals
+    // (order-free).
+    "woe_iv" -> ((s, d) => {
+      import s.implicits._
+      val cell = Tables.events(s, d)
+        .select($"event_type",
+          when($"value" > WoeTarget, 1L).otherwise(0L).as("y"))
+        .groupBy($"event_type")
+        .agg(sum($"y").as("n_pos"), (count(lit(1)) - sum($"y")).as("n_neg"))
+      val tot = cell.agg(sum($"n_pos").as("pt"), sum($"n_neg").as("nt"))
+      val scored = cell.crossJoin(broadcast(tot))
+        .withColumn("woe", rnd(
+          log((($"n_pos".cast("double") + 0.5) / $"pt".cast("double"))
+            / (($"n_neg".cast("double") + 0.5) / $"nt".cast("double"))), 10))
+        .withColumn("iv_term", rnd(
+          ($"n_pos".cast("double") / $"pt".cast("double")
+            - $"n_neg".cast("double") / $"nt".cast("double")) * $"woe", 10))
+      val iv = scored.agg(
+        sum($"iv_term".cast("decimal(28,10)")).cast("double").as("iv_total"))
+      scored.crossJoin(broadcast(iv))
+        .select($"event_type", $"n_pos", $"n_neg", $"woe", $"iv_term",
+          $"iv_total")
+        .orderBy($"event_type".asc_nulls_last)
+    }),
+
+    // Benjamini-Hochberg FDR control (wave 48, B&H 1995) over a real
+    // multiple-testing family: per top-term 2×2 chi² of document
+    // presence vs lang='en', p-values via the 1-df closed form
+    // p = erfc(√(χ²/2)) evaluated with the Abramowitz-Stegun 7.1.26
+    // rational approximation (shared literal coefficients — the only
+    // cross-engine-risky op is exp, so p snaps to 10dp), then the
+    // step-up rule: k = max{i : p(i) ≤ i·q/m}, reject ranks ≤ k.
+    // Corpus-scale work: the distinct-presence aggregate and the
+    // top-m cut; the BH walk itself runs on the m-bounded grid
+    // (declared BoundedWindow).
+    "fdr_bh" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", ($"lang" === "en").as("en"))
+      val pres = LlmQueries.termTable(s, d)
+        .select($"doc_id", $"term").distinct()
+        .join(docs, Seq("doc_id"))
+      val totals = docs.agg(
+        coalesce(sum(when($"en", 1L).otherwise(0L)), lit(0L)).as("en_tot"),
+        coalesce(sum(when($"en", 0L).otherwise(1L)), lit(0L)).as("nen_tot"))
+      val top = pres.groupBy($"term").agg(count(lit(1)).as("df_all"))
+        .orderBy($"df_all".desc, $"term").limit(FdrTerms)
+      val cnt = pres.join(broadcast(top.select($"term")), Seq("term"))
+        .groupBy($"term")
+        .agg(sum(when($"en", 1L).otherwise(0L)).as("a"),
+          sum(when($"en", 0L).otherwise(1L)).as("b"))
+        .crossJoin(broadcast(totals))
+        .select($"term", $"a", $"b",
+          ($"en_tot" - $"a").as("c"), ($"nen_tot" - $"b").as("d"),
+          ($"en_tot" + $"nen_tot").as("n"))
+      // χ² = n·(ad−bc)² / (r1·r2·c1·c2), zero on any degenerate margin
+      val chiExpr =
+        """CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0
+          |  OR (b + d) = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE ((CAST(n AS DOUBLE)
+          |  * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |     - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+          |  * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |     - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+          |  / (((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+          |     * CAST(a + c AS DOUBLE)) * CAST(b + d AS DOUBLE)) END"""
+          .stripMargin.replace("\n", " ")
+      val scored = cnt
+        .withColumn("chi2", expr(chiExpr))
+        .withColumn("z", sqrt($"chi2" / 2.0))
+        .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * $"z"))
+        .withColumn("p", rnd(
+          $"t" * (lit(0.254829592) + $"t" * (lit(-0.284496736)
+            + $"t" * (lit(1.421413741) + $"t" * (lit(-1.453152027)
+              + $"t" * lit(1.061405429))))) * exp(-($"z" * $"z")), 10))
+      val m = scored.agg(count(lit(1)).as("m"))
+      val ranked = scored.crossJoin(broadcast(m))
+        .withColumn("rank", row_number().over(graft.operators.BoundedWindow
+          .orderBy(s"fdr_bh top-$FdrTerms terms", FdrTerms,
+            $"p".asc, $"term".asc)))
+        .withColumn("crit",
+          rnd($"rank".cast("double") * lit(FdrQ) / $"m".cast("double"), 10))
+      val k = ranked.agg(
+        coalesce(max(when($"p" <= $"crit", $"rank")), lit(0)).as("k"))
+      ranked.crossJoin(broadcast(k))
+        .select($"term", $"chi2", $"p", $"rank", $"crit",
+          ($"rank" <= $"k").as("rejected"))
+        .orderBy($"rank")
+    }),
+
+    // Difference-in-differences (wave 49) — the workhorse causal
+    // estimator for a natural experiment: treated = users whose
+    // PRE-period purchase share is ≥ 20% (exact-integer test
+    // 5·n_purchase ≥ n_events on pre-cutoff rows only — treatment
+    // assignment that never peeks past the cutoff, churn_labels'
+    // time-travel discipline), periods split at the midpoint of the
+    // observed day span, outcome = mean event value per
+    // (group, period) cell. DiD = (T_post − T_pre) − (C_post −
+    // C_pre). ONE user-keyed aggregate for the flag + ONE user-keyed
+    // flag join + ONE global conditional aggregate; cell means are
+    // exact decimal sums over one double division, the estimate a
+    // fixed IEEE chain — no snap.
+    "did_estimator" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+        .select($"user_id", $"value", $"event_type",
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(expr("(d0 + d1) DIV 2").as("cutoff"))
+      val treated = ev.crossJoin(broadcast(span))
+        .where($"day" <= $"cutoff")
+        .groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("np"), count(lit(1)).as("n"))
+        .where($"np" * 5 >= $"n")
+        .select($"user_id").withColumn("tr", lit(1))
+      val cellAgg = ev.join(treated, Seq("user_id"), "left")
+        .crossJoin(broadcast(span))
+        .select($"tr".isNotNull.as("g"), ($"day" > $"cutoff").as("post"),
+          $"value")
+      def cnt(g: Boolean, p: Boolean) =
+        count(when(col("g") === g && col("post") === p, 1))
+      def sm(g: Boolean, p: Boolean) =
+        sum(when(col("g") === g && col("post") === p, dec($"value")))
+      val row = cellAgg.agg(
+        cnt(false, false).as("n_c_pre"), cnt(false, true).as("n_c_post"),
+        cnt(true, false).as("n_t_pre"), cnt(true, true).as("n_t_post"),
+        sm(false, false).as("s00"), sm(false, true).as("s01"),
+        sm(true, false).as("s10"), sm(true, true).as("s11"))
+      def mean(sc: String, nc: String) =
+        when(col(nc) > 0, col(sc).cast("double") / col(nc).cast("double"))
+      row.select($"n_c_pre", $"n_c_post", $"n_t_pre", $"n_t_post",
+        mean("s00", "n_c_pre").as("m_c_pre"),
+        mean("s01", "n_c_post").as("m_c_post"),
+        mean("s10", "n_t_pre").as("m_t_pre"),
+        mean("s11", "n_t_post").as("m_t_post"))
+        .withColumn("did",
+          ($"m_t_post" - $"m_t_pre") - ($"m_c_post" - $"m_c_pre"))
+    }),
+
+    // Poisson bootstrap CI (wave 49, Chamandy et al. 2012 — the
+    // bootstrap that actually runs at 100 TB): instead of resampling
+    // rows (which needs the full dataset per replicate), each row
+    // contributes an independent Poisson(1) weight per replicate,
+    // derived DETERMINISTICALLY from md5(rep:event_id) via the
+    // inverse CDF over shared literal thresholds — so the whole
+    // R-replicate bootstrap of mean(value) is ONE scan + ONE
+    // (rep)-keyed map-side-combinable aggregate, and both engines
+    // reproduce it bit-for-bit. CI bounds are order statistics of
+    // the R replicate means (2.5%/97.5% ranks on the R-bounded list).
+    "poisson_bootstrap_ci" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"event_id".isNotNull && $"value".isNotNull)
+        .select($"event_id", $"value")
+        .select($"value", explode(lit((0 until BootR).toArray)).as("rep"),
+          $"event_id")
+      val u = (conv(substring(
+        md5(concat($"rep".cast("string"), lit(":"),
+          $"event_id".cast("string"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(Pow52))
+      val wCol = {
+        val base: Column = lit(BootCum.length.toLong) // u >= last threshold
+        BootCum.zipWithIndex.reverse.foldLeft(base) { case (els, (c, k)) =>
+          when(u < lit(c), k.toLong).otherwise(els)
+        }
+      }
+      val rel = ev.select($"rep", wCol.as("w"), $"value")
+        .groupBy($"rep")
+        .agg(sum($"w").as("n_eff"),
+          sum($"w" * dec($"value")).cast("double").as("sv"))
+        .select($"rep", $"n_eff",
+          when($"n_eff" > 0, $"sv" / $"n_eff".cast("double")).as("mean_r"))
+      val ci = rel.agg(sort_array(collect_list($"mean_r")).as("l"))
+      rel.crossJoin(broadcast(ci))
+        .select($"rep", $"n_eff", $"mean_r",
+          when(size($"l") >= 1, element_at($"l",
+            greatest(lit(1), ceil(size($"l") * lit(0.025)).cast("int"))))
+            .as("ci_lo"),
+          when(size($"l") >= 1, element_at($"l",
+            least(size($"l"), ceil(size($"l") * lit(0.975)).cast("int"))))
+            .as("ci_hi"))
+        .orderBy($"rep")
     }),
 
     // Two-sample Kolmogorov-Smirnov: sup-norm distance between the
@@ -984,6 +1210,162 @@ object StatQueries {
          | CAST(coalesce(sum(CASE WHEN ndcg = 1.0 THEN 1 ELSE 0 END), 0)
          |   AS BIGINT) AS n_perfect
          |FROM n""".stripMargin,
+
+    // same exact-integer shares, same ln arg op order, same 10dp
+    // snaps, same decimal IV total
+    "woe_iv" ->
+      s"""WITH cell AS (SELECT event_type,
+         |  CAST(sum(CASE WHEN value > $WoeTarget THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pos,
+         |  CAST(count(*) - sum(CASE WHEN value > $WoeTarget THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_neg
+         | FROM events GROUP BY event_type),
+         |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+         |  CAST(sum(n_neg) AS BIGINT) AS nt FROM cell),
+         |sc AS (SELECT event_type, n_pos, n_neg,
+         |  ${Q.duckRnd(
+          "ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pt AS DOUBLE))"
+            + " / ((CAST(n_neg AS DOUBLE) + 0.5) / CAST(nt AS DOUBLE)))",
+          10)} AS woe,
+         |  CAST(n_pos AS DOUBLE) / CAST(pt AS DOUBLE)
+         |    - CAST(n_neg AS DOUBLE) / CAST(nt AS DOUBLE) AS dp
+         | FROM cell CROSS JOIN tot),
+         |sc2 AS (SELECT event_type, n_pos, n_neg, woe,
+         |  ${Q.duckRnd("dp * woe", 10)} AS iv_term FROM sc),
+         |iv AS (SELECT CAST(sum(CAST(iv_term AS DECIMAL(28,10)))
+         |  AS DOUBLE) AS iv_total FROM sc2)
+         |SELECT event_type, n_pos, n_neg, woe, iv_term, iv_total
+         |FROM sc2 CROSS JOIN iv
+         |ORDER BY event_type NULLS LAST""".stripMargin,
+
+    // same distinct presence relation, same top-m cut, same
+    // closed-form 1-df χ², same A&S 7.1.26 literals, same step-up
+    "fdr_bh" -> {
+      val chi =
+        """CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0
+          |  OR (b + d) = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE ((CAST(n AS DOUBLE)
+          |  * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |     - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+          |  * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |     - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+          |  / (((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+          |     * CAST(a + c AS DOUBLE)) * CAST(b + d AS DOUBLE)) END"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH docs AS (SELECT doc_id, lang = 'en' AS en FROM documents),
+         |pres AS (SELECT DISTINCT doc_id, term FROM
+         |   (SELECT doc_id, unnest($TOKS) AS term FROM documents)
+         |  WHERE term <> ''),
+         |pl AS (SELECT pres.term, docs.en FROM pres
+         |  JOIN docs ON pres.doc_id = docs.doc_id),
+         |tt AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN en THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS en_tot,
+         |  CAST(coalesce(sum(CASE WHEN en THEN 0 ELSE 1 END), 0)
+         |    AS BIGINT) AS nen_tot FROM docs),
+         |top AS (SELECT term, count(*) AS df_all FROM pl GROUP BY term
+         |  ORDER BY df_all DESC, term LIMIT $FdrTerms),
+         |cnt AS (SELECT pl.term,
+         |  CAST(sum(CASE WHEN en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |  CAST(sum(CASE WHEN en THEN 0 ELSE 1 END) AS BIGINT) AS b
+         | FROM pl JOIN top ON pl.term = top.term GROUP BY pl.term),
+         |grid AS (SELECT term, a, b, en_tot - a AS c, nen_tot - b AS d,
+         |  en_tot + nen_tot AS n FROM cnt CROSS JOIN tt),
+         |ch AS (SELECT term, $chi AS chi2 FROM grid),
+         |zz AS (SELECT term, chi2, sqrt(chi2 / 2.0) AS z FROM ch),
+         |tz AS (SELECT term, chi2, z,
+         |  1.0 / (1.0 + 0.3275911 * z) AS t FROM zz),
+         |pp AS (SELECT term, chi2, ${Q.duckRnd(
+          "t * (0.254829592 + t * (-0.284496736 + t * (1.421413741"
+            + " + t * (-1.453152027 + t * 1.061405429)))) * exp(-(z * z))",
+          10)} AS p FROM tz),
+         |mm AS (SELECT count(*) AS m FROM pp),
+         |rk AS (SELECT term, chi2, p,
+         |  CAST(row_number() OVER (ORDER BY p, term) AS INTEGER) AS rank
+         | FROM pp),
+         |cr AS (SELECT term, chi2, p, rank,
+         |  ${Q.duckRnd(s"CAST(rank AS DOUBLE) * $FdrQ / CAST(m AS DOUBLE)",
+          10)} AS crit FROM rk CROSS JOIN mm),
+         |kk AS (SELECT CAST(coalesce(max(CASE WHEN p <= crit THEN rank
+         |  END), 0) AS INTEGER) AS k FROM cr)
+         |SELECT term, chi2, p, rank, crit, rank <= k AS rejected
+         |FROM cr CROSS JOIN kk ORDER BY rank""".stripMargin
+    },
+
+    // same midpoint cutoff, same signup-treated flag, same exact
+    // decimal cell means, same fixed-order closing chain
+    "did_estimator" ->
+      """WITH e AS (SELECT user_id, value, event_type,
+        |   (epoch_us(ts) // 1000) // 86400000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND value IS NOT NULL),
+        |cut AS (SELECT (min(day) + max(day)) // 2 AS cutoff FROM e),
+        |tr AS (SELECT user_id FROM (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(count(*) AS BIGINT) AS n
+        |   FROM e CROSS JOIN cut WHERE day <= cutoff GROUP BY user_id)
+        |  WHERE np * 5 >= n),
+        |f AS (SELECT tr.user_id IS NOT NULL AS g, e.day > cutoff AS post,
+        |   e.value
+        |  FROM e LEFT JOIN tr ON e.user_id = tr.user_id CROSS JOIN cut),
+        |a AS (SELECT
+        |  CAST(count(CASE WHEN NOT g AND NOT post THEN 1 END) AS BIGINT)
+        |    AS n_c_pre,
+        |  CAST(count(CASE WHEN NOT g AND post THEN 1 END) AS BIGINT)
+        |    AS n_c_post,
+        |  CAST(count(CASE WHEN g AND NOT post THEN 1 END) AS BIGINT)
+        |    AS n_t_pre,
+        |  CAST(count(CASE WHEN g AND post THEN 1 END) AS BIGINT)
+        |    AS n_t_post,
+        |  CAST(sum(CASE WHEN NOT g AND NOT post
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s00,
+        |  CAST(sum(CASE WHEN NOT g AND post
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s01,
+        |  CAST(sum(CASE WHEN g AND NOT post
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s10,
+        |  CAST(sum(CASE WHEN g AND post
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s11
+        | FROM f),
+        |m AS (SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+        |  CASE WHEN n_c_pre > 0 THEN s00 / n_c_pre END AS m_c_pre,
+        |  CASE WHEN n_c_post > 0 THEN s01 / n_c_post END AS m_c_post,
+        |  CASE WHEN n_t_pre > 0 THEN s10 / n_t_pre END AS m_t_pre,
+        |  CASE WHEN n_t_post > 0 THEN s11 / n_t_post END AS m_t_post
+        | FROM a)
+        |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+        | m_c_pre, m_c_post, m_t_pre, m_t_post,
+        | (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did
+        |FROM m""".stripMargin,
+
+    // same md5-derived uniforms, same shared inverse-CDF literals,
+    // same decimal-weighted sums, same order-statistic CI ranks
+    "poisson_bootstrap_ci" -> {
+      val u = "(CAST(('0x' || substring(md5(CAST(rep AS VARCHAR) || ':'" +
+        " || CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)" +
+        s" / $Pow52)"
+      s"""WITH reps AS (SELECT unnest(range(0, $BootR)) AS rep),
+         |e AS (SELECT event_id, value FROM events
+         |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |wts AS (SELECT rep, ${bootCumSql(u)} AS w, value
+         |  FROM e CROSS JOIN reps),
+         |rel AS (SELECT CAST(rep AS INTEGER) AS rep,
+         |   CAST(sum(w) AS BIGINT) AS n_eff,
+         |   CAST(sum(w * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         |  FROM wts GROUP BY rep),
+         |mr AS (SELECT rep, n_eff,
+         |   CASE WHEN n_eff > 0 THEN sv / n_eff END AS mean_r FROM rel),
+         |ci AS (SELECT list_sort(list(mean_r) FILTER (mean_r IS NOT NULL))
+         |   AS l FROM mr)
+         |SELECT rep, n_eff, mean_r,
+         | CASE WHEN len(l) >= 1 THEN
+         |   l[greatest(1, CAST(ceil(len(l) * 0.025) AS INTEGER))] END
+         |   AS ci_lo,
+         | CASE WHEN len(l) >= 1 THEN
+         |   l[least(len(l), CAST(ceil(len(l) * 0.975) AS INTEGER))] END
+         |   AS ci_hi
+         |FROM mr CROSS JOIN ci ORDER BY rep""".stripMargin
+    },
 
     "ks_test" ->
       """WITH base AS (SELECT value,

@@ -511,6 +511,14 @@ object TimeSeriesQueries {
              |          CAST($nhi - $nlo + 1 AS INT)),
              |        CAST(0 AS BIGINT), (a2, x2) -> a2 + x2))) END
              |AS bks""".stripMargin.replace("\n", " "))
+        // materialization barrier: without it CollapseProject inlines
+        // the `s` (366-wide array build) and `bks` definitions into
+        // EVERY reference inside the doubly-nested fold below, so each
+        // triangle-area evaluation rebuilds the whole series and the
+        // whole bucket-constant array — measured 68 s at the 10× sweep
+        // vs seconds after the barrier. The checkpointed relation is
+        // ≤|types| rows of bounded arrays.
+        .localCheckpoint(eager = false)
         .selectExpr("event_type", "n_days", "s",
           s"""CASE WHEN n_days <= $LttbOut
              |THEN sequence(CAST(1 AS BIGINT), CAST(n_days AS BIGINT))

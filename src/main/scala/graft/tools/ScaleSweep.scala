@@ -286,7 +286,17 @@ object ScaleSweep {
       // hits rides the factor× fact tables (keyed joins + aggregates
       // per iteration); lttb rides the (type, day) cell aggregate,
       // the walk is bounded-array integer arithmetic
-      "ndcg_eval", "hits_scores", "lttb_downsample")
+      "ndcg_eval", "hits_scores", "lttb_downsample",
+      // wave 48: target_encode/woe_iv ride the factor× events month
+      // (one keyed aggregate each, bounded grids after); fdr_bh rides
+      // the distinct term-presence aggregate + top-m cut over the
+      // factor× documents
+      "target_encode", "woe_iv", "fdr_bh",
+      // wave 49: did/bootstrap ride the factor× events month (one
+      // keyed aggregate each — the bootstrap's 40 replicates are
+      // map-side-combined in the same pass); script_detect is a pure
+      // documents scan through the one-pass CharClassCounts byte loop
+      "did_estimator", "poisson_bootstrap_ci", "script_detect")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
