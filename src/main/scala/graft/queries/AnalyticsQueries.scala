@@ -42,6 +42,63 @@ object AnalyticsQueries {
   private def d4(c: Column) = c.cast("decimal(4,2)")
 
   val defs: Map[String, QueryFn] = Map(
+    // Sequential-pattern mining, PrefixSpan-style (wave 50, Pei et
+    // al. 2001 restricted to the 2- and 3-length patterns that cover
+    // real funnel analysis): support of pattern a→b (→c) = number of
+    // users whose time-ordered event sequence contains it as a
+    // SUBSEQUENCE (gaps allowed — the sequential-pattern semantics,
+    // not event_transitions' adjacency). The greedy-earliest-match
+    // identities make it relational: a→b holds iff minpos(a) <
+    // maxpos(b); a→b→c holds iff the earliest b AFTER the earliest a
+    // exists and maxpos(c) exceeds it. ONE user-keyed window pass
+    // for positions, a per-(user, type) min/max aggregate (≤|A| rows
+    // per user), one |A|-wide rejoin for the "earliest b after
+    // earliest a" table — every join keyed on user, all grids
+    // bounded by the event-type alphabet. All-integer.
+    "prefixspan_lite" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ms".asc, $"event_id".asc)
+      val pos = Tables.events(s, d)
+        .where($"user_id".isNotNull && $"ts".isNotNull &&
+          $"event_type".isNotNull)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ms"))
+        .withColumn("rn", row_number().over(w))
+        .select($"user_id", $"event_type", $"rn")
+      val mm = pos.groupBy($"user_id", $"event_type")
+        .agg(min($"rn").as("minp"), max($"rn").as("maxp"))
+      val nUsers = pos.select($"user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      // support(a→b): minp(a) < maxp(b), a and b from the same user
+      val p2 = mm.select($"user_id", $"event_type".as("a"), $"minp")
+        .join(mm.select($"user_id", $"event_type".as("b"), $"maxp"),
+          Seq("user_id"))
+        .where($"minp" < $"maxp")
+      val sup2 = p2.groupBy($"a", $"b").agg(count(lit(1)).as("support"))
+        .select(concat($"a", lit(">"), $"b").as("pattern"),
+          lit(2).as("len"), $"support")
+      // earliest b strictly after the earliest a, per (user, a, b)
+      val f = pos.join(
+        mm.select($"user_id", $"event_type".as("a"), $"minp"),
+        Seq("user_id"))
+        .where($"rn" > $"minp")
+        .groupBy($"user_id", $"a", $"event_type".as("b"))
+        .agg(min($"rn").as("fab"))
+      val sup3 = f.join(
+        mm.select($"user_id", $"event_type".as("c"), $"maxp"),
+        Seq("user_id"))
+        .where($"maxp" > $"fab")
+        .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("support"))
+        .select(concat($"a", lit(">"), $"b", lit(">"), $"c").as("pattern"),
+          lit(3).as("len"), $"support")
+      sup2.union(sup3).crossJoin(broadcast(nUsers))
+        .select($"pattern", $"len", $"support",
+          ($"support".cast("double") / $"n_users".cast("double"))
+            .as("support_frac"))
+        .orderBy($"support".desc, $"pattern")
+    }),
+
     // TPC-H Q1-shape pricing summary: the canonical full-scan
     // aggregate benchmark. Decimal sums → deterministic doubles.
     "tpch_pricing" -> ((s, d) => {
@@ -536,6 +593,38 @@ object AnalyticsQueries {
   private val EmdBinWidth = 25.0
 
   val oracles: Map[String, String] = Map(
+    // same position ranks, same greedy-earliest-match identities
+    "prefixspan_lite" ->
+      """WITH pos AS (SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts) // 1000, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |mm AS (SELECT user_id, event_type, min(rn) AS minp,
+        |   max(rn) AS maxp FROM pos GROUP BY user_id, event_type),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM pos),
+        |s2 AS (SELECT ma.event_type || '>' || mb.event_type AS pattern,
+        |   2 AS len, CAST(count(*) AS BIGINT) AS support
+        |  FROM mm ma JOIN mm mb ON ma.user_id = mb.user_id
+        |  WHERE ma.minp < mb.maxp
+        |  GROUP BY ma.event_type, mb.event_type),
+        |f AS (SELECT p.user_id, ma.event_type AS a, p.event_type AS b,
+        |   min(p.rn) AS fab
+        |  FROM pos p JOIN mm ma ON p.user_id = ma.user_id
+        |  WHERE p.rn > ma.minp
+        |  GROUP BY p.user_id, ma.event_type, p.event_type),
+        |s3 AS (SELECT f.a || '>' || f.b || '>' || mc.event_type AS pattern,
+        |   3 AS len, CAST(count(*) AS BIGINT) AS support
+        |  FROM f JOIN mm mc ON f.user_id = mc.user_id
+        |  WHERE mc.maxp > f.fab
+        |  GROUP BY f.a, f.b, mc.event_type)
+        |SELECT pattern, CAST(len AS INTEGER) AS len, support,
+        | CAST(support AS DOUBLE) / CAST(n_users AS DOUBLE) AS support_frac
+        |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |CROSS JOIN nu
+        |ORDER BY support DESC, pattern""".stripMargin,
+
     "tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

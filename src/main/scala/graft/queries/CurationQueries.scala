@@ -39,7 +39,64 @@ object CurationQueries {
     */
   private val SweepThresholds = Seq(8, 16, 32, 64, 128, 256)
 
+  /** RAKE stopword delimiters (the repo's standing 7-word stoplist)
+    * and output size, mirrored into the oracle.
+    */
+  private val RakeStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val RakeTopK = 30
+  private def rakeStopsSql: String =
+    RakeStops.map(s => s"'$s'").mkString(", ")
+
   val defs: Map[String, QueryFn] = Map(
+    // RAKE keyword extraction (wave 50, Rose et al. 2010): candidate
+    // phrases = maximal stopword-free token runs (rebuilt by ONE
+    // per-document array fold — no token-level window, no doc-keyed
+    // shuffle: the phrase segmentation costs what the scan costs),
+    // word score = deg(w)/freq(w) with deg summing the lengths of
+    // every phrase occurrence containing w, phrase score = Σ word
+    // scores over the phrase's DISTINCT spelling (computed once per
+    // distinct phrase; per-word scores snap to 8dp and sum as
+    // decimals, so the phrase score is partition-order-free). Output
+    // is the corpus top-30 by (score desc, phrase).
+    "rake_keywords" -> ((s, d) => {
+      import s.implicits._
+      val stops = rakeStopsSql
+      val fold =
+        s"""aggregate(
+           |  filter(tokens_of, t -> t <> ''),
+           |  named_struct('ph', CAST(array() AS ARRAY<STRING>),
+           |    'cur', ''),
+           |  (acc, t) -> CASE WHEN t IN ($stops)
+           |    THEN named_struct('ph',
+           |      CASE WHEN acc.cur = '' THEN acc.ph
+           |        ELSE concat(acc.ph, array(acc.cur)) END, 'cur', '')
+           |    ELSE named_struct('ph', acc.ph, 'cur',
+           |      CASE WHEN acc.cur = '' THEN t
+           |        ELSE concat(acc.cur, ' ', t) END) END,
+           |  acc -> CASE WHEN acc.cur = '' THEN acc.ph
+           |    ELSE concat(acc.ph, array(acc.cur)) END)""".stripMargin
+          .replace("\n", " ")
+      val phrases = Tables.documents(s, d)
+        .select(TF.tokens($"text").as("tokens_of"))
+        .selectExpr(s"$fold AS phs")
+        .select(explode($"phs").as("phrase"))
+      val occ = phrases.groupBy($"phrase").agg(count(lit(1)).as("n_occ"))
+      val words = phrases
+        .select($"phrase", size(split($"phrase", " ")).as("plen"))
+        .select(explode(split($"phrase", " ")).as("w"), $"plen")
+        .groupBy($"w")
+        .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+        .select($"w",
+          rnd($"deg".cast("double") / $"freq".cast("double"), 8).as("wsc"))
+      occ.select($"phrase", $"n_occ",
+        explode(split($"phrase", " ")).as("w"))
+        .join(words, Seq("w"))
+        .groupBy($"phrase", $"n_occ")
+        .agg(sum($"wsc".cast("decimal(28,8)")).cast("double").as("score"))
+        .orderBy($"score".desc, $"phrase")
+        .limit(RakeTopK)
+    }),
+
 
     // Deterministic train/val/test assignment (90/5/5) — the split
     // step every training pipeline runs last. Membership is
@@ -544,6 +601,46 @@ object CurationQueries {
   private val BurrowsK = 30
 
   val oracles: Map[String, String] = Map(
+
+    // same phrases via the islands construction (equal to the
+    // engine's per-doc fold: runs between stopwords — a fold in
+    // DuckDB's list_reduce copies the accumulator per element, which
+    // is quadratic on long documents), same 8dp word scores, same
+    // decimal phrase sums
+    "rake_keywords" -> {
+      val stops = rakeStopsSql
+      s"""WITH tk AS (SELECT doc_id,
+         |   list_filter(${LlmQueries.TOKS}, t -> t <> '') AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, toks,
+         |   unnest(range(1, len(toks) + 1)) AS i FROM tk
+         |  WHERE toks IS NOT NULL AND len(toks) > 0),
+         |tt AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |   toks[CAST(i AS INTEGER)] AS term,
+         |   toks[CAST(i AS INTEGER)] IN ($stops) AS stop FROM tok),
+         |isl AS (SELECT doc_id, i, term, stop,
+         |   CAST(coalesce(sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY doc_id ORDER BY i
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |     AS BIGINT) AS pid
+         |  FROM tt),
+         |ph AS (SELECT string_agg(term, ' ' ORDER BY i) AS phrase
+         |  FROM isl WHERE NOT stop GROUP BY doc_id, pid),
+         |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM ph GROUP BY phrase),
+         |wr AS (SELECT unnest(string_split(phrase, ' ')) AS w,
+         |   len(string_split(phrase, ' ')) AS plen FROM ph),
+         |ws AS (SELECT w, ${Q.duckRnd(
+          "CAST(sum(plen) AS DOUBLE) / count(*)", 8)} AS wsc
+         |  FROM wr GROUP BY w),
+         |pw AS (SELECT occ.phrase, occ.n_occ,
+         |   unnest(string_split(occ.phrase, ' ')) AS w FROM occ)
+         |SELECT pw.phrase, pw.n_occ,
+         | CAST(sum(CAST(ws.wsc AS DECIMAL(28,8))) AS DOUBLE) AS score
+         |FROM pw JOIN ws ON pw.w = ws.w
+         |GROUP BY pw.phrase, pw.n_occ
+         |ORDER BY score DESC, phrase LIMIT $RakeTopK""".stripMargin
+    },
 
     // same md5 bucket function of doc_id, same 90/5/5 edges
     "split_assign" ->

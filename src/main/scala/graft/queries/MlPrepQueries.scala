@@ -547,6 +547,29 @@ object MlPrepQueries {
         .orderBy($"source".asc_nulls_last, $"bucket")
     }),
 
+    // Weighted sampling WITHOUT replacement (wave 50, Efraimidis &
+    // Spirtakis 2006 — the A-ES exponential race): each doc draws a
+    // deterministic uniform u ∈ (0,1] from md5(aes:doc_id), its race
+    // key is −ln(u)/w (w = n_chars — longer docs proportionally more
+    // likely), and the K smallest keys win. This is THE distributed
+    // weighted sampler: a pure projection + TakeOrdered(K) — no
+    // global sort, no sequential state, reproducible under any
+    // partitioning. ln snaps at 12dp (the one transcendental);
+    // sample membership is stable under the snap except on
+    // measure-zero key ties, which the doc_id tiebreak fixes.
+    "weighted_sample_aes" -> ((s, d) => {
+      import s.implicits._
+      val u = (conv(substring(md5(concat(lit("aes:"),
+        $"doc_id".cast("string"))), 1, 13), 16, 10)
+        .cast("long").cast("double") + lit(1.0)) / lit(AesDiv)
+      Tables.documents(s, d)
+        .where($"doc_id".isNotNull && $"n_chars".isNotNull && $"n_chars" > 0)
+        .select($"doc_id", $"n_chars".as("w"),
+          rnd(-log(u) / $"n_chars".cast("double"), 12).as("ekey"))
+        .orderBy($"ekey".asc, $"doc_id")
+        .limit(AesK)
+    }),
+
     // Out-of-fold smoothed target encoding (wave 48) — the
     // categorical-feature encoder every tabular model pipeline runs,
     // built the one leakage-safe way: each row's encoding comes ONLY
@@ -630,6 +653,13 @@ object MlPrepQueries {
   private val TeTarget = 50.0
   private val TeAlpha = 20.0
 
+  /** weighted_sample_aes sample size and the (2^52 + 1) divisor that
+    * maps 13 md5 hex chars + 1 onto u ∈ (0,1] (never 0, so −ln(u) is
+    * finite). Mirrored in the oracle.
+    */
+  private val AesK = 100
+  private val AesDiv = 4503599627370497.0
+
   /** ALS ridge term and feature-hash width, mirrored in the oracles. */
   private val AlsLambda = 1000L
   private val FhBuckets = 64L
@@ -652,6 +682,18 @@ object MlPrepQueries {
        | CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len($TOKS) END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // same md5-derived u ∈ (0,1], same −ln(u)/w race key, same 12dp
+    // snap and doc_id tiebreak
+    "weighted_sample_aes" ->
+      s"""SELECT doc_id, n_chars AS w,
+         | ${Q.duckRnd(
+        "-ln((CAST(('0x' || substring(md5('aes:' ||" +
+          " CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)" +
+          s" / $AesDiv) / CAST(n_chars AS DOUBLE)", 12)} AS ekey
+         |FROM documents
+         |WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+         |ORDER BY ekey, doc_id LIMIT $AesK""".stripMargin,
 
     // same pmod fold, same out-of-fold window subtraction, same
     // single closing division chain

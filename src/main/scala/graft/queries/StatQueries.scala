@@ -78,15 +78,16 @@ object StatQueries {
   private val FdrTerms = 200
   private val FdrQ = 0.05
 
-  /** poisson_bootstrap_ci replicate count, the 2^52 divisor turning
-    * 13 md5 hex chars into u ∈ [0,1), and the Poisson(1) inverse-CDF
-    * thresholds c_k = P(X ≤ k) for k = 0..7 (w = first k with
-    * u < c_k, else 8). The doubles are computed HERE once and embed
-    * into the oracle as shortest round-trip literals
-    * ([[bootCumSql]]), so both engines draw identical weights.
+  /** poisson_bootstrap_ci replicate count, the 2^32 divisor turning
+    * one 8-hex md5 lane into u ∈ [0,1) (each md5 serves four
+    * replicates), and the Poisson(1) inverse-CDF thresholds
+    * c_k = P(X ≤ k) for k = 0..7 (w = first k with u < c_k, else 8).
+    * The doubles are computed HERE once and embed into the oracle as
+    * shortest round-trip literals ([[bootCumSql]]), so both engines
+    * draw identical weights.
     */
   private val BootR = 40
-  private val Pow52 = 4503599627370496.0
+  private val Pow32 = 4294967296.0
   private val BootCum: IndexedSeq[Double] = {
     val e1 = math.exp(-1.0)
     val ps = Iterator.iterate((e1, 0)) { case (p, k) =>
@@ -276,9 +277,15 @@ object StatQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
         .select($"doc_id", ($"lang" === "en").as("en"))
-      val pres = LlmQueries.termTable(s, d)
-        .select($"doc_id", $"term").distinct()
-        .join(docs, Seq("doc_id"))
+      // per-doc array_distinct in the projection, NOT a corpus-wide
+      // SELECT DISTINCT: the presence relation arrives deduplicated
+      // from the scan, so the only shuffles are the term-keyed
+      // aggregates (the 10× sweep measured the distinct-shuffle
+      // formulation at 215 s; this shape is simpson_diversity's)
+      val pres = Tables.documents(s, d)
+        .select(($"lang" === "en").as("en"),
+          explode(array_distinct(filter(TF.tokens($"text"),
+            t => t =!= ""))).as("term"))
       val totals = docs.agg(
         coalesce(sum(when($"en", 1L).otherwise(0L)), lit(0L)).as("en_tot"),
         coalesce(sum(when($"en", 0L).otherwise(1L)), lit(0L)).as("nen_tot"))
@@ -390,22 +397,31 @@ object StatQueries {
     // the R replicate means (2.5%/97.5% ranks on the R-bounded list).
     "poisson_bootstrap_ci" -> ((s, d) => {
       import s.implicits._
+      // one md5 serves FOUR replicates (sigTable's 8-hex-lane idiom):
+      // the hex lands in a column BETWEEN the two generators, so it
+      // is evaluated once per (row, hash-group), not once per
+      // (row, replicate, threshold) — the inline-md5 formulation
+      // measured 249 s at the 10× sweep, this shape ~an order less
       val ev = Tables.events(s, d)
         .where($"event_id".isNotNull && $"value".isNotNull)
         .select($"event_id", $"value")
-        .select($"value", explode(lit((0 until BootR).toArray)).as("rep"),
-          $"event_id")
-      val u = (conv(substring(
-        md5(concat($"rep".cast("string"), lit(":"),
-          $"event_id".cast("string"))), 1, 13), 16, 10)
-        .cast("long").cast("double") / lit(Pow52))
+        .select($"value", $"event_id",
+          explode(lit((0 until BootR / 4).toArray)).as("grp"))
+        .select($"value", $"grp",
+          md5(concat($"grp".cast("string"), lit(":"),
+            $"event_id".cast("string"))).as("hx"))
+        .select($"value", $"grp", $"hx",
+          explode(lit((0 until 4).toArray)).as("lane"))
+      val u = (conv(expr("substring(hx, 1 + 8 * lane, 8)"), 16, 10)
+        .cast("long").cast("double") / lit(Pow32))
       val wCol = {
         val base: Column = lit(BootCum.length.toLong) // u >= last threshold
         BootCum.zipWithIndex.reverse.foldLeft(base) { case (els, (c, k)) =>
           when(u < lit(c), k.toLong).otherwise(els)
         }
       }
-      val rel = ev.select($"rep", wCol.as("w"), $"value")
+      val rel = ev
+        .select(($"grp" * 4 + $"lane").as("rep"), wCol.as("w"), $"value")
         .groupBy($"rep")
         .agg(sum($"w").as("n_eff"),
           sum($"w" * dec($"value")).cast("double").as("sv"))
@@ -1253,11 +1269,10 @@ object StatQueries {
           |     * CAST(a + c AS DOUBLE)) * CAST(b + d AS DOUBLE)) END"""
           .stripMargin.replace("\n", " ")
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS en FROM documents),
-         |pres AS (SELECT DISTINCT doc_id, term FROM
-         |   (SELECT doc_id, unnest($TOKS) AS term FROM documents)
-         |  WHERE term <> ''),
-         |pl AS (SELECT pres.term, docs.en FROM pres
-         |  JOIN docs ON pres.doc_id = docs.doc_id),
+         |pl AS (SELECT lang = 'en' AS en,
+         |   unnest(list_distinct(list_filter($TOKS, t -> t <> '')))
+         |     AS term
+         |  FROM documents),
          |tt AS (SELECT
          |  CAST(coalesce(sum(CASE WHEN en THEN 1 ELSE 0 END), 0)
          |    AS BIGINT) AS en_tot,
@@ -1341,9 +1356,9 @@ object StatQueries {
     // same md5-derived uniforms, same shared inverse-CDF literals,
     // same decimal-weighted sums, same order-statistic CI ranks
     "poisson_bootstrap_ci" -> {
-      val u = "(CAST(('0x' || substring(md5(CAST(rep AS VARCHAR) || ':'" +
-        " || CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)" +
-        s" / $Pow52)"
+      val u = "(CAST(('0x' || substring(md5(CAST(rep // 4 AS VARCHAR)" +
+        " || ':' || CAST(event_id AS VARCHAR)), 1 + 8 * (rep % 4), 8))" +
+        s" AS BIGINT) / $Pow32)"
       s"""WITH reps AS (SELECT unnest(range(0, $BootR)) AS rep),
          |e AS (SELECT event_id, value FROM events
          |  WHERE event_id IS NOT NULL AND value IS NOT NULL),

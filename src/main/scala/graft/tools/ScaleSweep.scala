@@ -296,7 +296,11 @@ object ScaleSweep {
       // keyed aggregate each — the bootstrap's 40 replicates are
       // map-side-combined in the same pass); script_detect is a pure
       // documents scan through the one-pass CharClassCounts byte loop
-      "did_estimator", "poisson_bootstrap_ci", "script_detect")
+      "did_estimator", "poisson_bootstrap_ci", "script_detect",
+      // wave 50: prefixspan rides the factor× events month (one
+      // window pass + |A|-bounded rejoins); rake/aes ride the
+      // factor× documents (per-doc fold / pure projection + top-K)
+      "prefixspan_lite", "rake_keywords", "weighted_sample_aes")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings

@@ -117,8 +117,10 @@ class Wave49Spec extends SparkSpecBase {
       var n = 0L
       var sv = BigDecimal(0)
       ev.foreach { case (id, v) =>
+        val off = 8 * (r % 4)
         val u = java.lang.Long.parseLong(
-          md5hex(s"$r:$id").substring(0, 13), 16).toDouble / 4503599627370496.0
+          md5hex(s"${r / 4}:$id").substring(off, off + 8), 16)
+          .toDouble / 4294967296.0
         val w = cum.indexWhere(u < _) match {
           case -1 => 8L
           case k => k.toLong
