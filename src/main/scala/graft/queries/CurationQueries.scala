@@ -61,25 +61,35 @@ object CurationQueries {
     "rake_keywords" -> ((s, d) => {
       import s.implicits._
       val stops = rakeStopsSql
-      val fold =
-        s"""aggregate(
-           |  filter(tokens_of, t -> t <> ''),
-           |  named_struct('ph', CAST(array() AS ARRAY<STRING>),
-           |    'cur', ''),
-           |  (acc, t) -> CASE WHEN t IN ($stops)
-           |    THEN named_struct('ph',
-           |      CASE WHEN acc.cur = '' THEN acc.ph
-           |        ELSE concat(acc.ph, array(acc.cur)) END, 'cur', '')
-           |    ELSE named_struct('ph', acc.ph, 'cur',
-           |      CASE WHEN acc.cur = '' THEN t
-           |        ELSE concat(acc.cur, ' ', t) END) END,
-           |  acc -> CASE WHEN acc.cur = '' THEN acc.ph
-           |    ELSE concat(acc.ph, array(acc.cur)) END)""".stripMargin
-          .replace("\n", " ")
+      // Boundary-index construction, NOT an accumulating fold: a fold
+      // that appends to a phrase array / concatenates the current
+      // phrase string copies its accumulator per token — quadratic
+      // per document, measured 433 s at the 10× long-doc sweep. Here
+      // the stopword positions become a boundary array once, zip_with
+      // pairs consecutive boundaries (inputs evaluated once — no
+      // computed array is referenced inside a lambda), and each
+      // phrase slices its own tokens exactly once — linear per doc.
+      val bnd =
+        s"""concat(array(0),
+           |  CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<INT>)
+           |    ELSE filter(sequence(1, size(toks)),
+           |      i -> element_at(toks, i) IN ($stops)) END,
+           |  array(size(toks) + 1))""".stripMargin.replace("\n", " ")
+      val phrasesExpr =
+        """filter(transform(
+          |  zip_with(slice(bnd, 1, size(bnd) - 1),
+          |    slice(bnd, 2, size(bnd) - 1),
+          |    (a, b) -> named_struct('st', a, 'en', b)),
+          |  pr -> CASE WHEN pr.en - pr.st > 1
+          |    THEN array_join(slice(toks, pr.st + 1, pr.en - pr.st - 1),
+          |      ' ') END),
+          |  x -> x IS NOT NULL)""".stripMargin.replace("\n", " ")
       val phrases = Tables.documents(s, d)
-        .select(TF.tokens($"text").as("tokens_of"))
-        .selectExpr(s"$fold AS phs")
-        .select(explode($"phs").as("phrase"))
+        .where($"text".isNotNull)
+        .select(TF.tokens($"text").as("tk"))
+        .selectExpr("filter(tk, t -> t <> '') AS toks")
+        .selectExpr("toks", s"$bnd AS bnd")
+        .selectExpr(s"explode($phrasesExpr) AS phrase")
       val occ = phrases.groupBy($"phrase").agg(count(lit(1)).as("n_occ"))
       val words = phrases
         .select($"phrase", size(split($"phrase", " ")).as("plen"))

@@ -51,6 +51,24 @@ object LlmQueries {
     */
   private[graft] val LshBucketCap = 8L * LshTargetBucket
 
+  /** fs_linkage assessor-set (m, u) per field → (agree, disagree)
+    * log-likelihood-ratio weights, computed HERE once (lang m=.95
+    * u=.30; source m=.90 u=.20; length m=.85 u=.10) and embedded in
+    * the oracle as shortest round-trip literals, plus the
+    * match-class threshold.
+    */
+  private val FsMU: Seq[(Double, Double)] =
+    Seq((0.95, 0.30), (0.90, 0.20), (0.85, 0.10))
+  private[queries] val FsWeights: Seq[(Double, Double)] =
+    FsMU.map { case (m, u) =>
+      (math.log(m / u), math.log((1 - m) / (1 - u)))
+    }
+  private[queries] val FsMatchThr = 2.0
+  private[queries] def fsWSql(i: Int, agree: Boolean): String = {
+    val w = if (agree) FsWeights(i)._1 else FsWeights(i)._2
+    s"CAST('${java.lang.Double.toString(w)}' AS DOUBLE)"
+  }
+
   // ---- shared DuckDB oracle fragments --------------------------------
   /** DuckDB replica of TextFunctions.normText over an arbitrary input
     * expression (note: DuckDB regexp_replace needs the 'g' flag; Spark
@@ -1445,6 +1463,44 @@ object LlmQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Fellegi-Sunter record-linkage scoring (wave 51, F&S 1969) over
+    // the LSH-blocked candidate pairs: per field (lang, source,
+    // length-within-10%) an agreement indicator contributes
+    // ln(m/u) on agree and ln((1−m)/(1−u)) on disagree, with
+    // assessor-set (m, u) literals — the probabilistic-linkage layer
+    // between fuzzy_match's edit distance and golden_record's
+    // survivorship. Blocking bounds the pair relation; the score is
+    // a fixed-order sum of SHARED literal doubles (computed once in
+    // Scala, shortest-round-trip text in the oracle), so no ln runs
+    // at query time in either engine and no snap is needed.
+    "fs_linkage" -> ((s, d) => {
+      import s.implicits._
+      val meta = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      pairTable(s, d)
+        .join(meta.select($"doc_id".as("doc_a"), $"lang".as("lang_a"),
+          $"source".as("src_a"), $"n_chars".as("len_a")), Seq("doc_a"))
+        .join(meta.select($"doc_id".as("doc_b"), $"lang".as("lang_b"),
+          $"source".as("src_b"), $"n_chars".as("len_b")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          ($"lang_a" <=> $"lang_b").as("a_lang"),
+          ($"src_a" <=> $"src_b").as("a_source"),
+          coalesce(abs($"len_a" - $"len_b") * 10 <=
+            greatest($"len_a", $"len_b"), lit(false)).as("a_len"))
+        .select($"doc_a", $"doc_b", $"a_lang", $"a_source", $"a_len",
+          (when($"a_lang", lit(FsWeights(0)._1))
+            .otherwise(lit(FsWeights(0)._2))
+            + when($"a_source", lit(FsWeights(1)._1))
+              .otherwise(lit(FsWeights(1)._2))
+            + when($"a_len", lit(FsWeights(2)._1))
+              .otherwise(lit(FsWeights(2)._2))).as("score"))
+        .withColumn("cls",
+          when($"score" >= FsMatchThr, lit("match"))
+            .when($"score" >= 0.0, lit("possible"))
+            .otherwise(lit("non_match")))
+        .orderBy($"score".desc, $"doc_a", $"doc_b")
+    }),
+
     // Fuzzy matching: exact Levenshtein on normalized 40-char
     // prefixes, but ONLY over the LSH-blocked candidate pairs — the
     // edit-distance verify step of a fuzzy-dedup pipeline. Blocking is
@@ -2390,6 +2446,32 @@ object LlmQueries {
          | JOIN sigs b ON b.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    // same blocked pairs, same null-safe agreements, same shared
+    // literal weights in the same add order
+    "fs_linkage" ->
+      s"""WITH $duckCandidateCtes,
+         |meta AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |   (a.lang IS NOT DISTINCT FROM b.lang) AS a_lang,
+         |   (a.source IS NOT DISTINCT FROM b.source) AS a_source,
+         |   coalesce(abs(a.n_chars - b.n_chars) * 10
+         |     <= greatest(a.n_chars, b.n_chars), false) AS a_len
+         |  FROM cand c JOIN meta a ON c.doc_a = a.doc_id
+         |   JOIN meta b ON c.doc_b = b.doc_id),
+         |sc AS (SELECT doc_a, doc_b, a_lang, a_source, a_len,
+         |   (CASE WHEN a_lang THEN ${fsWSql(0, agree = true)}
+         |      ELSE ${fsWSql(0, agree = false)} END
+         |    + CASE WHEN a_source THEN ${fsWSql(1, agree = true)}
+         |      ELSE ${fsWSql(1, agree = false)} END)
+         |    + CASE WHEN a_len THEN ${fsWSql(2, agree = true)}
+         |      ELSE ${fsWSql(2, agree = false)} END AS score
+         |  FROM j)
+         |SELECT doc_a, doc_b, a_lang, a_source, a_len, score,
+         | CASE WHEN score >= $FsMatchThr THEN 'match'
+         |   WHEN score >= 0.0 THEN 'possible'
+         |   ELSE 'non_match' END AS cls
+         |FROM sc ORDER BY score DESC, doc_a, doc_b""".stripMargin,
 
     "fuzzy_match" ->
       s"""WITH $duckCandidateCtes,

@@ -618,6 +618,111 @@ object TimeSeriesQueries {
         .orderBy($"event_type")
     }),
 
+    // Holt-Winters additive triple-exponential smoothing (wave 51):
+    // holt_forecast plus a period-7 seasonal component — the weekly
+    // pattern every daily ops series carries. Init: level = mean of
+    // week 1, trend = (mean week 2 − mean week 1)/7, seasonals =
+    // week-1 deviations; fold from day 8 over the train split
+    // (α=0.4, β=0.2, γ=0.3 literals; the new level re-inlines where
+    // it feeds trend and seasonal — SQL lambdas have no let); 7-day
+    // holdout MAE with the seasonal term rotated forward. Same spine
+    // aggregate as holt; the fold is bounded-array arithmetic with
+    // NO transcendental, so every double is bit-identical
+    // cross-engine (snaps are display-only).
+    "holt_winters" -> ((s, d) => {
+      import s.implicits._
+      val x = "CAST(element_at(s, CAST(t AS INT)) AS DOUBLE)"
+      val idx = "(CAST((t - 1) % 7 AS INT) + 1)"
+      val sOld = s"element_at(acc.s, $idx)"
+      val nl = s"0.4 * ($x - $sOld) + 0.6 * (acc.l + acc.b)"
+      val nb = s"0.2 * (($nl) - acc.l) + 0.8 * acc.b"
+      val l0 = "CAST(aggregate(slice(s, 1, 7), CAST(0 AS BIGINT)," +
+        " (a2, x2) -> a2 + x2) AS DOUBLE) / 7.0"
+      val b0 = "(CAST(aggregate(slice(s, 8, 7), CAST(0 AS BIGINT)," +
+        " (a2, x2) -> a2 + x2) AS DOUBLE)" +
+        " - CAST(aggregate(slice(s, 1, 7), CAST(0 AS BIGINT)," +
+        " (a2, x2) -> a2 + x2) AS DOUBLE)) / 49.0"
+      daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+        .filter($"n_days" >= HwMinDays)
+        .selectExpr("event_type", "n_days", "s", "n_days - 7 AS n_train")
+        .selectExpr("event_type", "n_days", "s", "n_train",
+          s"""aggregate(
+             |  sequence(CAST(8 AS BIGINT), CAST(n_train AS BIGINT)),
+             |  named_struct('l', $l0, 'b', $b0,
+             |    's', transform(sequence(1, 7), j ->
+             |      CAST(element_at(s, CAST(j AS INT)) AS DOUBLE)
+             |        - ($l0))),
+             |  (acc, t) -> named_struct('l', $nl, 'b', $nb,
+             |    's', transform(sequence(1, 7), j ->
+             |      CASE WHEN j = $idx
+             |        THEN 0.3 * ($x - ($nl)) + 0.7 * $sOld
+             |        ELSE element_at(acc.s, CAST(j AS INT)) END)))
+             |AS hw""".stripMargin.replace("\n", " "))
+        .selectExpr("event_type", "n_days", "hw.l AS l", "hw.b AS b",
+          "hw.s AS sv",
+          s"""aggregate(sequence(1, 7), CAST(0 AS DOUBLE), (a2, h) ->
+             |  a2 + abs(hw.l + CAST(h AS DOUBLE) * hw.b
+             |    + element_at(hw.s, CAST((n_train + h - 1) % 7 AS INT) + 1)
+             |    - CAST(element_at(s, CAST(n_train + h AS INT)) AS DOUBLE)))
+             |  / 7.0 AS mae""".stripMargin.replace("\n", " "))
+        .select(Seq($"event_type", $"n_days", rnd($"l", 6).as("level"),
+          rnd($"b", 6).as("trend")) ++
+          (1 to 7).map(j =>
+            rnd(element_at($"sv", j), 6).as(s"s$j")) :+
+          rnd($"mae", 6).as("mae"): _*)
+        .orderBy($"event_type")
+    }),
+
+    // Croston's method (wave 51, Croston 1972) — the intermittent-
+    // demand forecaster: separate exponential smoothing of the
+    // nonzero demand size z and the inter-demand interval p, forecast
+    // = z/p per period. α = 1/4 is DYADIC, so every update
+    // z += (x−z)/4, p += (q−p)/4 is exact IEEE arithmetic on exact
+    // inputs — the whole fold is bit-identical cross-engine with no
+    // rounding anywhere (snaps are display-only). One fold over the
+    // train split; series with no train demand drop out (mirrored).
+    "croston_forecast" -> ((s, d) => {
+      import s.implicits._
+      val x = "CAST(element_at(s, CAST(t AS INT)) AS DOUBLE)"
+      daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+        .filter($"n_days" >= HoltMinDays)
+        .selectExpr("event_type", "n_days", "s", "n_days - 7 AS n_train")
+        .selectExpr("event_type", "n_days", "s", "n_train",
+          s"""aggregate(
+             |  sequence(CAST(1 AS BIGINT), CAST(n_train AS BIGINT)),
+             |  named_struct('seen', false, 'z', CAST(0 AS DOUBLE),
+             |    'p', CAST(0 AS DOUBLE), 'q', CAST(1 AS DOUBLE)),
+             |  (acc, t) -> CASE
+             |    WHEN NOT acc.seen AND $x > 0 THEN named_struct(
+             |      'seen', true, 'z', $x, 'p', CAST(t AS DOUBLE),
+             |      'q', CAST(1 AS DOUBLE))
+             |    WHEN NOT acc.seen THEN acc
+             |    WHEN $x > 0 THEN named_struct('seen', true,
+             |      'z', acc.z + ($x - acc.z) / 4.0,
+             |      'p', acc.p + (acc.q - acc.p) / 4.0,
+             |      'q', CAST(1 AS DOUBLE))
+             |    ELSE named_struct('seen', true, 'z', acc.z,
+             |      'p', acc.p, 'q', acc.q + CAST(1 AS DOUBLE)) END)
+             |AS cr""".stripMargin.replace("\n", " "),
+          s"""aggregate(slice(s, 1, CAST(n_days - 7 AS INT)),
+             |  CAST(0 AS BIGINT),
+             |  (a2, x2) -> a2 + CASE WHEN x2 > 0 THEN 1 ELSE 0 END)
+             |AS n_demand""".stripMargin.replace("\n", " "))
+        .filter($"n_demand" > 0)
+        .selectExpr("event_type", "n_days", "n_demand",
+          "cr.z AS z", "cr.p AS p",
+          s"""aggregate(sequence(1, 7), CAST(0 AS DOUBLE), (a2, h) ->
+             |  a2 + abs(cr.z / cr.p
+             |    - CAST(element_at(s, CAST(n_train + h AS INT)) AS DOUBLE)))
+             |  / 7.0 AS mae""".stripMargin.replace("\n", " "))
+        .select($"event_type", $"n_days", $"n_demand",
+          rnd($"z", 6).as("demand_level"), rnd($"p", 6).as("interval_level"),
+          rnd($"z" / $"p", 6).as("forecast"), rnd($"mae", 6).as("mae"))
+        .orderBy($"event_type")
+    }),
+
     // Tukey median polish, one row+column sweep (wave 43): robust
     // two-way decomposition of the (type × day) count matrix —
     // x = row_effect + col_effect + residual with MEDIANS, the
@@ -660,6 +765,11 @@ object TimeSeriesQueries {
     * spine length. Mirrored in the oracle.
     */
   private val LttbOut = 20
+
+  /** holt_winters minimum series length: 14 init days (two full
+    * seasonal periods) + a 7-day holdout.
+    */
+  private val HwMinDays = 21L
 
   /** Wave-43 substrate: dtw_distance's bounded zero-filled daily
     * series per event type, factored for reuse (dtw itself predates
@@ -1106,6 +1216,107 @@ object TimeSeriesQueries {
          |  ${Q.duckRnd("l", 6)} AS level, ${Q.duckRnd("b", 6)} AS trend,
          |  ${Q.duckRnd("mae", 6)} AS mae
          |FROM m ORDER BY event_type""".stripMargin
+    },
+
+    // same week-1/week-2 init, same re-inlined level in the trend and
+    // seasonal steps, same rotated-seasonal holdout. Accumulator is a
+    // FLAT DOUBLE[9] list [l, b, s1..s7] (holt_forecast's shape), NOT
+    // a struct: DuckDB's list_reduce mutates a struct accumulator
+    // field-by-field in place from the second application on, so a
+    // field formula that references another field (the trend's
+    // re-inlined level) reads the ALREADY-UPDATED value — measured as
+    // a 0.26 level drift on the fixture. List accumulators evaluate
+    // the whole element before writing.
+    "holt_winters" -> {
+      val x = "CAST(s[CAST(xi[1] AS INTEGER)] AS DOUBLE)"
+      val idx = "(CAST((CAST(xi[1] AS BIGINT) - 1) % 7 AS INTEGER) + 3)"
+      val sOld = s"acc[$idx]"
+      val nl = s"0.4 * ($x - $sOld) + 0.6 * (acc[1] + acc[2])"
+      val nb = s"0.2 * (($nl) - acc[1]) + 0.8 * acc[2]"
+      val l0 = "CAST(list_sum(list_slice(s, 1, 7)) AS DOUBLE) / 7.0"
+      val b0 = "(CAST(list_sum(list_slice(s, 8, 14)) AS DOUBLE)" +
+        " - CAST(list_sum(list_slice(s, 1, 7)) AS DOUBLE)) / 49.0"
+      s"""WITH $duckDayCtes,
+         |tr AS (SELECT t AS event_type, len(s) AS n_days, s,
+         |    len(s) - 7 AS n_train
+         |  FROM series WHERE len(s) >= $HwMinDays),
+         |fold AS (SELECT event_type, n_days, s, n_train,
+         |    list_reduce(
+         |      list_prepend(
+         |        list_concat([$l0, $b0],
+         |          list_transform(range(1, 8), j ->
+         |            CAST(s[CAST(j AS INTEGER)] AS DOUBLE) - ($l0))),
+         |        list_transform(range(8, n_train + 1), t ->
+         |          [CAST(t AS DOUBLE)])),
+         |      (acc, xi) -> list_concat([$nl, $nb],
+         |        list_transform(range(3, 10), j ->
+         |          CASE WHEN j = $idx
+         |            THEN 0.3 * ($x - ($nl)) + 0.7 * $sOld
+         |            ELSE acc[CAST(j AS INTEGER)] END))) AS hw
+         |  FROM tr),
+         |m AS (SELECT event_type, n_days, hw[1] AS l, hw[2] AS b,
+         |    list_slice(hw, 3, 9) AS sv,
+         |    list_sum(list_transform(range(1, 8), h ->
+         |      abs(hw[1] + CAST(h AS DOUBLE) * hw[2]
+         |        + hw[CAST((n_train + h - 1) % 7 AS INTEGER) + 3]
+         |        - CAST(s[CAST(n_train + h AS INTEGER)] AS DOUBLE))))
+         |      / 7.0 AS mae
+         |  FROM fold)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+         |  ${Q.duckRnd("l", 6)} AS level, ${Q.duckRnd("b", 6)} AS trend,
+         |  ${(1 to 7).map(j =>
+          Q.duckRnd(s"sv[$j]", 6) + s" AS s$j").mkString(", ")},
+         |  ${Q.duckRnd("mae", 6)} AS mae
+         |FROM m ORDER BY event_type""".stripMargin
+    },
+
+    // same first-demand seeding, same dyadic α=1/4 updates, same
+    // z/p forecast over the 7-day holdout (the fold element carries
+    // its day index in the 'z' slot — holt's struct-wrapped trick).
+    // Struct accumulator is SAFE here, unlike holt_winters': under
+    // DuckDB's in-place field-order mutation (seen, z, p, q), no
+    // field formula reads a field recomputed earlier in write order
+    // ('p' reads old acc.q — written after it — and acc.p/acc.z read
+    // only themselves). Any edit adding such a dependency must
+    // switch to the flat-list accumulator.
+    "croston_forecast" -> {
+      val x = "CAST(s[CAST(xi.z AS INTEGER)] AS DOUBLE)"
+      s"""WITH $duckDayCtes,
+         |tr AS (SELECT t AS event_type, len(s) AS n_days, s,
+         |    len(s) - 7 AS n_train
+         |  FROM series WHERE len(s) >= $HoltMinDays),
+         |fold AS (SELECT event_type, n_days, s, n_train,
+         |    list_reduce(
+         |      list_prepend({'seen': false, 'z': CAST(0 AS DOUBLE),
+         |          'p': CAST(0 AS DOUBLE), 'q': CAST(1 AS DOUBLE)},
+         |        list_transform(range(1, n_train + 1), t ->
+         |          {'seen': false, 'z': CAST(t AS DOUBLE),
+         |           'p': CAST(0 AS DOUBLE), 'q': CAST(0 AS DOUBLE)})),
+         |      (acc, xi) -> CASE
+         |        WHEN NOT acc.seen AND $x > 0 THEN
+         |          {'seen': true, 'z': $x, 'p': xi.z,
+         |           'q': CAST(1 AS DOUBLE)}
+         |        WHEN NOT acc.seen THEN acc
+         |        WHEN $x > 0 THEN {'seen': true,
+         |          'z': acc.z + ($x - acc.z) / 4.0,
+         |          'p': acc.p + (acc.q - acc.p) / 4.0,
+         |          'q': CAST(1 AS DOUBLE)}
+         |        ELSE {'seen': true, 'z': acc.z, 'p': acc.p,
+         |          'q': acc.q + CAST(1 AS DOUBLE)} END) AS cr,
+         |    CAST(list_sum(list_transform(list_slice(s, 1, n_train),
+         |      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END)) AS BIGINT)
+         |      AS n_demand
+         |  FROM tr)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days, n_demand,
+         |  ${Q.duckRnd("cr.z", 6)} AS demand_level,
+         |  ${Q.duckRnd("cr.p", 6)} AS interval_level,
+         |  ${Q.duckRnd("cr.z / cr.p", 6)} AS forecast,
+         |  ${Q.duckRnd(
+          "list_sum(list_transform(range(1, 8), h -> abs(cr.z / cr.p" +
+            " - CAST(s[CAST(n_train + h AS INTEGER)] AS DOUBLE)))) / 7.0",
+          6)} AS mae
+         |FROM fold WHERE n_demand > 0
+         |ORDER BY event_type""".stripMargin
     },
 
     // same zero-filled grid, same exact dyadic medians (duck median =

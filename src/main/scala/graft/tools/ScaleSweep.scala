@@ -300,7 +300,11 @@ object ScaleSweep {
       // wave 50: prefixspan rides the factor× events month (one
       // window pass + |A|-bounded rejoins); rake/aes ride the
       // factor× documents (per-doc fold / pure projection + top-K)
-      "prefixspan_lite", "rake_keywords", "weighted_sample_aes")
+      "prefixspan_lite", "rake_keywords", "weighted_sample_aes",
+      // wave 51: holt_winters/croston ride the (type, day) cell
+      // aggregate (bounded-spine folds); fs_linkage rides the
+      // memoized LSH pair chain + broadcast metadata joins
+      "holt_winters", "croston_forecast", "fs_linkage")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
