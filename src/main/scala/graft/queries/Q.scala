@@ -61,7 +61,17 @@ object Q {
     */
   def rnd(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
-    floor(c * p + 0.5) / p
+    // floor via y − pmod(y, 1.0), NOT functions.floor: Spark's floor
+    // returns LONG and silently CLAMPS at ±2^63 — a 6dp snap of any
+    // value past ~9.2e12 collapsed to Long.MaxValue/10^6 (caught by
+    // kruskal_wallis at sf0.1, whose χ² group terms reach ~5e13).
+    // The identity is exact for every finite double: pmod(y, 1.0) ∈
+    // [0, 1) even for negative y, so y − pmod(y, 1.0) = floor(y)
+    // bit-for-bit wherever floor was in range, and stays a DOUBLE
+    // (above 2^53 doubles are integers, where floor is the identity —
+    // matching DuckDB's double-native floor in [[duckRnd]]).
+    val y = c * p + 0.5
+    (y - pmod(y, lit(1.0))) / p
   }
 
   /** DuckDB SQL for the same formula. */

@@ -907,10 +907,23 @@ object StatQueries {
         .groupBy($"g").agg(sum($"ng").as("n_g"),
           sum($"ng".cast("decimal(18,0)") * $"r2".cast("decimal(19,0)"))
             .as("r2_g"))
-      val term = rnd($"r2_g".cast("double") * $"r2_g".cast("double") /
-        (lit(4.0) * $"n_g".cast("double")), 6).cast("decimal(38,6)")
-      val sums = rg.agg(sum(term).cast("double").as("s"),
+      // per-group term r2_g²/(4·n_g) is one IEEE division on exact
+      // integer inputs — bit-identical cross-engine with NO snap. Do
+      // NOT snap-and-decimal-sum here: Q.rnd's floor(x·10⁶) goes
+      // through Spark's LONG-typed floor, which silently clamps at
+      // Long.MaxValue once the term passes ~9.2e12 (exactly what
+      // sf0.1 magnitudes reach — caught by the full-scale oracle
+      // gate). The k terms (one per event type, bounded) sum in a
+      // g-ordered fold instead, so the double sum order is pinned.
+      val term = ($"r2_g".cast("double") * $"r2_g".cast("double") /
+        (lit(4.0) * $"n_g".cast("double"))).as("v")
+      val sums = rg.agg(
+        sort_array(collect_list(struct($"g", term))).as("tl"),
         count(lit(1)).as("k"))
+        .selectExpr(
+          "aggregate(transform(tl, p -> p.v), CAST(0 AS DOUBLE)," +
+            " (a2, x2) -> a2 + x2) AS s",
+          "k")
       val nd = $"nn".cast("double")
       val h = lit(12.0) / (nd * (nd + lit(1.0))) * $"s" -
         lit(3.0) * (nd + lit(1.0))
@@ -1735,10 +1748,11 @@ object StatQueries {
          |    AS r2_g
          | FROM (SELECT g, value, count(*) AS ng FROM e GROUP BY g, value) gv
          | JOIN rk USING (value) GROUP BY g),
-         |sums AS (SELECT CAST(sum(CAST(${Q.duckRnd(
-               "CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)" +
-                 " / (4.0 * CAST(n_g AS DOUBLE))", 6)}
-         |    AS DECIMAL(38,6))) AS DOUBLE) AS s, count(*) AS k FROM rg),
+         |sums AS (SELECT list_reduce(
+         |    list_prepend(CAST(0 AS DOUBLE),
+         |      list(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+         |        / (4.0 * CAST(n_g AS DOUBLE)) ORDER BY g)),
+         |    (a2, x2) -> a2 + x2) AS s, count(*) AS k FROM rg),
          |gs AS (SELECT k, nn,
          |  CASE WHEN nn < 2 OR k < 2 THEN NULL
          |   ELSE ${Q.duckRnd(hExpr, 6)} END AS h_stat,
