@@ -220,6 +220,22 @@ object Bench {
     })
     val cpuSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Process-state instrumentation (round-12, VERDICT r11 item 1b):
+    // the r11 bench of record measured bpe_apply at 168 s driver-side
+    // vs 3.5 s locally — single-threaded cpu with zero gc, i.e. a
+    // process-state pathology (codegen/JIT degradation in a long-lived
+    // session) the wall/cpu/gc record could not attribute. Record, per
+    // query: Catalyst codegen compilations (count delta of the public
+    // CodegenMetrics histogram) and JIT compiler time (CompilationMXBean
+    // delta, ms — rises when the JVM is still compiling, collapses to 0
+    // when CodeCache is full and the JIT has shut off); at end of run:
+    // CodeCache pool occupancy, so "generated code ran interpreted
+    // because the cache filled" is visible in the record.
+    val cgHist = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    val jitSupported = jitBean != null && jitBean.isCompilationTimeMonitoringSupported
+    val cgCompiles = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val jitMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = ordered.map { case (name, fn) =>
       val tagsBefore = graft.queries.LlmQueries.memoizedTags(spark)
       // drain BEFORE the snapshot, not just after the query body:
@@ -231,6 +247,8 @@ object Bench {
       BenchShared.drainQuiet(spark)
       val cpu0 = cpuNsTotal.get()
       val gc0 = gcMsTotal.get()
+      val cg0 = cgHist.getCount
+      val jit0 = if (jitSupported) jitBean.getTotalCompilationTime else 0L
       val t0 = System.nanoTime()
       val res = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -246,6 +264,8 @@ object Bench {
       BenchShared.drainQuiet(spark)
       cpuSec(name) = (cpuNsTotal.get() - cpu0) / 1e9
       gcSec(name) = (gcMsTotal.get() - gc0) / 1e3
+      cgCompiles(name) = cgHist.getCount - cg0
+      jitMs(name) = if (jitSupported) jitBean.getTotalCompilationTime - jit0 else -1L
       val built = graft.queries.LlmQueries.memoizedTags(spark).diff(tagsBefore)
       if (built.nonEmpty) {
         cacheBuilds(name) = built.toSeq.sorted
@@ -285,15 +305,33 @@ object Bench {
       Double.box(cpuSec.values.sum))
     val gcTotalStr = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(gcSec.values.sum))
+    def longMapJson(m: Iterable[(String, Long)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // End-of-run JIT CodeCache occupancy (segmented pools on JDK 17):
+    // a full pool (used ≈ max on the non-profiled segment) means the
+    // JIT stopped compiling and hot loops run interpreted — the
+    // driver-side failure mode r11's record could not see.
+    val codeCacheJson = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+        .map { p =>
+          val u = p.getUsage
+          "\"" + p.getName.replace("'", "") + "\":{\"used_mb\":" +
+            (u.getUsed >> 20) + ",\"max_mb\":" + (u.getMax >> 20) + "}"
+        }.mkString("{", ",", "}")
+    }
+    val cgJson = longMapJson(cgCompiles)
+    val jitJson = longMapJson(jitMs)
     val full =
-      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,"gc_sec":$gcJson,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"sf":"$sfDir"}"""
-    println(full)
-    // The harness that records this output keeps only the LAST ~2000
-    // characters of stdout, and with ~100 queries the full line above
-    // is longer than that — its head (including the total) gets cut,
-    // so nothing parses. Persist the full line to a file, then print a
-    // compact summary line (same shape, slowest-15 queries only) that
-    // fits whole inside the tail window and parses on its own.
+      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,"gc_sec":$gcJson,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"codegen_compiles":$cgJson,"jit_ms":$jitJson,"code_cache":$codeCacheJson,"sf":"$sfDir"}"""
+    // The harness that records this output keeps a bounded stdout
+    // window, and r9-r11 all recorded `parsed: null` because the full
+    // per-query line above blew through it (even printed FIRST, it
+    // consumed the capture budget). So the full record goes ONLY to a
+    // file (+ stderr for live debugging); stdout carries exactly ONE
+    // compact JSON line — totals, gate arithmetic, slowest-5 — that
+    // always fits and parses.
     // A SPARK_GRAFT_ONLY subset run must not clobber the committed
     // full-sweep snapshot (round 7's ADVICE flagged exactly that
     // failure mode: a partial/contended run overwriting the clean
@@ -305,8 +343,15 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not persist full results: ${e.getMessage}") }
-    val slowest = secMapJson(results.filter(_._2 >= 0).sortBy(-_._2).take(15))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":"slowest 15 of ${results.size}; full map in $snapshotFile and the total_full line above","cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"bucket_stats":$bucketsJson,"failed":$failed,"sf":"$sfDir"}""")
+    System.err.println(full)
+    val ok = results.filter(_._2 >= 0)
+    val meanStr = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(if (ok.nonEmpty) total / ok.size else 0.0))
+    val (worstName, worstSec) =
+      if (ok.nonEmpty) ok.maxBy(_._2) else ("none", 0.0)
+    val worstStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(worstSec))
+    val slowest = secMapJson(ok.sortBy(-_._2).take(5))
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$meanStr,"worst_query":"$worstName","worst_sec":$worstStr,"slowest5":$slowest,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"bucket_stats":$bucketsJson,"failed":$failed,"full_record":"$snapshotFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,6 +103,55 @@ object LlmQueries {
           concat(lit(" "), regexp_replace($"term", "(.)", "$1 ")).as("sym"))
     }
 
+  /** Trained BPE merge rules as driver-side values: (step, a, b, cnt),
+    * at most 5 entries, computed ONCE per (session, dir) and cached.
+    *
+    * Round-12 structural fix for the round-11 GATE-2 breach: the prior
+    * formulation kept the whole training chain as LINEAGE — step i's
+    * word table was `words_{i-1}.crossJoin(broadcast(best_i))` where
+    * `best_i` itself embeds `words_{i-1}`, so the final plan held 2⁵
+    * duplicated subtrees, and bpe_apply/bpe_decode/vocab each re-embedded
+    * and re-planned that exponential tree. Collecting each step's argmax
+    * (ONE row over the 200-row word table — bounded at any corpus size,
+    * because real BPE trains on the vocabulary-bounded word-frequency
+    * table, not the corpus) turns the chain into 5 tiny jobs over the
+    * persisted [[bpeWordTable]] and makes every downstream plan linear:
+    * consumers fold over 5 string literals instead of a re-planned
+    * broadcast-limit training lineage.
+    */
+  private val bpeRuleCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Seq[(Long, String, String, Long)]]
+
+  private[graft] def bpeTrainedRules(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    bpeRuleCache.keys.filter(_._1.sparkContext.isStopped).foreach(bpeRuleCache.remove)
+    bpeRuleCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      var words = bpeWordTable(s, d)
+      val rules = Seq.newBuilder[(Long, String, String, Long)]
+      var exhausted = false
+      for (step <- 1 to 5 if !exhausted) {
+        val best = words.withColumn("w", split($"sym", " "))
+          .select($"tf", explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
+          .select($"tf",
+            element_at($"w", $"i").as("a"), element_at($"w", $"i" + 1).as("b"))
+          .filter($"a" =!= "" && $"b" =!= "")
+          .groupBy($"a", $"b").agg(sum($"tf").as("cnt"))
+          .orderBy($"cnt".desc, $"a", $"b").limit(1)
+          .as[(String, String, Long)].collect()
+        best.headOption match {
+          case None => exhausted = true // degenerate corpus: no pairs left
+          case Some((a, b, cnt)) =>
+            rules += ((step.toLong, a, b, cnt))
+            words = words
+              .withColumn("sym", bpeMergeStep($"sym", lit(a), lit(b)))
+              .select($"term", $"tf", $"sym")
+        }
+      }
+      rules.result()
+    })
+  }
+
   /** Memoized + persisted encoded-token table (doc_id, i, tok, sym):
     * every non-empty corpus token with its ordinal and its
     * sentinel-spaced symbol string after all 5 trained merges. The 5
@@ -112,24 +161,23 @@ object LlmQueries {
     * computing it once and caching makes decode an id-mapping pass
     * over cached rows instead of a second full merge of the corpus
     * (22.5 s → ~3 s at sf0.1). Released after bpe_decode (the
-    * family's last consumer).
+    * family's last consumer). Merge rules arrive as string LITERALS
+    * from [[bpeTrainedRules]] — one codegen'd projection over the
+    * token scan, no broadcast row, no training lineage in the plan.
     */
   private[graft] def bpeToksTable(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     memoized(s, d, "bpe_toks") {
       import s.implicits._
-      val rules = defs("bpe_merges")(s, d) // (step, a, b, cnt), 5 rows
-      val ruleRow = broadcast(rules.groupBy().pivot("step", 1 to 5)
-        .agg(first($"a").as("a"), first($"b").as("b")))
+      val rules = bpeTrainedRules(s, d)
       val toks = Tables.documents(s, d)
         .select($"doc_id", posexplode(TF.tokens($"text")).as(Seq("i", "tok")))
         .filter($"tok" =!= "")
       val start = concat(lit(" "), regexp_replace($"tok", "(.)", "$1 "))
-      val merged = (1 to 5).foldLeft(start) { (sym, i) =>
-        bpeMergeStep(sym, col(s"${i}_a"), col(s"${i}_b"))
+      val merged = rules.foldLeft(start) { case (sym, (_, a, b, _)) =>
+        bpeMergeStep(sym, lit(a), lit(b))
       }
-      toks.crossJoin(ruleRow)
-        .select($"doc_id", $"i", $"tok", merged.as("sym"))
+      toks.select($"doc_id", $"i", $"tok", merged.as("sym"))
     }
 
   /** Greedy left-to-right BPE pair merge over a sentinel-spaced
@@ -468,6 +516,9 @@ object LlmQueries {
     statCache.keys
       .filter(k => session.forall(_ eq k._1))
       .foreach(statCache.remove)
+    bpeRuleCache.keys
+      .filter(k => session.forall(_ eq k._1))
+      .foreach(bpeRuleCache.remove)
   }
 
   /** Memoize + persist a per-(session, dir) derived table: consumers
@@ -1117,22 +1168,13 @@ object LlmQueries {
     // same fold via list_reduce.
     "bpe_merges" -> ((s, d) => {
       import s.implicits._
-      var words = bpeWordTable(s, d)
-      val rules = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-      for (step <- 1 to 5) {
-        val pairs = words.withColumn("w", split($"sym", " "))
-          .select($"tf", explode(sequence(lit(1), size($"w") - 1)).as("i"), $"w")
-          .select($"tf",
-            element_at($"w", $"i").as("a"), element_at($"w", $"i" + 1).as("b"))
-          .filter($"a" =!= "" && $"b" =!= "")
-          .groupBy($"a", $"b").agg(sum($"tf").as("cnt"))
-        val best = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
-        rules += best.select(lit(step).cast("long").as("step"), $"a", $"b", $"cnt")
-        words = words.crossJoin(broadcast(best.select($"a", $"b")))
-          .withColumn("sym", bpeMergeStep($"sym", $"a", $"b"))
-          .select($"term", $"tf", $"sym")
-      }
-      rules.reduce(_ unionAll _).orderBy($"step")
+      // The training loop lives in [[bpeTrainedRules]]: 5 argmax jobs
+      // over the persisted 200-row word table, each step's winner
+      // collected (1 row) and applied as literals. The query surfaces
+      // the trained artifact as a flat 5-row relation — downstream
+      // consumers (bpeToksTable, bpe_decode) reference these rules as
+      // literals, so no plan ever embeds the training lineage.
+      bpeTrainedRules(s, d).toDF("step", "a", "b", "cnt").orderBy($"step")
     }),
 
     // BPE ENCODING with the trained rules — the apply half of the
@@ -1179,17 +1221,15 @@ object LlmQueries {
     // winnow sketch). Scan-proportional at any corpus size.
     "bpe_decode" -> ((s, d) => {
       import s.implicits._
-      val rules = defs("bpe_merges")(s, d) // (step, a, b, cnt), 5 rows
-      val ruleRow = broadcast(rules.groupBy().pivot("step", 1 to 5)
-        .agg(first($"a").as("a"), first($"b").as("b")))
-      val mergedVocab = (1 to 5).foldLeft($"sym".as("sym")) { (e, i) =>
-        bpeMergeStep(e, col(s"${i}_a"), col(s"${i}_b"))
+      val rules = bpeTrainedRules(s, d) // (step, a, b, cnt), ≤5 driver values
+      val mergedVocab = rules.foldLeft($"sym".as("sym")) { case (e, (_, a, b, _)) =>
+        bpeMergeStep(e, lit(a), lit(b))
       }
       // id→symbol array: distinct symbols of the fully-merged word
       // table, sorted ([a-z0-9] only, so Spark and DuckDB collate
       // identically); ≤ ~50 entries, broadcast as a single row
       val vocabRow = broadcast(
-        bpeWordTable(s, d).crossJoin(ruleRow)
+        bpeWordTable(s, d)
           .select(explode(
             filter(split(mergedVocab, " "), x => x =!= "")).as("sy"))
           .agg(array_sort(collect_set($"sy")).as("syms")))
