@@ -65,13 +65,25 @@ object Q {
     // returns LONG and silently CLAMPS at ±2^63 — a 6dp snap of any
     // value past ~9.2e12 collapsed to Long.MaxValue/10^6 (caught by
     // kruskal_wallis at sf0.1, whose χ² group terms reach ~5e13).
-    // The identity is exact for every finite double: pmod(y, 1.0) ∈
-    // [0, 1) even for negative y, so y − pmod(y, 1.0) = floor(y)
-    // bit-for-bit wherever floor was in range, and stays a DOUBLE
-    // (above 2^53 doubles are integers, where floor is the identity —
-    // matching DuckDB's double-native floor in [[duckRnd]]).
+    // pmod(y, 1.0) ∈ [0, 1) even for negative y, so y − pmod(y, 1.0)
+    // = floor(y) and stays a DOUBLE (above 2^53 doubles are integers,
+    // where floor is the identity — matching DuckDB's double-native
+    // floor in [[duckRnd]]).
+    //
+    // Known hairline (documented per ADVICE r11): for negative y
+    // within < 2^-53 below an integer — reachable only for
+    // y ∈ (−2^-53, 0), since at |y| ≥ 1 a double's ulp already
+    // exceeds that band — Pmod's `r + 1.0` rounds to exactly 1.0, so
+    // the reconstruction takes the y − 1.0 path; at that magnitude
+    // y − 1.0 also rounds to the true floor (−1.0), so no divergence
+    // has been constructed, but the band is where one would live if
+    // Pmod's rounding ever changed. ±Inf is handled explicitly below:
+    // the identity alone would give Inf − pmod(Inf,1) = Inf − NaN =
+    // NaN while DuckDB's floor keeps Inf.
     val y = c * p + 0.5
-    (y - pmod(y, lit(1.0))) / p
+    val snapped = (y - pmod(y, lit(1.0))) / p
+    when(c === Double.PositiveInfinity || c === Double.NegativeInfinity, c)
+      .otherwise(snapped)
   }
 
   /** DuckDB SQL for the same formula. */

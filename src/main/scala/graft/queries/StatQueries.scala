@@ -248,13 +248,19 @@ object StatQueries {
         .groupBy($"event_type")
         .agg(sum($"y").as("n_pos"), (count(lit(1)) - sum($"y")).as("n_neg"))
       val tot = cell.agg(sum($"n_pos").as("pt"), sum($"n_neg").as("nt"))
+      // Degenerate-corpus guard (ADVICE r11): if every row is one
+      // class (pt = 0 or nt = 0) the smoothed share divides by zero
+      // and ln(±Inf) flows into the rounding snap — Spark and DuckDB
+      // disagree on the wreckage (NaN vs Inf). Both engines emit NULL
+      // woe/iv_term for that corpus instead (mirrored CASE below).
+      val nonDegenerate = $"pt" > 0L && $"nt" > 0L
       val scored = cell.crossJoin(broadcast(tot))
-        .withColumn("woe", rnd(
+        .withColumn("woe", when(nonDegenerate, rnd(
           log((($"n_pos".cast("double") + 0.5) / $"pt".cast("double"))
-            / (($"n_neg".cast("double") + 0.5) / $"nt".cast("double"))), 10))
-        .withColumn("iv_term", rnd(
+            / (($"n_neg".cast("double") + 0.5) / $"nt".cast("double"))), 10)))
+        .withColumn("iv_term", when(nonDegenerate, rnd(
           ($"n_pos".cast("double") / $"pt".cast("double")
-            - $"n_neg".cast("double") / $"nt".cast("double")) * $"woe", 10))
+            - $"n_neg".cast("double") / $"nt".cast("double")) * $"woe", 10)))
       val iv = scored.agg(
         sum($"iv_term".cast("decimal(28,10)")).cast("double").as("iv_total"))
       scored.crossJoin(broadcast(iv))
@@ -323,7 +329,11 @@ object StatQueries {
       val ranked = scored.crossJoin(broadcast(m))
         .withColumn("rank", row_number().over(graft.operators.BoundedWindow
           .orderBy(s"fdr_bh top-$FdrTerms terms", FdrTerms,
-            $"p".asc, $"term".asc)))
+            // NULLS LAST pinned on both engines (ADVICE r11): Spark's
+            // default asc is NULLS FIRST, DuckDB's is NULLS LAST — p
+            // is non-null today, but a future NaN-producing chi2 edit
+            // must not silently diverge the BH rank cross-engine.
+            $"p".asc_nulls_last, $"term".asc)))
         .withColumn("crit",
           rnd($"rank".cast("double") * lit(FdrQ) / $"m".cast("double"), 10))
       val k = ranked.agg(
@@ -1252,15 +1262,17 @@ object StatQueries {
          |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
          |  CAST(sum(n_neg) AS BIGINT) AS nt FROM cell),
          |sc AS (SELECT event_type, n_pos, n_neg,
-         |  ${Q.duckRnd(
+         |  CASE WHEN pt > 0 AND nt > 0 THEN ${Q.duckRnd(
           "ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(pt AS DOUBLE))"
             + " / ((CAST(n_neg AS DOUBLE) + 0.5) / CAST(nt AS DOUBLE)))",
-          10)} AS woe,
+          10)} END AS woe,
          |  CAST(n_pos AS DOUBLE) / CAST(pt AS DOUBLE)
-         |    - CAST(n_neg AS DOUBLE) / CAST(nt AS DOUBLE) AS dp
+         |    - CAST(n_neg AS DOUBLE) / CAST(nt AS DOUBLE) AS dp,
+         |  pt, nt
          | FROM cell CROSS JOIN tot),
          |sc2 AS (SELECT event_type, n_pos, n_neg, woe,
-         |  ${Q.duckRnd("dp * woe", 10)} AS iv_term FROM sc),
+         |  CASE WHEN pt > 0 AND nt > 0
+         |    THEN ${Q.duckRnd("dp * woe", 10)} END AS iv_term FROM sc),
          |iv AS (SELECT CAST(sum(CAST(iv_term AS DECIMAL(28,10)))
          |  AS DOUBLE) AS iv_total FROM sc2)
          |SELECT event_type, n_pos, n_neg, woe, iv_term, iv_total
@@ -1309,7 +1321,7 @@ object StatQueries {
           10)} AS p FROM tz),
          |mm AS (SELECT count(*) AS m FROM pp),
          |rk AS (SELECT term, chi2, p,
-         |  CAST(row_number() OVER (ORDER BY p, term) AS INTEGER) AS rank
+         |  CAST(row_number() OVER (ORDER BY p NULLS LAST, term) AS INTEGER) AS rank
          | FROM pp),
          |cr AS (SELECT term, chi2, p, rank,
          |  ${Q.duckRnd(s"CAST(rank AS DOUBLE) * $FdrQ / CAST(m AS DOUBLE)",
