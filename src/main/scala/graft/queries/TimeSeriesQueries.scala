@@ -1272,47 +1272,51 @@ object TimeSeriesQueries {
 
     // same first-demand seeding, same dyadic α=1/4 updates, same
     // z/p forecast over the 7-day holdout (the fold element carries
-    // its day index in the 'z' slot — holt's struct-wrapped trick).
-    // Struct accumulator is SAFE here, unlike holt_winters': under
-    // DuckDB's in-place field-order mutation (seen, z, p, q), no
-    // field formula reads a field recomputed earlier in write order
-    // ('p' reads old acc.q — written after it — and acc.p/acc.z read
-    // only themselves). Any edit adding such a dependency must
-    // switch to the flat-list accumulator.
+    // its day index in slot 1 — holt's list-wrapped trick).
+    // Accumulator is a FLAT DOUBLE[4] list [seen, z, p, q] (seen as
+    // 0/1), NOT a struct: the original struct accumulator returned
+    // 4.275697 for view-z on the null-injected corpus (the first
+    // fixture with a zero-demand train day) NON-DETERMINISTICALLY —
+    // 3 of 5 repeated executions of the identical SQL on identical
+    // parquet — where the isolated fold, Spark, and a plain-Python
+    // Croston all give 4.269156; splitting the co-resident
+    // list_transform into its own CTE did not cure it. DuckDB
+    // 1.0.0's in-place struct-accumulator mutation (already
+    // documented at holt_winters) is vectorization-dependent; flat
+    // list accumulators evaluate the whole element before writing
+    // and measured deterministic over 20 runs. n_demand also moved
+    // to tr so no lambda shares the reduce's projection.
     "croston_forecast" -> {
-      val x = "CAST(s[CAST(xi.z AS INTEGER)] AS DOUBLE)"
+      val x = "CAST(s[CAST(xi[1] AS INTEGER)] AS DOUBLE)"
       s"""WITH $duckDayCtes,
          |tr AS (SELECT t AS event_type, len(s) AS n_days, s,
-         |    len(s) - 7 AS n_train
-         |  FROM series WHERE len(s) >= $HoltMinDays),
-         |fold AS (SELECT event_type, n_days, s, n_train,
-         |    list_reduce(
-         |      list_prepend({'seen': false, 'z': CAST(0 AS DOUBLE),
-         |          'p': CAST(0 AS DOUBLE), 'q': CAST(1 AS DOUBLE)},
-         |        list_transform(range(1, n_train + 1), t ->
-         |          {'seen': false, 'z': CAST(t AS DOUBLE),
-         |           'p': CAST(0 AS DOUBLE), 'q': CAST(0 AS DOUBLE)})),
-         |      (acc, xi) -> CASE
-         |        WHEN NOT acc.seen AND $x > 0 THEN
-         |          {'seen': true, 'z': $x, 'p': xi.z,
-         |           'q': CAST(1 AS DOUBLE)}
-         |        WHEN NOT acc.seen THEN acc
-         |        WHEN $x > 0 THEN {'seen': true,
-         |          'z': acc.z + ($x - acc.z) / 4.0,
-         |          'p': acc.p + (acc.q - acc.p) / 4.0,
-         |          'q': CAST(1 AS DOUBLE)}
-         |        ELSE {'seen': true, 'z': acc.z, 'p': acc.p,
-         |          'q': acc.q + CAST(1 AS DOUBLE)} END) AS cr,
-         |    CAST(list_sum(list_transform(list_slice(s, 1, n_train),
+         |    len(s) - 7 AS n_train,
+         |    CAST(list_sum(list_transform(list_slice(s, 1, len(s) - 7),
          |      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END)) AS BIGINT)
          |      AS n_demand
+         |  FROM series WHERE len(s) >= $HoltMinDays),
+         |fold AS (SELECT event_type, n_days, s, n_train, n_demand,
+         |    list_reduce(
+         |      list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |          CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)],
+         |        list_transform(range(1, n_train + 1), t ->
+         |          [CAST(t AS DOUBLE)])),
+         |      (acc, xi) -> CASE
+         |        WHEN acc[1] = 0 AND $x > 0 THEN
+         |          [CAST(1 AS DOUBLE), $x, xi[1], CAST(1 AS DOUBLE)]
+         |        WHEN acc[1] = 0 THEN [acc[1], acc[2], acc[3], acc[4]]
+         |        WHEN $x > 0 THEN [CAST(1 AS DOUBLE),
+         |          acc[2] + ($x - acc[2]) / 4.0,
+         |          acc[3] + (acc[4] - acc[3]) / 4.0, CAST(1 AS DOUBLE)]
+         |        ELSE [CAST(1 AS DOUBLE), acc[2], acc[3],
+         |          acc[4] + CAST(1 AS DOUBLE)] END) AS cr
          |  FROM tr)
          |SELECT event_type, CAST(n_days AS INTEGER) AS n_days, n_demand,
-         |  ${Q.duckRnd("cr.z", 6)} AS demand_level,
-         |  ${Q.duckRnd("cr.p", 6)} AS interval_level,
-         |  ${Q.duckRnd("cr.z / cr.p", 6)} AS forecast,
+         |  ${Q.duckRnd("cr[2]", 6)} AS demand_level,
+         |  ${Q.duckRnd("cr[3]", 6)} AS interval_level,
+         |  ${Q.duckRnd("cr[2] / cr[3]", 6)} AS forecast,
          |  ${Q.duckRnd(
-          "list_sum(list_transform(range(1, 8), h -> abs(cr.z / cr.p" +
+          "list_sum(list_transform(range(1, 8), h -> abs(cr[2] / cr[3]" +
             " - CAST(s[CAST(n_train + h AS INTEGER)] AS DOUBLE)))) / 7.0",
           6)} AS mae
          |FROM fold WHERE n_demand > 0
