@@ -368,6 +368,39 @@ object CoreQueries {
         .orderBy(col("event_type").asc_nulls_last)
     }),
 
+    // MapType ingestion path (round 12 — SURVEY §1.2 declares the
+    // reference's data-dependent-key objects, info.players.<TeamName>,
+    // must read as MAP<STRING, ...> under an explicit schema, not
+    // only as an inferred wide struct; this is the end-to-end query
+    // for that path). Build: per-user {event_type: count} objects —
+    // keys VARY per record exactly like team names vary per match —
+    // rendered to JSON text; read back with the explicit
+    // MAP<STRING,BIGINT> schema (inference on the same file yields a
+    // wide StructType — MapJsonScanSpec pins both paths agree);
+    // consume with explode(map) → re-aggregate. The scratch file is
+    // derived from `events`, so the oracle recomputes from the
+    // source table — the round-trip must be invisible, like
+    // csv/orc/json_scan. NULL keys are filtered up front (a JSON
+    // object cannot carry a null key; mirrored in the oracle).
+    "map_json_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = Q.scratchPath("map_json_scan", d)
+      Tables.events(s, d)
+        .filter($"event_type".isNotNull && $"user_id".isNotNull)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct($"event_type", $"n")))).as("by_type"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("user_id BIGINT, by_type MAP<STRING, BIGINT>")
+        .json(path)
+        .select($"user_id", explode($"by_type").as(Seq("event_type", "n")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"), sum($"n").as("n_events"))
+        .orderBy($"event_type")
+    }),
+
     // CSV source capability: dump as CSV (decimal rendered exactly),
     // re-read with an EXPLICIT schema — at scale inference would cost
     // a full extra pass; the explicit-schema read is one splittable
@@ -644,6 +677,18 @@ object CoreQueries {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the per-user map round-trip is derived from `events`, so the
+    // oracle recomputes the same per-(user, type) → per-type rollup
+    // from the source table directly
+    "map_json_scan" ->
+      """WITH per AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id, event_type)
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the dumped file is a projection of `events`, so the oracle
     // recomputes from the source table directly (DuckDB never reads

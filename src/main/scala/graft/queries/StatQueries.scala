@@ -118,6 +118,20 @@ object StatQueries {
     */
   private val KendallMinOrders = 5L
 
+  /** Per-customer order cap for kendall_tau's O(n_g²) pair join —
+    * the triangle_count wedge-cap precedent: the statistic is
+    * computed over each customer's FIRST KendallMaxOrders orders by
+    * order key (deterministic subset), with a `capped` honesty
+    * column so a reader can see which groups were bounded. The
+    * fixtures' data model keeps orders/customer in the tens (cap
+    * dormant, all rows `capped = false`); the 100× key-shifted sweep
+    * corpus reaches ~1000 orders/customer, where the uncapped join
+    * would be ~10⁹ pairs — per-group cost is now ≤ C(100,2) = 4950
+    * pairs regardless of corpus scale. Mirrored in the oracle via
+    * the same row_number window.
+    */
+  private val KendallMaxOrders = 100L
+
   /** Session gap for interval_overlap_join's interval construction
     * (96 h): the fixture's users emit ~2 events/day, so the 30-min
     * sessionize gap yields instant [t,t] intervals that never
@@ -1010,12 +1024,15 @@ object StatQueries {
     // Per-customer Kendall rank correlation between order date and
     // order value (wave 35): "do this customer's orders grow over
     // time" as a distribution over customers — concordant/discordant
-    // pair counting, the O(n²)-per-group statistic that is only
-    // tractable because the group key BOUNDS the quadratic: orders
-    // per customer is capped by the data model (≤ tens), so the
-    // self-join is a co-partitioned equi-join on o_custkey whose
-    // per-key fan-out is n_g², never a corpus-scale cross join — the
-    // same bounded-group argument as theil_sen's slope pairs. All
+    // pair counting, the O(n²)-per-group statistic. The group key
+    // bounds the quadratic at fixture scale (orders/customer ≤ tens)
+    // but scale-up multiplies group SIZE, not group count — so since
+    // round 12 the pair join runs over each customer's first
+    // [[KendallMaxOrders]] orders by order key (row_number window on
+    // the same custkey exchange the join shuffles on), with a
+    // `capped` honesty column; see KendallMaxOrders' scaladoc for
+    // the 100× arithmetic. The self-join stays a co-partitioned
+    // equi-join on o_custkey — never a corpus-scale cross join. All
     // counts are integers; tau_a = (C−D)/n_pairs is the one closing
     // division. Rows with NULL custkey/date/price are excluded up
     // front (a pair statistic has no place for them), mirrored in
@@ -1027,9 +1044,12 @@ object StatQueries {
           $"o_totalprice".isNotNull)
         .select($"o_custkey", $"o_orderkey",
           $"o_orderdate".as("od"), $"o_totalprice".as("p"))
+      val kept = o.withColumn("rn", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_orderkey")))
+        .filter($"rn" <= KendallMaxOrders).drop("rn")
       def sgn(a: Column, b: Column): Column =
         when(a < b, 1L).when(a > b, -1L).otherwise(0L)
-      val pairs = o.as("a").join(o.as("b"),
+      val pairs = kept.as("a").join(kept.as("b"),
           col("a.o_custkey") === col("b.o_custkey") &&
             col("a.o_orderkey") < col("b.o_orderkey"))
         .select(col("a.o_custkey").as("o_custkey"),
@@ -1047,7 +1067,8 @@ object StatQueries {
         .select($"o_custkey", $"n_orders", $"n_pairs",
           $"concordant", $"discordant", $"n_tie_x", $"n_tie_y",
           rnd(($"concordant" - $"discordant").cast("double") /
-            $"n_pairs".cast("double"), 6).as("tau_a"))
+            $"n_pairs".cast("double"), 6).as("tau_a"),
+          ($"n_orders" > KendallMaxOrders).as("capped"))
         .orderBy($"o_custkey")
     }),
 
@@ -1829,12 +1850,15 @@ object StatQueries {
          |  o_orderdate AS od, o_totalprice AS p
          | FROM orders WHERE o_custkey IS NOT NULL
          |  AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         |kept AS (SELECT o_custkey, o_orderkey, od, p FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderkey) AS rn FROM o) WHERE rn <= $KendallMaxOrders),
          |p2 AS (SELECT a.o_custkey AS ck,
          |  CASE WHEN a.od < b.od THEN 1 WHEN a.od > b.od THEN -1 ELSE 0 END
          |    AS sx,
          |  CASE WHEN a.p < b.p THEN 1 WHEN a.p > b.p THEN -1 ELSE 0 END
          |    AS sy
-         | FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+         | FROM kept a JOIN kept b ON a.o_custkey = b.o_custkey
          |  AND a.o_orderkey < b.o_orderkey),
          |pc AS (SELECT ck, count(*) AS n_pairs,
          |  CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1852,7 +1876,8 @@ object StatQueries {
          | n_tie_x, n_tie_y,
          | ${Q.duckRnd(
              "CAST(concordant - discordant AS DOUBLE)" +
-               " / CAST(n_pairs AS DOUBLE)", 6)} AS tau_a
+               " / CAST(n_pairs AS DOUBLE)", 6)} AS tau_a,
+         | n_orders > $KendallMaxOrders AS capped
          |FROM pc JOIN cnt USING (ck) WHERE n_orders >= $KendallMinOrders
          |ORDER BY o_custkey""".stripMargin,
 

@@ -118,7 +118,12 @@ class Wave35Spec extends SparkSpecBase {
         "cast(o_orderdate as string) AS od", "o_totalprice")
       .as[(Long, Long, String, Double)].collect()
     val byCust = o.groupBy(_._1)
-    val rows = SparkEntry.queries("kendall_tau")(spark, sf)
+    val out = SparkEntry.queries("kendall_tau")(spark, sf)
+    // the KendallMaxOrders pair cap must stay dormant at fixture
+    // scale: every group uncapped, so brute force sees ALL pairs
+    assert(out.filter("capped").count() == 0L,
+      "order cap engaged on the fixture — brute-force comparison below is void")
+    val rows = out.drop("capped")
       .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect()
     val expected = byCust.filter(_._2.length >= 5)
     assert(rows.map(_._1).toSet == expected.keySet, "customer set")
@@ -141,6 +146,33 @@ class Wave35Spec extends SparkSpecBase {
       assert(math.abs(tau -
         rnd6((conc - disc).toDouble / nPairs.toDouble)) < 1e-9)
     }
+  }
+
+  test("kendall_tau: KendallMaxOrders cap engages with honesty column on a wide group") {
+    // synthetic orders dir: customer 1 has 120 orders (past the 100
+    // cap), customer 2 has 6 (under). The capped group's statistic
+    // must be computed over its FIRST 100 orders by o_orderkey, with
+    // capped = true and the TRUE n_orders reported.
+    val dir = java.nio.file.Files.createTempDirectory("kendall_cap").toString
+    val rows = (1 to 120).map { i =>
+      (i.toLong, 1L, "O", i * 10.0 + (if (i % 3 == 0) -5.0 else 5.0),
+        java.sql.Timestamp.valueOf(f"2024-01-${(i % 28) + 1}%02d 00:00:00"))
+    } ++ (201 to 206).map { i =>
+      (i.toLong, 2L, "O", i * 1.0,
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("kendall_tau")(spark, dir)
+      .select("o_custkey", "n_orders", "n_pairs", "capped")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    val (_, n1, p1, c1) = out(0)
+    assert(n1 == 120L && c1, "true order count + capped flag for the wide group")
+    assert(p1 == 100L * 99L / 2L, "pairs computed over the first-100 subset")
+    val (_, n2, p2, c2) = out(1)
+    assert(n2 == 6L && !c2 && p2 == 15L, "under-cap group untouched")
   }
 
   test("emd_1d: matches brute-force CDF transport on the fixture; identical dists give 0") {
