@@ -301,6 +301,10 @@ object ScaleSweep {
       // window pass + |A|-bounded rejoins); rake/aes ride the
       // factor× documents (per-doc fold / pure projection + top-K)
       "prefixspan_lite", "rake_keywords", "weighted_sample_aes",
+      // wave 52 (round 12): the MapType round-trip rides the factor×
+      // events month — one keyed aggregate, a JSON scratch write of
+      // |users| map rows, and the explicit-schema map read back
+      "map_json_scan",
       // wave 51: holt_winters/croston ride the (type, day) cell
       // aggregate (bounded-spine folds); fs_linkage rides the
       // memoized LSH pair chain + broadcast metadata joins

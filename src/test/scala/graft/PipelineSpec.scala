@@ -251,6 +251,56 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.newFiles == 3)
   }
 
+  test("10x admission: a 300-file burst admits under the default bound; " +
+      "slice-batched runs stay exactly-once when the bound forces batching") {
+    // VERDICT r11 item 7: the runOnce loop's admission posture at 10×
+    // the reference's daily cadence. 300 entries across 3 archives —
+    // (a) the default bound admits the whole burst in one run and the
+    // ledger is exactly-once; (b) with a bound the burst exceeds, the
+    // run fails LOUDLY (nothing staged), and the documented remedy —
+    // ingest the landing dir in slices, one runOnce per slice — lands
+    // every file exactly once with no re-staging across slices.
+    val tiny = Files.readAllBytes(Paths.get(fixture("match_tiny.json")))
+    def burst(landing: String): Unit =
+      (0 until 3).foreach { z =>
+        zipOf(landing, s"burst$z.zip",
+          (0 until 100).map(i => s"b$z/m$i.json" -> tiny).toMap)
+      }
+
+    // (a) single-run admission under the default bound
+    val landingA = tmpDir("adm_a_landing"); val workA = tmpDir("adm_a_work")
+    burst(landingA)
+    val rA = Pipeline.runOnce(spark, landingA, workA)
+    assert(rA.newFiles == 300, s"admitted ${rA.newFiles} of 300")
+    assert(rA.stagedRows == 300L * 4)
+    assert(Pipeline.runOnce(spark, landingA, workA).newFiles == 0, "not idempotent")
+
+    // (b) bound below the burst: loud refusal, then sliced ingestion
+    val landingB = tmpDir("adm_b_landing"); val workB = tmpDir("adm_b_work")
+    burst(landingB)
+    val e = intercept[IllegalStateException] {
+      Pipeline.runOnce(spark, landingB, workB, maxDriverRows = 120)
+    }
+    assert(e.getMessage.contains("batches"))
+    assert(!new java.io.File(s"$workB/staging").exists(), "refused run must stage nothing")
+    // the remedy: one slice (archive) at a time under the same bound.
+    // stagedRows is the CUMULATIVE staging count after each run, so
+    // each slice must add exactly its own 100 × 4 rows.
+    val sliceDir = tmpDir("adm_b_slices")
+    (0 until 3).foreach { z =>
+      new java.io.File(s"$sliceDir/s$z").mkdirs()
+      Files.copy(Paths.get(s"$landingB/burst$z.zip"),
+        Paths.get(s"$sliceDir/s$z/burst$z.zip"))
+      val r = Pipeline.runOnce(spark, s"$sliceDir/s$z", workB, maxDriverRows = 120)
+      assert(r.newFiles == 100, s"slice $z admitted ${r.newFiles}")
+      assert(r.stagedRows == 100L * 4 * (z + 1),
+        s"slice $z cumulative staging ${r.stagedRows}")
+    }
+    // exactly-once across slices: re-running any slice adds nothing
+    assert(Pipeline.runOnce(spark, s"$sliceDir/s1", workB, maxDriverRows = 120)
+      .newFiles == 0)
+  }
+
   test("zip-slip entry names fail the run instead of writing outside the work dir") {
     val landing = tmpDir("slip_landing")
     val work = tmpDir("slip_work")
