@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -235,6 +236,39 @@ object ProfilingQueries {
     // Wave42Spec pins the expression equal to the regexes AND to
     // TF.nTokens corpus-wide). Per-doc scores snap to 4dp, sum on
     // decimal(18,6) (exact), mean back in double space.
+    // Per-document character-level Shannon entropy (wave 53, round
+    // 12): the classic compressibility/junk signal — machine-
+    // generated or repeated-template text scores far below natural
+    // language's ~3.5-4.2 bits/char over [a-z0-9]. Scale shape: one
+    // (doc, char) hash aggregate (map-side-combinable; alphabet ≤ 36
+    // keys per doc) and one doc-keyed window+aggregate on the SAME
+    // key — two corpus-scale exchanges, both keyed, no joins. The
+    // closing sum follows the kruskal discipline: each p·log₂p term
+    // snaps to 10dp and sums as DECIMAL(38,10), so the reduction is
+    // exact and order-independent under any partitioning (libm log2
+    // may differ in final ulps cross-engine; the snap absorbs it —
+    // the woe_iv/ln precedent, green at all four robustness legs).
+    "char_entropy" -> ((s, d) => {
+      import s.implicits._
+      val nrm = Tables.documents(s, d).where($"text".isNotNull)
+        .select($"doc_id",
+          regexp_replace(lower($"text"), "[^a-z0-9]", "").as("sN"))
+        .where(length($"sN") > 0)
+      val cnts = nrm
+        .select($"doc_id", explode(split($"sN", "")).as("ch"))
+        .where($"ch" =!= "")
+        .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      val terms = cnts
+        .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+        .withColumn("p", $"c".cast("double") / $"n".cast("double"))
+        .withColumn("t", rnd($"p" * log2($"p"), 10).cast("decimal(38,10)"))
+      terms.groupBy($"doc_id")
+        .agg(max($"n").as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          rnd(-sum($"t").cast("double"), 8).as("entropy"))
+        .orderBy($"doc_id")
+    }),
+
     "flesch_readability" -> ((s, d) => {
       import s.implicits._
       graft.plans.TextRunFunctions.register(s)
@@ -476,6 +510,32 @@ object ProfilingQueries {
          |FROM agg ORDER BY event_type""".stripMargin,
 
     // same regex trio, same 4dp per-doc snap + decimal(18,6) sum
+    // same [a-z0-9] normalization, same per-char counts (chars via
+    // 1-based index transform — string_split on an empty pattern is
+    // not portable), same 10dp term snap and decimal sum
+    "char_entropy" ->
+      s"""WITH nrm AS (SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         |  FROM documents WHERE text IS NOT NULL),
+         |ch AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(s) + 1),
+         |      i -> s[CAST(i AS INTEGER)])) AS ch
+         |  FROM nrm WHERE len(s) > 0),
+         |cnts AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, ch, c,
+         |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+         |  FROM cnts),
+         |terms AS (SELECT doc_id, c, n,
+         |    ${Q.duckRnd(
+        "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))", 10)} AS t
+         |  FROM tot)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+         |  count(*) AS n_distinct,
+         |  ${Q.duckRnd(
+        "-CAST(sum(CAST(t AS DECIMAL(38,10))) AS DOUBLE)", 8)} AS entropy
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "flesch_readability" ->
       s"""WITH sc AS (SELECT source,
          |    ${Q.duckRnd(

@@ -118,6 +118,14 @@ object StatQueries {
     */
   private val KendallMinOrders = 5L
 
+  /** Hill-estimator order-statistic depth: the tail index is
+    * estimated from the top-[[HillK]] values per group. Groups with
+    * fewer than [[HillMinK]] positive values are dropped (the
+    * estimator is noise below that). Mirrored.
+    */
+  private val HillK = 50L
+  private val HillMinK = 10L
+
   /** Per-customer order cap for kendall_tau's O(n_g²) pair join —
     * the triangle_count wedge-cap precedent: the statistic is
     * computed over each customer's FIRST KendallMaxOrders orders by
@@ -1021,6 +1029,46 @@ object StatQueries {
         .orderBy($"g")
     }),
 
+    // Hill tail-index estimator (wave 53, round 12; Hill 1975): the
+    // heavy-tail exponent of each event type's value distribution —
+    // the number a monitoring stack watches to catch "the p999 is
+    // drifting because the tail got fatter, not because the mean
+    // moved". H = mean of ln(x_i/x_k) over the top-(k−1) order
+    // statistics relative to the k-th; tail index α = 1/H. Scale
+    // shape: ONE row_number window per type (top-k cut — the only
+    // corpus-scale exchange, keyed on the group), then a broadcast
+    // of the 5-row (xk, k_eff) grid back onto ≤ k rows/group;
+    // per-row ln terms snap to 10dp and sum as DECIMAL(38,10)
+    // (order-free); α recomputes from the SNAPPED H so both engines
+    // divide identical doubles. Groups under HillMinK positive
+    // values drop (mirrored); an all-equal top block gives H = 0 →
+    // α NULL in both engines.
+    "hill_tail_index" -> ((s, d) => {
+      import s.implicits._
+      val pos = Tables.events(s, d)
+        .filter($"event_type".isNotNull && $"value".isNotNull &&
+          dec($"value") > 0)
+        .select($"event_type", $"event_id", dec($"value").cast("double").as("x"))
+      val ranked = pos.withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type")
+            .orderBy($"x".desc, $"event_id".asc)))
+        .filter($"rn" <= HillK)
+      val grid = ranked.groupBy($"event_type")
+        .agg(min($"x").as("xk"), count(lit(1)).as("k_eff"))
+        .filter($"k_eff" >= HillMinK)
+      val h = ranked.join(broadcast(grid), Seq("event_type"))
+        .filter($"rn" < $"k_eff")
+        .select($"event_type", $"xk", $"k_eff",
+          rnd(log($"x" / $"xk"), 10).cast("decimal(38,10)").as("t"))
+        .groupBy($"event_type")
+        .agg(max($"xk").as("x_k"), max($"k_eff").as("k_eff"),
+          rnd(sum($"t").cast("double") /
+            (max($"k_eff") - lit(1L)).cast("double"), 8).as("hill_h"))
+      h.select($"event_type", $"k_eff", $"x_k", $"hill_h",
+          when($"hill_h" > 0.0, rnd(lit(1.0) / $"hill_h", 6)).as("tail_index"))
+        .orderBy($"event_type")
+    }),
+
     // Per-customer Kendall rank correlation between order date and
     // order value (wave 35): "do this customer's orders grow over
     // time" as a distribution over customers — concordant/discordant
@@ -1845,6 +1893,35 @@ object StatQueries {
 
     // same null exclusion, same bounded per-customer pair join, same
     // integer concordance counts, same single closing division
+    // same top-k cut (row_number tie-broken by event_id), same 10dp
+    // ln-term snap + decimal sum, same alpha from the SNAPPED H
+    "hill_tail_index" ->
+      s"""WITH pos AS (SELECT event_type, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND value IS NOT NULL AND CAST(value AS DECIMAL(18,2)) > 0),
+         |rk AS (SELECT event_type, event_id, x,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY x DESC, event_id) AS rn
+         |  FROM pos),
+         |top AS (SELECT * FROM rk WHERE rn <= $HillK),
+         |grid AS (SELECT event_type, min(x) AS xk, count(*) AS k_eff
+         |  FROM top GROUP BY event_type HAVING count(*) >= $HillMinK),
+         |tm AS (SELECT t.event_type, g.xk, g.k_eff,
+         |    ${Q.duckRnd("ln(t.x / g.xk)", 10)} AS tt
+         |  FROM top t JOIN grid g USING (event_type)
+         |  WHERE t.rn < g.k_eff),
+         |h AS (SELECT event_type,
+         |    CAST(max(k_eff) AS BIGINT) AS k_eff, max(xk) AS x_k,
+         |    ${Q.duckRnd(
+        "CAST(sum(CAST(tt AS DECIMAL(38,10))) AS DOUBLE)" +
+          " / CAST(max(k_eff) - 1 AS DOUBLE)", 8)} AS hill_h
+         |  FROM tm GROUP BY event_type)
+         |SELECT event_type, k_eff, x_k, hill_h,
+         |  CASE WHEN hill_h > 0.0
+         |    THEN ${Q.duckRnd("1.0 / hill_h", 6)} END AS tail_index
+         |FROM h ORDER BY event_type""".stripMargin,
+
     "kendall_tau" ->
       s"""WITH o AS (SELECT o_custkey, o_orderkey,
          |  o_orderdate AS od, o_totalprice AS p

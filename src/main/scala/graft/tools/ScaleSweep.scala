@@ -305,6 +305,10 @@ object ScaleSweep {
       // events month — one keyed aggregate, a JSON scratch write of
       // |users| map rows, and the explicit-schema map read back
       "map_json_scan",
+      // wave 53 (round 12): char_entropy rides the factor× documents
+      // (per-doc char aggregate, ≤36 keys/doc); hill rides the
+      // factor× events month (one keyed top-k window)
+      "char_entropy", "hill_tail_index",
       // wave 51: holt_winters/croston ride the (type, day) cell
       // aggregate (bounded-spine folds); fs_linkage rides the
       // memoized LSH pair chain + broadcast metadata joins

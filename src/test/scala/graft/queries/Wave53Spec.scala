@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpecBase, Tables}
+
+/** Wave-53 operators (round 12): per-doc character entropy and the
+  * Hill tail-index estimator. Each test checks SEMANTICS against an
+  * independent driver-side brute-force replica on the sf0.001
+  * fixture (the DuckDB oracle already pins cross-engine value
+  * equality); the replica applies the SAME snap discipline (10dp
+  * terms, decimal sums, snapped closing division), so comparisons
+  * are exact to 1e-9.
+  */
+class Wave53Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rnd(x: Double, d: Int): Double = {
+    val p = math.pow(10, d)
+    val y = x * p + 0.5
+    (y - (((y % 1.0) + 1.0) % 1.0)) / p
+  }
+
+  test("char_entropy: matches a brute-force per-doc entropy; bounds hold") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").where($"text".isNotNull)
+      .as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, text) =>
+      val s = text.toLowerCase.filter(c => c.isDigit || (c >= 'a' && c <= 'z'))
+      if (s.isEmpty) None
+      else {
+        val counts = s.groupBy(identity).map { case (_, g) => g.length.toLong }
+        val n = s.length.toLong
+        val sum = counts.map { c =>
+          val p = c.toDouble / n.toDouble
+          BigDecimal(rnd(p * (math.log(p) / math.log(2.0)), 10))
+        }.sum
+        Some(id -> ((n, counts.size.toLong, rnd(-sum.toDouble, 8))))
+      }
+    }.toMap
+    val got = SparkEntry.queries("char_entropy")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == want.keySet, "doc set")
+    got.foreach { case (id, n, dist, h) =>
+      withClue(s"doc $id: ") {
+        val (wn, wd, wh) = want(id)
+        assert(n == wn && dist == wd)
+        assert(math.abs(h - wh) < 1e-9, s"entropy $h vs $wh")
+        // Shannon bounds: 0 <= H <= log2(|alphabet|)
+        assert(h >= 0.0 && h <= math.log(dist.toDouble) / math.log(2.0) + 1e-9)
+      }
+    }
+  }
+
+  test("hill_tail_index: matches a brute-force top-k replica; alpha recomputes from snapped H") {
+    val vals = Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x")
+      .where("event_type IS NOT NULL AND value IS NOT NULL" +
+        " AND CAST(value AS DECIMAL(18,2)) > 0")
+      .as[(String, Long, Double)].collect()
+    val want = vals.groupBy(_._1).flatMap { case (t, rows) =>
+      val top = rows.sortBy(r => (-r._3, r._2)).take(50)
+      if (top.length < 10) None
+      else {
+        val xk = top.map(_._3).min
+        val kEff = top.length
+        val sum = top.dropRight(1).map(r =>
+          BigDecimal(rnd(math.log(r._3 / xk), 10))).sum
+        val h = rnd(sum.toDouble / (kEff - 1).toDouble, 8)
+        val alpha = if (h > 0.0) Some(rnd(1.0 / h, 6)) else None
+        Some(t -> ((kEff.toLong, xk, h, alpha)))
+      }
+    }
+    val got = SparkEntry.queries("hill_tail_index")(spark, sf)
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+    assert(got.map(_._1).toSet == want.keySet, "type set")
+    got.foreach { case (t, k, xk, h, alpha) =>
+      withClue(s"type $t: ") {
+        val (wk, wxk, wh, walpha) = want(t)
+        assert(k == wk && xk == wxk)
+        assert(math.abs(h - wh) < 1e-9, s"H $h vs $wh")
+        (alpha, walpha) match {
+          case (Some(a), Some(wa)) => assert(math.abs(a - wa) < 1e-9)
+          case (None, None)        => ()
+          case other               => fail(s"alpha mismatch: $other")
+        }
+      }
+    }
+  }
+}
