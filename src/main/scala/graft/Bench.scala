@@ -35,6 +35,9 @@ object BenchShared {
     "bpe_merges", "bpe_apply", "bpe_decode", "taxonomy_classify", "chi2_terms",
     "good_turing", "unigram_surprise",
     "triangle_count", "kcore_peel", "bfs_hops", "jaccard_link_pred",
+    // candidate_pairs consumer — must run before dedup_clusters (its
+    // release point)
+    "blocking_quality",
     "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
     "semdedup_clusters",
     // winnow_fps consumers: fingerprint stats first (cheap reader),

@@ -1057,6 +1057,46 @@ object LlmQueries {
         .orderBy($"fp")
     }),
 
+    // Blocking-quality evaluation (wave 53, round 12; the standard
+    // entity-resolution pair: Christen 2012): how good is the LSH
+    // blocking as a CANDIDATE GENERATOR — reduction ratio
+    // (1 − |cand| / C(n,2): how much of the quadratic the blocking
+    // avoided) and pair completeness (share of TRUE duplicate pairs
+    // — exact-fingerprint pairs, the corpus' planted ground truth —
+    // that the blocking still covers). The number a dedup stack
+    // monitors before trusting its banding parameters at a new
+    // corpus mix: rr ≈ 1 with pc ≈ 1 is a healthy block; pc dropping
+    // means bands are splitting real duplicates (e.g. sub-3-token
+    // docs have no shingles and can never be candidates — visible
+    // here, not hidden). Rides the memoized candidate graph
+    // ([[pairTable]] — no new pair join); the fingerprint relation
+    // is exact_dedup's hash aggregate; |cand ∩ true| is two keyed
+    // joins on doc_id against the bounded candidate edge list. The
+    // closing row is 1 row of integer counts + two snapped ratios.
+    "blocking_quality" -> ((s, d) => {
+      import s.implicits._
+      val fp = Tables.documents(s, d)
+        .select($"doc_id", TF.fingerprint($"text").as("fp"))
+      val cand = pairTable(s, d)
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val tp = fp.groupBy($"fp").agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("n_true"))
+      val tic = cand
+        .join(fp.select($"doc_id".as("doc_a"), $"fp".as("fp_a")), Seq("doc_a"))
+        .join(fp.select($"doc_id".as("doc_b"), $"fp".as("fp_b")), Seq("doc_b"))
+        .filter($"fp_a" === $"fp_b")
+        .agg(count(lit(1)).as("n_true_in_cand"))
+      n.crossJoin(broadcast(nc)).crossJoin(broadcast(tp)).crossJoin(broadcast(tic))
+        .select($"n_docs", $"n_cand",
+          when($"n_docs" > 1, rnd(lit(1.0) - $"n_cand".cast("double") /
+            ($"n_docs".cast("double") * ($"n_docs" - 1).cast("double") / 2.0),
+            10)).as("reduction_ratio"),
+          $"n_true", $"n_true_in_cand",
+          when($"n_true" > 0, rnd($"n_true_in_cand".cast("double") /
+            $"n_true".cast("double"), 10)).as("pair_completeness"))
+    }),
+
     // PII redaction — the scrub pass a training-data pipeline runs
     // before anything else persists text. The corpus is synthetic and
     // PII-free, so each doc gets deterministic synthetic PII (derived
@@ -2210,6 +2250,34 @@ object LlmQueries {
          | (SELECT doc_id, md5(coalesce(array_to_string(list_sort($TOKS), ' '), '')) AS fp
          |  FROM documents) t
          |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // same candidate CTEs, same exact-fingerprint ground truth, same
+    // snapped closing ratios
+    "blocking_quality" ->
+      s"""WITH $duckCandidateCtes,
+         |fp AS (SELECT doc_id,
+         |    md5(coalesce(array_to_string(list_sort($TOKS), ' '), '')) AS fp
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |nc AS (SELECT count(*) AS n_cand FROM cand),
+         |tp AS (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+         |    AS n_true
+         |  FROM (SELECT count(*) AS m FROM fp GROUP BY fp) g),
+         |tic AS (SELECT count(*) AS n_true_in_cand
+         |  FROM cand c
+         |  JOIN fp a ON c.doc_a = a.doc_id
+         |  JOIN fp b ON c.doc_b = b.doc_id
+         |  WHERE a.fp = b.fp)
+         |SELECT n_docs, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CASE WHEN n_docs > 1 THEN ${Q.duckRnd(
+        "1.0 - CAST(n_cand AS DOUBLE)" +
+          " / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0)",
+        10)} END AS reduction_ratio,
+         |  n_true, CAST(n_true_in_cand AS BIGINT) AS n_true_in_cand,
+         |  CASE WHEN n_true > 0 THEN ${Q.duckRnd(
+        "CAST(n_true_in_cand AS DOUBLE) / CAST(n_true AS DOUBLE)", 10)} END
+         |    AS pair_completeness
+         |FROM nn CROSS JOIN nc CROSS JOIN tp CROSS JOIN tic""".stripMargin,
 
     "pii_scrub" ->
       """SELECT doc_id,

@@ -52,6 +52,27 @@ class Wave53Spec extends SparkSpecBase {
     }
   }
 
+  test("blocking_quality: counts tie to exact_dedup and the candidate graph; ratios recompute") {
+    val row = SparkEntry.queries("blocking_quality")(spark, sf)
+      .as[(Long, Long, Option[Double], Long, Long, Option[Double])].head()
+    val (nDocs, nCand, rr, nTrue, tic, pc) = row
+    // n_true is Σ C(m,2) over exact_dedup's copy groups — independent path
+    val wantTrue = SparkEntry.queries("exact_dedup")(spark, sf)
+      .select("n_copies").as[Long].collect()
+      .map(m => m * (m - 1) / 2).sum
+    assert(nTrue == wantTrue, s"true pairs $nTrue vs $wantTrue")
+    assert(nDocs == graft.Tables.documents(spark, sf).count())
+    assert(tic <= nTrue && tic <= nCand)
+    val allPairs = nDocs.toDouble * (nDocs - 1).toDouble / 2.0
+    assert(math.abs(rr.get - rnd(1.0 - nCand.toDouble / allPairs, 10)) < 1e-12)
+    pc.foreach(p => assert(math.abs(p - rnd(tic.toDouble / nTrue.toDouble, 10)) < 1e-12))
+    // the fixture plants exact duplicates with >= 3 tokens: the LSH
+    // block must cover them all (pc = 1) or this corpus' blocking
+    // parameters are wrong
+    if (nTrue > 0) assert(pc.get >= 0.99, s"pair completeness ${pc.get}")
+    assert(rr.get > 0.9, s"reduction ratio ${rr.get} — blocking is not blocking")
+  }
+
   test("hill_tail_index: matches a brute-force top-k replica; alpha recomputes from snapped H") {
     val vals = Tables.events(spark, sf)
       .selectExpr("event_type", "event_id",
