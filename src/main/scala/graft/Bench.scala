@@ -26,7 +26,7 @@ object BenchShared {
     "graph_degree_dist", "dedup_incremental", "contamination_check",
     "boilerplate_ngrams", "lsh_recall_eval", "jaccard_band_sweep",
     "ngram_novelty",
-    "tfidf_topk", "bm25_topk", "tokenizer_apply", "token_diversity",
+    "tfidf_topk", "rocchio_expand", "bm25_topk", "tokenizer_apply", "token_diversity",
     "heavy_hitters", "cms_heavy_hitters", "rrf_fusion",
     "collocation_pmi", "vocab_coverage",
     "vocab_growth", "zipf_profile", "maxsim_rerank",

@@ -60,6 +60,13 @@ object CorpusOpsQueries {
   private val CmsWidth = 256L
   private val CmsTopK = 20
 
+  /** rocchio_expand shape: seed terms (top-[[RocchioSeeds]] by total
+    * tf), feedback-doc count R, expansion-term count E. Mirrored.
+    */
+  private val RocchioSeeds = 2
+  private val RocchioR = 10
+  private val RocchioE = 20
+
   /** Per-doc winnowing build (doc_id, wins): char 8-gram md5 hashes
     * over normalized text (capped at [[WinnowMaxChars]]) and the min
     * of each sliding 4-window, full windows only
@@ -620,6 +627,53 @@ object CorpusOpsQueries {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 3)
         .orderBy($"doc_id", $"rk")
+    }),
+
+    // Rocchio pseudo-relevance-feedback query expansion (wave 53,
+    // round 12; Rocchio 1971, the PRF baseline every retrieval stack
+    // ships): seed query → tf-idf top-R feedback docs → centroid of
+    // their term vectors → expanded term weights α·q₀ + β·centroid/R
+    // → top-E expansion terms. Seeds are data-derived but
+    // deterministic (top-2 corpus terms by total tf, term tiebreak).
+    // Numeric discipline: per-(doc,term) tf-idf uses tfidf_topk's
+    // exact rational idf (N+1)/(df+1) and snaps to 8dp ONCE; every
+    // downstream sum (doc scores over ≤2 seed terms, centroid over
+    // ≤R docs) runs on DECIMAL(38,8) — order-free under any
+    // partitioning; the closing weight recomputes from snapped
+    // values in a fixed op order. Scale shape: tf/df hash aggregates
+    // (map-side-combinable), both top-k cuts are orderBy+limit
+    // (TakeOrdered — distributed, never a global window), the R-doc
+    // and 2-seed relations broadcast back. No corpus-scale join
+    // keyed on anything but (term | doc_id).
+    "rocchio_expand" -> ((s, d) => {
+      import s.implicits._
+      val terms = LlmQueries.termTable(s, d)
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val seeds = tf.groupBy($"term").agg(sum($"tf").as("stf"))
+        .orderBy($"stf".desc, $"term").limit(RocchioSeeds).select($"term")
+      val w = tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"term",
+          rnd($"tf".cast("double") *
+            (($"n_docs" + 1).cast("double") / ($"df" + 1).cast("double")), 8)
+            .as("w"))
+      val ds = w.join(broadcast(seeds), Seq("term"))
+        .groupBy($"doc_id")
+        .agg(sum($"w".cast("decimal(38,8)")).cast("double").as("sc"))
+      val top = ds.orderBy($"sc".desc, $"doc_id").limit(RocchioR)
+        .select($"doc_id")
+      val rEff = top.agg(count(lit(1)).as("r"))
+      val cent = w.join(broadcast(top), Seq("doc_id"))
+        .groupBy($"term").agg(sum($"w".cast("decimal(38,8)")).as("cw"))
+      cent.join(seeds.withColumn("is_seed", lit(true)), Seq("term"), "full_outer")
+        .crossJoin(broadcast(rEff))
+        .select($"term", coalesce($"is_seed", lit(false)).as("is_seed"),
+          rnd(when(coalesce($"is_seed", lit(false)), 1.0).otherwise(0.0)
+            + lit(0.75) * (coalesce($"cw", lit(0).cast("decimal(38,8)"))
+              .cast("double") / $"r".cast("double")), 8).as("weight"))
+        .orderBy($"weight".desc, $"term").limit(RocchioE)
     }),
 
     // Deterministic sequence packing: contiguous token-budget bins per
@@ -1812,6 +1866,41 @@ object CorpusOpsQueries {
          |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY $score DESC, tf.term) AS rk
          |  FROM tf JOIN df USING (term) CROSS JOIN nd) x
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    },
+
+    // same seeds, same snapped-once tf-idf, same decimal sums, same
+    // two orderBy+limit cuts
+    "rocchio_expand" -> {
+      val wExpr =
+        "CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))"
+      s"""WITH terms AS (SELECT doc_id, unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM t) dd GROUP BY term),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |seeds AS (SELECT term FROM (
+         |  SELECT term, sum(tf) AS stf FROM tf GROUP BY term
+         |  ORDER BY stf DESC, term LIMIT $RocchioSeeds) s),
+         |w AS (SELECT doc_id, term, ${Q.duckRnd(wExpr, 8)} AS w
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+         |ds AS (SELECT doc_id,
+         |    CAST(sum(CAST(w AS DECIMAL(38,8))) AS DOUBLE) AS sc
+         |  FROM w JOIN seeds USING (term) GROUP BY doc_id),
+         |top AS (SELECT doc_id FROM ds ORDER BY sc DESC, doc_id LIMIT $RocchioR),
+         |re AS (SELECT count(*) AS r FROM top),
+         |cent AS (SELECT term, sum(CAST(w AS DECIMAL(38,8))) AS cw
+         |  FROM w JOIN top USING (doc_id) GROUP BY term),
+         |wt AS (SELECT coalesce(cent.term, seeds.term) AS term,
+         |    seeds.term IS NOT NULL AS is_seed,
+         |    ${Q.duckRnd(
+        "CASE WHEN seeds.term IS NOT NULL THEN 1.0 ELSE 0.0 END" +
+          " + 0.75 * (CAST(coalesce(cw, 0) AS DOUBLE) / CAST(r AS DOUBLE))",
+        8)} AS weight
+         |  FROM cent FULL OUTER JOIN seeds ON cent.term = seeds.term
+         |  CROSS JOIN re)
+         |SELECT term, is_seed, weight FROM wt
+         |ORDER BY weight DESC, term LIMIT $RocchioE""".stripMargin
     },
 
     "pack_sequences" -> {

@@ -73,6 +73,43 @@ class Wave53Spec extends SparkSpecBase {
     assert(rr.get > 0.9, s"reduction ratio ${rr.get} — blocking is not blocking")
   }
 
+  test("rocchio_expand: matches a brute-force PRF replica on the fixture") {
+    val rows = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").where($"text".isNotNull)
+      .as[(Long, String)].collect()
+    val toks = rows.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim
+        .split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val nDocs = Tables.documents(spark, sf).count()
+    val tf = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, g) => ((id, w), g.length.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val seeds = tf.groupBy(_._1._2).map { case (w, g) => w -> g.values.sum }
+      .toSeq.sortBy { case (w, s) => (-s, w) }.take(2).map(_._1).toSet
+    def w(id: Long, t: String): Double =
+      rnd(tf((id, t)).toDouble * ((nDocs + 1).toDouble / (df(t) + 1).toDouble), 8)
+    val ds = toks.map(_._1).distinct.flatMap { id =>
+      val sc = seeds.toSeq.filter(t => tf.contains((id, t)))
+        .map(t => BigDecimal(w(id, t))).sum
+      if (sc > 0) Some(id -> sc.toDouble) else None
+    }
+    val top = ds.sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1)
+    val r = top.length
+    val cent = top.flatMap(id => toks.toMap.apply(id).distinct.map(t => t -> BigDecimal(w(id, t))))
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+    val terms = cent.keySet ++ seeds
+    val want = terms.toSeq.map { t =>
+      val q0 = if (seeds(t)) 1.0 else 0.0
+      (t, seeds(t),
+        rnd(q0 + 0.75 * (cent.getOrElse(t, BigDecimal(0)).toDouble / r.toDouble), 8))
+    }.sortBy { case (t, _, wt) => (-wt, t) }.take(20)
+    val got = SparkEntry.queries("rocchio_expand")(spark, sf)
+      .as[(String, Boolean, Double)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("hill_tail_index: matches a brute-force top-k replica; alpha recomputes from snapped H") {
     val vals = Tables.events(spark, sf)
       .selectExpr("event_type", "event_id",
