@@ -686,4 +686,36 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(user_id"),
       "per-user aggregate must shuffle on user_id")
   }
+
+  test("char_entropy: both corpus-scale exchanges keyed on doc_id, no joins") {
+    val p = finalPlan("char_entropy")
+    assert(p.contains("IsNotNull(text)"),
+      "text null filter must reach the parquet scan:\n" + p.take(2000))
+    assert(!p.contains("Join"), "entropy needs aggregates + a window, never a join")
+    // (doc, char) aggregate then doc-keyed window/aggregate — every
+    // exchange hashes on doc_id (alone or with ch), nothing global
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning(ch"),
+      "no global exchange belongs in a per-doc statistic:\n" + p.take(3000))
+  }
+
+  test("hill_tail_index: top-k window keyed on event_type, grid broadcast back") {
+    val p = finalPlan("hill_tail_index")
+    assert(p.contains("hashpartitioning(event_type"),
+      "the row_number top-k cut must shuffle on the group key")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the 5-row (xk, k_eff) grid must broadcast, not shuffle-join")
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian in a keyed top-k estimator")
+  }
+
+  test("rocchio_expand: top-k cuts are TakeOrdered, seed/feedback relations broadcast") {
+    val p = finalPlan("rocchio_expand")
+    assert(p.contains("TakeOrderedAndProject"),
+      "seed/feedback/expansion cuts must be top-k, never a global sort:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 2-seed and R-doc relations must broadcast onto the term rows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      "only the 1-row count cross joins are allowed")
+  }
 }
