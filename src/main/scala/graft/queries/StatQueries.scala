@@ -1254,6 +1254,181 @@ object StatQueries {
         .select($"st".as("state"), $"v".as("v_scaled"),
           rnd($"v".cast("double") / $"tv".cast("double"), 6).as("pi"))
         .orderBy($"state")
+    }),
+
+    // One-way ANOVA F-test over event values by type (wave 54): the
+    // parametric sibling of kruskal_wallis (location) and levene_test
+    // (spread) — "do the k traffic classes differ in MEAN value".
+    // Same scale shape as levene: one groupBy over the fact table
+    // computing exact decimal moments (value is 2dp ⇒ Σv and Σv² are
+    // exact decimals, order-free), a ≤k-row totals broadcast, per-group
+    // SSB/SSW terms 6dp-snapped into decimal(38,6) so the cross-group
+    // sums are partition-order-free, and F assembled from the SNAPPED
+    // ssb/ssw so both engines divide identical doubles. NULL types →
+    // '__null__' group (cramers_v convention); NULL values excluded.
+    // The fact table shuffles once (the group aggregate); everything
+    // after is arithmetic on ≤k rows.
+    "anova_oneway" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("g"),
+          dec($"value").as("v"))
+      val grp = ev.groupBy($"g").agg(
+        count(lit(1)).as("n_g"),
+        sum($"v").as("s1"),
+        sum(($"v" * $"v").cast("decimal(38,4)")).as("s2"))
+      val tot = grp.agg(sum($"n_g").as("nn"),
+        sum($"s1".cast("decimal(38,2)")).as("s1t"), count(lit(1)).as("k"))
+      val meanG = $"s1".cast("double") / $"n_g".cast("double")
+      val gm = $"s1t".cast("double") / $"nn".cast("double")
+      val withTot = grp.crossJoin(broadcast(tot))
+      val ssbTerm = rnd($"n_g".cast("double") * (meanG - gm) * (meanG - gm), 6)
+        .cast("decimal(38,6)")
+      val sswTerm = rnd($"s2".cast("double") -
+        $"s1".cast("double") * $"s1".cast("double") / $"n_g".cast("double"), 6)
+        .cast("decimal(38,6)")
+      val agg2 = withTot.groupBy($"nn", $"k").agg(
+        sum(ssbTerm).cast("double").as("ssb0"),
+        sum(sswTerm).cast("double").as("ssw0"))
+      val snapped = agg2.select($"nn", $"k",
+        rnd($"ssb0", 6).as("ssb"), rnd($"ssw0", 6).as("ssw"))
+      val gstats = snapped.select($"nn", $"k", $"ssb", $"ssw",
+        when($"k" < 2L || $"nn" <= $"k" || $"ssw" <= lit(0.0),
+          lit(null).cast("double"))
+          .otherwise(rnd(($"ssb" / ($"k" - lit(1L)).cast("double")) /
+            ($"ssw" / ($"nn" - $"k").cast("double")), 6)).as("f_stat"))
+      grp.crossJoin(broadcast(gstats))
+        .select($"g", $"n_g", rnd(meanG, 6).as("mean_g"),
+          $"nn", $"k", $"ssb", $"ssw", $"f_stat")
+        .orderBy($"g")
+    }),
+
+    // Jarque–Bera normality test per event type (wave 54; Jarque &
+    // Bera 1980): JB = n/6·(S² + K²/4) from sample skewness S and
+    // excess kurtosis K — the screen that tells a monitoring stack
+    // whether z-score thresholds are even meaningful for this class.
+    // Moment discipline (moments_profile precedent): values → integer
+    // cents, per-group pseudo-mean μ = trunc(Σc/n) via the
+    // sign-stable (Σ − Σ%n)/n formula (identical trunc-toward-zero in
+    // both engines for any sign), broadcast back onto the scan; the
+    // centered power sums Σd..Σd⁴ are EXACT integers/decimals (|d| ≤
+    // ~10⁶ cents ⇒ d⁴ ≤ 10²⁴ in decimal(38,0); sums safe past 10¹⁰
+    // rows). Central moments about the true mean derive from the
+    // exact sums by one pinned IEEE sequence per engine (b1 = Σd/n
+    // correction terms), S/K snap at 6dp, and JB recomputes from the
+    // SNAPPED S/K (hill_tail_index pattern). reject_normal compares
+    // against the χ²₂ 0.95 quantile embedded as one shared literal.
+    // One fact-table shuffle (the group aggregate); the μ broadcast
+    // is ≤k rows.
+    "jarque_bera" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("g"),
+          (dec($"value") * 100).cast("long").as("c"))
+      val mu = ev.groupBy($"g")
+        .agg(sum($"c").as("sc"), count(lit(1)).as("nmu"))
+        .selectExpr("g", "(sc - sc % nmu) DIV nmu AS mu")
+      val dev = ev.join(broadcast(mu), Seq("g"))
+        .withColumn("dd", $"c" - $"mu")
+        .withColumn("d2c",
+          ($"dd".cast("decimal(19,0)") * $"dd".cast("decimal(19,0)"))
+            .cast("decimal(19,0)"))
+      val g2 = dev.groupBy($"g").agg(
+        count(lit(1)).as("n"),
+        sum($"dd".cast("decimal(38,0)")).as("d1"),
+        sum($"d2c".cast("decimal(38,0)")).as("d2"),
+        sum(($"d2c" * $"dd".cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("d3"),
+        sum(($"d2c" * $"d2c").cast("decimal(38,0)")).as("d4"))
+      val st = g2.select($"g", $"n",
+        ($"d1".cast("double") / $"n".cast("double")).as("b1"),
+        ($"d2".cast("double") / $"n".cast("double")).as("r2"),
+        ($"d3".cast("double") / $"n".cast("double")).as("r3"),
+        ($"d4".cast("double") / $"n".cast("double")).as("r4"))
+      val m = st.select($"g", $"n",
+        ($"r2" - $"b1" * $"b1").as("m2"),
+        ($"r3" - lit(3.0) * $"b1" * $"r2" +
+          lit(2.0) * $"b1" * $"b1" * $"b1").as("m3"),
+        ($"r4" - lit(4.0) * $"b1" * $"r3" +
+          lit(6.0) * $"b1" * $"b1" * $"r2" -
+          lit(3.0) * $"b1" * $"b1" * $"b1" * $"b1").as("m4"))
+      val sk = m.select($"g", $"n",
+        when($"n" < 2L || $"m2" <= lit(0.0), lit(null).cast("double"))
+          .otherwise(rnd($"m3" / ($"m2" * sqrt($"m2")), 6)).as("skewness"),
+        when($"n" < 2L || $"m2" <= lit(0.0), lit(null).cast("double"))
+          .otherwise(rnd($"m4" / ($"m2" * $"m2") - lit(3.0), 6))
+          .as("kurt_excess"))
+      val jb = sk.select($"g", $"n", $"skewness", $"kurt_excess",
+        when($"skewness".isNull, lit(null).cast("double"))
+          .otherwise(rnd($"n".cast("double") / lit(6.0) *
+            ($"skewness" * $"skewness" +
+              $"kurt_excess" * $"kurt_excess" / lit(4.0)), 6)).as("jb_stat"))
+      jb.select($"g", $"n", $"skewness", $"kurt_excess", $"jb_stat",
+          ($"jb_stat" > lit(JbCrit)).as("reject_normal"))
+        .orderBy($"g")
+    }),
+
+    // Spearman rank correlation between lineitem quantity and
+    // extended price (wave 54): the tie-corrected rank version of
+    // Pearson — monotone association without kendall_tau's per-group
+    // quadratic pair join. Rank assignment is the kruskal/mann_whitney
+    // machinery: doubled average ranks 2·below + n + 1 (INTEGRAL even
+    // for ties) off one distributed prefix sum over each DISTINCT
+    // value relation — never a row-per-row global sort — then joined
+    // back to the fact rows (the x side broadcasts: quantity has ≤50
+    // distinct values; the y side is a keyed shuffle join). Pearson
+    // over the doubled ranks equals Pearson over average ranks
+    // (affine invariance), and every sum is an exact decimal:
+    // Σr ≤ 2n² (decimal(19,0) to n = 10⁹), Σr² and Σrxry ≤ 4n³
+    // (decimal(28,0)); the closing num/den assemble as exact
+    // decimal(38,0) products — NO double cancellation on ~4n⁴-sized
+    // near-equal terms — and rho is the one IEEE division, 6dp-snapped.
+    // Exact up to n ≈ 10⁹ rows; past that the (38,0) headroom is
+    // gone and the assembly would need a two-level split (documented
+    // bound, 1.7×10³ × the sf0.1 corpus).
+    "spearman_rho" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .filter($"l_quantity".isNotNull && $"l_extendedprice".isNotNull)
+        .select($"l_quantity".as("x"), $"l_extendedprice".as("y"))
+      def doubledRanks(vals: org.apache.spark.sql.DataFrame,
+          cname: String, rname: String) = {
+        val pv = vals.groupBy(col(cname)).agg(count(lit(1)).as("n"))
+          .withColumn("one", lit(1))
+        DistributedNtile.withRunningSum(
+            pv, "one", Seq(col(cname).asc), $"n", "cum")
+          .select(col(cname),
+            (lit(2L) * ($"cum" - $"n") + $"n" + lit(1L)).as(rname))
+      }
+      val rx = doubledRanks(li.select($"x"), "x", "r_x")
+      val ry = doubledRanks(li.select($"y"), "y", "r_y")
+      val j = li.join(broadcast(rx), Seq("x")).join(ry, Seq("y"))
+        .select($"r_x".cast("decimal(19,0)").as("r_x"),
+          $"r_y".cast("decimal(19,0)").as("r_y"))
+      val sums = j.agg(count(lit(1)).as("n"),
+        sum($"r_x".cast("decimal(38,0)")).as("sx"),
+        sum($"r_y".cast("decimal(38,0)")).as("sy"),
+        sum(($"r_x" * $"r_y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"r_x" * $"r_x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"r_y" * $"r_y").cast("decimal(38,0)")).as("syy"))
+      val f = sums.select($"n",
+        ($"n".cast("decimal(10,0)") * $"sxy".cast("decimal(28,0)") -
+          $"sx".cast("decimal(19,0)") * $"sy".cast("decimal(19,0)"))
+          .as("num"),
+        ($"n".cast("decimal(10,0)") * $"sxx".cast("decimal(28,0)") -
+          $"sx".cast("decimal(19,0)") * $"sx".cast("decimal(19,0)"))
+          .as("den1"),
+        ($"n".cast("decimal(10,0)") * $"syy".cast("decimal(28,0)") -
+          $"sy".cast("decimal(19,0)") * $"sy".cast("decimal(19,0)"))
+          .as("den2"))
+      f.select($"n",
+        when($"den1" <= lit(0) || $"den2" <= lit(0),
+          lit(null).cast("double"))
+          .otherwise(rnd($"num".cast("double") /
+            (sqrt($"den1".cast("double")) * sqrt($"den2".cast("double"))),
+            6)).as("rho"))
     }))
 
   /** Power-iteration step count for markov_stationary — enough for a
@@ -1262,6 +1437,15 @@ object StatQueries {
     * Mirrored in the oracle's CTE count.
     */
   private val MarkovIters = 10
+
+  /** Jarque–Bera 5% critical value — the χ²₂ 0.95 quantile,
+    * −2·ln(0.05). Computed once HERE; the oracle embeds the shortest
+    * round-trip decimal repr so both engines compare the identical
+    * double and no log is evaluated at query time in either engine.
+    */
+  private val JbCrit: Double = -2.0 * math.log(0.05)
+  private def jbCritSql: String =
+    s"CAST('${java.lang.Double.toString(JbCrit)}' AS DOUBLE)"
 
   import LlmQueries.{NORM, NTOK, TOKS}
 
@@ -2050,5 +2234,131 @@ object StatQueries {
          |SELECT st AS state, v AS v_scaled,
          |  ${Q.duckRnd("CAST(v AS DOUBLE) / CAST(tv AS DOUBLE)", 6)} AS pi
          |FROM v$MarkovIters CROSS JOIN tv ORDER BY state""".stripMargin
-    })
+    },
+
+    "anova_oneway" ->
+      s"""WITH ev AS (SELECT coalesce(event_type, '__null__') AS g,
+         |    CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |grp AS (SELECT g, count(*) AS n_g, SUM(v) AS s1,
+         |    SUM(CAST(v * v AS DECIMAL(38,4))) AS s2
+         |  FROM ev GROUP BY g),
+         |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+         |    SUM(CAST(s1 AS DECIMAL(38,2))) AS s1t, count(*) AS k
+         |  FROM grp),
+         |terms AS (SELECT g, n_g, s1, s2, nn, k,
+         |    CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_g,
+         |    CAST(s1t AS DOUBLE) / CAST(nn AS DOUBLE) AS gm
+         |  FROM grp CROSS JOIN tot),
+         |t2 AS (SELECT nn, k,
+         |    CAST(${Q.duckRnd(
+        "CAST(n_g AS DOUBLE) * (mean_g - gm) * (mean_g - gm)", 6)}
+         |      AS DECIMAL(38,6)) AS ssb_t,
+         |    CAST(${Q.duckRnd(
+        "CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+          " / CAST(n_g AS DOUBLE)", 6)}
+         |      AS DECIMAL(38,6)) AS ssw_t
+         |  FROM terms),
+         |agg2 AS (SELECT nn, k, CAST(SUM(ssb_t) AS DOUBLE) AS ssb0,
+         |    CAST(SUM(ssw_t) AS DOUBLE) AS ssw0
+         |  FROM t2 GROUP BY nn, k),
+         |snapped AS (SELECT nn, k, ${Q.duckRnd("ssb0", 6)} AS ssb,
+         |    ${Q.duckRnd("ssw0", 6)} AS ssw
+         |  FROM agg2),
+         |gs AS (SELECT nn, k, ssb, ssw,
+         |    CASE WHEN k < 2 OR nn <= k OR ssw <= 0.0 THEN NULL
+         |      ELSE ${Q.duckRnd(
+        "(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(nn - k AS DOUBLE))",
+        6)} END AS f_stat
+         |  FROM snapped)
+         |SELECT g, n_g,
+         |  ${Q.duckRnd("CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)", 6)}
+         |    AS mean_g,
+         |  nn, k, ssb, ssw, f_stat
+         |FROM grp CROSS JOIN gs ORDER BY g""".stripMargin,
+
+    "jarque_bera" ->
+      s"""WITH ev AS (SELECT coalesce(event_type, '__null__') AS g,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL),
+         |mu AS (SELECT g,
+         |    CAST((sum(c) - sum(c) % count(*)) // count(*) AS BIGINT) AS mu
+         |  FROM ev GROUP BY g),
+         |dev AS (SELECT e.g, e.c - m.mu AS dd,
+         |    CAST(CAST(e.c - m.mu AS DECIMAL(19,0))
+         |      * CAST(e.c - m.mu AS DECIMAL(19,0)) AS DECIMAL(19,0)) AS d2c
+         |  FROM ev e JOIN mu m USING (g)),
+         |g2 AS (SELECT g, count(*) AS n,
+         |    SUM(CAST(dd AS DECIMAL(38,0))) AS d1,
+         |    SUM(CAST(d2c AS DECIMAL(38,0))) AS d2,
+         |    SUM(CAST(d2c * CAST(dd AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+         |      AS d3,
+         |    SUM(CAST(d2c * d2c AS DECIMAL(38,0))) AS d4
+         |  FROM dev GROUP BY g),
+         |st AS (SELECT g, n,
+         |    CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE) AS b1,
+         |    CAST(d2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         |    CAST(d3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         |    CAST(d4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+         |  FROM g2),
+         |m AS (SELECT g, n,
+         |    r2 - b1 * b1 AS m2,
+         |    r3 - 3.0 * b1 * r2 + 2.0 * b1 * b1 * b1 AS m3,
+         |    r4 - 4.0 * b1 * r3 + 6.0 * b1 * b1 * r2
+         |      - 3.0 * b1 * b1 * b1 * b1 AS m4
+         |  FROM st),
+         |sk AS (SELECT g, n,
+         |    CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+         |      ELSE ${Q.duckRnd("m3 / (m2 * sqrt(m2))", 6)} END AS skewness,
+         |    CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+         |      ELSE ${Q.duckRnd("m4 / (m2 * m2) - 3.0", 6)} END
+         |      AS kurt_excess
+         |  FROM m),
+         |jb AS (SELECT g, n, skewness, kurt_excess,
+         |    CASE WHEN skewness IS NULL THEN NULL
+         |      ELSE ${Q.duckRnd(
+        "CAST(n AS DOUBLE) / 6.0 * (skewness * skewness" +
+          " + kurt_excess * kurt_excess / 4.0)", 6)} END AS jb_stat
+         |  FROM sk)
+         |SELECT g, n, skewness, kurt_excess, jb_stat,
+         |  jb_stat > $jbCritSql AS reject_normal
+         |FROM jb ORDER BY g""".stripMargin,
+
+    "spearman_rho" ->
+      s"""WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |px AS (SELECT x, count(*) AS n FROM li GROUP BY x),
+         |rx AS (SELECT x,
+         |    2 * (sum(n) OVER (ORDER BY x) - n) + n + 1 AS r_x FROM px),
+         |py AS (SELECT y, count(*) AS n FROM li GROUP BY y),
+         |ry AS (SELECT y,
+         |    2 * (sum(n) OVER (ORDER BY y) - n) + n + 1 AS r_y FROM py),
+         |j AS (SELECT CAST(r_x AS DECIMAL(19,0)) AS r_x,
+         |    CAST(r_y AS DECIMAL(19,0)) AS r_y
+         |  FROM li JOIN rx USING (x) JOIN ry USING (y)),
+         |s AS (SELECT count(*) AS n,
+         |    SUM(CAST(r_x AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(r_y AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(r_x * r_y AS DECIMAL(38,0))) AS sxy,
+         |    SUM(CAST(r_x * r_x AS DECIMAL(38,0))) AS sxx,
+         |    SUM(CAST(r_y * r_y AS DECIMAL(38,0))) AS syy
+         |  FROM j),
+         |f AS (SELECT n,
+         |    CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+         |      - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+         |      AS num,
+         |    CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+         |      - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+         |      AS den1,
+         |    CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
+         |      - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+         |      AS den2
+         |  FROM s)
+         |SELECT n,
+         |  CASE WHEN den1 <= 0 OR den2 <= 0 THEN NULL
+         |    ELSE ${Q.duckRnd(
+        "CAST(num AS DOUBLE) / (sqrt(CAST(den1 AS DOUBLE))" +
+          " * sqrt(CAST(den2 AS DOUBLE)))", 6)} END AS rho
+         |FROM f""".stripMargin)
 }
