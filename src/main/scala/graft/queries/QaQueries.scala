@@ -421,8 +421,51 @@ object QaQueries {
           ($"g_a" - $"g_b").as("noise"),
           ($"n_true" + $"g_a" - $"g_b").as("n_released"))
         .orderBy($"source".asc_nulls_last)
+    }),
+
+    // k-anonymity / l-diversity audit over the customer dimension
+    // (wave 55; Sweeney 2002, Machanavajjhala 2007): the release
+    // check a privacy reviewer runs BEFORE dp_noise_counts ever
+    // publishes — group sizes over the quasi-identifier pair
+    // (nation, market segment) give k (the smallest crowd any row
+    // hides in), distinct account-balance bands per group give l
+    // (whether the crowd also varies on the sensitive attribute).
+    // One dimension-table aggregate to a ≤|nations|·|segments| group
+    // relation; the global k/l/risk-fraction readout broadcasts back
+    // onto it (kruskal readout convention). NULL QI values form
+    // honest sentinel levels (a NULL segment is still a disclosure
+    // class); NULL balances get a sentinel band so they count as one
+    // distinct sensitive value, not zero. The balance band is
+    // floor(acctbal/1000) — the same IEEE divide+floor in both
+    // engines.
+    "k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select(coalesce($"c_nationkey", lit(-1)).as("nationkey"),
+          coalesce($"c_mktsegment", lit("__null__")).as("mktsegment"),
+          when($"c_acctbal".isNull, lit(-999999L))
+            .otherwise(floor($"c_acctbal" / lit(1000.0))).as("bal_bucket"))
+      val grp = cust.groupBy($"nationkey", $"mktsegment").agg(
+        count(lit(1)).as("n"),
+        countDistinct($"bal_bucket").as("l_div"))
+      val glob = grp.agg(min($"n").as("k_anon"), min($"l_div").as("l_min"),
+        count(lit(1)).as("n_groups"), sum($"n").as("n_rows"),
+        sum(when($"n" < KAnonThresh, $"n").otherwise(0L)).as("rows_risky"))
+      grp.crossJoin(broadcast(glob))
+        .select($"nationkey", $"mktsegment", $"n", $"l_div",
+          ($"n" < KAnonThresh).as("risky"),
+          $"k_anon", $"l_min", $"n_groups", $"n_rows",
+          rnd($"rows_risky".cast("double") / $"n_rows".cast("double"), 6)
+            .as("frac_risky"))
+        .orderBy($"nationkey", $"mktsegment")
     })
   )
+
+  /** k-anonymity "small crowd" threshold: groups under this size are
+    * flagged risky and their row mass feeds frac_risky. Mirrored in
+    * the oracle.
+    */
+  private val KAnonThresh = 5L
 
   import LlmQueries.{NORM, NTOK, TOKS, duckShingleCtes, duckQuality, duckLangCase}
 
@@ -667,6 +710,31 @@ object QaQueries {
         | FROM h)
         |SELECT source, n_true, g_a, g_b, g_a - g_b AS noise,
         |  n_true + g_a - g_b AS n_released
-        |FROM g ORDER BY source""".stripMargin
+        |FROM g ORDER BY source""".stripMargin,
+
+    "k_anonymity" ->
+      s"""WITH cust AS (SELECT coalesce(c_nationkey, -1) AS nationkey,
+         |    coalesce(c_mktsegment, '__null__') AS mktsegment,
+         |    CASE WHEN c_acctbal IS NULL THEN -999999
+         |      ELSE CAST(floor(c_acctbal / 1000.0) AS BIGINT) END
+         |      AS bal_bucket
+         |  FROM customer),
+         |grp AS (SELECT nationkey, mktsegment, count(*) AS n,
+         |    CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_div
+         |  FROM cust GROUP BY nationkey, mktsegment),
+         |gstats AS (SELECT CAST(min(n) AS BIGINT) AS k_anon,
+         |    CAST(min(l_div) AS BIGINT) AS l_min,
+         |    count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN n < $KAnonThresh THEN n ELSE 0 END)
+         |      AS BIGINT) AS rows_risky
+         |  FROM grp)
+         |SELECT nationkey, mktsegment, n, l_div,
+         |  n < $KAnonThresh AS risky,
+         |  k_anon, l_min, n_groups, n_rows,
+         |  ${Q.duckRnd(
+        "CAST(rows_risky AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)}
+         |    AS frac_risky
+         |FROM grp CROSS JOIN gstats
+         |ORDER BY nationkey, mktsegment""".stripMargin
   )
 }

@@ -1429,6 +1429,102 @@ object StatQueries {
           .otherwise(rnd($"num".cast("double") /
             (sqrt($"den1".cast("double")) * sqrt($"den2".cast("double"))),
             6)).as("rho"))
+    }),
+
+    // Mutual information between document language and source (wave
+    // 55): the information-theoretic dependence screen — "how much
+    // does knowing the source tell you about the language" — the
+    // number a corpus-mix dashboard watches to catch a crawl slice
+    // drifting monolingual. I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    // over OBSERVED cells only (absent cells contribute exactly 0).
+    // Scale shape: one fact-table aggregate to the joint-count
+    // relation (≤|langs|·|sources| rows); marginals, entropies and
+    // the closing NMI all ride that tiny relation via broadcasts.
+    // Per-cell p·ln terms snap at 10dp and sum as decimal(38,10)
+    // (order-free); NMI = MI/√(H(X)·H(Y)) recomputes from the
+    // SNAPPED MI/H values so both engines divide identical doubles.
+    // NULL lang/source form honest '__null__' levels.
+    "mutual_info" -> ((s, d) => {
+      import s.implicits._
+      val dd = Tables.documents(s, d)
+        .select(coalesce($"lang", lit("__null__")).as("x"),
+          coalesce($"source", lit("__null__")).as("y"))
+      val joint = dd.groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+      val mx = joint.groupBy($"x").agg(sum($"cxy").as("cx"))
+      val my = joint.groupBy($"y").agg(sum($"cxy").as("cy"))
+      val nn = joint.agg(sum($"cxy").as("nn"))
+      val cells = joint.join(broadcast(mx), Seq("x"))
+        .join(broadcast(my), Seq("y")).crossJoin(broadcast(nn))
+      val miTerm = rnd(($"cxy".cast("double") / $"nn".cast("double")) *
+        log(($"cxy".cast("double") * $"nn".cast("double")) /
+          ($"cx".cast("double") * $"cy".cast("double"))), 10)
+        .cast("decimal(38,10)")
+      val mi0 = cells.agg(sum(miTerm).cast("double").as("mi0"))
+      def hSide(marg: org.apache.spark.sql.DataFrame, c: String,
+          h0: String, k: String) =
+        marg.crossJoin(broadcast(nn)).agg(
+          sum(rnd((col(c).cast("double") / $"nn".cast("double")) *
+            log(col(c).cast("double") / $"nn".cast("double")), 10)
+            .cast("decimal(38,10)")).cast("double").as(h0),
+          count(lit(1)).as(k))
+      val hx = hSide(mx, "cx", "hx0", "k_x")
+      val hy = hSide(my, "cy", "hy0", "k_y")
+      dd.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(mi0)).crossJoin(broadcast(hx))
+        .crossJoin(broadcast(hy))
+        .select($"n", $"k_x", $"k_y",
+          rnd($"mi0", 8).as("mi"),
+          rnd(lit(0.0) - $"hx0", 8).as("h_x"),
+          rnd(lit(0.0) - $"hy0", 8).as("h_y"))
+        .select($"n", $"k_x", $"k_y", $"mi", $"h_x", $"h_y",
+          when($"h_x" * $"h_y" > 0.0,
+            rnd($"mi" / sqrt($"h_x" * $"h_y"), 6)).as("nmi"))
+    }),
+
+    // Jensen–Shannon divergence of each source's token distribution
+    // from the corpus-wide mix (wave 55): the symmetric, bounded
+    // (≤ ln 2) sibling of dsir/histogram_drift for the question "which
+    // crawl slice is most off-mix", robust where raw KL blows up on
+    // zero cells. Vocabulary is bounded: the global top-[[JsdTerms]]
+    // terms keep their identity, everything else collapses into one
+    // '__oov__' bucket, so per-source state is a FIXED ≤ 201-vector
+    // at any corpus size. Scale shape: the memoized term relation
+    // aggregates once to (src, t) cells; the full src × term grid is
+    // a bounded crossJoin (chi2_terms precedent — absent cells MUST
+    // contribute their q·ln 2 mass); per-cell P/Q contributions snap
+    // at 10dp and sum as decimal(38,10); the closing ½ΣP + ½ΣQ is
+    // one pinned IEEE sequence on the exact decimal sums.
+    "js_divergence" -> ((s, d) => {
+      import s.implicits._
+      val tl = LlmQueries.termTable(s, d)
+        .join(Tables.documents(s, d).select($"doc_id",
+          coalesce($"source", lit("__null__")).as("src")), Seq("doc_id"))
+        .select($"src", $"term")
+      val top = tl.groupBy($"term").agg(count(lit(1)).as("ct"))
+        .orderBy($"ct".desc, $"term").limit(JsdTerms).select($"term")
+      val mapped = tl
+        .join(broadcast(top.withColumn("keep", lit(1))), Seq("term"), "left")
+        .select($"src",
+          when($"keep".isNotNull, $"term").otherwise(lit("__oov__")).as("t"))
+      val cell = mapped.groupBy($"src", $"t").agg(count(lit(1)).as("c"))
+      val cs = cell.groupBy($"src").agg(sum($"c").as("cs"))
+      val q = cell.groupBy($"t").agg(sum($"c").as("cq"))
+      val nn = cell.agg(sum($"c").as("nn"))
+      val grid = cs.crossJoin(broadcast(q)).crossJoin(broadcast(nn))
+        .join(cell, Seq("src", "t"), "left")
+        .withColumn("c", coalesce($"c", lit(0L)))
+      val p = $"c".cast("double") / $"cs".cast("double")
+      val qd = $"cq".cast("double") / $"nn".cast("double")
+      val m = (p + qd) / lit(2.0)
+      val pTerm = when($"c" > 0L, rnd(p * log(p / m), 10))
+        .otherwise(lit(0.0)).cast("decimal(38,10)")
+      val qTerm = rnd(qd * log(qd / m), 10).cast("decimal(38,10)")
+      grid.groupBy($"src").agg(max($"cs").as("n_tokens"),
+          sum(pTerm).cast("double").as("sp"),
+          sum(qTerm).cast("double").as("sq"))
+        .select($"src", $"n_tokens",
+          rnd(lit(0.5) * $"sp" + lit(0.5) * $"sq", 8).as("jsd"))
+        .orderBy($"src")
     }))
 
   /** Power-iteration step count for markov_stationary — enough for a
@@ -1446,6 +1542,13 @@ object StatQueries {
   private val JbCrit: Double = -2.0 * math.log(0.05)
   private def jbCritSql: String =
     s"CAST('${java.lang.Double.toString(JbCrit)}' AS DOUBLE)"
+
+  /** js_divergence identity-vocabulary bound: the global top-N terms
+    * keep their identity, the rest collapse into '__oov__' — so the
+    * per-source distribution vector is ≤ N+1 cells at ANY corpus
+    * size. Mirrored in the oracle.
+    */
+  private val JsdTerms = 200
 
   import LlmQueries.{NORM, NTOK, TOKS}
 
@@ -2360,5 +2463,77 @@ object StatQueries {
          |    ELSE ${Q.duckRnd(
         "CAST(num AS DOUBLE) / (sqrt(CAST(den1 AS DOUBLE))" +
           " * sqrt(CAST(den2 AS DOUBLE)))", 6)} END AS rho
-         |FROM f""".stripMargin)
+         |FROM f""".stripMargin,
+
+    "mutual_info" ->
+      s"""WITH dd AS (SELECT coalesce(lang, '__null__') AS x,
+         |    coalesce(source, '__null__') AS y FROM documents),
+         |joint AS (SELECT x, y, count(*) AS cxy FROM dd GROUP BY x, y),
+         |mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx
+         |  FROM joint GROUP BY x),
+         |my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy
+         |  FROM joint GROUP BY y),
+         |nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS nn FROM joint),
+         |cells AS (SELECT j.cxy, mx.cx, my.cy, nn.nn
+         |  FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn),
+         |mi0 AS (SELECT CAST(sum(CAST(${Q.duckRnd(
+        "(CAST(cxy AS DOUBLE) / CAST(nn AS DOUBLE))" +
+          " * ln((CAST(cxy AS DOUBLE) * CAST(nn AS DOUBLE))" +
+          " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))", 10)}
+         |    AS DECIMAL(38,10))) AS DOUBLE) AS mi0 FROM cells),
+         |hx AS (SELECT CAST(sum(CAST(${Q.duckRnd(
+        "(CAST(cx AS DOUBLE) / CAST(nn AS DOUBLE))" +
+          " * ln(CAST(cx AS DOUBLE) / CAST(nn AS DOUBLE))", 10)}
+         |    AS DECIMAL(38,10))) AS DOUBLE) AS hx0, count(*) AS k_x
+         |  FROM mx CROSS JOIN nn),
+         |hy AS (SELECT CAST(sum(CAST(${Q.duckRnd(
+        "(CAST(cy AS DOUBLE) / CAST(nn AS DOUBLE))" +
+          " * ln(CAST(cy AS DOUBLE) / CAST(nn AS DOUBLE))", 10)}
+         |    AS DECIMAL(38,10))) AS DOUBLE) AS hy0, count(*) AS k_y
+         |  FROM my CROSS JOIN nn),
+         |tot AS (SELECT count(*) AS n FROM dd),
+         |asm AS (SELECT n, k_x, k_y,
+         |    ${Q.duckRnd("mi0", 8)} AS mi,
+         |    ${Q.duckRnd("0.0 - hx0", 8)} AS h_x,
+         |    ${Q.duckRnd("0.0 - hy0", 8)} AS h_y
+         |  FROM tot CROSS JOIN mi0 CROSS JOIN hx CROSS JOIN hy)
+         |SELECT n, k_x, k_y, mi, h_x, h_y,
+         |  CASE WHEN h_x * h_y > 0.0
+         |    THEN ${Q.duckRnd("mi / sqrt(h_x * h_y)", 6)} END AS nmi
+         |FROM asm""".stripMargin,
+
+    "js_divergence" ->
+      s"""WITH t0 AS (SELECT coalesce(source, '__null__') AS src,
+         |    unnest($TOKS) AS term FROM documents),
+         |tl AS (SELECT src, term FROM t0 WHERE term <> ''),
+         |top AS (SELECT term FROM (SELECT term, count(*) AS ct FROM tl
+         |  GROUP BY term ORDER BY ct DESC, term LIMIT $JsdTerms)),
+         |mapped AS (SELECT src,
+         |    CASE WHEN top.term IS NOT NULL THEN tl.term
+         |      ELSE '__oov__' END AS t
+         |  FROM tl LEFT JOIN top ON tl.term = top.term),
+         |cell AS (SELECT src, t, count(*) AS c FROM mapped GROUP BY src, t),
+         |cs AS (SELECT src, CAST(sum(c) AS BIGINT) AS cs
+         |  FROM cell GROUP BY src),
+         |q AS (SELECT t, CAST(sum(c) AS BIGINT) AS cq FROM cell GROUP BY t),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cell),
+         |grid AS (SELECT cs.src, cs.cs, q.t, q.cq, nn.nn,
+         |    coalesce(cell.c, 0) AS c
+         |  FROM cs CROSS JOIN q CROSS JOIN nn
+         |  LEFT JOIN cell ON cell.src = cs.src AND cell.t = q.t),
+         |x AS (SELECT src, cs, c,
+         |    CAST(c AS DOUBLE) / CAST(cs AS DOUBLE) AS p,
+         |    CAST(cq AS DOUBLE) / CAST(nn AS DOUBLE) AS qd
+         |  FROM grid),
+         |y AS (SELECT src, cs,
+         |    CASE WHEN c > 0 THEN ${Q.duckRnd(
+        "p * ln(p / ((p + qd) / 2.0))", 10)} ELSE 0.0 END AS pt,
+         |    ${Q.duckRnd("qd * ln(qd / ((p + qd) / 2.0))", 10)} AS qt
+         |  FROM x)
+         |SELECT src, CAST(max(cs) AS BIGINT) AS n_tokens,
+         |  ${Q.duckRnd(
+        "0.5 * CAST(sum(CAST(pt AS DECIMAL(38,10))) AS DOUBLE)" +
+          " + 0.5 * CAST(sum(CAST(qt AS DECIMAL(38,10))) AS DOUBLE)", 8)}
+         |    AS jsd
+         |FROM y GROUP BY src ORDER BY src""".stripMargin)
 }
