@@ -1388,6 +1388,53 @@ object CorpusOpsQueries {
         .orderBy($"lang".asc_nulls_last)
     }),
 
+    // Newman modularity of the SOURCE partition over the near-dup
+    // candidate graph (wave 56; Newman & Girvan 2004): how
+    // assortative is duplication w.r.t. crawl source — Q ≈ 0 means
+    // near-dups cross sources (cross-crawl contamination, the
+    // expensive kind), Q → 1 means duplication stays inside each
+    // slice. Q = Σ_c (e_c/m − (d_c/2m)²) over the communities that
+    // the source column already defines — no iterative detection
+    // pass, so the whole statistic is two bounded aggregates over
+    // the memoized LSH pair table: one doc→source join per endpoint,
+    // intra-edge counts e_c and degree masses d_c per community
+    // (≤|sources| rows), per-community terms snapped 10dp and
+    // decimal-summed. Per-community rows with the global Q repeated
+    // (kruskal readout convention). NULL sources form an honest
+    // '__null__' community.
+    "graph_modularity" -> ((s, d) => {
+      import s.implicits._
+      val cand = LlmQueries.pairTable(s, d)
+      val srcMap = Tables.documents(s, d)
+        .select($"doc_id", coalesce($"source", lit("__null__")).as("src"))
+      val lab = cand
+        .join(srcMap.select($"doc_id".as("doc_a"), $"src".as("sa")),
+          Seq("doc_a"))
+        .join(srcMap.select($"doc_id".as("doc_b"), $"src".as("sb")),
+          Seq("doc_b"))
+      val mTot = lab.agg(count(lit(1)).as("m"))
+      val dC = lab.select($"sa".as("src")).unionAll(lab.select($"sb".as("src")))
+        .groupBy($"src").agg(count(lit(1)).as("d_c"))
+      val eC = lab.filter($"sa" === $"sb")
+        .groupBy($"sa").agg(count(lit(1)).as("e_c"))
+        .withColumnRenamed("sa", "src")
+      val terms = dC.join(eC, Seq("src"), "left")
+        .withColumn("e_c", coalesce($"e_c", lit(0L)))
+        .crossJoin(broadcast(mTot))
+      val md = $"m".cast("double")
+      val qTerm = rnd($"e_c".cast("double") / md -
+        ($"d_c".cast("double") / (lit(2.0) * md)) *
+          ($"d_c".cast("double") / (lit(2.0) * md)), 10)
+        .cast("decimal(38,10)")
+      val qSum = terms.agg(sum(qTerm).cast("double").as("q0"))
+      terms
+        .crossJoin(broadcast(qSum.select(rnd($"q0", 8).as("modularity"))))
+        .select($"src", $"e_c", $"d_c", $"m",
+          rnd($"e_c".cast("double") / md, 6).as("intra_frac"),
+          $"modularity")
+        .orderBy($"src")
+    }),
+
     // Link prediction over the near-dup candidate graph (wave 33):
     // top-50 NON-edge pairs ranked by neighborhood Jaccard
     // (common-neighbors / union-of-neighborhoods) — "these two docs
@@ -2147,6 +2194,37 @@ object CorpusOpsQueries {
          | capx = 1 AS capped
          |FROM ne JOIN deg da ON da.u = ne.doc_a
          | JOIN deg db ON db.u = ne.doc_b
-         |ORDER BY jacc DESC, ne.doc_a, ne.doc_b LIMIT 50""".stripMargin
+         |ORDER BY jacc DESC, ne.doc_a, ne.doc_b LIMIT 50""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH ${LlmQueries.duckCandidateCtes},
+         |sm AS (SELECT doc_id, coalesce(source, '__null__') AS src
+         |  FROM documents),
+         |lab AS (SELECT a.src AS sa, b.src AS sb FROM cand
+         |  JOIN sm a ON cand.doc_a = a.doc_id
+         |  JOIN sm b ON cand.doc_b = b.doc_id),
+         |mt AS (SELECT count(*) AS m FROM lab),
+         |dc AS (SELECT src, count(*) AS d_c FROM
+         |    (SELECT sa AS src FROM lab UNION ALL SELECT sb FROM lab) t
+         |  GROUP BY src),
+         |ec AS (SELECT sa AS src, count(*) AS e_c FROM lab
+         |  WHERE sa = sb GROUP BY sa),
+         |terms AS (SELECT dc.src, coalesce(ec.e_c, 0) AS e_c, dc.d_c, mt.m
+         |  FROM dc LEFT JOIN ec USING (src) CROSS JOIN mt),
+         |x AS (SELECT src, e_c, d_c, m,
+         |    ${Q.duckRnd(
+        "CAST(e_c AS DOUBLE) / CAST(m AS DOUBLE)" +
+          " - (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))" +
+          " * (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))", 10)}
+         |      AS qt
+         |  FROM terms),
+         |qs AS (SELECT ${Q.duckRnd(
+        "CAST(sum(CAST(qt AS DECIMAL(38,10))) AS DOUBLE)", 8)}
+         |    AS modularity FROM x)
+         |SELECT src, e_c, d_c, m,
+         |  ${Q.duckRnd("CAST(e_c AS DOUBLE) / CAST(m AS DOUBLE)", 6)}
+         |    AS intra_frac,
+         |  modularity
+         |FROM x CROSS JOIN qs ORDER BY src""".stripMargin
   )
 }

@@ -1525,6 +1525,60 @@ object StatQueries {
         .select($"src", $"n_tokens",
           rnd(lit(0.5) * $"sp" + lit(0.5) * $"sq", 8).as("jsd"))
         .orderBy($"src")
+    }),
+
+    // MAP@K + MRR@K retrieval evaluation (wave 56): the order-aware
+    // binary-relevance metrics that complete ndcg_eval's graded-gain
+    // readout — the pair every retrieval eval harness reports
+    // together. Same per-user ranking substrate as ndcg_eval (score
+    // = value, one user-keyed window exchange carrying the rank, the
+    // cumulative-relevant prefix AND the full-partition relevant
+    // total — three window functions, ONE shuffle); precision@r
+    // terms for relevant ranks ≤ K snap at 10dp and sum as
+    // decimal(38,10) per user (order-free — no per-user fold
+    // needed); AP divides by min(R, K), RR is 1/first-relevant-rank
+    // within K (0 if none). Users with zero relevant events are
+    // excluded (AP undefined — the standard convention, mirrored).
+    // The closing MAP/MRR means divide exact decimal sums of the
+    // 8dp-snapped per-user values.
+    "map_eval" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .where($"user_id".isNotNull)
+        .select($"user_id", $"event_id", $"value",
+          when($"event_type".isin("purchase", "click"), 1L).otherwise(0L)
+            .as("rel"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"value".desc_nulls_last, $"event_id")
+      val ranked = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cumrel", sum($"rel").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("r_tot", sum($"rel").over(
+          Window.partitionBy($"user_id")))
+      val per = ranked.filter($"rn" <= MapK)
+        .groupBy($"user_id").agg(
+          max($"r_tot").as("r_tot"),
+          sum(when($"rel" === 1L,
+            rnd($"cumrel".cast("double") / $"rn".cast("double"), 10)
+              .cast("decimal(38,10)"))).as("ap_num"),
+          min(when($"rel" === 1L, $"rn")).as("first_rel"))
+      val perUser = per.filter($"r_tot" > 0L)
+        .select($"user_id",
+          rnd(coalesce($"ap_num", lit(0).cast("decimal(38,10)"))
+            .cast("double") /
+            least($"r_tot", lit(MapK.toLong)).cast("double"), 8).as("ap"),
+          when($"first_rel".isNotNull,
+            rnd(lit(1.0) / $"first_rel".cast("double"), 8))
+            .otherwise(lit(0.0)).as("rr"))
+      perUser.agg(count(lit(1)).as("n_users"),
+          sum($"ap".cast("decimal(38,8)")).as("sap"),
+          sum($"rr".cast("decimal(38,8)")).as("srr"))
+        .select($"n_users",
+          when($"n_users" > 0L, rnd($"sap".cast("double") /
+            $"n_users".cast("double"), 6)).as("map_at_k"),
+          when($"n_users" > 0L, rnd($"srr".cast("double") /
+            $"n_users".cast("double"), 6)).as("mrr_at_k"))
     }))
 
   /** Power-iteration step count for markov_stationary — enough for a
@@ -1549,6 +1603,11 @@ object StatQueries {
     * size. Mirrored in the oracle.
     */
   private val JsdTerms = 200
+
+  /** map_eval cutoff K (ndcg_eval's NdcgK by value — independent
+    * constants, no coupling). Mirrored in the oracle.
+    */
+  private val MapK = 10
 
   import LlmQueries.{NORM, NTOK, TOKS}
 
@@ -2535,5 +2594,42 @@ object StatQueries {
         "0.5 * CAST(sum(CAST(pt AS DECIMAL(38,10))) AS DOUBLE)" +
           " + 0.5 * CAST(sum(CAST(qt AS DECIMAL(38,10))) AS DOUBLE)", 8)}
          |    AS jsd
-         |FROM y GROUP BY src ORDER BY src""".stripMargin)
+         |FROM y GROUP BY src ORDER BY src""".stripMargin,
+
+    "map_eval" ->
+      s"""WITH base AS (SELECT user_id, event_id, value,
+         |    CASE WHEN event_type IN ('purchase', 'click')
+         |      THEN 1 ELSE 0 END AS rel
+         |  FROM events WHERE user_id IS NOT NULL),
+         |ranked AS (SELECT user_id, rel,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY value DESC NULLS LAST, event_id) AS rn,
+         |    CAST(sum(rel) OVER (PARTITION BY user_id
+         |      ORDER BY value DESC NULLS LAST, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cumrel,
+         |    CAST(sum(rel) OVER (PARTITION BY user_id) AS BIGINT) AS r_tot
+         |  FROM base),
+         |per AS (SELECT user_id, max(r_tot) AS r_tot,
+         |    sum(CASE WHEN rel = 1 THEN CAST(${Q.duckRnd(
+        "CAST(cumrel AS DOUBLE) / CAST(rn AS DOUBLE)", 10)}
+         |      AS DECIMAL(38,10)) END) AS ap_num,
+         |    min(CASE WHEN rel = 1 THEN rn END) AS first_rel
+         |  FROM ranked WHERE rn <= $MapK GROUP BY user_id),
+         |pu AS (SELECT user_id,
+         |    ${Q.duckRnd(
+        "CAST(coalesce(ap_num, CAST(0 AS DECIMAL(38,10))) AS DOUBLE)" +
+          s" / CAST(least(r_tot, $MapK) AS DOUBLE)", 8)} AS ap,
+         |    CASE WHEN first_rel IS NOT NULL
+         |      THEN ${Q.duckRnd("1.0 / CAST(first_rel AS DOUBLE)", 8)}
+         |      ELSE 0.0 END AS rr
+         |  FROM per WHERE r_tot > 0)
+         |SELECT count(*) AS n_users,
+         |  CASE WHEN count(*) > 0 THEN ${Q.duckRnd(
+        "CAST(sum(CAST(ap AS DECIMAL(38,8))) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)", 6)} END AS map_at_k,
+         |  CASE WHEN count(*) > 0 THEN ${Q.duckRnd(
+        "CAST(sum(CAST(rr AS DECIMAL(38,8))) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)", 6)} END AS mrr_at_k
+         |FROM pu""".stripMargin)
 }

@@ -746,6 +746,49 @@ object TimeSeriesQueries {
           rnd($"r1" - $"cm", 6).as("residual"))
         .orderBy(rnd(abs($"r1" - $"cm"), 6).desc, $"event_type", $"day")
         .limit(50)
+    }),
+
+    // Theta-method forecast per event type (wave 56; Assimakopoulos
+    // & Nikolopoulos 2000, in the Hyndman & Billah 2003 equivalent
+    // form: SES plus half the fitted linear-trend drift) — the M3
+    // benchmark the forecasting literature uses as "hard to beat",
+    // completing the holt/holt_winters/croston smoothing family.
+    // Same bounded day-spine substrate: one keyed aggregate builds
+    // each type's zero-filled daily array; everything after is
+    // per-row array arithmetic. SES level is a dyadic α=1/2 fold
+    // (exact IEEE — no rounding anywhere); the LS slope over the
+    // train split assembles from EXACT integer sums Σx and Σt·x via
+    // the closed form (12·Σtx − 6(n+1)Σx)/(n³−n), so both engines
+    // perform one identical closing division; ŷ(h) = ℓ + h·(b/2)
+    // and the 7-day-holdout MAE are pinned IEEE sequences. Snaps are
+    // display-only.
+    "theta_forecast" -> ((s, d) => {
+      import s.implicits._
+      daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+        .filter($"n_days" >= HoltMinDays)
+        .selectExpr("event_type", "n_days", "s", "n_days - 7 AS n_train")
+        .selectExpr("event_type", "n_days", "s", "n_train",
+          "aggregate(slice(s, 2, n_train - 1)," +
+            " CAST(element_at(s, 1) AS DOUBLE)," +
+            " (acc, x) -> 0.5 * CAST(x AS DOUBLE) + 0.5 * acc) AS l",
+          "aggregate(sequence(1, n_train), CAST(0 AS BIGINT)," +
+            " (a, t) -> a + t * element_at(s, t)) AS sxt",
+          "aggregate(slice(s, 1, n_train), CAST(0 AS BIGINT)," +
+            " (a, x) -> a + x) AS sx")
+        .selectExpr("event_type", "n_days", "s", "n_train", "l",
+          "CAST(12 * sxt - 6 * (n_train + 1) * sx AS DOUBLE)" +
+            " / CAST((CAST(n_train AS BIGINT) * n_train * n_train)" +
+            " - n_train AS DOUBLE) AS b")
+        .selectExpr("event_type", "n_days", "l", "b",
+          "aggregate(sequence(1, 7), CAST(0 AS DOUBLE), (acc, h) ->" +
+            " acc + abs(l + CAST(h AS DOUBLE) * (b * 0.5)" +
+            " - CAST(element_at(s, n_train + h) AS DOUBLE))) / 7.0 AS mae")
+        .select($"event_type", $"n_days", rnd($"l", 6).as("ses_level"),
+          rnd($"b", 6).as("slope"),
+          rnd($"l" + lit(1.0) * ($"b" * lit(0.5)), 6).as("forecast_1"),
+          rnd($"mae", 6).as("mae"))
+        .orderBy($"event_type")
     }))
 
   /** Day-spine cap for dtw_distance — series length is bounded at
@@ -1340,7 +1383,38 @@ object TimeSeriesQueries {
          |  ${Q.duckRnd("r2", 6)} AS residual
          |FROM r2
          |ORDER BY ${Q.duckRnd("abs(r2)", 6)} DESC, event_type, day
-         |LIMIT 50""".stripMargin)
+         |LIMIT 50""".stripMargin,
+
+    "theta_forecast" ->
+      s"""WITH $duckDayCtes,
+         |tr AS (SELECT t AS event_type, len(s) AS n_days, s,
+         |    len(s) - 7 AS n_train
+         |  FROM series WHERE len(s) >= $HoltMinDays),
+         |fold AS (SELECT event_type, n_days, s, n_train,
+         |    list_reduce(
+         |      list_prepend(CAST(s[1] AS DOUBLE),
+         |        list_transform(list_slice(s, 2, n_train),
+         |          x -> CAST(x AS DOUBLE))),
+         |      (acc, xi) -> 0.5 * xi + 0.5 * acc) AS l,
+         |    CAST(list_sum(list_transform(range(1, n_train + 1),
+         |      t -> t * s[t])) AS BIGINT) AS sxt,
+         |    CAST(list_sum(list_slice(s, 1, n_train)) AS BIGINT) AS sx
+         |  FROM tr),
+         |sl AS (SELECT event_type, n_days, s, n_train, l,
+         |    CAST(12 * sxt - 6 * (n_train + 1) * sx AS DOUBLE)
+         |      / CAST((n_train * n_train * n_train) - n_train AS DOUBLE)
+         |      AS b
+         |  FROM fold),
+         |m AS (SELECT event_type, n_days, l, b,
+         |    list_sum(list_transform(range(1, 8), h ->
+         |      abs(l + CAST(h AS DOUBLE) * (b * 0.5)
+         |        - CAST(s[n_train + h] AS DOUBLE)))) / 7.0 AS mae
+         |  FROM sl)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+         |  ${Q.duckRnd("l", 6)} AS ses_level, ${Q.duckRnd("b", 6)} AS slope,
+         |  ${Q.duckRnd("l + 1.0 * (b * 0.5)", 6)} AS forecast_1,
+         |  ${Q.duckRnd("mae", 6)} AS mae
+         |FROM m ORDER BY event_type""".stripMargin)
 
   /** The dtw oracle's bounded zero-filled series construction,
     * factored for the wave-43 oracles (cells → … → grid → series).
