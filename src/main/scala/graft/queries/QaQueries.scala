@@ -458,6 +458,46 @@ object QaQueries {
           rnd($"rows_risky".cast("double") / $"n_rows".cast("double"), 6)
             .as("frac_risky"))
         .orderBy($"nationkey", $"mktsegment")
+    }),
+
+    // Cohen's kappa between the declared language metadata and the
+    // n-gram language detector (wave 57; Cohen 1960): chance-corrected
+    // agreement — the QA number that separates "the detector mostly
+    // agrees with the metadata" from "they agree no more than two
+    // random labelers would". One documents scan to the confusion
+    // matrix (bounded ≤|langs|² relation); p_o from the exact integer
+    // diagonal, p_e from exact decimal marginal products, and κ =
+    // (p_o − p_e)/(1 − p_e) recomputed from the SNAPPED p_o/p_e so
+    // both engines divide identical doubles. No transcendental
+    // anywhere. NULL metadata forms an honest '__null__' class (it
+    // can only agree with nothing — exactly the disagreement a QA
+    // reviewer wants counted).
+    "cohens_kappa" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Tables.documents(s, d).select(
+        coalesce($"lang", lit("__null__")).as("a"),
+        TF.langIdHeuristic($"text").as("b"))
+      val cm = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+      val ra = cm.groupBy($"a").agg(sum($"c").as("ra"))
+      val cb = cm.groupBy($"b").agg(sum($"c").as("cb"))
+      val nn = cm.agg(sum($"c").as("nn"))
+      val diag = cm.filter($"a" === $"b")
+        .agg(coalesce(sum($"c"), lit(0L)).as("diag"))
+      val pe = ra.join(cb, $"a" === $"b")
+        .agg(coalesce(
+          sum($"ra".cast("decimal(19,0)") * $"cb".cast("decimal(19,0)")),
+          lit(0).cast("decimal(38,0)")).as("s_pe"))
+      nn.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
+        .select($"nn".as("n"), $"diag",
+          ($"diag".cast("double") / $"nn".cast("double")).as("po0"),
+          ($"s_pe".cast("double") /
+            ($"nn".cast("double") * $"nn".cast("double"))).as("pe0"))
+        .select($"n", $"diag",
+          rnd($"po0", 6).as("po"), rnd($"pe0", 6).as("pe"))
+        .select($"n", $"diag", $"po", $"pe",
+          when(lit(1.0) - $"pe" <= 0.0, lit(null).cast("double"))
+            .otherwise(rnd(($"po" - $"pe") / (lit(1.0) - $"pe"), 6))
+            .as("kappa"))
     })
   )
 
@@ -466,6 +506,7 @@ object QaQueries {
     * the oracle.
     */
   private val KAnonThresh = 5L
+
 
   import LlmQueries.{NORM, NTOK, TOKS, duckShingleCtes, duckQuality, duckLangCase}
 
@@ -735,6 +776,33 @@ object QaQueries {
         "CAST(rows_risky AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)}
          |    AS frac_risky
          |FROM grp CROSS JOIN gstats
-         |ORDER BY nationkey, mktsegment""".stripMargin
+         |ORDER BY nationkey, mktsegment""".stripMargin,
+
+    "cohens_kappa" ->
+      s"""WITH pairs AS (SELECT coalesce(lang, '__null__') AS a,
+         |    $duckLangCase AS b
+         |  FROM documents),
+         |cm AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY a, b),
+         |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cm GROUP BY a),
+         |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY b),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cm),
+         |diag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS diag
+         |  FROM cm WHERE a = b),
+         |pe AS (SELECT coalesce(
+         |    sum(CAST(ra.ra AS DECIMAL(19,0)) * CAST(cb.cb AS DECIMAL(19,0))),
+         |    CAST(0 AS DECIMAL(38,0))) AS s_pe
+         |  FROM ra JOIN cb ON ra.a = cb.b),
+         |asm AS (SELECT nn AS n, diag,
+         |    CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) AS po0,
+         |    CAST(s_pe AS DOUBLE)
+         |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe0
+         |  FROM nn CROSS JOIN diag CROSS JOIN pe),
+         |sn AS (SELECT n, diag, ${Q.duckRnd("po0", 6)} AS po,
+         |    ${Q.duckRnd("pe0", 6)} AS pe
+         |  FROM asm)
+         |SELECT n, diag, po, pe,
+         |  CASE WHEN 1.0 - pe <= 0.0 THEN NULL
+         |    ELSE ${Q.duckRnd("(po - pe) / (1.0 - pe)", 6)} END AS kappa
+         |FROM sn""".stripMargin
   )
 }

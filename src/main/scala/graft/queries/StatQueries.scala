@@ -1579,6 +1579,50 @@ object StatQueries {
             $"n_users".cast("double"), 6)).as("map_at_k"),
           when($"n_users" > 0L, rnd($"srr".cast("double") /
             $"n_users".cast("double"), 6)).as("mrr_at_k"))
+    }),
+
+    // Cumulative-gains / lift table by score decile (wave 57): the
+    // model-evaluation readout a targeting team actually consumes —
+    // "the top decile captures X% of positives at Y× base rate" —
+    // completing auc_eval (threshold-free ranking quality) and
+    // classifier_eval (fixed-threshold confusion) with the
+    // decile-level decision table. Deciles come from
+    // [[DistributedNtile.withNtile]] over (score desc, vec_id) —
+    // exact SQL NTILE semantics with no single-task corpus sort —
+    // then everything is integer arithmetic on a ≤10-row relation:
+    // the cumulative runs through BoundedWindow, gains/lifts are
+    // exact-integer ratios snapped at 6dp. Guards: a corpus with
+    // zero positives yields NULL gain/lift rather than ±Inf.
+    "lift_table" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.embeddings(s, d).select(
+        $"vec_id",
+        element_at($"embedding", 1).as("score"),
+        when($"label" >= PosLabel, 1L).otherwise(0L).as("pos"))
+        .withColumn("g", lit(1))
+      val tiled = DistributedNtile.withNtile(
+        scored, "g", Seq($"score".desc_nulls_last, $"vec_id".asc), 10,
+        "decile")
+      val per = tiled.groupBy($"decile").agg(
+        count(lit(1)).as("n"), sum($"pos").as("n_pos"))
+      val tot = per.agg(sum($"n").as("nt"), sum($"n_pos").as("pt"))
+      val w = graft.operators.BoundedWindow
+        .orderBy("lift_table: <=10 deciles", 10L, $"decile".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cum_n", sum($"n").over(w))
+        .withColumn("cum_pos", sum($"n_pos").over(w))
+        .crossJoin(broadcast(tot))
+        .select($"decile", $"n", $"n_pos",
+          rnd($"n_pos".cast("double") / $"n".cast("double"), 6)
+            .as("resp_rate"),
+          when($"pt" > 0L,
+            rnd($"cum_pos".cast("double") / $"pt".cast("double"), 6))
+            .as("gain"),
+          when($"pt" > 0L && $"cum_n" > 0L,
+            rnd(($"cum_pos".cast("double") / $"pt".cast("double")) /
+              ($"cum_n".cast("double") / $"nt".cast("double")), 6))
+            .as("lift"))
+        .orderBy($"decile")
     }))
 
   /** Power-iteration step count for markov_stationary — enough for a
@@ -2631,5 +2675,36 @@ object StatQueries {
          |  CASE WHEN count(*) > 0 THEN ${Q.duckRnd(
         "CAST(sum(CAST(rr AS DECIMAL(38,8))) AS DOUBLE)" +
           " / CAST(count(*) AS DOUBLE)", 6)} END AS mrr_at_k
-         |FROM pu""".stripMargin)
+         |FROM pu""".stripMargin,
+
+    "lift_table" ->
+      s"""WITH scored AS (SELECT vec_id, embedding[1] AS score,
+         |    CASE WHEN label >= $PosLabel THEN 1 ELSE 0 END AS pos
+         |  FROM embeddings),
+         |t AS (SELECT pos, CAST(ntile(10) OVER (ORDER BY score DESC
+         |    NULLS LAST, vec_id) AS INTEGER) AS decile
+         |  FROM scored),
+         |per AS (SELECT decile, count(*) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos
+         |  FROM t GROUP BY decile),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(sum(n_pos) AS BIGINT) AS pt FROM per),
+         |c AS (SELECT decile, n, n_pos,
+         |    CAST(sum(n) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_n,
+         |    CAST(sum(n_pos) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_pos
+         |  FROM per)
+         |SELECT decile, n, n_pos,
+         |  ${Q.duckRnd("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+         |    AS resp_rate,
+         |  CASE WHEN pt > 0 THEN ${Q.duckRnd(
+        "CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE)", 6)} END AS gain,
+         |  CASE WHEN pt > 0 AND cum_n > 0 THEN ${Q.duckRnd(
+        "(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE))" +
+          " / (CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE))", 6)} END
+         |    AS lift
+         |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin)
 }

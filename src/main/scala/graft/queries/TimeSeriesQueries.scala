@@ -789,7 +789,59 @@ object TimeSeriesQueries {
           rnd($"l" + lit(1.0) * ($"b" * lit(0.5)), 6).as("forecast_1"),
           rnd($"mae", 6).as("mae"))
         .orderBy($"event_type")
+    }),
+
+    // Page–Hinkley drift detector per event type (wave 56-57; Page
+    // 1954): the sequential changepoint statistic streaming monitors
+    // actually run — cumulative deviation from the RUNNING mean,
+    // alarming when the deviation track falls PH = max(m_t − min m)
+    // below its own minimum — where changepoint_cusum tests against
+    // the global mean in hindsight. One (type, day) cell aggregate
+    // builds the bounded spine; the detector is a single fold over
+    // the day array with a flat DOUBLE[6] accumulator
+    // [t, Σx, m_t, min m, PH, argmax] — the SAME step expression is
+    // generated for both engines from ONE builder ([[phStepArray]]),
+    // so the IEEE sequences cannot drift. All arithmetic is
+    // divisions/adds on exact integer counts — no transcendental;
+    // snaps are display-only. t_alarm = 0 means the track never rose
+    // above its minimum (no drift).
+    "page_hinkley" -> ((s, d) => {
+      import s.implicits._
+      val step = phStepArray(i => s"element_at(acc, $i)",
+        "CAST(x AS DOUBLE)", es => s"array(${es.mkString(", ")})")
+      daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+        .selectExpr("event_type", "n_days",
+          "aggregate(s, array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)," +
+            " CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)," +
+            s" CAST(0 AS DOUBLE)), (acc, x) -> $step) AS r")
+        .selectExpr("event_type", "n_days",
+          "element_at(r, 2) AS cum", "element_at(r, 5) AS ph",
+          "element_at(r, 6) AS targ")
+        .select($"event_type", $"n_days",
+          rnd($"cum" / $"n_days".cast("double"), 6).as("mean_daily"),
+          rnd($"ph", 6).as("ph_stat"),
+          $"targ".cast("int").as("t_alarm"))
+        .orderBy($"event_type")
     }))
+
+  /** Page–Hinkley fold step, generated once for BOTH engines (Spark
+    * `aggregate` and DuckDB `list_reduce`) so the per-day IEEE op
+    * sequence is identical by construction. Accumulator layout
+    * (1-based): [t, Σx, m_t, min m, PH, argmax-day].
+    */
+  private def phStepArray(acc: Int => String, xd: String,
+      arr: Seq[String] => String): String = {
+    val a1 = acc(1); val a2 = acc(2); val a3 = acc(3)
+    val a4 = acc(4); val a5 = acc(5); val a6 = acc(6)
+    val t = s"($a1 + 1.0)"
+    val cum = s"($a2 + $xd)"
+    val mht = s"($a3 + ($xd - $cum / $t))"
+    val minm = s"least($a4, $mht)"
+    val cand = s"($mht - $minm)"
+    arr(Seq(t, cum, mht, minm, s"greatest($a5, $cand)",
+      s"CASE WHEN $cand > $a5 THEN $t ELSE $a6 END"))
+  }
 
   /** Day-spine cap for dtw_distance — series length is bounded at
     * DtwMaxDays from the first observed day regardless of the ingest
@@ -1414,7 +1466,26 @@ object TimeSeriesQueries {
          |  ${Q.duckRnd("l", 6)} AS ses_level, ${Q.duckRnd("b", 6)} AS slope,
          |  ${Q.duckRnd("l + 1.0 * (b * 0.5)", 6)} AS forecast_1,
          |  ${Q.duckRnd("mae", 6)} AS mae
-         |FROM m ORDER BY event_type""".stripMargin)
+         |FROM m ORDER BY event_type""".stripMargin,
+
+    "page_hinkley" -> {
+      val step = phStepArray(i => s"acc[$i]", "xi[1]",
+        es => s"[${es.mkString(", ")}]")
+      s"""WITH $duckDayCtes,
+         |base AS (SELECT t AS event_type, len(s) AS n_days, s
+         |  FROM series),
+         |fold AS (SELECT event_type, n_days,
+         |    list_reduce(
+         |      list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+         |        list_transform(s, x -> [CAST(x AS DOUBLE)])),
+         |      (acc, xi) -> $step) AS r
+         |  FROM base)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+         |  ${Q.duckRnd("r[2] / CAST(n_days AS DOUBLE)", 6)} AS mean_daily,
+         |  ${Q.duckRnd("r[5]", 6)} AS ph_stat,
+         |  CAST(r[6] AS INTEGER) AS t_alarm
+         |FROM fold ORDER BY event_type""".stripMargin
+    })
 
   /** The dtw oracle's bounded zero-filled series construction,
     * factored for the wave-43 oracles (cells → … → grid → series).

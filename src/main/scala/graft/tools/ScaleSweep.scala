@@ -312,7 +312,28 @@ object ScaleSweep {
       // wave 51: holt_winters/croston ride the (type, day) cell
       // aggregate (bounded-spine folds); fs_linkage rides the
       // memoized LSH pair chain + broadcast metadata joins
-      "holt_winters", "croston_forecast", "fs_linkage")
+      "holt_winters", "croston_forecast", "fs_linkage",
+      // wave 54 (round 12): anova/jarque ride the factor× events
+      // month (one group aggregate each, ≤k-row arithmetic after);
+      // spearman rides the factor× lineitem (two distinct-value
+      // prefix sums + one keyed rank join)
+      "anova_oneway", "jarque_bera", "spearman_rho",
+      // wave 55: mutual_info is one documents aggregate to a bounded
+      // joint grid; js_divergence rides the memoized term relation
+      // with a fixed 201-cell per-source state; k_anonymity audits
+      // the (unscaled) customer dimension — swept to prove the
+      // dimension audit stays constant-time as facts grow
+      "mutual_info", "js_divergence", "k_anonymity",
+      // wave 56: map_eval rides the factor× events month (one
+      // user-keyed window exchange); graph_modularity rides the
+      // memoized LSH pair table (two bounded aggregates);
+      // theta_forecast rides the (type, day) cell aggregate
+      "map_eval", "graph_modularity", "theta_forecast",
+      // wave 57: cohens_kappa is one documents scan to a bounded
+      // confusion grid; lift_table rides the factor× embeddings
+      // through the skew-free NTILE; page_hinkley rides the
+      // (type, day) cell aggregate (bounded-spine fold)
+      "cohens_kappa", "lift_table", "page_hinkley")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
