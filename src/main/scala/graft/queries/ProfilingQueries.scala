@@ -377,6 +377,74 @@ object ProfilingQueries {
         }
       }
       per.reduce(_.unionAll(_)).orderBy($"tbl", $"col_name")
+    }),
+
+    // Population Stability Index per event type between the time
+    // halves of the ingest window (wave 58): THE industry drift
+    // metric — "has this class's value distribution moved since the
+    // reference period" — with the reference-decile binning a risk
+    // team actually deploys. histogram_drift deliberately stays
+    // transcendental-free (TV/Hellinger); psi_stability is the
+    // complementary ln-based readout under the repo's snap
+    // discipline (10dp-snapped per-bin terms, decimal sums — the
+    // hill/mutual_info precedent). Bin edges are the REFERENCE
+    // half's per-type deciles via the skew-free
+    // [[graft.operators.DistributedNtile]] (never a corpus-wide
+    // single-task sort); both halves bin against the SAME ≤9-edge
+    // broadcast arrays; add-½ smoothing on the full per-type bin
+    // grid keeps empty bins finite in both engines. One fact scan +
+    // one keyed NTILE exchange + two bounded aggregates.
+    "psi_stability" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"ts".isNotNull && $"event_type".isNotNull &&
+          $"value".isNotNull)
+        .select($"event_type".as("t"),
+          expr("unix_millis(ts) DIV 86400000").as("day"),
+          $"value", $"event_id")
+      val mid = broadcast(ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .selectExpr("(d0 + d1 + 1) DIV 2 AS mid"))
+      val halved = ev.crossJoin(mid)
+        .select($"t", $"value", $"event_id", ($"day" < $"mid").as("ref"))
+      val refRows = halved.filter($"ref")
+      val tiled = graft.operators.DistributedNtile.withNtile(
+        refRows, "t",
+        Seq($"value".asc_nulls_last, $"event_id".asc_nulls_last), 10, "tile")
+      val edges = tiled.groupBy($"t", $"tile")
+        .agg(max($"value").as("edge"))
+        .filter($"tile" < 10)
+        .groupBy($"t")
+        .agg(array_sort(collect_list(struct($"tile", $"edge"))).as("te"))
+        .selectExpr("t", "transform(te, p -> p.edge) AS edges")
+      val binned = halved.join(broadcast(edges), Seq("t"))
+        .selectExpr("t", "ref", "size(edges) + 1 AS nb",
+          "1 + aggregate(edges, 0, (a, e) ->" +
+            " a + CASE WHEN value > e THEN 1 ELSE 0 END) AS bin")
+      val cell = binned.groupBy($"t", $"nb", $"bin").agg(
+        sum(when($"ref", 1L).otherwise(0L)).as("cr"),
+        sum(when(!$"ref", 1L).otherwise(0L)).as("cc"))
+      val tot = cell.groupBy($"t").agg(
+        sum($"cr").as("nr"), sum($"cc").as("nc"), max($"nb").as("nb"))
+      val grid = tot.selectExpr("t", "nr", "nc", "nb",
+          "explode(sequence(1, nb)) AS bin")
+        .join(cell.select($"t", $"bin", $"cr", $"cc"), Seq("t", "bin"), "left")
+        .select($"t", $"nr", $"nc", $"nb", $"bin",
+          coalesce($"cr", lit(0L)).as("cr"),
+          coalesce($"cc", lit(0L)).as("cc"))
+      val p = ($"cr".cast("double") + lit(0.5)) /
+        ($"nr".cast("double") + lit(0.5) * $"nb".cast("double"))
+      val q = ($"cc".cast("double") + lit(0.5)) /
+        ($"nc".cast("double") + lit(0.5) * $"nb".cast("double"))
+      val term = rnd((p - q) * log(p / q), 10).cast("decimal(38,10)")
+      grid.groupBy($"t").agg(
+          max($"nr").as("n_ref"), max($"nc").as("n_cur"),
+          max($"nb").as("n_bins"),
+          sum(term).cast("double").as("psi0"))
+        .select($"t".as("event_type"), $"n_ref", $"n_cur", $"n_bins",
+          rnd($"psi0", 8).as("psi"))
+        .select($"event_type", $"n_ref", $"n_cur", $"n_bins", $"psi",
+          ($"psi" > lit(0.2)).as("drift"))
+        .orderBy($"event_type")
     }))
 
   /** moments_profile column list (2dp-decimal columns by the data
@@ -599,5 +667,53 @@ object ProfilingQueries {
       }
       s"""SELECT * FROM (${legs.mkString("\nUNION ALL\n")}) u
          |ORDER BY tbl, col_name""".stripMargin
-    })
+    },
+
+    "psi_stability" ->
+      s"""WITH ev AS (SELECT event_type AS t,
+         |    (epoch_us(ts) // 1000) // 86400000 AS day, value, event_id
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL),
+         |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+         |halved AS (SELECT t, value, event_id, day < mid AS ref
+         |  FROM ev CROSS JOIN mid),
+         |tiled AS (SELECT t, value,
+         |    ntile(10) OVER (PARTITION BY t
+         |      ORDER BY value NULLS LAST, event_id NULLS LAST) AS tile
+         |  FROM halved WHERE ref),
+         |te AS (SELECT t, tile, max(value) AS edge FROM tiled
+         |  WHERE tile < 10 GROUP BY t, tile),
+         |edges AS (SELECT t, list(edge ORDER BY tile) AS edges
+         |  FROM te GROUP BY t),
+         |binned AS (SELECT h.t, h.ref, len(e.edges) + 1 AS nb,
+         |    1 + len(list_filter(e.edges, x -> h.value > x)) AS bin
+         |  FROM halved h JOIN edges e ON h.t = e.t),
+         |cell AS (SELECT t, nb, bin,
+         |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+         |  FROM binned GROUP BY t, nb, bin),
+         |tot AS (SELECT t, CAST(sum(cr) AS BIGINT) AS nr,
+         |    CAST(sum(cc) AS BIGINT) AS nc, max(nb) AS nb
+         |  FROM cell GROUP BY t),
+         |grid AS (SELECT tot.t, tot.nr, tot.nc, tot.nb, b.bin,
+         |    coalesce(cell.cr, 0) AS cr, coalesce(cell.cc, 0) AS cc
+         |  FROM tot CROSS JOIN LATERAL (SELECT unnest(range(1, nb + 1))
+         |    AS bin) b
+         |  LEFT JOIN cell ON cell.t = tot.t AND cell.bin = b.bin),
+         |x AS (SELECT t, nr, nc, nb,
+         |    (CAST(cr AS DOUBLE) + 0.5)
+         |      / (CAST(nr AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS p,
+         |    (CAST(cc AS DOUBLE) + 0.5)
+         |      / (CAST(nc AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS q
+         |  FROM grid),
+         |agg AS (SELECT t, max(nr) AS n_ref, max(nc) AS n_cur,
+         |    CAST(max(nb) AS INTEGER) AS n_bins,
+         |    CAST(sum(CAST(${Q.duckRnd("(p - q) * ln(p / q)", 10)}
+         |      AS DECIMAL(38,10))) AS DOUBLE) AS psi0
+         |  FROM x GROUP BY t),
+         |sn AS (SELECT t AS event_type, n_ref, n_cur, n_bins,
+         |    ${Q.duckRnd("psi0", 8)} AS psi
+         |  FROM agg)
+         |SELECT event_type, n_ref, n_cur, n_bins, psi, psi > 0.2 AS drift
+         |FROM sn ORDER BY event_type""".stripMargin)
 }

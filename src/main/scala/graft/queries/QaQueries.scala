@@ -498,8 +498,60 @@ object QaQueries {
           when(lit(1.0) - $"pe" <= 0.0, lit(null).cast("double"))
             .otherwise(rnd(($"po" - $"pe") / (lit(1.0) - $"pe"), 6))
             .as("kappa"))
+    }),
+
+    // Sample-ratio-mismatch check on the train/val/test splitter
+    // (wave 58; the SRM chi-square every experimentation platform
+    // runs before trusting a bucketed readout — Fabijan et al. 2019):
+    // recomputes split_assign's md5 bucket assignment (the same pure
+    // row-key function), counts per split, and tests the observed
+    // counts against the declared 90/5/5 contract with a χ²
+    // goodness-of-fit at df = 2. Counts are exact integers; expected
+    // counts and per-split (o−e)²/e terms are pinned IEEE on shared
+    // ratio literals, 8dp-snapped and decimal-summed over the 3-row
+    // grid (built from a literal split table, so a split with ZERO
+    // rows still contributes its full expectation). One scan, one
+    // 3-row aggregate.
+    "srm_check" -> ((s, d) => {
+      import s.implicits._
+      val bucket = conv(
+        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))),
+          1, 8), 16, 10).cast("long") % 100
+      val counts = Tables.documents(s, d)
+        .select(when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+        .groupBy($"split").agg(count(lit(1)).as("n"))
+      val ratios = SrmRatios.toDF("split", "ratio")
+      val tot = counts.agg(coalesce(sum($"n"), lit(0L)).as("nt"))
+      val grid = ratios.join(counts, Seq("split"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+        .crossJoin(broadcast(tot))
+      val e = $"nt".cast("double") * $"ratio"
+      val term = rnd(($"n".cast("double") - e) * ($"n".cast("double") - e)
+        / e, 8).cast("decimal(38,8)")
+      val chi = grid.agg(sum(when($"nt" > 0L, term)).cast("double")
+        .as("chi0"), max($"nt").as("ntg"))
+        .select(when($"ntg" > 0L, rnd($"chi0", 6)).as("chi2"))
+      grid.crossJoin(broadcast(chi))
+        .select($"split", $"n", $"ratio",
+          when($"nt" > 0L, rnd(e, 4)).as("expected"),
+          $"nt".as("n_total"), $"chi2",
+          ($"chi2" > lit(SrmCrit)).as("srm_flag"))
+        .orderBy($"split")
     })
   )
+
+  /** split_assign's declared 90/5/5 contract as (split, ratio) rows —
+    * the srm_check expectation table, mirrored in the oracle. Ratio
+    * doubles are embedded via shortest round-trip repr.
+    */
+  private val SrmRatios: Seq[(String, Double)] =
+    Seq(("test", 0.05), ("train", 0.90), ("val", 0.05))
+
+  /** SRM rejection line: χ²₂ 0.95 quantile = −2·ln(0.05) (df = 2 for
+    * three splits). Shared literal with the oracle.
+    */
+  private val SrmCrit: Double = -2.0 * math.log(0.05)
 
   /** k-anonymity "small crowd" threshold: groups under this size are
     * flagged risky and their row mass feeds frac_risky. Mirrored in
@@ -803,6 +855,40 @@ object QaQueries {
          |SELECT n, diag, po, pe,
          |  CASE WHEN 1.0 - pe <= 0.0 THEN NULL
          |    ELSE ${Q.duckRnd("(po - pe) / (1.0 - pe)", 6)} END AS kappa
-         |FROM sn""".stripMargin
+         |FROM sn""".stripMargin,
+
+    "srm_check" -> {
+      val ratioRows = SrmRatios.map { case (sp, r) =>
+        s"('$sp', CAST('${java.lang.Double.toString(r)}' AS DOUBLE))"
+      }.mkString(", ")
+      val crit = s"CAST('${java.lang.Double.toString(SrmCrit)}' AS DOUBLE)"
+      s"""WITH b AS (SELECT
+         |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+         |      1, 8))::BIGINT % 100 AS bkt
+         |  FROM documents),
+         |counts AS (SELECT CASE WHEN bkt < 90 THEN 'train'
+         |    WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+         |    count(*) AS n
+         |  FROM b GROUP BY 1),
+         |ratios AS (SELECT * FROM (VALUES $ratioRows) v(split, ratio)),
+         |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nt
+         |  FROM counts),
+         |grid AS (SELECT r.split, coalesce(c.n, 0) AS n, r.ratio, t.nt
+         |  FROM ratios r LEFT JOIN counts c ON r.split = c.split
+         |  CROSS JOIN tot t),
+         |chi AS (SELECT CASE WHEN max(nt) > 0 THEN ${Q.duckRnd(
+        "CAST(sum(CASE WHEN nt > 0 THEN CAST(" +
+          Q.duckRnd(
+            "(CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * ratio)" +
+              " * (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * ratio)" +
+              " / (CAST(nt AS DOUBLE) * ratio)", 8) +
+          " AS DECIMAL(38,8)) END) AS DOUBLE)", 6)} END AS chi2
+         |  FROM grid)
+         |SELECT split, n, ratio,
+         |  CASE WHEN nt > 0 THEN ${Q.duckRnd(
+        "CAST(nt AS DOUBLE) * ratio", 4)} END AS expected,
+         |  nt AS n_total, chi2, chi2 > $crit AS srm_flag
+         |FROM grid CROSS JOIN chi ORDER BY split""".stripMargin
+    }
   )
 }

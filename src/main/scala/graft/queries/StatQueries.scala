@@ -1623,6 +1623,65 @@ object StatQueries {
               ($"cum_n".cast("double") / $"nt".cast("double")), 6))
             .as("lift"))
         .orderBy($"decile")
+    }),
+
+    // CUPED variance reduction (wave 58; Deng, Xu, Kohavi & Walker
+    // 2013): the pre-experiment covariate adjustment every modern
+    // experimentation platform applies before reading a metric —
+    // θ = cov(x,y)/var(x) over per-user (pre-period x, post-period y)
+    // value sums, and the variance the adjusted metric would have:
+    // var(y_adj) = var(y)·(1 − ρ²), an IDENTITY, so no second pass
+    // over the data is needed. One fact scan to per-user conditional
+    // cent sums (exact longs), then the spearman-style exact
+    // decimal(38,0) moment assembly — covariance and variances as
+    // exact integers, NO double cancellation — and three pinned
+    // closing divisions on snapped inputs. The time split is the
+    // ingest window's integer midpoint (psi_stability's convention).
+    "cuped_adjust" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"ts".isNotNull && $"user_id".isNotNull &&
+          $"value".isNotNull)
+        .select($"user_id",
+          expr("unix_millis(ts) DIV 86400000").as("day"),
+          (dec($"value") * 100).cast("long").as("c"))
+      val mid = broadcast(ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .selectExpr("(d0 + d1 + 1) DIV 2 AS mid"))
+      val per = ev.crossJoin(mid)
+        .groupBy($"user_id").agg(
+          coalesce(sum(when($"day" < $"mid", $"c")), lit(0L)).as("x"),
+          coalesce(sum(when($"day" >= $"mid", $"c")), lit(0L)).as("y"))
+      val sums = per.agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"x".cast("decimal(19,0)") * $"y".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sxy"),
+        sum(($"x".cast("decimal(19,0)") * $"x".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sxx"),
+        sum(($"y".cast("decimal(19,0)") * $"y".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("syy"))
+      val asm = sums.select($"n",
+        ($"n".cast("decimal(10,0)") * $"sxy".cast("decimal(28,0)") -
+          $"sx".cast("decimal(19,0)") * $"sy".cast("decimal(19,0)"))
+          .as("cv"),
+        ($"n".cast("decimal(10,0)") * $"sxx".cast("decimal(28,0)") -
+          $"sx".cast("decimal(19,0)") * $"sx".cast("decimal(19,0)"))
+          .as("vx"),
+        ($"n".cast("decimal(10,0)") * $"syy".cast("decimal(28,0)") -
+          $"sy".cast("decimal(19,0)") * $"sy".cast("decimal(19,0)"))
+          .as("vy"))
+      val st = asm.select($"n",
+        when($"vx" > 0,
+          rnd($"cv".cast("double") / $"vx".cast("double"), 6)).as("theta"),
+        when($"vx" > 0 && $"vy" > 0,
+          rnd(($"cv".cast("double") * $"cv".cast("double")) /
+            ($"vx".cast("double") * $"vy".cast("double")), 6)).as("rho2"),
+        when($"n" > 0L,
+          rnd($"vy".cast("double") /
+            ($"n".cast("double") * $"n".cast("double")), 4)).as("var_y"))
+      st.select($"n".as("n_users"), $"theta", $"rho2", $"var_y",
+        when($"rho2".isNotNull && $"var_y".isNotNull,
+          rnd($"var_y" * (lit(1.0) - $"rho2"), 4)).as("var_y_adj"))
     }))
 
   /** Power-iteration step count for markov_stationary — enough for a
@@ -2706,5 +2765,54 @@ object StatQueries {
         "(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE))" +
           " / (CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE))", 6)} END
          |    AS lift
-         |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin)
+         |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin,
+
+    "cuped_adjust" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    (epoch_us(ts) // 1000) // 86400000 AS day,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND value IS NOT NULL),
+         |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+         |per AS (SELECT user_id,
+         |    CAST(coalesce(sum(CASE WHEN day < mid THEN c END), 0)
+         |      AS BIGINT) AS x,
+         |    CAST(coalesce(sum(CASE WHEN day >= mid THEN c END), 0)
+         |      AS BIGINT) AS y
+         |  FROM ev CROSS JOIN mid GROUP BY user_id),
+         |s AS (SELECT count(*) AS n,
+         |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0))) AS sxy,
+         |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0))) AS sxx,
+         |    SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0))) AS syy
+         |  FROM per),
+         |asm AS (SELECT n,
+         |    CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))
+         |      - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+         |      AS cv,
+         |    CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+         |      - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+         |      AS vx,
+         |    CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,0))
+         |      - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+         |      AS vy
+         |  FROM s),
+         |st AS (SELECT n,
+         |    CASE WHEN vx > 0 THEN ${Q.duckRnd(
+        "CAST(cv AS DOUBLE) / CAST(vx AS DOUBLE)", 6)} END AS theta,
+         |    CASE WHEN vx > 0 AND vy > 0 THEN ${Q.duckRnd(
+        "(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE))" +
+          " / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))", 6)} END AS rho2,
+         |    CASE WHEN n > 0 THEN ${Q.duckRnd(
+        "CAST(vy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))",
+        4)} END AS var_y
+         |  FROM asm)
+         |SELECT n AS n_users, theta, rho2, var_y,
+         |  CASE WHEN rho2 IS NOT NULL AND var_y IS NOT NULL
+         |    THEN ${Q.duckRnd("var_y * (1.0 - rho2)", 4)} END AS var_y_adj
+         |FROM st""".stripMargin)
 }

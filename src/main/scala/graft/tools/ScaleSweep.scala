@@ -333,7 +333,11 @@ object ScaleSweep {
       // confusion grid; lift_table rides the factor× embeddings
       // through the skew-free NTILE; page_hinkley rides the
       // (type, day) cell aggregate (bounded-spine fold)
-      "cohens_kappa", "lift_table", "page_hinkley")
+      "cohens_kappa", "lift_table", "page_hinkley",
+      // wave 58: psi/cuped ride the factor× events month (one keyed
+      // NTILE exchange / one user aggregate + exact-decimal moment
+      // assembly); srm_check is one documents scan to a 3-row grid
+      "psi_stability", "cuped_adjust", "srm_check")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
