@@ -12,8 +12,19 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Lower-cased, punctuation-stripped, whitespace-collapsed text. */
-  def normText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+  /** One fused byte-pass ([[graft.plans.NormText]]) replacing the
+    * two-regex chain `trim(regexp_replace(regexp_replace(lower(c),
+    * '[^a-z0-9\s]', ' '), '\s+', ' '))` — provably equivalent (see
+    * the expression's scaladoc); every oracle keeps the regex
+    * formulation, so hash compares re-prove it corpus-wide. The
+    * defensive register mirrors BpeFunctions' active-session pattern
+    * for paths that bypass GraftSparkExtensions.
+    */
+  def normText(c: Column): Column = {
+    graft.plans.TextRunFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.plans.TextRunFunctions.normText(c)
+  }
 
   /** Whitespace tokens of already-normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")

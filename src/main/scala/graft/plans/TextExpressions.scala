@@ -233,6 +233,65 @@ object CharClassCounts {
     StructField("n_cp", LongType, nullable = false)))
 }
 
+/** One-pass text normalization — the engine's shared tokenization
+  * primitive `trim(regexp_replace(regexp_replace(lower(text),
+  * '[^a-z0-9\s]', ' '), '\s+', ' '))` fused into a single byte
+  * traversal: lowercase once via the SAME `UTF8String.toLowerCase`
+  * Spark's `lower()` uses, then emit the `[a-z0-9]+` runs joined by
+  * single spaces. Equivalence argument: after the first regex every
+  * non-`[a-z0-9]` code point is whitespace-or-space, the second
+  * collapses each separator gap to one space, and trim drops the
+  * ends — i.e. exactly "keep runs, single-space-join". Byte-level
+  * classification is safe post-lowercase because every non-ASCII
+  * code point encodes as bytes ≥ 0x80 (never in the kept range), so
+  * runs are byte-exact (CharRunCounts' argument). The oracle keeps
+  * the regex formulation, so every hash compare re-proves the
+  * equivalence corpus-wide. The 10× long-doc sweep priced the
+  * two-regex form at ~120 s for a single scan-bound consumer.
+  */
+case class NormText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"norm_text expects string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NormText.norm(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NormText.norm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
+object NormText {
+  /** Static worker shared by eval and generated code. */
+  def norm(s: UTF8String): UTF8String = {
+    val b = s.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var inRun = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (!inRun && o > 0) { out(o) = ' '; o += 1 }
+        out(o) = c; o += 1
+        inRun = true
+      } else {
+        inRun = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+}
+
 /** Session registration + Column API (VecFunctions' pattern). */
 object TextRunFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -245,7 +304,13 @@ object TextRunFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("char_class_counts")))
       reg.createOrReplaceTempFunction(
         "char_class_counts", exprs => CharClassCounts(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("norm_text")))
+      reg.createOrReplaceTempFunction(
+        "norm_text", exprs => NormText(exprs(0)), "built-in")
   }
+
+  def normText(c: Column): Column = call_function("norm_text", c)
 
   def charRunCounts(c: Column): Column = call_function("char_run_counts", c)
 

@@ -98,6 +98,10 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
       new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
       (exprs: Seq[Expression]) => CharClassCounts(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("norm_text"),
+      new ExpressionInfo(classOf[NormText].getName, "norm_text"),
+      (exprs: Seq[Expression]) => NormText(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -598,8 +598,78 @@ object CurationQueries {
           ($"n_boundaries" + 1).as("n_segments"),
           rnd($"mean_sim", 6).as("mean_sim"))
         .orderBy($"doc_id")
+    }),
+
+    // Code-vs-prose screen per source (wave 59): pretraining
+    // pipelines route code and prose to different tokenizer/mix
+    // budgets, so the curation layer needs the cheap structural
+    // classifier — code symbol density ({};()=<>[] per char) and
+    // indented-line fraction, the two signals a lexer-free heuristic
+    // actually has. RAW text (not the normalized form — the norm
+    // strips exactly the characters that carry the signal), one scan,
+    // per-doc 8dp-snapped densities decimal-summed into a bounded
+    // per-source report. The symbol count is length minus the
+    // symbol-stripped length (one regex pass; the oracle needs
+    // DuckDB's 'g' flag — a known cross-engine trap, mirrored);
+    // indent detection is codegen'd startswith, not regex.
+    "code_detect" -> ((s, d) => {
+      import s.implicits._
+      // line counting via replace-arithmetic, NOT split: Spark's
+      // split drops trailing empty fields while DuckDB's string_split
+      // keeps them — a doc ending in '\n' would diverge. Lines =
+      // newlines + 1; indented lines = occurrences of "\n<sp>" +
+      // "\n<tab>" + an indented first line — identical character
+      // arithmetic in both engines.
+      val perDoc = Tables.documents(s, d)
+        .where($"text".isNotNull)
+        .selectExpr("coalesce(source, '__null__') AS src",
+          "length(text) AS len",
+          // Spark's SQL parser consumes backslash escapes inside
+          // string literals (DuckDB's does not) — double them so the
+          // regex engine sees the same \[ \] class in both engines
+          s"length(text) - length(regexp_replace(text," +
+            s" '${CodeSymClass.replace("\\", "\\\\")}', '')) AS sym",
+          "1 + length(text) - length(replace(text, char(10), ''))" +
+            " AS n_lines",
+          "(length(text) - length(replace(text, char(10) || ' ', '')))" +
+            " DIV 2" +
+            " + (length(text) - length(replace(text," +
+            " char(10) || char(9), ''))) DIV 2" +
+            " + (CASE WHEN startswith(text, ' ')" +
+            " OR startswith(text, char(9)) THEN 1 ELSE 0 END)" +
+            " AS n_indent")
+        .where($"len" > 0)
+        .select($"src",
+          rnd($"sym".cast("double") / $"len".cast("double"), 8)
+            .as("density"),
+          rnd($"n_indent".cast("double") / $"n_lines".cast("double"), 8)
+            .as("indent_frac"))
+        .select($"src", $"density", $"indent_frac",
+          ($"density" > CodeDensityCut || $"indent_frac" > CodeIndentCut)
+            .as("is_code"))
+      perDoc.groupBy($"src").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"is_code", 1L).otherwise(0L)).as("n_code"),
+          sum($"density".cast("decimal(18,8)")).as("sd"),
+          sum($"indent_frac".cast("decimal(18,8)")).as("si"))
+        .select($"src", $"n_docs", $"n_code",
+          rnd($"n_code".cast("double") / $"n_docs".cast("double"), 6)
+            .as("code_frac"),
+          rnd($"sd".cast("double") / $"n_docs".cast("double"), 6)
+            .as("avg_sym_density"),
+          rnd($"si".cast("double") / $"n_docs".cast("double"), 6)
+            .as("avg_indent_frac"))
+        .orderBy($"src")
     })
   )
+
+  /** code_detect's symbol class and decision cuts, mirrored in the
+    * oracle. The class is deliberately lexer-free: structural
+    * characters that prose essentially never carries at density.
+    */
+  private val CodeSymClass = """[{}();=<>\[\]]"""
+  private val CodeDensityCut = 0.05
+  private val CodeIndentCut = 0.3
 
   /** TextTiling block width (tokens) and boundary cut, mirrored in
     * the oracle.
@@ -976,6 +1046,46 @@ object CurationQueries {
          |  CASE WHEN n_blocks >= 2 THEN ${Q.duckRnd(
         "list_sum(sims) / CAST(n_blocks - 1 AS DOUBLE)", 6)} END AS mean_sim
          |FROM sm ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "code_detect" ->
+      s"""WITH pd AS (SELECT coalesce(source, '__null__') AS src,
+         |    length(text) AS len,
+         |    length(text) - length(regexp_replace(text,
+         |      '$CodeSymClass', '', 'g')) AS sym,
+         |    1 + length(text) - length(replace(text, chr(10), ''))
+         |      AS n_lines,
+         |    (length(text) - length(replace(text, chr(10) || ' ', '')))
+         |      // 2
+         |      + (length(text) - length(replace(text,
+         |        chr(10) || chr(9), ''))) // 2
+         |      + (CASE WHEN starts_with(text, ' ')
+         |        OR starts_with(text, chr(9)) THEN 1 ELSE 0 END)
+         |      AS n_indent
+         |  FROM documents WHERE text IS NOT NULL),
+         |dd AS (SELECT src,
+         |    ${Q.duckRnd("CAST(sym AS DOUBLE) / CAST(len AS DOUBLE)", 8)}
+         |      AS density,
+         |    ${Q.duckRnd(
+        "CAST(n_indent AS DOUBLE) / CAST(n_lines AS DOUBLE)", 8)}
+         |      AS indent_frac
+         |  FROM pd WHERE len > 0),
+         |fl AS (SELECT src, density, indent_frac,
+         |    density > $CodeDensityCut OR indent_frac > $CodeIndentCut
+         |      AS is_code
+         |  FROM dd)
+         |SELECT src, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_code,
+         |  ${Q.duckRnd(
+        "CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)", 6)} AS code_frac,
+         |  ${Q.duckRnd(
+        "CAST(sum(CAST(density AS DECIMAL(18,8))) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)", 6)} AS avg_sym_density,
+         |  ${Q.duckRnd(
+        "CAST(sum(CAST(indent_frac AS DECIMAL(18,8))) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)", 6)} AS avg_indent_frac
+         |FROM fl GROUP BY src ORDER BY src""".stripMargin
   )
 }

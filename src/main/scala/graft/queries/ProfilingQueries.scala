@@ -445,6 +445,36 @@ object ProfilingQueries {
         .select($"event_type", $"n_ref", $"n_cur", $"n_bins", $"psi",
           ($"psi" > lit(0.2)).as("drift"))
         .orderBy($"event_type")
+    }),
+
+    // Join-key skew audit (wave 59): the pre-flight a 100 TB join
+    // actually needs — for every declared join key, the key-count
+    // distribution facts that decide between a plain shuffle join,
+    // AQE skew handling, and explicit salting: row/key counts, the
+    // heaviest key's absolute count and share, the p99 key count,
+    // and skew_factor = max/avg (the salting multiplier). One keyed
+    // aggregate per key column (map-side combinable), a single-row
+    // rollup each, and a 4-row union — the fact tables are scanned
+    // once per audited column with one-column ReadSchema. NULL keys
+    // are excluded (they never join).
+    "join_skew_report" -> ((s, d) => {
+      import s.implicits._
+      val legs = SkewKeys.map { case (tn, cn) =>
+        val cnts = tbl(s, d, tn).where(col(cn).isNotNull)
+          .groupBy(col(cn)).agg(count(lit(1)).as("cnt"))
+        cnts.agg(
+            count(lit(1)).as("n_keys"),
+            sum($"cnt").as("n_rows"),
+            max($"cnt").as("max_cnt"),
+            rnd(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+          .select(lit(tn).as("tbl"), lit(cn).as("col_name"),
+            $"n_rows", $"n_keys", $"max_cnt", $"p99_cnt",
+            rnd($"max_cnt".cast("double") / $"n_rows".cast("double"), 6)
+              .as("top1_share"),
+            rnd($"max_cnt".cast("double") * $"n_keys".cast("double") /
+              $"n_rows".cast("double"), 4).as("skew_factor"))
+      }
+      legs.reduce(_ unionAll _).orderBy($"tbl", $"col_name")
     }))
 
   /** moments_profile column list (2dp-decimal columns by the data
@@ -456,6 +486,16 @@ object ProfilingQueries {
     ("lineitem", "l_discount"),
     ("orders", "o_totalprice"),
     ("events", "value"))
+
+  /** join_skew_report's audited join keys (the equi-join columns the
+    * TPC-H-shaped and event queries actually shuffle on), shared
+    * between the engine and the generated oracle.
+    */
+  private val SkewKeys: Seq[(String, String)] = Seq(
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"))
 
   val oracles: Map[String, String] = Map(
 
@@ -715,5 +755,26 @@ object ProfilingQueries {
          |    ${Q.duckRnd("psi0", 8)} AS psi
          |  FROM agg)
          |SELECT event_type, n_ref, n_cur, n_bins, psi, psi > 0.2 AS drift
-         |FROM sn ORDER BY event_type""".stripMargin)
+         |FROM sn ORDER BY event_type""".stripMargin,
+
+    "join_skew_report" -> {
+      val legs = SkewKeys.map { case (tn, cn) =>
+        s"""SELECT '$tn' AS tbl, '$cn' AS col_name, n_rows, n_keys,
+           |  max_cnt, p99_cnt,
+           |  ${Q.duckRnd(
+          "CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)}
+           |    AS top1_share,
+           |  ${Q.duckRnd(
+          "CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)" +
+            " / CAST(n_rows AS DOUBLE)", 4)} AS skew_factor
+           |FROM (SELECT count(*) AS n_keys,
+           |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |    ${Q.duckRnd("quantile_cont(cnt, 0.99)", 4)} AS p99_cnt
+           |  FROM (SELECT $cn, count(*) AS cnt FROM $tn
+           |    WHERE $cn IS NOT NULL GROUP BY $cn) g) a""".stripMargin
+      }
+      s"""SELECT * FROM (${legs.mkString("\nUNION ALL\n")}) u
+         |ORDER BY tbl, col_name""".stripMargin
+    })
 }

@@ -823,7 +823,112 @@ object TimeSeriesQueries {
           rnd($"ph", 6).as("ph_stat"),
           $"targ".cast("int").as("t_alarm"))
         .orderBy($"event_type")
+    }),
+
+    // Partial autocorrelation via Durbin–Levinson (wave 59; Durbin
+    // 1960; Box & Jenkins' AR-order identification tool): pacf_k is
+    // the correlation of x_t with x_{t−k} after removing the
+    // intermediate lags — the readout that tells a forecaster the AR
+    // order where autocorr_lag's raw ACF cannot. One (type, day)
+    // cell aggregate builds the bounded spine; ACF lags 1..[[PacfL]]
+    // are order-pinned left folds over the demeaned array, snapped
+    // at 12dp into a shared r-array; the D-L recursion runs as ONE
+    // fold whose step expression is generated for BOTH engines by
+    // [[durbinStep]] — the recursion cannot drift, and there is no
+    // unrolled Catalyst lineage to blow up (the BPE-chain lesson:
+    // k chained selects would inline into a 2^k expression tree).
+    // Degenerate inputs: a constant series has den = 0 and drops
+    // (mirrored); |α| = 1 drives v → 0 and the next α to ±Inf —
+    // the same IEEE result in both engines, passed through rnd's
+    // Inf guard.
+    "pacf_durbin" -> ((s, d) => {
+      import s.implicits._
+      val L = PacfL
+      val step = durbinStep(
+        el = (l, i) => s"element_at($l, CAST(($i) AS INT))",
+        kE = "k",
+        innerSum = term => s"(CASE WHEN k > 1 THEN" +
+          s" aggregate(sequence(1, k - 1), CAST(0 AS DOUBLE)," +
+          s" (a2, j) -> a2 + $term) ELSE CAST(0 AS DOUBLE) END)",
+        mapSeq = (v0, body) => s"(CASE WHEN k > 1 THEN" +
+          s" transform(sequence(1, k - 1), $v0 -> $body)" +
+          s" ELSE slice(acc, 1, 0) END)",
+        sliceAB = (l, st, len) => s"slice($l, $st, $len)",
+        cat = es => s"concat(${es.mkString(", ")})",
+        arr1 = e => s"array($e)")
+      val base = daySeries(s, d)
+        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+        .filter($"n_days" >= L + 2)
+        .selectExpr("event_type", "n_days", "s",
+          "CAST(aggregate(s, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+            " AS DOUBLE) / CAST(size(s) AS DOUBLE) AS xb")
+        .selectExpr("event_type", "n_days", "s", "xb",
+          "aggregate(s, CAST(0 AS DOUBLE), (a, x) ->" +
+            " a + (CAST(x AS DOUBLE) - xb) * (CAST(x AS DOUBLE) - xb))" +
+            " AS den")
+        .filter($"den" > 0.0)
+      val nums = base.selectExpr(Seq("event_type", "n_days", "xb", "den") ++
+        (1 to L).map { k =>
+          s"aggregate(sequence(1, n_days - $k), CAST(0 AS DOUBLE)," +
+            s" (a, t) -> a + (CAST(element_at(s, t) AS DOUBLE) - xb)" +
+            s" * (CAST(element_at(s, t + $k) AS DOUBLE) - xb)) AS num_$k"
+        }: _*)
+      val rs = nums.select((Seq($"event_type", $"n_days") ++
+        (1 to L).map(k => rnd(col(s"num_$k") / $"den", 12).as(s"r_$k"))): _*)
+      val folded = rs
+        .selectExpr(Seq("event_type", "n_days",
+          s"array(${(1 to L).map(k => s"r_$k").mkString(", ")}) AS rr")
+          : _*)
+        .selectExpr("event_type", "n_days",
+          s"aggregate(sequence(1, $L), array(CAST(1 AS DOUBLE))," +
+            s" (acc, k) -> $step) AS dl")
+      folded.select((Seq($"event_type", $"n_days") ++
+        (1 to L).map(i =>
+          rnd(expr(s"element_at(dl, ${L + 1 + i})"), 6).as(s"pacf_$i")))
+        : _*)
+        .orderBy($"event_type")
     }))
+
+  /** pacf_durbin lag depth (mirrored in the oracle). */
+  private val PacfL = 8
+
+  /** Durbin–Levinson fold step, generated once for BOTH engines so
+    * the recursion's IEEE sequence is identical by construction.
+    * Accumulator layout (1-based) entering step k:
+    * [v, φ₁..φ_{k−1}, pacf₁..pacf_{k−1}] (length 2k−1); leaving:
+    * [v·(1−α²), φ'₁..φ'_k, pacf₁..pacf_{k−1}, α]. α's text is
+    * inlined at each use (SQL lambdas have no let); the inner
+    * Σφ_j·r_{k−j} is an order-pinned left fold. Spark's
+    * `sequence(1, 0)` DESCENDS instead of returning empty, so the
+    * k = 1 legs carry explicit empty-case guards; DuckDB's
+    * `range(1, 1)` is naturally empty.
+    *
+    * @param el    element access: (list, 1-based index expr) → text
+    * @param kE    the step index k as an integer-typed expression
+    * @param emptySeq  (fromIncl, toIncl, lambdaVar, body) → list text
+    *                  that is EMPTY when to < from
+    * @param sliceAB   (list, startIdx, len) → sublist text
+    * @param cat   list concatenation
+    * @param arr1  single-element list constructor
+    */
+  private def durbinStep(
+      el: (String, String) => String,
+      kE: String,
+      innerSum: String => String,
+      mapSeq: (String, String) => String,
+      sliceAB: (String, String, String) => String,
+      cat: Seq[String] => String,
+      arr1: String => String): String = {
+    val v = el("acc", "1")
+    val sum = innerSum(
+      s"${el("acc", "1 + j")} * ${el("rr", s"$kE - j")}")
+    val alpha = s"((${el("rr", kE)} - $sum) / $v)"
+    val phis = mapSeq("j",
+      s"${el("acc", "1 + j")} - $alpha * ${el("acc", s"1 + $kE - j")}")
+    val pacfs = sliceAB("acc", s"$kE + 1", s"$kE - 1")
+    cat(Seq(arr1(s"$v * (1.0 - $alpha * $alpha)"), phis, arr1(alpha),
+      pacfs, arr1(alpha)))
+  }
 
   /** Page–Hinkley fold step, generated once for BOTH engines (Spark
     * `aggregate` and DuckDB `list_reduce`) so the per-day IEEE op
@@ -1485,6 +1590,63 @@ object TimeSeriesQueries {
          |  ${Q.duckRnd("r[5]", 6)} AS ph_stat,
          |  CAST(r[6] AS INTEGER) AS t_alarm
          |FROM fold ORDER BY event_type""".stripMargin
+    },
+
+    "pacf_durbin" -> {
+      val L = PacfL
+      val kE = "CAST(xi[1] AS BIGINT)"
+      val step = durbinStep(
+        el = (l, i) => s"$l[($i)]",
+        kE = kE,
+        innerSum = term => s"list_reduce(list_prepend(" +
+          s"CAST(0 AS DOUBLE), list_transform(range(1, $kE)," +
+          s" j -> $term)), (a2, x2) -> a2 + x2)",
+        mapSeq = (v0, body) =>
+          s"list_transform(range(1, $kE), $v0 -> $body)",
+        sliceAB = (l, st, len) =>
+          s"list_slice($l, $st, ($st) + ($len) - 1)",
+        cat = es => es.mkString("(", " || ", ")"),
+        arr1 = e => s"[$e]")
+      val numCols = (1 to L).map { k =>
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(range(1, n_days - $k + 1), t ->
+           |        (CAST(s[t] AS DOUBLE) - xb)
+           |        * (CAST(s[t + $k] AS DOUBLE) - xb))),
+           |      (a, x2) -> a + x2) AS num_$k""".stripMargin
+      }.mkString(",\n|    ")
+      val rCols = (1 to L).map(k =>
+        s"${Q.duckRnd(s"num_$k / den", 12)} AS r_$k").mkString(",\n|  ")
+      val pacfCols = (1 to L).map(i =>
+        s"${Q.duckRnd(s"dl[${L + 1 + i}]", 6)} AS pacf_$i")
+        .mkString(",\n|  ")
+      s"""WITH $duckDayCtes,
+         |base AS (SELECT t AS event_type, len(s) AS n_days, s,
+         |    CAST(CAST(list_sum(s) AS BIGINT) AS DOUBLE)
+         |      / CAST(len(s) AS DOUBLE) AS xb
+         |  FROM series WHERE len(s) >= ${L + 2}),
+         |dn AS (SELECT event_type, n_days, s, xb,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(s, x -> (CAST(x AS DOUBLE) - xb)
+         |        * (CAST(x AS DOUBLE) - xb))),
+         |      (a, x2) -> a + x2) AS den
+         |  FROM base),
+         |nm AS (SELECT event_type, n_days, xb, den,
+         |    $numCols
+         |  FROM dn WHERE den > 0.0),
+         |rs AS (SELECT event_type, n_days,
+         |  $rCols
+         |  FROM nm),
+         |fl AS (SELECT event_type, n_days,
+         |    list_reduce(list_prepend([CAST(1 AS DOUBLE)],
+         |      list_transform(range(1, ${L + 1}),
+         |        kk -> [CAST(kk AS DOUBLE)])),
+         |      (acc, xi) -> $step) AS dl
+         |  FROM (SELECT event_type, n_days,
+         |      [${(1 to L).map(k => s"r_$k").mkString(", ")}] AS rr
+         |    FROM rs) t0)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+         |  $pacfCols
+         |FROM fl ORDER BY event_type""".stripMargin
     })
 
   /** The dtw oracle's bounded zero-filled series construction,

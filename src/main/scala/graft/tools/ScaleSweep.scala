@@ -337,7 +337,12 @@ object ScaleSweep {
       // wave 58: psi/cuped ride the factor× events month (one keyed
       // NTILE exchange / one user aggregate + exact-decimal moment
       // assembly); srm_check is one documents scan to a 3-row grid
-      "psi_stability", "cuped_adjust", "srm_check")
+      "psi_stability", "cuped_adjust", "srm_check",
+      // wave 59: code_detect is one raw-text documents scan (replace
+      // arithmetic, no regex); join_skew_report is one keyed
+      // aggregate per audited column; pacf_durbin rides the
+      // (type, day) cell aggregate (bounded-array folds)
+      "code_detect", "join_skew_report", "pacf_durbin")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
