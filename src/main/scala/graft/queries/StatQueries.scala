@@ -1682,6 +1682,105 @@ object StatQueries {
       st.select($"n".as("n_users"), $"theta", $"rho2", $"var_y",
         when($"rho2".isNotNull && $"var_y".isNotNull,
           rnd($"var_y" * (lit(1.0) - $"rho2"), 4)).as("var_y_adj"))
+    }),
+
+    // Minimum detectable effect at 80% power / 5% two-sided α per
+    // event type (wave 60): the pre-experiment sizing readout every
+    // platform shows next to a metric — "with this n and this σ, the
+    // smallest lift you could detect is X (Y% of the mean)". MDE =
+    // (z_{0.975} + z_{0.80})·σ·√(2/n), the standard two-sample
+    // normal approximation; the z quantiles are solved once by
+    // bisection on erf and embedded as shared literals (no inverse
+    // CDF at query time in either engine). σ and the mean assemble
+    // from EXACT integer-cent moment sums via the spearman-style
+    // decimal(38,0) products — no double cancellation — with one
+    // pinned closing sequence. One fact scan, ≤k-row arithmetic.
+    "mde_power" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("g"),
+          (dec($"value") * 100).cast("long").as("c"))
+      val grp = ev.groupBy($"g").agg(
+        count(lit(1)).as("n"),
+        sum($"c".cast("decimal(38,0)")).as("s1"),
+        sum(($"c".cast("decimal(19,0)") * $"c".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("s2"))
+      val asm = grp.select($"g", $"n",
+        ($"n".cast("decimal(10,0)") * $"s2".cast("decimal(28,0)") -
+          $"s1".cast("decimal(19,0)") * $"s1".cast("decimal(19,0)"))
+          .as("vnum"),
+        $"s1")
+      val nd = $"n".cast("double")
+      val stats = asm.select($"g", $"n",
+        rnd($"s1".cast("double") / nd / lit(100.0), 6).as("mean_v"),
+        when($"n" >= 2L && $"vnum" > 0,
+          rnd(sqrt($"vnum".cast("double") /
+            (nd * (nd - lit(1.0)))) / lit(100.0), 6)).as("sd_v"))
+      stats.select($"g", $"n", $"mean_v", $"sd_v",
+          when($"sd_v".isNotNull,
+            rnd(lit(ZSum) * $"sd_v" * sqrt(lit(2.0) / nd), 6))
+            .as("mde_abs"))
+        .select($"g", $"n", $"mean_v", $"sd_v", $"mde_abs",
+          when($"mde_abs".isNotNull && $"mean_v" > 0.0,
+            rnd($"mde_abs" / $"mean_v", 6)).as("mde_rel"))
+        .orderBy($"g")
+    }),
+
+    // Entropy rate of the event-type Markov chain (wave 60; Shannon
+    // 1948, H = −Σᵢ πᵢ Σⱼ p(j|i)·ln p(j|i)): the one number that
+    // says how PREDICTABLE user journeys are — composing the
+    // markov_stationary substrate (same lag-window transition
+    // counts, same integer-scaled 10-step power iteration for π)
+    // with the transition entropies. p(j|i) uses the EXACT c/cf
+    // integer ratio (not the iteration's scaled ps); per-transition
+    // terms snap at 10dp and sum as decimal(38,10); the normalized
+    // rate divides by ln(k) from the SNAPPED H. One fact-table
+    // window pass; everything after rides the ≤k² transition
+    // relation.
+    "markov_entropy_rate" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc_nulls_last, $"event_id".asc_nulls_last)
+      val cnt = Tables.events(s, d)
+        .filter($"event_type".isNotNull)
+        .withColumn("f", lag($"event_type", 1).over(w))
+        .filter($"f".isNotNull)
+        .groupBy($"f", $"event_type".as("t"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy($"f").agg(sum($"c").as("cf"))
+      val states = cnt.select($"f".as("st")).distinct()
+      val tr = broadcast(cnt
+        .join(tot, Seq("f"))
+        .join(states.select($"st".as("t")), Seq("t"))
+        .select($"f", $"t",
+          expr("(c * CAST(1000000000 AS BIGINT)) DIV cf").as("ps")))
+      val k = states.agg(count(lit(1)).as("kk"))
+      val v0 = states.crossJoin(broadcast(k))
+        .select($"st", expr("CAST(1000000000 AS BIGINT) DIV kk").as("v"))
+      val vN = (1 to MarkovIters).foldLeft(v0) { (v, _) =>
+        v.join(tr, $"st" === $"f")
+          .groupBy($"t")
+          .agg(expr("CAST(sum(CAST(v AS DECIMAL(20,0)) * " +
+            "CAST(ps AS DECIMAL(20,0))) DIV 1000000000 AS BIGINT)").as("v"))
+          .select($"t".as("st"), $"v")
+      }
+      val sv = vN.agg(sum($"v").as("tv"))
+      val pij = $"c".cast("double") / $"cf".cast("double")
+      val piI = $"v".cast("double") / $"tv".cast("double")
+      val term = rnd(piI * (pij * log(pij)), 10).cast("decimal(38,10)")
+      val hAgg = cnt.join(tot, Seq("f"))
+        .join(vN.select($"st".as("f"), $"v"), Seq("f"))
+        .crossJoin(broadcast(sv)).crossJoin(broadcast(k))
+        .agg(max($"kk").as("k_states"),
+          count(lit(1)).as("n_transitions"),
+          sum(term).cast("double").as("h0"))
+      hAgg.select($"k_states", $"n_transitions",
+          rnd(lit(0.0) - $"h0", 6).as("entropy_rate"))
+        .select($"k_states", $"n_transitions", $"entropy_rate",
+          when($"k_states" > 1L,
+            rnd($"entropy_rate" / log($"k_states".cast("double")), 6))
+            .as("normalized_rate"))
     }))
 
   /** Power-iteration step count for markov_stationary — enough for a
@@ -1711,6 +1810,17 @@ object StatQueries {
     * constants, no coupling). Mirrored in the oracle.
     */
   private val MapK = 10
+
+  /** mde_power normal quantiles — z_{0.975} (two-sided 5% α) and
+    * z_{0.80} (80% power), solved once by bisection on erf; their
+    * one-IEEE-add sum is embedded in both engines via shortest
+    * round-trip repr so no inverse CDF runs at query time.
+    */
+  private val Z975 = 1.9599639845400536
+  private val Z80 = 0.8416212335729141
+  private val ZSum: Double = Z975 + Z80
+  private def zSumSql: String =
+    s"CAST('${java.lang.Double.toString(ZSum)}' AS DOUBLE)"
 
   import LlmQueries.{NORM, NTOK, TOKS}
 
@@ -2814,5 +2924,82 @@ object StatQueries {
          |SELECT n AS n_users, theta, rho2, var_y,
          |  CASE WHEN rho2 IS NOT NULL AND var_y IS NOT NULL
          |    THEN ${Q.duckRnd("var_y * (1.0 - rho2)", 4)} END AS var_y_adj
-         |FROM st""".stripMargin)
+         |FROM st""".stripMargin,
+
+    "mde_power" ->
+      s"""WITH ev AS (SELECT coalesce(event_type, '__null__') AS g,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL),
+         |grp AS (SELECT g, count(*) AS n,
+         |    SUM(CAST(c AS DECIMAL(38,0))) AS s1,
+         |    SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0))) AS s2
+         |  FROM ev GROUP BY g),
+         |asm AS (SELECT g, n, s1,
+         |    CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(28,0))
+         |      - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+         |      AS vnum
+         |  FROM grp),
+         |stats AS (SELECT g, n,
+         |    ${Q.duckRnd(
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 6)} AS mean_v,
+         |    CASE WHEN n >= 2 AND vnum > 0 THEN ${Q.duckRnd(
+        "sqrt(CAST(vnum AS DOUBLE) / (CAST(n AS DOUBLE)" +
+          " * (CAST(n AS DOUBLE) - 1.0))) / 100.0", 6)} END AS sd_v
+         |  FROM asm),
+         |m1 AS (SELECT g, n, mean_v, sd_v,
+         |    CASE WHEN sd_v IS NOT NULL THEN ${Q.duckRnd(
+        s"$zSumSql * sd_v * sqrt(2.0 / CAST(n AS DOUBLE))", 6)} END
+         |      AS mde_abs
+         |  FROM stats)
+         |SELECT g, n, mean_v, sd_v, mde_abs,
+         |  CASE WHEN mde_abs IS NOT NULL AND mean_v > 0.0
+         |    THEN ${Q.duckRnd("mde_abs / mean_v", 6)} END AS mde_rel
+         |FROM m1 ORDER BY g""".stripMargin,
+
+    "markov_entropy_rate" -> {
+      val steps = (1 to MarkovIters).map(i =>
+        s"""v$i AS (SELECT tr.t AS st,
+           |  CAST(sum(CAST(v.v AS HUGEINT) * tr.ps) // 1000000000
+           |    AS BIGINT) AS v
+           | FROM v${i - 1} v JOIN tr ON v.st = tr.f GROUP BY tr.t)"""
+          .stripMargin).mkString(",\n")
+      s"""WITH p AS (SELECT from_type AS f, event_type AS t FROM (
+         |  SELECT event_type, lag(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+         |  FROM events WHERE event_type IS NOT NULL) x
+         | WHERE from_type IS NOT NULL),
+         |cnt AS (SELECT f, t, count(*) AS c FROM p GROUP BY f, t),
+         |tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM cnt
+         |  GROUP BY f),
+         |states AS (SELECT DISTINCT f AS st FROM cnt),
+         |tr AS (SELECT c.f, c.t, (c.c * 1000000000) // t2.cf AS ps
+         |  FROM cnt c JOIN tot t2 USING (f)
+         |  JOIN states s ON c.t = s.st),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM states),
+         |v0 AS (SELECT st, 1000000000 // kk AS v
+         |  FROM states CROSS JOIN kk),
+         |$steps,
+         |tv AS (SELECT CAST(sum(v) AS BIGINT) AS tv
+         |  FROM v$MarkovIters),
+         |h AS (SELECT max(kk.kk) AS k_states,
+         |    count(*) AS n_transitions,
+         |    CAST(sum(CAST(${Q.duckRnd(
+        "(CAST(vv.v AS DOUBLE) / CAST(tv.tv AS DOUBLE))" +
+          " * ((CAST(c.c AS DOUBLE) / CAST(t2.cf AS DOUBLE))" +
+          " * ln(CAST(c.c AS DOUBLE) / CAST(t2.cf AS DOUBLE)))", 10)}
+         |      AS DECIMAL(38,10))) AS DOUBLE) AS h0
+         |  FROM cnt c JOIN tot t2 USING (f)
+         |  JOIN v$MarkovIters vv ON vv.st = c.f
+         |  CROSS JOIN tv CROSS JOIN kk),
+         |sn AS (SELECT k_states, n_transitions,
+         |    ${Q.duckRnd("0.0 - h0", 6)} AS entropy_rate
+         |  FROM h)
+         |SELECT k_states, n_transitions, entropy_rate,
+         |  CASE WHEN k_states > 1
+         |    THEN ${Q.duckRnd(
+        "entropy_rate / ln(CAST(k_states AS DOUBLE))", 6)} END
+         |    AS normalized_rate
+         |FROM sn""".stripMargin
+    })
 }

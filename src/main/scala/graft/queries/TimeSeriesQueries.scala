@@ -856,26 +856,7 @@ object TimeSeriesQueries {
         sliceAB = (l, st, len) => s"slice($l, $st, $len)",
         cat = es => s"concat(${es.mkString(", ")})",
         arr1 = e => s"array($e)")
-      val base = daySeries(s, d)
-        .selectExpr("t AS event_type", "size(s) AS n_days", "s")
-        .filter($"n_days" >= L + 2)
-        .selectExpr("event_type", "n_days", "s",
-          "CAST(aggregate(s, CAST(0 AS BIGINT), (a, x) -> a + x)" +
-            " AS DOUBLE) / CAST(size(s) AS DOUBLE) AS xb")
-        .selectExpr("event_type", "n_days", "s", "xb",
-          "aggregate(s, CAST(0 AS DOUBLE), (a, x) ->" +
-            " a + (CAST(x AS DOUBLE) - xb) * (CAST(x AS DOUBLE) - xb))" +
-            " AS den")
-        .filter($"den" > 0.0)
-      val nums = base.selectExpr(Seq("event_type", "n_days", "xb", "den") ++
-        (1 to L).map { k =>
-          s"aggregate(sequence(1, n_days - $k), CAST(0 AS DOUBLE)," +
-            s" (a, t) -> a + (CAST(element_at(s, t) AS DOUBLE) - xb)" +
-            s" * (CAST(element_at(s, t + $k) AS DOUBLE) - xb)) AS num_$k"
-        }: _*)
-      val rs = nums.select((Seq($"event_type", $"n_days") ++
-        (1 to L).map(k => rnd(col(s"num_$k") / $"den", 12).as(s"r_$k"))): _*)
-      val folded = rs
+      val folded = acfTable(s, d, L)
         .selectExpr(Seq("event_type", "n_days",
           s"array(${(1 to L).map(k => s"r_$k").mkString(", ")}) AS rr")
           : _*)
@@ -887,10 +868,104 @@ object TimeSeriesQueries {
           rnd(expr(s"element_at(dl, ${L + 1 + i})"), 6).as(s"pacf_$i")))
         : _*)
         .orderBy($"event_type")
+    }),
+
+    // Ljung–Box portmanteau white-noise test (wave 60; Ljung & Box
+    // 1978): Q = n(n+2)·Σ_{k≤L} r_k²/(n−k) against χ²_L — the test a
+    // forecaster runs on RESIDUALS ("is there autocorrelation left
+    // worth modeling") and a monitor runs on raw dailies ("is this
+    // series just noise"). Rides the SAME [[acfTable]] substrate as
+    // pacf_durbin (one (type, day) cell aggregate, order-pinned
+    // folds, 12dp-snapped r's); the L-term sum is an explicit
+    // left-associated chain on snapped inputs so both engines add in
+    // the identical order, and the rejection line is the χ²₈ 0.95
+    // quantile embedded once ([[Chi2L095]]).
+    "ljung_box" -> ((s, d) => {
+      import s.implicits._
+      val L = PacfL
+      val rs = acfTable(s, d, L)
+      val nd = $"n_days".cast("double")
+      val terms = (1 to L).map(k =>
+        col(s"r_$k") * col(s"r_$k") /
+          ($"n_days" - lit(k)).cast("double"))
+      val qRaw = nd * (nd + lit(2.0)) * terms.reduce(_ + _)
+      rs.select($"event_type", $"n_days", rnd(qRaw, 6).as("q_stat"))
+        .select($"event_type", $"n_days", $"q_stat",
+          ($"q_stat" > lit(Chi2L095)).as("reject_white_noise"))
+        .orderBy($"event_type")
     }))
 
-  /** pacf_durbin lag depth (mirrored in the oracle). */
+  /** pacf_durbin / ljung_box lag depth (mirrored in the oracles). */
   private val PacfL = 8
+
+  /** χ²₈ 0.95 quantile for ljung_box's white-noise rejection at
+    * df = [[PacfL]] — solved once by bisection on the closed-form
+    * even-df CDF 1 − e^{−x/2}·Σ_{k≤3}(x/2)^k/k!; the literal is
+    * embedded in both engines via shortest round-trip repr.
+    */
+  private val Chi2L095 = 15.507313055865449
+
+  /** Shared ACF substrate for pacf_durbin and ljung_box: per type,
+    * the 12dp-snapped autocorrelations r_1..r_L off the bounded day
+    * spine — mean from the exact integer sum, demeaned products as
+    * order-pinned left folds (both engines fold the array in index
+    * order, so every double matches bit-for-bit). Constant series
+    * (den = 0) drop; series shorter than L + 2 drop. Mirrored by
+    * [[duckAcfCtes]].
+    */
+  private def acfTable(
+      s: org.apache.spark.sql.SparkSession, d: String, L: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val base = daySeries(s, d)
+      .selectExpr("t AS event_type", "size(s) AS n_days", "s")
+      .filter($"n_days" >= L + 2)
+      .selectExpr("event_type", "n_days", "s",
+        "CAST(aggregate(s, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+          " AS DOUBLE) / CAST(size(s) AS DOUBLE) AS xb")
+      .selectExpr("event_type", "n_days", "s", "xb",
+        "aggregate(s, CAST(0 AS DOUBLE), (a, x) ->" +
+          " a + (CAST(x AS DOUBLE) - xb) * (CAST(x AS DOUBLE) - xb))" +
+          " AS den")
+      .filter($"den" > 0.0)
+    val nums = base.selectExpr(Seq("event_type", "n_days", "xb", "den") ++
+      (1 to L).map { k =>
+        s"aggregate(sequence(1, n_days - $k), CAST(0 AS DOUBLE)," +
+          s" (a, t) -> a + (CAST(element_at(s, t) AS DOUBLE) - xb)" +
+          s" * (CAST(element_at(s, t + $k) AS DOUBLE) - xb)) AS num_$k"
+      }: _*)
+    nums.select((Seq($"event_type", $"n_days") ++
+      (1 to L).map(k => rnd(col(s"num_$k") / $"den", 12).as(s"r_$k"))): _*)
+  }
+
+  /** DuckDB mirror of [[acfTable]] — CTE body through `rs`. */
+  private def duckAcfCtes(L: Int): String = {
+    val numCols = (1 to L).map { k =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, n_days - $k + 1), t ->
+         |        (CAST(s[t] AS DOUBLE) - xb)
+         |        * (CAST(s[t + $k] AS DOUBLE) - xb))),
+         |      (a, x2) -> a + x2) AS num_$k""".stripMargin
+    }.mkString(",\n    ")
+    val rCols = (1 to L).map(k =>
+      s"${Q.duckRnd(s"num_$k / den", 12)} AS r_$k").mkString(",\n  ")
+    s"""base AS (SELECT t AS event_type, len(s) AS n_days, s,
+       |    CAST(CAST(list_sum(s) AS BIGINT) AS DOUBLE)
+       |      / CAST(len(s) AS DOUBLE) AS xb
+       |  FROM series WHERE len(s) >= ${L + 2}),
+       |dn AS (SELECT event_type, n_days, s, xb,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(s, x -> (CAST(x AS DOUBLE) - xb)
+       |        * (CAST(x AS DOUBLE) - xb))),
+       |      (a, x2) -> a + x2) AS den
+       |  FROM base),
+       |nm AS (SELECT event_type, n_days, xb, den,
+       |    $numCols
+       |  FROM dn WHERE den > 0.0),
+       |rs AS (SELECT event_type, n_days,
+       |  $rCols
+       |  FROM nm)""".stripMargin
+  }
 
   /** Durbin–Levinson fold step, generated once for BOTH engines so
     * the recursion's IEEE sequence is identical by construction.
@@ -1607,35 +1682,11 @@ object TimeSeriesQueries {
           s"list_slice($l, $st, ($st) + ($len) - 1)",
         cat = es => es.mkString("(", " || ", ")"),
         arr1 = e => s"[$e]")
-      val numCols = (1 to L).map { k =>
-        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |      list_transform(range(1, n_days - $k + 1), t ->
-           |        (CAST(s[t] AS DOUBLE) - xb)
-           |        * (CAST(s[t + $k] AS DOUBLE) - xb))),
-           |      (a, x2) -> a + x2) AS num_$k""".stripMargin
-      }.mkString(",\n|    ")
-      val rCols = (1 to L).map(k =>
-        s"${Q.duckRnd(s"num_$k / den", 12)} AS r_$k").mkString(",\n|  ")
       val pacfCols = (1 to L).map(i =>
         s"${Q.duckRnd(s"dl[${L + 1 + i}]", 6)} AS pacf_$i")
         .mkString(",\n|  ")
       s"""WITH $duckDayCtes,
-         |base AS (SELECT t AS event_type, len(s) AS n_days, s,
-         |    CAST(CAST(list_sum(s) AS BIGINT) AS DOUBLE)
-         |      / CAST(len(s) AS DOUBLE) AS xb
-         |  FROM series WHERE len(s) >= ${L + 2}),
-         |dn AS (SELECT event_type, n_days, s, xb,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(s, x -> (CAST(x AS DOUBLE) - xb)
-         |        * (CAST(x AS DOUBLE) - xb))),
-         |      (a, x2) -> a + x2) AS den
-         |  FROM base),
-         |nm AS (SELECT event_type, n_days, xb, den,
-         |    $numCols
-         |  FROM dn WHERE den > 0.0),
-         |rs AS (SELECT event_type, n_days,
-         |  $rCols
-         |  FROM nm),
+         |${duckAcfCtes(L)},
          |fl AS (SELECT event_type, n_days,
          |    list_reduce(list_prepend([CAST(1 AS DOUBLE)],
          |      list_transform(range(1, ${L + 1}),
@@ -1647,6 +1698,23 @@ object TimeSeriesQueries {
          |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
          |  $pacfCols
          |FROM fl ORDER BY event_type""".stripMargin
+    },
+
+    "ljung_box" -> {
+      val L = PacfL
+      val sumTerms = (1 to L).map(k =>
+        s"r_$k * r_$k / CAST(n_days - $k AS DOUBLE)").mkString(" + ")
+      val crit = s"CAST('${java.lang.Double.toString(Chi2L095)}' AS DOUBLE)"
+      s"""WITH $duckDayCtes,
+         |${duckAcfCtes(L)},
+         |q AS (SELECT event_type, n_days,
+         |    ${Q.duckRnd(
+        "CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)" +
+          s" * ($sumTerms)", 6)} AS q_stat
+         |  FROM rs)
+         |SELECT event_type, CAST(n_days AS INTEGER) AS n_days, q_stat,
+         |  q_stat > $crit AS reject_white_noise
+         |FROM q ORDER BY event_type""".stripMargin
     })
 
   /** The dtw oracle's bounded zero-filled series construction,

@@ -342,7 +342,11 @@ object ScaleSweep {
       // arithmetic, no regex); join_skew_report is one keyed
       // aggregate per audited column; pacf_durbin rides the
       // (type, day) cell aggregate (bounded-array folds)
-      "code_detect", "join_skew_report", "pacf_durbin")
+      "code_detect", "join_skew_report", "pacf_durbin",
+      // wave 60: ljung_box rides the shared ACF substrate;
+      // mde_power is one events aggregate + exact-moment assembly;
+      // markov_entropy_rate rides the lag-window transition counts
+      "ljung_box", "mde_power", "markov_entropy_rate")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
