@@ -33,12 +33,17 @@ object BenchShared {
     // term_rows consumers run before unigram_surprise (its release
     // point); candidate_pairs consumers before dedup_clusters (same)
     "bpe_merges", "bpe_apply", "bpe_decode", "taxonomy_classify", "chi2_terms",
-    "good_turing", "unigram_surprise",
+    "good_turing", "js_divergence", "unigram_surprise",
     "triangle_count", "kcore_peel", "bfs_hops", "jaccard_link_pred",
-    // candidate_pairs consumer — must run before dedup_clusters (its
-    // release point)
-    "blocking_quality",
-    "dedup_clusters", "dedup_stats", "dedup_keep_best", "curate_corpus",
+    // candidate_pairs consumers — must run before dedup_clusters (its
+    // release point). fs_linkage and graph_modularity joined in round
+    // 12: both consumed the chain from the ALPHABETICAL phase before,
+    // which left the corpus-scale pair relation resident across ~100
+    // unrelated queries (the h–j wall-clock wall the 354-query bench
+    // surfaced — storage pressure, not per-query regressions).
+    "fs_linkage", "graph_modularity", "blocking_quality",
+    "dedup_clusters", "dedup_stats", "golden_record", "dedup_keep_best",
+    "curate_corpus",
     "semdedup_clusters",
     // winnow_fps consumers: fingerprint stats first (cheap reader),
     // then the cross-doc match join, then the span cut (release point)

@@ -42,6 +42,40 @@ object AnalyticsQueries {
   private def d4(c: Column) = c.cast("decimal(4,2)")
 
   val defs: Map[String, QueryFn] = Map(
+
+    // Conversion-latency distribution (wave 62): funnel_conversion
+    // gives the per-user signup→purchase rows; this is the SUMMARY a
+    // growth dashboard actually shows — conversion rate plus the
+    // median/p90 time-to-convert. Same first-signup/first-purchase-
+    // after-signup construction (two user-keyed min aggregates, one
+    // keyed join); the latency percentiles run over ≤|users| rows
+    // with Spark `percentile` ↔ DuckDB `quantile_cont` (the
+    // anomaly_mad-proven interpolation pair), 4dp-snapped. Latencies
+    // in whole milliseconds (exact integers in both engines).
+    "conversion_latency" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+      val pu = ev.filter($"event_type" === "purchase")
+        .join(su, Seq("user_id"))
+        .filter($"ts" >= $"s_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      val lat = su.join(pu, Seq("user_id"), "left")
+        .select($"user_id",
+          (unix_millis($"p_ts") - unix_millis($"s_ts")).as("lat_ms"))
+      lat.agg(
+          count(lit(1)).as("n_signup"),
+          count($"lat_ms").as("n_converted"),
+          rnd(expr("percentile(lat_ms, 0.5)"), 4).as("p50_ms"),
+          rnd(expr("percentile(lat_ms, 0.9)"), 4).as("p90_ms"))
+        .select($"n_signup", $"n_converted",
+          when($"n_signup" > 0L,
+            rnd($"n_converted".cast("double") /
+              $"n_signup".cast("double"), 6)).as("conv_rate"),
+          $"p50_ms", $"p90_ms")
+    }),
+
     // Sequential-pattern mining, PrefixSpan-style (wave 50, Pei et
     // al. 2001 restricted to the 2- and 3-length patterns that cover
     // real funnel analysis): support of pattern a→b (→c) = number of
@@ -593,6 +627,27 @@ object AnalyticsQueries {
   private val EmdBinWidth = 25.0
 
   val oracles: Map[String, String] = Map(
+
+    "conversion_latency" ->
+      s"""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |pu AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+         |  JOIN su ON e.user_id = su.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+         |  GROUP BY e.user_id),
+         |lat AS (SELECT su.user_id,
+         |    epoch_us(pu.p_ts) // 1000 - epoch_us(su.s_ts) // 1000
+         |      AS lat_ms
+         |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+         |SELECT count(*) AS n_signup,
+         |  count(lat_ms) AS n_converted,
+         |  CASE WHEN count(*) > 0 THEN ${Q.duckRnd(
+        "CAST(count(lat_ms) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+         |    END AS conv_rate,
+         |  ${Q.duckRnd("quantile_cont(lat_ms, 0.5)", 4)} AS p50_ms,
+         |  ${Q.duckRnd("quantile_cont(lat_ms, 0.9)", 4)} AS p90_ms
+         |FROM lat""".stripMargin,
+
     // same position ranks, same greedy-earliest-match identities
     "prefixspan_lite" ->
       """WITH pos AS (SELECT user_id, event_type,

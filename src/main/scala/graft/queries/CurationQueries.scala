@@ -660,6 +660,35 @@ object CurationQueries {
           rnd($"si".cast("double") / $"n_docs".cast("double"), 6)
             .as("avg_indent_frac"))
         .orderBy($"src")
+    }),
+
+    // see [[tokenizerCompressionDef]]
+    "tokenizer_compression" -> ((s, d) => tokenizerCompressionDef(s, d)),
+
+    // Per-source duplicate-rate breakdown (wave 62): exact_dedup
+    // answers "how many copies exist"; the curation decision needs
+    // "WHICH source is producing them" — the per-slice duplicate
+    // rate against the corpus-wide exact-fingerprint groups (a copy
+    // in source B of a doc first seen in source A counts against B:
+    // keeper = min doc_id corpus-wide, the exact_dedup convention).
+    // One fingerprint aggregate (corpus-keyed), one fp-keyed join
+    // back, one bounded per-source rollup.
+    "source_dup_rate" -> ((s, d) => {
+      import s.implicits._
+      val fps = Tables.documents(s, d)
+        .select($"doc_id", coalesce($"source", lit("__null__")).as("src"),
+          TF.fingerprint($"text").as("fp"))
+      val keepers = fps.groupBy($"fp").agg(min($"doc_id").as("keeper"))
+      fps.join(keepers, Seq("fp"))
+        .groupBy($"src").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"doc_id" =!= $"keeper", 1L).otherwise(0L))
+            .as("n_dups"),
+          countDistinct($"fp").as("n_distinct_fp"))
+        .select($"src", $"n_docs", $"n_dups", $"n_distinct_fp",
+          rnd($"n_dups".cast("double") / $"n_docs".cast("double"), 6)
+            .as("dup_rate"))
+        .orderBy($"src")
     })
   )
 
@@ -670,6 +699,37 @@ object CurationQueries {
   private val CodeSymClass = """[{}();=<>\[\]]"""
   private val CodeDensityCut = 0.05
   private val CodeIndentCut = 0.3
+
+  /** Tokenizer compression audit per source (wave 61): characters
+    * per BPE-ish token and per whitespace word — the number that
+    * decides a tokenizer's budget split across sources (code and
+    * non-Latin slices run fertile; the chars/token ratio is the
+    * budget multiplier). One scan; exact integer char/token sums;
+    * the closing ratios are single divisions snapped at 4dp. NULL
+    * text drops; NULL sources form the '__null__' class.
+    */
+  private def tokenizerCompressionDef: Q.QueryFn = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select(coalesce($"source", lit("__null__")).as("src"),
+        length($"text").cast("long").as("chars"),
+        TF.nTokens($"text").cast("long").as("wtok"),
+        TF.bpeTokenCount($"text").cast("long").as("btok"))
+      .groupBy($"src").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"chars").as("chars"),
+        sum($"wtok").as("ws_tokens"),
+        sum($"btok").as("bpe_tokens"))
+      .select($"src", $"n_docs", $"chars", $"ws_tokens", $"bpe_tokens",
+        when($"bpe_tokens" > 0L,
+          rnd($"chars".cast("double") / $"bpe_tokens".cast("double"), 4))
+          .as("chars_per_bpe"),
+        when($"ws_tokens" > 0L,
+          rnd($"chars".cast("double") / $"ws_tokens".cast("double"), 4))
+          .as("chars_per_word"))
+      .orderBy($"src")
+  }
 
   /** TextTiling block width (tokens) and boundary cut, mirrored in
     * the oracle.
@@ -1086,6 +1146,44 @@ object CurationQueries {
          |  ${Q.duckRnd(
         "CAST(sum(CAST(indent_frac AS DECIMAL(18,8))) AS DOUBLE)" +
           " / CAST(count(*) AS DOUBLE)", 6)} AS avg_indent_frac
-         |FROM fl GROUP BY src ORDER BY src""".stripMargin
+         |FROM fl GROUP BY src ORDER BY src""".stripMargin,
+
+    "tokenizer_compression" ->
+      s"""WITH pd AS (SELECT coalesce(source, '__null__') AS src,
+         |    CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(${LlmQueries.NTOK} AS BIGINT) AS wtok,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS btok
+         |  FROM documents WHERE text IS NOT NULL),
+         |agg AS (SELECT src, count(*) AS n_docs,
+         |    CAST(sum(chars) AS BIGINT) AS chars,
+         |    CAST(sum(wtok) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(btok) AS BIGINT) AS bpe_tokens
+         |  FROM pd GROUP BY src)
+         |SELECT src, n_docs, chars, ws_tokens, bpe_tokens,
+         |  CASE WHEN bpe_tokens > 0 THEN ${Q.duckRnd(
+        "CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)", 4)} END
+         |    AS chars_per_bpe,
+         |  CASE WHEN ws_tokens > 0 THEN ${Q.duckRnd(
+        "CAST(chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE)", 4)} END
+         |    AS chars_per_word
+         |FROM agg ORDER BY src""".stripMargin,
+
+    "source_dup_rate" ->
+      s"""WITH fps AS (SELECT doc_id,
+         |    coalesce(source, '__null__') AS src,
+         |    md5(coalesce(array_to_string(list_sort(${LlmQueries.TOKS}),
+         |      ' '), '')) AS fp
+         |  FROM documents),
+         |k AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp)
+         |SELECT src, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN fps.doc_id <> k.keeper THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dups,
+         |  CAST(count(DISTINCT fps.fp) AS BIGINT) AS n_distinct_fp,
+         |  ${Q.duckRnd(
+        "CAST(sum(CASE WHEN fps.doc_id <> k.keeper THEN 1 ELSE 0 END)" +
+          " AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS dup_rate
+         |FROM fps JOIN k USING (fp)
+         |GROUP BY src ORDER BY src""".stripMargin
   )
 }

@@ -475,6 +475,33 @@ object ProfilingQueries {
               $"n_rows".cast("double"), 4).as("skew_factor"))
       }
       legs.reduce(_ unionAll _).orderBy($"tbl", $"col_name")
+    }),
+
+    // Ingest-freshness audit per event type (wave 62): the staleness
+    // report a data-SLA monitor publishes — last active day, days
+    // stale relative to the corpus watermark, active-day count and
+    // the activity ratio over the type's own span. One fact
+    // aggregate to a ≤|types| relation plus a broadcast watermark;
+    // all integer day arithmetic, one snapped ratio. NULL timestamps
+    // drop (no day); NULL types form the '__null__' class.
+    "freshness_audit" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"ts".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("g"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val wm = broadcast(ev.agg(max($"day").as("d1")))
+      val per = ev.groupBy($"g").agg(
+        min($"day").as("first_day"), max($"day").as("last_day"),
+        countDistinct($"day").as("active_days"))
+      per.crossJoin(wm)
+        .select($"g", $"first_day", $"last_day", $"active_days",
+          ($"d1" - $"last_day").as("days_stale"),
+          ($"last_day" - $"first_day" + lit(1L)).as("span_days"),
+          rnd($"active_days".cast("double") /
+            ($"last_day" - $"first_day" + lit(1L)).cast("double"), 6)
+            .as("activity_ratio"))
+        .orderBy($"g")
     }))
 
   /** moments_profile column list (2dp-decimal columns by the data
@@ -776,5 +803,22 @@ object ProfilingQueries {
       }
       s"""SELECT * FROM (${legs.mkString("\nUNION ALL\n")}) u
          |ORDER BY tbl, col_name""".stripMargin
-    })
+    },
+
+    "freshness_audit" ->
+      s"""WITH ev AS (SELECT coalesce(event_type, '__null__') AS g,
+         |    (epoch_us(ts) // 1000) // 86400000 AS day
+         |  FROM events WHERE ts IS NOT NULL),
+         |wm AS (SELECT max(day) AS d1 FROM ev),
+         |per AS (SELECT g, min(day) AS first_day, max(day) AS last_day,
+         |    CAST(count(DISTINCT day) AS BIGINT) AS active_days
+         |  FROM ev GROUP BY g)
+         |SELECT g, first_day, last_day, active_days,
+         |  d1 - last_day AS days_stale,
+         |  last_day - first_day + 1 AS span_days,
+         |  ${Q.duckRnd(
+        "CAST(active_days AS DOUBLE)" +
+          " / CAST(last_day - first_day + 1 AS DOUBLE)", 6)}
+         |    AS activity_ratio
+         |FROM per CROSS JOIN wm ORDER BY g""".stripMargin)
 }

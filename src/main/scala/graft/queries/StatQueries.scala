@@ -1554,8 +1554,13 @@ object StatQueries {
         .withColumn("rn", row_number().over(w))
         .withColumn("cumrel", sum($"rel").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // full-partition total on the SAME (partition, order) spec —
+        // only the frame differs, so Spark fuses all three window
+        // functions into ONE Window operator on ONE exchange
+        // (an orderless partitionBy spec would plan a second one)
         .withColumn("r_tot", sum($"rel").over(
-          Window.partitionBy($"user_id")))
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
       val per = ranked.filter($"rn" <= MapK)
         .groupBy($"user_id").agg(
           max($"r_tot").as("r_tot"),

@@ -99,30 +99,75 @@ object TimeSeriesQueries {
     // window then runs on the time-bounded hourly series — a relation
     // whose size depends on the time span, never the event count, so
     // the single-partition ordered window is safe at any corpus size.
-    "seasonal_decompose" -> ((s, d) => {
+    "seasonal_decompose" -> ((s, d) =>
+      decomposeTable(s, d).orderBy(col("hr"))),
+
+    // Seasonal/trend strength (wave 61; Hyndman's tsfeatures
+    // formulation, Wang/Smith/Hyndman 2006): Fs = max(0, 1 −
+    // Var(resid)/Var(seasonal + resid)) and Ft = max(0, 1 −
+    // Var(resid)/Var(trend + resid)) over seasonal_decompose's OWN
+    // output relation — the single-number summary of "is the weekly/
+    // hourly structure worth modeling", composed so a regression in
+    // the decomposition is a hash mismatch here too (the
+    // ann_recall_eval composition principle). Variances assemble
+    // from exact decimal(18,6) sums of the snapped components; at
+    // ≤~9k hourly rows the n·Σx² arithmetic stays inside the exact
+    // double-integer range, so the closing ratios are pinned IEEE.
+    "seasonality_strength" -> ((s, d) => {
       import s.implicits._
-      val ms = unix_millis($"ts")
-      val hourly = Tables.events(s, d)
-        .select((ms - pmod(ms, lit(3600000L))).as("hr"), $"value")
-        .groupBy($"hr")
-        .agg(count(lit(1)).as("n"), rnd(davg($"value"), 6).as("y"))
-      val w = graft.operators.BoundedWindow
-        .orderBy("seasonal_decompose: hourly series (time-span rows, ~9k/yr)",
-          200000L, $"hr")
-        .rowsBetween(-11, 12)
-      val withTrend = hourly.withColumn("trend",
-        sum($"y".cast("decimal(18,6)")).over(w).cast("double") /
-          count($"y").over(w).cast("double"))
-        .withColumn("det", rnd($"y" - $"trend", 6))
-        .withColumn("hod", expr("(hr div 3600000) % 24"))
-      val s_ = Window.partitionBy($"hod")
-      withTrend.withColumn("seas",
-        sum($"det".cast("decimal(18,6)")).over(s_).cast("double") /
-          count($"det").over(s_).cast("double"))
-        .select($"hr", $"n", $"y", rnd($"trend", 6).as("trend"),
-          rnd($"seas", 6).as("seasonal"),
-          rnd($"det" - rnd($"seas", 6), 6).as("resid"))
-        .orderBy($"hr")
+      val dec6 = "decimal(18,6)"
+      val x = decomposeTable(s, d).select(
+        $"resid".cast(dec6).as("r"),
+        ($"seasonal" + $"resid").cast(dec6).as("sr"),
+        ($"trend" + $"resid").cast(dec6).as("tr2"))
+      def mom(c: String) = Seq(
+        sum(col(c)).as(s"s1_$c"),
+        sum((col(c) * col(c)).cast("decimal(38,12)")).as(s"s2_$c"))
+      val agg = x.agg(count(lit(1)).as("n"),
+        mom("r") ++ mom("sr") ++ mom("tr2"): _*)
+      val nd = $"n".cast("double")
+      def varOf(c: String) =
+        (nd * col(s"s2_$c").cast("double") -
+          col(s"s1_$c").cast("double") * col(s"s1_$c").cast("double")) /
+          (nd * nd)
+      val vars = agg.select($"n".as("n_hours"),
+        rnd(varOf("r"), 8).as("var_resid"),
+        rnd(varOf("sr"), 8).as("var_seas_resid"),
+        rnd(varOf("tr2"), 8).as("var_trend_resid"))
+      vars.select($"n_hours", $"var_resid", $"var_seas_resid",
+        $"var_trend_resid",
+        when($"var_seas_resid" > 0.0,
+          rnd(greatest(lit(0.0),
+            lit(1.0) - $"var_resid" / $"var_seas_resid"), 6))
+          .as("f_seasonal"),
+        when($"var_trend_resid" > 0.0,
+          rnd(greatest(lit(0.0),
+            lit(1.0) - $"var_resid" / $"var_trend_resid"), 6))
+          .as("f_trend"))
+    }),
+
+    // Hour-of-day activity profile per event type (wave 61): the
+    // 24-cell diurnal fingerprint an ops dashboard renders and a
+    // scheduler reads ("when is this class's peak"). One fact-table
+    // aggregate to the bounded ≤|types|·24 grid, shares and the
+    // peak flag on that grid (peak ties break to the earliest hour,
+    // mirrored). NULL timestamps drop (no hour); NULL types form the
+    // '__null__' class.
+    "hour_profile" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"ts".isNotNull)
+        .select(coalesce($"event_type", lit("__null__")).as("g"),
+          hour($"ts").as("hod"))
+      val cell = ev.groupBy($"g", $"hod").agg(count(lit(1)).as("n"))
+      val tot = cell.groupBy($"g").agg(sum($"n").as("ng"))
+      val w = Window.partitionBy($"g").orderBy($"n".desc, $"hod".asc)
+      cell.join(broadcast(tot), Seq("g"))
+        .withColumn("rk", row_number().over(w))
+        .select($"g", $"hod", $"n",
+          rnd($"n".cast("double") / $"ng".cast("double"), 6).as("share"),
+          ($"rk" === 1).as("is_peak"))
+        .orderBy($"g", $"hod")
     }),
 
     "ema_decay" -> ((s, d) => {
@@ -905,6 +950,64 @@ object TimeSeriesQueries {
     */
   private val Chi2L095 = 15.507313055865449
 
+  /** seasonal_decompose's hourly additive decomposition, factored so
+    * seasonality_strength composes the SAME relation (hr, n, y,
+    * trend, seasonal, resid — snapped columns). Mirrored by
+    * [[duckDecomposeCtes]].
+    */
+  private def decomposeTable(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ms = unix_millis($"ts")
+    val hourly = Tables.events(s, d)
+      .select((ms - pmod(ms, lit(3600000L))).as("hr"), $"value")
+      .groupBy($"hr")
+      .agg(count(lit(1)).as("n"), rnd(davg($"value"), 6).as("y"))
+    val w = graft.operators.BoundedWindow
+      .orderBy("seasonal_decompose: hourly series (time-span rows, ~9k/yr)",
+        200000L, $"hr")
+      .rowsBetween(-11, 12)
+    val withTrend = hourly.withColumn("trend",
+      sum($"y".cast("decimal(18,6)")).over(w).cast("double") /
+        count($"y").over(w).cast("double"))
+      .withColumn("det", rnd($"y" - $"trend", 6))
+      .withColumn("hod", expr("(hr div 3600000) % 24"))
+    val s_ = Window.partitionBy($"hod")
+    withTrend.withColumn("seas",
+      sum($"det".cast("decimal(18,6)")).over(s_).cast("double") /
+        count($"det").over(s_).cast("double"))
+      .select($"hr", $"n", $"y", rnd($"trend", 6).as("trend"),
+        rnd($"seas", 6).as("seasonal"),
+        rnd($"det" - rnd($"seas", 6), 6).as("resid"))
+  }
+
+  /** DuckDB mirror of [[decomposeTable]] — CTE body ending in `dec`. */
+  private def duckDecomposeCtes: String =
+    s"""h AS (SELECT epoch_ms(ts)
+       |             - ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) AS hr,
+       |           value FROM events),
+       |a AS (SELECT hr, count(*) AS n,
+       |  ${Q.duckRnd(
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)" +
+        " / CAST(count(value) AS DOUBLE)", 6)} AS y
+       |  FROM h GROUP BY hr),
+       |c AS (SELECT hr, n, y,
+       |  CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE)
+       |    / CAST(count(y) OVER w AS DOUBLE) AS trend
+       |  FROM a
+       |  WINDOW w AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+       |d AS (SELECT hr, n, y, trend, ${Q.duckRnd("y - trend", 6)} AS det,
+       |  (hr // 3600000) % 24 AS hod FROM c),
+       |e AS (SELECT hr, n, y, trend, det,
+       |  CAST(sum(CAST(det AS DECIMAL(18,6))) OVER s AS DOUBLE)
+       |    / CAST(count(det) OVER s AS DOUBLE) AS seas
+       |  FROM d WINDOW s AS (PARTITION BY hod)),
+       |dec AS (SELECT hr, n, y, ${Q.duckRnd("trend", 6)} AS trend,
+       | ${Q.duckRnd("seas", 6)} AS seasonal,
+       | ${Q.duckRnd(s"det - ${Q.duckRnd("seas", 6)}", 6)} AS resid
+       |FROM e)""".stripMargin
+
   /** Shared ACF substrate for pacf_durbin and ljung_box: per type,
     * the 12dp-snapped autocorrelations r_1..r_L off the bounded day
     * spine — mean from the exact integer sum, demeaned products as
@@ -1205,29 +1308,63 @@ object TimeSeriesQueries {
         |ORDER BY user_id, cov_start""".stripMargin,
 
     "seasonal_decompose" ->
-      s"""WITH h AS (SELECT epoch_ms(ts)
-         |             - ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) AS hr,
-         |           value FROM events),
-         |a AS (SELECT hr, count(*) AS n,
-         |  ${Q.duckRnd(
-             "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)" +
-               " / CAST(count(value) AS DOUBLE)", 6)} AS y
-         |  FROM h GROUP BY hr),
-         |c AS (SELECT hr, n, y,
-         |  CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE)
-         |    / CAST(count(y) OVER w AS DOUBLE) AS trend
-         |  FROM a
-         |  WINDOW w AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
-         |d AS (SELECT hr, n, y, trend, ${Q.duckRnd("y - trend", 6)} AS det,
-         |  (hr // 3600000) % 24 AS hod FROM c),
-         |e AS (SELECT hr, n, y, trend, det,
-         |  CAST(sum(CAST(det AS DECIMAL(18,6))) OVER s AS DOUBLE)
-         |    / CAST(count(det) OVER s AS DOUBLE) AS seas
-         |  FROM d WINDOW s AS (PARTITION BY hod))
-         |SELECT hr, n, y, ${Q.duckRnd("trend", 6)} AS trend,
-         | ${Q.duckRnd("seas", 6)} AS seasonal,
-         | ${Q.duckRnd(s"det - ${Q.duckRnd("seas", 6)}", 6)} AS resid
-         |FROM e ORDER BY hr""".stripMargin,
+      s"""WITH $duckDecomposeCtes
+         |SELECT hr, n, y, trend, seasonal, resid
+         |FROM dec ORDER BY hr""".stripMargin,
+
+    "seasonality_strength" ->
+      s"""WITH $duckDecomposeCtes,
+         |x AS (SELECT CAST(resid AS DECIMAL(18,6)) AS r,
+         |    CAST(seasonal + resid AS DECIMAL(18,6)) AS sr,
+         |    CAST(trend + resid AS DECIMAL(18,6)) AS tr2
+         |  FROM dec),
+         |agg AS (SELECT count(*) AS n,
+         |    SUM(r) AS s1_r, SUM(CAST(r * r AS DECIMAL(38,12))) AS s2_r,
+         |    SUM(sr) AS s1_sr,
+         |    SUM(CAST(sr * sr AS DECIMAL(38,12))) AS s2_sr,
+         |    SUM(tr2) AS s1_tr2,
+         |    SUM(CAST(tr2 * tr2 AS DECIMAL(38,12))) AS s2_tr2
+         |  FROM x),
+         |vars AS (SELECT n AS n_hours,
+         |    ${Q.duckRnd(
+        "(CAST(n AS DOUBLE) * CAST(s2_r AS DOUBLE)" +
+          " - CAST(s1_r AS DOUBLE) * CAST(s1_r AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 8)} AS var_resid,
+         |    ${Q.duckRnd(
+        "(CAST(n AS DOUBLE) * CAST(s2_sr AS DOUBLE)" +
+          " - CAST(s1_sr AS DOUBLE) * CAST(s1_sr AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 8)}
+         |      AS var_seas_resid,
+         |    ${Q.duckRnd(
+        "(CAST(n AS DOUBLE) * CAST(s2_tr2 AS DOUBLE)" +
+          " - CAST(s1_tr2 AS DOUBLE) * CAST(s1_tr2 AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 8)}
+         |      AS var_trend_resid
+         |  FROM agg)
+         |SELECT n_hours, var_resid, var_seas_resid, var_trend_resid,
+         |  CASE WHEN var_seas_resid > 0.0 THEN ${Q.duckRnd(
+        "greatest(0.0, 1.0 - var_resid / var_seas_resid)", 6)} END
+         |    AS f_seasonal,
+         |  CASE WHEN var_trend_resid > 0.0 THEN ${Q.duckRnd(
+        "greatest(0.0, 1.0 - var_resid / var_trend_resid)", 6)} END
+         |    AS f_trend
+         |FROM vars""".stripMargin,
+
+    "hour_profile" ->
+      s"""WITH ev AS (SELECT coalesce(event_type, '__null__') AS g,
+         |    CAST(hour(ts) AS INTEGER) AS hod
+         |  FROM events WHERE ts IS NOT NULL),
+         |cell AS (SELECT g, hod, count(*) AS n FROM ev GROUP BY g, hod),
+         |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS ng
+         |  FROM cell GROUP BY g),
+         |rk AS (SELECT g, hod, n,
+         |    row_number() OVER (PARTITION BY g ORDER BY n DESC, hod) AS rk
+         |  FROM cell)
+         |SELECT rk.g, rk.hod, rk.n,
+         |  ${Q.duckRnd("CAST(rk.n AS DOUBLE) / CAST(tot.ng AS DOUBLE)", 6)}
+         |    AS share,
+         |  rk.rk = 1 AS is_peak
+         |FROM rk JOIN tot USING (g) ORDER BY g, hod""".stripMargin,
 
     "ema_decay" ->
       """SELECT user_id, event_id, ts_ms,

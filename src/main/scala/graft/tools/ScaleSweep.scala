@@ -346,7 +346,15 @@ object ScaleSweep {
       // wave 60: ljung_box rides the shared ACF substrate;
       // mde_power is one events aggregate + exact-moment assembly;
       // markov_entropy_rate rides the lag-window transition counts
-      "ljung_box", "mde_power", "markov_entropy_rate")
+      "ljung_box", "mde_power", "markov_entropy_rate",
+      // wave 61: hour_profile/seasonality_strength ride the events
+      // month (bounded grids); tokenizer_compression is one
+      // documents scan with integer token sums
+      "hour_profile", "seasonality_strength", "tokenizer_compression",
+      // wave 62: conversion_latency/freshness ride the events month
+      // (keyed min/max aggregates); source_dup_rate is the
+      // fingerprint aggregate + one fp-keyed join
+      "conversion_latency", "freshness_audit", "source_dup_rate")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
