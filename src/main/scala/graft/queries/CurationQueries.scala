@@ -689,6 +689,37 @@ object CurationQueries {
           rnd($"n_dups".cast("double") / $"n_docs".cast("double"), 6)
             .as("dup_rate"))
         .orderBy($"src")
+    }),
+
+    // Pairwise source vocabulary overlap (wave 63): the |sources|²
+    // Jaccard matrix over distinct-term sets — "are these two crawl
+    // slices the same content under different labels", the
+    // cross-source sibling of js_divergence's each-vs-corpus view.
+    // One distinct (source, term) aggregate off the memoized term
+    // relation, then a term-keyed self-join whose per-term fan-out
+    // is ≤ C(|sources|, 2) — a constant multiplier, so the pair
+    // enumeration stays linear in the vocabulary at any corpus size.
+    // All-integer counts; one snapped closing division per pair.
+    "source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val st = LlmQueries.termTable(s, d)
+        .join(Tables.documents(s, d).select($"doc_id",
+          coalesce($"source", lit("__null__")).as("src")), Seq("doc_id"))
+        .select($"src", $"term").distinct()
+      val sizes = st.groupBy($"src").agg(count(lit(1)).as("nt"))
+      val inter = st.select($"src".as("sa"), $"term")
+        .join(st.select($"src".as("sb"), $"term"), Seq("term"))
+        .filter($"sa" < $"sb")
+        .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select($"src".as("sa"), $"nt".as("na"))),
+          Seq("sa"))
+        .join(broadcast(sizes.select($"src".as("sb"), $"nt".as("nb"))),
+          Seq("sb"))
+        .select($"sa", $"sb", $"na", $"nb", $"n_common",
+          rnd($"n_common".cast("double") /
+            ($"na" + $"nb" - $"n_common").cast("double"), 6).as("jaccard"))
+        .orderBy($"sa", $"sb")
     })
   )
 
@@ -1184,6 +1215,22 @@ object CurationQueries {
         "CAST(sum(CASE WHEN fps.doc_id <> k.keeper THEN 1 ELSE 0 END)" +
           " AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS dup_rate
          |FROM fps JOIN k USING (fp)
-         |GROUP BY src ORDER BY src""".stripMargin
+         |GROUP BY src ORDER BY src""".stripMargin,
+
+    "source_overlap" ->
+      s"""WITH t0 AS (SELECT coalesce(source, '__null__') AS src,
+         |    unnest(${LlmQueries.TOKS}) AS term FROM documents),
+         |st AS (SELECT DISTINCT src, term FROM t0 WHERE term <> ''),
+         |sizes AS (SELECT src, count(*) AS nt FROM st GROUP BY src),
+         |inter AS (SELECT a.src AS sa, b.src AS sb, count(*) AS n_common
+         |  FROM st a JOIN st b ON a.term = b.term AND a.src < b.src
+         |  GROUP BY a.src, b.src)
+         |SELECT sa, sb, za.nt AS na, zb.nt AS nb, n_common,
+         |  ${Q.duckRnd(
+        "CAST(n_common AS DOUBLE)" +
+          " / CAST(za.nt + zb.nt - n_common AS DOUBLE)", 6)} AS jaccard
+         |FROM inter JOIN sizes za ON inter.sa = za.src
+         |JOIN sizes zb ON inter.sb = zb.src
+         |ORDER BY sa, sb""".stripMargin
   )
 }

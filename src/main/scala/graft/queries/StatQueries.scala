@@ -1786,6 +1786,61 @@ object StatQueries {
           when($"k_states" > 1L,
             rnd($"entropy_rate" / log($"k_states".cast("double")), 6))
             .as("normalized_rate"))
+    }),
+
+    // Simpson's-paradox screen (wave 63; Simpson 1951): does the
+    // quantity→price relationship REVERSE inside any return-flag
+    // stratum relative to the pooled fit — the aggregation trap every
+    // analytics reviewer checks before trusting a pooled slope. Both
+    // the pooled and per-stratum LS slopes assemble from EXACT
+    // integer moments (x = integer quantity units, y = price cents;
+    // the spearman-style decimal(38,0) products — no double
+    // cancellation), snap at 6dp, and the reversal flag compares the
+    // SNAPPED signs. One fact scan to a ≤|strata|-row moment
+    // relation; the pooled row is the same relation re-aggregated.
+    "simpson_check" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .filter($"l_quantity".isNotNull && $"l_extendedprice".isNotNull)
+        .select(coalesce($"l_returnflag", lit("__null__")).as("g"),
+          $"l_quantity".cast("long").as("x"),
+          (dec($"l_extendedprice") * 100).cast("long").as("y"))
+      val mom = li.groupBy($"g").agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"x".cast("decimal(19,0)") * $"y".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sxy"),
+        sum(($"x".cast("decimal(19,0)") * $"x".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sxx"))
+      def slopeCols(src: org.apache.spark.sql.DataFrame) = src.select(
+        src("*"),
+        ($"n".cast("decimal(10,0)") * $"sxy".cast("decimal(28,0)") -
+          $"sx".cast("decimal(19,0)") * $"sy".cast("decimal(19,0)"))
+          .as("num"),
+        ($"n".cast("decimal(10,0)") * $"sxx".cast("decimal(28,0)") -
+          $"sx".cast("decimal(19,0)") * $"sx".cast("decimal(19,0)"))
+          .as("den"))
+      val per = slopeCols(mom).select($"g", $"n",
+        when($"den" > 0,
+          rnd($"num".cast("double") / $"den".cast("double"), 6))
+          .as("slope"))
+      val pooled = slopeCols(mom.agg(
+          sum($"n").as("n"),
+          sum($"sx".cast("decimal(38,0)")).as("sx"),
+          sum($"sy".cast("decimal(38,0)")).as("sy"),
+          sum($"sxy".cast("decimal(38,0)")).as("sxy"),
+          sum($"sxx".cast("decimal(38,0)")).as("sxx")))
+        .select($"n".as("n_total"),
+          when($"den" > 0,
+            rnd($"num".cast("double") / $"den".cast("double"), 6))
+            .as("pooled_slope"))
+      per.crossJoin(broadcast(pooled))
+        .select($"g", $"n", $"slope", $"n_total", $"pooled_slope",
+          ($"slope".isNotNull && $"pooled_slope".isNotNull &&
+            (($"slope" > 0.0 && $"pooled_slope" < 0.0) ||
+              ($"slope" < 0.0 && $"pooled_slope" > 0.0))).as("reversed"))
+        .orderBy($"g")
     }))
 
   /** Power-iteration step count for markov_stationary — enough for a
@@ -3006,5 +3061,55 @@ object StatQueries {
         "entropy_rate / ln(CAST(k_states AS DOUBLE))", 6)} END
          |    AS normalized_rate
          |FROM sn""".stripMargin
-    })
+    },
+
+    "simpson_check" ->
+      s"""WITH li AS (SELECT coalesce(l_returnflag, '__null__') AS g,
+         |    CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS y
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |mom AS (SELECT g, count(*) AS n,
+         |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0))) AS sxy,
+         |    SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0))) AS sxx
+         |  FROM li GROUP BY g),
+         |per AS (SELECT g, n,
+         |    CASE WHEN CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+         |        - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+         |        > 0
+         |      THEN ${Q.duckRnd(
+        "CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))" +
+          " - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))" +
+          " AS DOUBLE) / CAST(CAST(n AS DECIMAL(10,0))" +
+          " * CAST(sxx AS DECIMAL(28,0)) - CAST(sx AS DECIMAL(19,0))" +
+          " * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)", 6)} END AS slope
+         |  FROM mom),
+         |pm AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    SUM(CAST(sx AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(sy AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(sxy AS DECIMAL(38,0))) AS sxy,
+         |    SUM(CAST(sxx AS DECIMAL(38,0))) AS sxx
+         |  FROM mom),
+         |pooled AS (SELECT n AS n_total,
+         |    CASE WHEN CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(28,0))
+         |        - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+         |        > 0
+         |      THEN ${Q.duckRnd(
+        "CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,0))" +
+          " - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))" +
+          " AS DOUBLE) / CAST(CAST(n AS DECIMAL(10,0))" +
+          " * CAST(sxx AS DECIMAL(28,0)) - CAST(sx AS DECIMAL(19,0))" +
+          " * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)", 6)} END
+         |      AS pooled_slope
+         |  FROM pm)
+         |SELECT g, n, slope, n_total, pooled_slope,
+         |  slope IS NOT NULL AND pooled_slope IS NOT NULL
+         |    AND ((slope > 0.0 AND pooled_slope < 0.0)
+         |      OR (slope < 0.0 AND pooled_slope > 0.0)) AS reversed
+         |FROM per CROSS JOIN pooled ORDER BY g""".stripMargin)
 }

@@ -354,7 +354,11 @@ object ScaleSweep {
       // wave 62: conversion_latency/freshness ride the events month
       // (keyed min/max aggregates); source_dup_rate is the
       // fingerprint aggregate + one fp-keyed join
-      "conversion_latency", "freshness_audit", "source_dup_rate")
+      "conversion_latency", "freshness_audit", "source_dup_rate",
+      // wave 63: simpson_check rides the factor× lineitem (one keyed
+      // moment aggregate); source_overlap rides the memoized term
+      // relation (distinct + term-keyed self-join, bounded fan-out)
+      "simpson_check", "source_overlap")
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
