@@ -244,6 +244,25 @@ object Bench {
     val jitSupported = jitBean != null && jitBean.isCompilationTimeMonitoringSupported
     val cgCompiles = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val jitMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // user/sys CPU split for the WHOLE process (round-12): the gate
+    // bench reproduced the r11 driver pathology locally — the same
+    // queries burned 12-130× more cpu_sec post-churn with gc = 0 and
+    // a healthy CodeCache, and the affected set (xml_scan's scratch
+    // write, the persisted-cache dedup family, knn_rerank's codebook
+    // read) all touch DISK. executorCpuTime conflates user+sys, so
+    // kernel time (page-cache writeback/reclaim under a dirty cache)
+    // is indistinguishable from recompute. /proc/self/stat utime/
+    // stime (Linux USER_HZ=100) splits them: a post-churn run whose
+    // inflation sits in sys_sec is an OS-state story, not a plan
+    // regression. (-1, -1) on non-Linux.
+    def procTimes(): (Long, Long) = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      (rest(11).toLong, rest(12).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+    val procUserSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val procSysSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.map { case (name, fn) =>
       val tagsBefore = graft.queries.LlmQueries.memoizedTags(spark)
       // drain BEFORE the snapshot, not just after the query body:
@@ -257,6 +276,7 @@ object Bench {
       val gc0 = gcMsTotal.get()
       val cg0 = cgHist.getCount
       val jit0 = if (jitSupported) jitBean.getTotalCompilationTime else 0L
+      val (pu0, ps0) = procTimes()
       val t0 = System.nanoTime()
       val res = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -274,6 +294,9 @@ object Bench {
       gcSec(name) = (gcMsTotal.get() - gc0) / 1e3
       cgCompiles(name) = cgHist.getCount - cg0
       jitMs(name) = if (jitSupported) jitBean.getTotalCompilationTime - jit0 else -1L
+      val (pu1, ps1) = procTimes()
+      procUserSec(name) = if (pu0 < 0 || pu1 < 0) -1.0 else (pu1 - pu0) / 100.0
+      procSysSec(name) = if (ps0 < 0 || ps1 < 0) -1.0 else (ps1 - ps0) / 100.0
       val built = graft.queries.LlmQueries.memoizedTags(spark).diff(tagsBefore)
       if (built.nonEmpty) {
         cacheBuilds(name) = built.toSeq.sorted
@@ -332,7 +355,7 @@ object Bench {
     val cgJson = longMapJson(cgCompiles)
     val jitJson = longMapJson(jitMs)
     val full =
-      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,"gc_sec":$gcJson,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"codegen_compiles":$cgJson,"jit_ms":$jitJson,"code_cache":$codeCacheJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,"gc_sec":$gcJson,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"proc_user_sec":${secMapJson(procUserSec)},"proc_sys_sec":${secMapJson(procSysSec)},"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"codegen_compiles":$cgJson,"jit_ms":$jitJson,"code_cache":$codeCacheJson,"sf":"$sfDir"}"""
     // The harness that records this output keeps a bounded stdout
     // window, and r9-r11 all recorded `parsed: null` because the full
     // per-query line above blew through it (even printed FIRST, it
