@@ -45,6 +45,18 @@ sbt -batch test || rc=1
 
 if [ "${SKIP_BENCH:-0}" != "1" ]; then
   step "bench @ sf0.1"
+  # Writeback mitigation (VERDICT r12 item 2): the steps above dumped
+  # gigabytes of Verify parquet; their dirty pages would otherwise be
+  # written back by the kernel DURING the bench, taxing disk-touching
+  # queries in sys time (round-12 measured 12-130× on affected
+  # queries). Deleting the dumps drops their dirty pages without any
+  # writeback at all; the sync flushes whatever else is pending.
+  # Bench itself also syncs at startup (covers the driver's own
+  # t2-then-bench sequence, which doesn't go through this script).
+  if [ "${KEEP_DUMPS:-0}" != "1" ]; then
+    rm -rf target/verify_out target/verify_out_sf01 /tmp/null_corpus
+  fi
+  sync
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" | grep '"metric"' || rc=1
   if [ -f BENCH_LOCAL_LATEST.json ]; then

@@ -146,6 +146,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Writeback mitigation (VERDICT r12 item 2): the gate sequence
+    // dumps gigabytes of Verify parquet immediately before benching,
+    // and the round-12 instrumentation proved the resulting dirty-page
+    // writeback/reclaim taxes disk-touching queries 12-130× in KERNEL
+    // time (proc_sys_sec) mid-run. A blocking `sync` here forces that
+    // writeback to complete BEFORE the timed region — outside every
+    // per-query wall number — while leaving the (clean) page cache
+    // warm, unlike a drop_caches which would cool the sf parquet
+    // reads. Recorded as sync_sec so the record shows how much debt
+    // was flushed. SPARK_GRAFT_NO_SYNC=1 skips it (A/B runs).
+    val syncSec: Double =
+      if (sys.env.contains("SPARK_GRAFT_NO_SYNC")) -1.0
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val p = new ProcessBuilder("sync").start()
+          p.waitFor()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] sync failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -354,27 +377,33 @@ object Bench {
     }
     val cgJson = longMapJson(cgCompiles)
     val jitJson = longMapJson(jitMs)
+    val syncFullStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(syncSec))
     val full =
-      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,"gc_sec":$gcJson,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"proc_user_sec":${secMapJson(procUserSec)},"proc_sys_sec":${secMapJson(procSysSec)},"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"codegen_compiles":$cgJson,"jit_ms":$jitJson,"code_cache":$codeCacheJson,"sf":"$sfDir"}"""
-    // The harness that records this output keeps a bounded stdout
-    // window, and r9-r11 all recorded `parsed: null` because the full
-    // per-query line above blew through it (even printed FIRST, it
-    // consumed the capture budget). So the full record goes ONLY to a
-    // file (+ stderr for live debugging); stdout carries exactly ONE
-    // compact JSON line — totals, gate arithmetic, slowest-5 — that
-    // always fits and parses.
+      s"""{"metric":"total_full","value":$totalStr,"unit":"sec","queries":$qs,"cpu_sec":$cpuJson,"gc_sec":$gcJson,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"proc_user_sec":${secMapJson(procUserSec)},"proc_sys_sec":${secMapJson(procSysSec)},"sync_sec":$syncFullStr,"failed":$failed,"cache_builds":$buildsJson,"bucket_stats":$bucketsJson,"codegen_compiles":$cgJson,"jit_ms":$jitJson,"code_cache":$codeCacheJson,"sf":"$sfDir"}"""
+    // The harness that records this output keeps a ~2000-char tail of
+    // the COMBINED console stream and parses the last JSON line it
+    // finds there. Every round through r12 recorded `parsed: null`,
+    // and r12 isolated the last failure mode: the full record above,
+    // printed to stderr "for live debugging", interleaved AFTER the
+    // compact stdout line in the combined pipe (stderr bypasses sbt's
+    // logger; a >PIPE_BUF write can land around it), pushing the
+    // parseable line out of the tail window. So the full record now
+    // goes ONLY to the file — nothing larger than a one-line pointer
+    // is written to either console stream after this point, and the
+    // compact total line below is the absolute last thing printed.
     // A SPARK_GRAFT_ONLY subset run must not clobber the committed
     // full-sweep snapshot (round 7's ADVICE flagged exactly that
     // failure mode: a partial/contended run overwriting the clean
-    // baseline of record) — subsets persist to their own file.
-    val snapshotFile =
-      if (only.isDefined) "BENCH_LOCAL_SUBSET.json" else "BENCH_LOCAL_LATEST.json"
+    // baseline of record) — subsets persist to their own file; scale
+    // sweeps set SPARK_GRAFT_SNAPSHOT to route theirs likewise.
+    val snapshotFile = sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT",
+      if (only.isDefined) "BENCH_LOCAL_SUBSET.json" else "BENCH_LOCAL_LATEST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(snapshotFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not persist full results: ${e.getMessage}") }
-    System.err.println(full)
+    System.err.println(s"[bench] full per-query record -> $snapshotFile")
     val ok = results.filter(_._2 >= 0)
     val meanStr = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(if (ok.nonEmpty) total / ok.size else 0.0))
@@ -382,7 +411,21 @@ object Bench {
       if (ok.nonEmpty) ok.maxBy(_._2) else ("none", 0.0)
     val worstStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(worstSec))
     val slowest = secMapJson(ok.sortBy(-_._2).take(5))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$meanStr,"worst_query":"$worstName","worst_sec":$worstStr,"slowest5":$slowest,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"bucket_stats":$bucketsJson,"failed":$failed,"full_record":"$snapshotFile","sf":"$sfDir"}""")
-    spark.stop()
+    // An unbounded failure list could alone blow the tail window — cap
+    // it (the full list is in the file record's "failed").
+    val failedCompact = {
+      val names = results.collect { case (k, v) if v < 0 => k }
+      (names.take(8).map("\"" + _ + "\"") ++
+        (if (names.size > 8) Seq("\"+" + (names.size - 8) + " more\"") else Nil))
+        .mkString("[", ",", "]")
+    }
+    val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$meanStr,"worst_query":"$worstName","worst_sec":$worstStr,"slowest5":$slowest,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"sync_sec":$syncFullStr,"bucket_stats":$bucketsJson,"failed":$failedCompact,"full_record":"$snapshotFile","sf":"$sfDir"}"""
+    // stop() BEFORE the final print: Spark's shutdown chatter (if any)
+    // must not land after the line the recorder needs to parse. A
+    // failed stop must not lose the record either.
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    println(compact)
   }
 }

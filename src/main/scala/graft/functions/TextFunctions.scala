@@ -19,6 +19,17 @@ object TextFunctions {
     * formulation, so hash compares re-prove it corpus-wide. The
     * defensive register mirrors BpeFunctions' active-session pattern
     * for paths that bypass GraftSparkExtensions.
+    *
+    * Session contract: the Column is built against
+    * `SparkSession.active` — a session must be active at CONSTRUCTION
+    * time, and the plan must be analyzed on a session where
+    * `norm_text` resolves (the construction-time session, or any
+    * session built with [[graft.plans.GraftSparkExtensions]], which
+    * registers it). Constructing with no active session throws, and
+    * executing on a different extension-less session fails function
+    * resolution — unlike the old pure-regex formulation, which was
+    * session-free. Every graft entry point (SparkEntry/Bench/Verify/
+    * ScaleSweep, the test harness) satisfies both conditions.
     */
   def normText(c: Column): Column = {
     graft.plans.TextRunFunctions.register(

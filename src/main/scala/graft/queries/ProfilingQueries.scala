@@ -393,7 +393,11 @@ object ProfilingQueries {
     // single-task sort); both halves bin against the SAME ≤9-edge
     // broadcast arrays; add-½ smoothing on the full per-type bin
     // grid keeps empty bins finite in both engines. One fact scan +
-    // one keyed NTILE exchange + two bounded aggregates.
+    // one keyed NTILE exchange + two bounded aggregates. A type with
+    // NO reference-period rows (brand-new — itself a drift signal)
+    // has no deciles to bin against: it is reported with NULL
+    // psi/n_bins/drift and new_type = true rather than silently
+    // dropped (ADVICE r12).
     "psi_stability" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -416,7 +420,15 @@ object ProfilingQueries {
         .groupBy($"t")
         .agg(array_sort(collect_list(struct($"tile", $"edge"))).as("te"))
         .selectExpr("t", "transform(te, p -> p.edge) AS edges")
-      val binned = halved.join(broadcast(edges), Seq("t"))
+      // LEFT join (ADVICE r12): an event type with zero
+      // reference-period rows — a brand-new type, itself a drift
+      // signal — has no decile edges; an inner join would silently
+      // drop it from the report. Such rows carry NULL nb/bin
+      // (size/aggregate of a NULL array), flow into tot as an
+      // (n_ref = 0, n_bins = NULL) row, skip the grid (the bin
+      // explode yields nothing for NULL nb), and surface in the
+      // output with NULL psi and new_type = true.
+      val binned = halved.join(broadcast(edges), Seq("t"), "left")
         .selectExpr("t", "ref", "size(edges) + 1 AS nb",
           "1 + aggregate(edges, 0, (a, e) ->" +
             " a + CASE WHEN value > e THEN 1 ELSE 0 END) AS bin")
@@ -436,14 +448,15 @@ object ProfilingQueries {
       val q = ($"cc".cast("double") + lit(0.5)) /
         ($"nc".cast("double") + lit(0.5) * $"nb".cast("double"))
       val term = rnd((p - q) * log(p / q), 10).cast("decimal(38,10)")
-      grid.groupBy($"t").agg(
-          max($"nr").as("n_ref"), max($"nc").as("n_cur"),
-          max($"nb").as("n_bins"),
-          sum(term).cast("double").as("psi0"))
-        .select($"t".as("event_type"), $"n_ref", $"n_cur", $"n_bins",
+      val psis = grid.groupBy($"t").agg(sum(term).cast("double").as("psi0"))
+      // tot keeps every type (including edge-less new types); psi0 is
+      // NULL exactly for those, hence new_type := psi IS NULL
+      tot.join(psis, Seq("t"), "left")
+        .select($"t".as("event_type"), $"nr".as("n_ref"),
+          $"nc".as("n_cur"), $"nb".as("n_bins"),
           rnd($"psi0", 8).as("psi"))
         .select($"event_type", $"n_ref", $"n_cur", $"n_bins", $"psi",
-          ($"psi" > lit(0.2)).as("drift"))
+          ($"psi" > lit(0.2)).as("drift"), $"psi".isNull.as("new_type"))
         .orderBy($"event_type")
     }),
 
@@ -754,7 +767,7 @@ object ProfilingQueries {
          |  FROM te GROUP BY t),
          |binned AS (SELECT h.t, h.ref, len(e.edges) + 1 AS nb,
          |    1 + len(list_filter(e.edges, x -> h.value > x)) AS bin
-         |  FROM halved h JOIN edges e ON h.t = e.t),
+         |  FROM halved h LEFT JOIN edges e ON h.t = e.t),
          |cell AS (SELECT t, nb, bin,
          |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
          |    CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
@@ -773,15 +786,16 @@ object ProfilingQueries {
          |    (CAST(cc AS DOUBLE) + 0.5)
          |      / (CAST(nc AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS q
          |  FROM grid),
-         |agg AS (SELECT t, max(nr) AS n_ref, max(nc) AS n_cur,
-         |    CAST(max(nb) AS INTEGER) AS n_bins,
+         |psis AS (SELECT t,
          |    CAST(sum(CAST(${Q.duckRnd("(p - q) * ln(p / q)", 10)}
          |      AS DECIMAL(38,10))) AS DOUBLE) AS psi0
          |  FROM x GROUP BY t),
-         |sn AS (SELECT t AS event_type, n_ref, n_cur, n_bins,
+         |sn AS (SELECT tot.t AS event_type, tot.nr AS n_ref,
+         |    tot.nc AS n_cur, CAST(tot.nb AS INTEGER) AS n_bins,
          |    ${Q.duckRnd("psi0", 8)} AS psi
-         |  FROM agg)
-         |SELECT event_type, n_ref, n_cur, n_bins, psi, psi > 0.2 AS drift
+         |  FROM tot LEFT JOIN psis ON tot.t = psis.t)
+         |SELECT event_type, n_ref, n_cur, n_bins, psi, psi > 0.2 AS drift,
+         |  psi IS NULL AS new_type
          |FROM sn ORDER BY event_type""".stripMargin,
 
     "join_skew_report" -> {

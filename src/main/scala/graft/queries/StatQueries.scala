@@ -1314,7 +1314,10 @@ object StatQueries {
     // both engines for any sign), broadcast back onto the scan; the
     // centered power sums Σd..Σd⁴ are EXACT integers/decimals (|d| ≤
     // ~10⁶ cents ⇒ d⁴ ≤ 10²⁴ in decimal(38,0); sums safe past 10¹⁰
-    // rows). Central moments about the true mean derive from the
+    // rows; rows beyond that bound trip the JbDevBound guard, which
+    // NULLs the group's moments identically in both engines instead
+    // of Spark nulling on the d² downcast where DuckDB errors).
+    // Central moments about the true mean derive from the
     // exact sums by one pinned IEEE sequence per engine (b1 = Σd/n
     // correction terms), S/K snap at 6dp, and JB recomputes from the
     // SNAPPED S/K (hill_tail_index pattern). reject_normal compares
@@ -1332,22 +1335,29 @@ object StatQueries {
         .selectExpr("g", "(sc - sc % nmu) DIV nmu AS mu")
       val dev = ev.join(broadcast(mu), Seq("g"))
         .withColumn("dd", $"c" - $"mu")
+        // out-of-envelope guard (see JbDevBound): past the documented
+        // |d| bound the d² downcast would null in Spark but ERROR in
+        // DuckDB — flag such rows and poison the group symmetrically
+        .withColumn("oob",
+          $"dd" > lit(JbDevBound) || $"dd" < -lit(JbDevBound))
         .withColumn("d2c",
-          ($"dd".cast("decimal(19,0)") * $"dd".cast("decimal(19,0)"))
-            .cast("decimal(19,0)"))
+          when($"oob", lit(null)).otherwise(
+            ($"dd".cast("decimal(19,0)") * $"dd".cast("decimal(19,0)"))
+              .cast("decimal(19,0)")))
       val g2 = dev.groupBy($"g").agg(
         count(lit(1)).as("n"),
+        sum(when($"oob", 1L).otherwise(0L)).as("n_oob"),
         sum($"dd".cast("decimal(38,0)")).as("d1"),
         sum($"d2c".cast("decimal(38,0)")).as("d2"),
         sum(($"d2c" * $"dd".cast("decimal(19,0)")).cast("decimal(38,0)"))
           .as("d3"),
         sum(($"d2c" * $"d2c").cast("decimal(38,0)")).as("d4"))
-      val st = g2.select($"g", $"n",
+      val st = g2.select($"g", $"n", $"n_oob",
         ($"d1".cast("double") / $"n".cast("double")).as("b1"),
         ($"d2".cast("double") / $"n".cast("double")).as("r2"),
         ($"d3".cast("double") / $"n".cast("double")).as("r3"),
         ($"d4".cast("double") / $"n".cast("double")).as("r4"))
-      val m = st.select($"g", $"n",
+      val m = st.select($"g", $"n", $"n_oob",
         ($"r2" - $"b1" * $"b1").as("m2"),
         ($"r3" - lit(3.0) * $"b1" * $"r2" +
           lit(2.0) * $"b1" * $"b1" * $"b1").as("m3"),
@@ -1355,9 +1365,11 @@ object StatQueries {
           lit(6.0) * $"b1" * $"b1" * $"r2" -
           lit(3.0) * $"b1" * $"b1" * $"b1" * $"b1").as("m4"))
       val sk = m.select($"g", $"n",
-        when($"n" < 2L || $"m2" <= lit(0.0), lit(null).cast("double"))
+        when($"n" < 2L || $"n_oob" > 0L || $"m2" <= lit(0.0),
+          lit(null).cast("double"))
           .otherwise(rnd($"m3" / ($"m2" * sqrt($"m2")), 6)).as("skewness"),
-        when($"n" < 2L || $"m2" <= lit(0.0), lit(null).cast("double"))
+        when($"n" < 2L || $"n_oob" > 0L || $"m2" <= lit(0.0),
+          lit(null).cast("double"))
           .otherwise(rnd($"m4" / ($"m2" * $"m2") - lit(3.0), 6))
           .as("kurt_excess"))
       val jb = sk.select($"g", $"n", $"skewness", $"kurt_excess",
@@ -1743,6 +1755,14 @@ object StatQueries {
     // rate divides by ln(k) from the SNAPPED H. One fact-table
     // window pass; everything after rides the ≤k² transition
     // relation.
+    //
+    // Subchain scope (ADVICE r12): like markov_stationary, the chain
+    // is restricted to SOURCE states — transitions into a type that
+    // never appears as a source (an absorbing terminal type) are
+    // excluded by the states join, so `n_transitions` counts
+    // transitions within that source-state subchain, not every
+    // observed (f, t) pair; the stationary vector and H are over the
+    // same subchain. The oracle mirrors the restriction.
     "markov_entropy_rate" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id")
@@ -1855,6 +1875,17 @@ object StatQueries {
     * round-trip decimal repr so both engines compare the identical
     * double and no log is evaluated at query time in either engine.
     */
+  /** jarque_bera per-row deviation bound, in cents (ADVICE r12): the
+    * exact-moment discipline is proven for |d| ≤ 10⁶ cents (d⁴ ≤
+    * 10²⁴ ⇒ power sums safe in decimal(38,0) past 10¹⁰ rows). Beyond
+    * it the two engines used to FAIL DIFFERENTLY on the d² downcast —
+    * Spark (non-ANSI) nulls on overflow where DuckDB errors — so both
+    * sides now flag out-of-bound rows identically and NULL the
+    * group's moments, making the out-of-envelope failure mode
+    * symmetric and visible instead of engine-dependent.
+    */
+  private val JbDevBound: Long = 1000000L
+
   private val JbCrit: Double = -2.0 * math.log(0.05)
   private def jbCritSql: String =
     s"CAST('${java.lang.Double.toString(JbCrit)}' AS DOUBLE)"
@@ -2720,32 +2751,35 @@ object StatQueries {
          |    CAST((sum(c) - sum(c) % count(*)) // count(*) AS BIGINT) AS mu
          |  FROM ev GROUP BY g),
          |dev AS (SELECT e.g, e.c - m.mu AS dd,
-         |    CAST(CAST(e.c - m.mu AS DECIMAL(19,0))
-         |      * CAST(e.c - m.mu AS DECIMAL(19,0)) AS DECIMAL(19,0)) AS d2c
+         |    CASE WHEN abs(e.c - m.mu) > 1000000 THEN NULL
+         |      ELSE CAST(CAST(e.c - m.mu AS DECIMAL(19,0))
+         |        * CAST(e.c - m.mu AS DECIMAL(19,0)) AS DECIMAL(19,0))
+         |      END AS d2c
          |  FROM ev e JOIN mu m USING (g)),
          |g2 AS (SELECT g, count(*) AS n,
+         |    SUM(CASE WHEN abs(dd) > 1000000 THEN 1 ELSE 0 END) AS n_oob,
          |    SUM(CAST(dd AS DECIMAL(38,0))) AS d1,
          |    SUM(CAST(d2c AS DECIMAL(38,0))) AS d2,
          |    SUM(CAST(d2c * CAST(dd AS DECIMAL(19,0)) AS DECIMAL(38,0)))
          |      AS d3,
          |    SUM(CAST(d2c * d2c AS DECIMAL(38,0))) AS d4
          |  FROM dev GROUP BY g),
-         |st AS (SELECT g, n,
+         |st AS (SELECT g, n, n_oob,
          |    CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE) AS b1,
          |    CAST(d2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
          |    CAST(d3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
          |    CAST(d4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
          |  FROM g2),
-         |m AS (SELECT g, n,
+         |m AS (SELECT g, n, n_oob,
          |    r2 - b1 * b1 AS m2,
          |    r3 - 3.0 * b1 * r2 + 2.0 * b1 * b1 * b1 AS m3,
          |    r4 - 4.0 * b1 * r3 + 6.0 * b1 * b1 * r2
          |      - 3.0 * b1 * b1 * b1 * b1 AS m4
          |  FROM st),
          |sk AS (SELECT g, n,
-         |    CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+         |    CASE WHEN n < 2 OR n_oob > 0 OR m2 <= 0.0 THEN NULL
          |      ELSE ${Q.duckRnd("m3 / (m2 * sqrt(m2))", 6)} END AS skewness,
-         |    CASE WHEN n < 2 OR m2 <= 0.0 THEN NULL
+         |    CASE WHEN n < 2 OR n_oob > 0 OR m2 <= 0.0 THEN NULL
          |      ELSE ${Q.duckRnd("m4 / (m2 * m2) - 3.0", 6)} END
          |      AS kurt_excess
          |  FROM m),

@@ -1083,8 +1083,12 @@ object TimeSeriesQueries {
     *
     * @param el    element access: (list, 1-based index expr) → text
     * @param kE    the step index k as an integer-typed expression
-    * @param emptySeq  (fromIncl, toIncl, lambdaVar, body) → list text
-    *                  that is EMPTY when to < from
+    * @param innerSum  body → text of the order-pinned left fold
+    *                  Σ_{j=1..k−1} body(j) that is 0.0 when k = 1
+    *                  (this is where Spark's descending
+    *                  `sequence(1, 0)` needs its empty-case guard)
+    * @param mapSeq    (lambdaVar, body) → list text mapping body over
+    *                  j = 1..k−1, EMPTY when k = 1
     * @param sliceAB   (list, startIdx, len) → sublist text
     * @param cat   list concatenation
     * @param arr1  single-element list constructor

@@ -118,6 +118,35 @@ class Wave54Spec extends SparkSpecBase {
     }
   }
 
+  test("jarque_bera: an out-of-envelope deviation NULLs the group's moments, not a crash") {
+    // ADVICE r12: past |d| > 10^6 cents the d^2 downcast used to NULL
+    // in Spark but ERROR in DuckDB — the JbDevBound guard makes both
+    // engines NULL the group identically. One $10M-outlier row trips
+    // it; the clean group keeps its moments.
+    val dir = java.nio.file.Files.createTempDirectory("jb_oob").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val rows = (0 until 30).map { i =>
+      (i.toLong, ts, 1L, "clean", (i % 9).toDouble, """{"k": 1}""")
+    } ++ (0 until 30).map { i =>
+      (100L + i, ts, 1L, "spiked",
+        if (i == 0) 5.0e7 else (i % 9).toDouble, """{"k": 1}""")
+    }
+    spark.createDataFrame(rows).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("jarque_bera")(spark, dir)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Boolean])].collect()
+      .map(r => r._1 -> r).toMap
+    val sp = got("spiked")
+    assert(sp._2 == 30L, "n counts every row, oob included")
+    assert(sp._3.isEmpty && sp._4.isEmpty && sp._5.isEmpty && sp._6.isEmpty,
+      "out-of-envelope group must NULL all moments")
+    val cl = got("clean")
+    assert(cl._3.isDefined && cl._5.isDefined,
+      "in-envelope group keeps its moments")
+  }
+
   test("spearman_rho: matches an exact BigInt doubled-rank replica; |rho| <= 1") {
     val rows = Tables.lineitem(spark, sf)
       .select($"l_quantity", $"l_extendedprice")

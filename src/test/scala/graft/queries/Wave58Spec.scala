@@ -60,17 +60,53 @@ class Wave58Spec extends SparkSpecBase {
       }
     }
     val got = SparkEntry.queries("psi_stability")(spark, sf)
-      .as[(String, Long, Long, Int, Double, Boolean)].collect()
-    assert(got.map(_._1).toSet == want.keySet, "type set")
-    got.foreach { case (t, nr, nc, nb, psi, drift) =>
-      withClue(s"type $t: ") {
-        val (wr, wc, wb, wp) = want(t)
-        assert(nr == wr && nc == wc && nb == wb)
-        assert(math.abs(psi - wp) < 1e-9, s"PSI $psi vs $wp")
-        assert(psi >= -1e-9, "PSI is non-negative")
-        assert(drift == (psi > 0.2))
+      .as[(String, Long, Long, Option[Int], Option[Double],
+        Option[Boolean], Boolean)].collect()
+    // types with reference rows carry full PSI rows; ref-empty types
+    // (none in the fixtures, but the contract since ADVICE r12) would
+    // surface as new_type rows with NULL psi instead of dropping
+    val (newTypes, scored) = got.partition(_._7)
+    assert(scored.map(_._1).toSet == want.keySet, "type set")
+    newTypes.foreach { case (t, nr, _, nb, psi, drift, _) =>
+      withClue(s"new type $t: ") {
+        assert(nr == 0L && nb.isEmpty && psi.isEmpty && drift.isEmpty)
       }
     }
+    scored.foreach { case (t, nr, nc, nb, psiO, driftO, newType) =>
+      withClue(s"type $t: ") {
+        val (wr, wc, wb, wp) = want(t)
+        val psi = psiO.get
+        assert(nr == wr && nc == wc && nb.contains(wb))
+        assert(!newType)
+        assert(math.abs(psi - wp) < 1e-9, s"PSI $psi vs $wp")
+        assert(psi >= -1e-9, "PSI is non-negative")
+        assert(driftO.contains(psi > 0.2))
+      }
+    }
+  }
+
+  test("psi_stability: a type with zero reference rows surfaces as new_type, not a drop") {
+    // ADVICE r12: "brandnew" exists ONLY in the current half — no
+    // deciles to bin against — and must still appear in the report.
+    val dir = java.nio.file.Files.createTempDirectory("psi_new_type").toString
+    val rows = (0 until 40).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i % 20}%02d 00:00:00"), // days 0..19, mid = 10
+        (i % 7).toLong, "steady", (i % 13).toDouble, """{"k": 1}""")
+    } ++ Seq((100L, java.sql.Timestamp.valueOf("2024-01-18 00:00:00"),
+      1L, "brandnew", 5.0, """{"k": 1}"""))
+    spark.createDataFrame(rows).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("psi_stability")(spark, dir)
+      .as[(String, Long, Long, Option[Int], Option[Double],
+        Option[Boolean], Boolean)].collect()
+    assert(got.map(_._1).toSeq.sorted == Seq("brandnew", "steady"))
+    val nt = got.find(_._1 == "brandnew").get
+    assert(nt._7 && nt._2 == 0L && nt._3 == 1L &&
+      nt._4.isEmpty && nt._5.isEmpty && nt._6.isEmpty)
+    val st = got.find(_._1 == "steady").get
+    assert(!st._7 && st._5.isDefined)
   }
 
   test("cuped_adjust: matches an exact BigInt replica; identity var_adj = var_y(1 - rho2)") {
