@@ -404,12 +404,48 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not persist full results: ${e.getMessage}") }
     System.err.println(s"[bench] full per-query record -> $snapshotFile")
+    val compact = BenchRecord.compactLine(results, cpuSec.values.sum,
+      gcSec.values.sum, syncSec, bucketStats.toSeq, snapshotFile, sfDir)
+    // stop() BEFORE the final print: Spark's shutdown chatter (if any)
+    // must not land after the line the recorder needs to parse. A
+    // failed stop must not lose the record either.
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    println(compact)
+  }
+}
+
+/** The compact stdout record — the ONE line the driver's bounded tail
+  * capture must be able to parse. Pure (no Spark), so BenchRecordSpec
+  * can pin the two contract properties directly: it is valid JSON, and
+  * at the full inventory size with worst-case query names and a capped
+  * failure list it stays under the recorder's ~2000-char window.
+  */
+object BenchRecord {
+  /** Hard budget for the compact line. The recorder keeps ~2000 chars
+    * of combined tail; the line must fit together with sbt's trailing
+    * "[info] " prefix and "[success] Total time ..." line (~100
+    * chars), with margin for a stray short stderr line.
+    */
+  val MaxLen = 1800
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def secMapJson(m: Iterable[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+
+  def compactLine(
+      results: Seq[(String, Double)],
+      cpuTotal: Double, gcTotal: Double, syncSec: Double,
+      bucketStats: Seq[(String, Long)],
+      snapshotFile: String, sfDir: String): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
     val ok = results.filter(_._2 >= 0)
-    val meanStr = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(if (ok.nonEmpty) total / ok.size else 0.0))
+    val meanStr = f3(if (ok.nonEmpty) total / ok.size else 0.0)
     val (worstName, worstSec) =
       if (ok.nonEmpty) ok.maxBy(_._2) else ("none", 0.0)
-    val worstStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(worstSec))
     val slowest = secMapJson(ok.sortBy(-_._2).take(5))
     // An unbounded failure list could alone blow the tail window — cap
     // it (the full list is in the file record's "failed").
@@ -419,13 +455,8 @@ object Bench {
         (if (names.size > 8) Seq("\"+" + (names.size - 8) + " more\"") else Nil))
         .mkString("[", ",", "]")
     }
-    val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$meanStr,"worst_query":"$worstName","worst_sec":$worstStr,"slowest5":$slowest,"cpu_total":$cpuTotalStr,"gc_total":$gcTotalStr,"sync_sec":$syncFullStr,"bucket_stats":$bucketsJson,"failed":$failedCompact,"full_record":"$snapshotFile","sf":"$sfDir"}"""
-    // stop() BEFORE the final print: Spark's shutdown chatter (if any)
-    // must not land after the line the recorder needs to parse. A
-    // failed stop must not lose the record either.
-    try spark.stop()
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
-    println(compact)
+    val bucketsJson = bucketStats.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$meanStr,"worst_query":"$worstName","worst_sec":${f3(worstSec)},"slowest5":$slowest,"cpu_total":${f3(cpuTotal)},"gc_total":${f3(gcTotal)},"sync_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(syncSec))},"bucket_stats":$bucketsJson,"failed":$failedCompact,"full_record":"$snapshotFile","sf":"$sfDir"}"""
   }
 }

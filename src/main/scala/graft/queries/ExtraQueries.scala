@@ -135,7 +135,20 @@ object ExtraQueries {
     // graph is acyclic with unique predecessors, so UNION ALL
     // recursion terminates without dedup and the reachability set has
     // a closed deterministic oracle.
+    //
+    // Row-limit sizing (round-13 10× sweep finding): Spark guards
+    // runaway recursion with spark.sql.cteRecursionRowLimit, default
+    // 10⁶ cumulative rows — which a >1M-order corpus exceeds even
+    // though this recursion PROVABLY cannot run away: each key has at
+    // most one doubling successor, so level d holds ≤ |orders|/2^d
+    // rows and the total is < 2·|orders| (geometric). Raise the guard
+    // to a value linear in practical corpus sizes; the level limit
+    // (default 100 ≥ log₂ of any 64-bit keyspace) stays as the true
+    // runaway backstop. Set-and-leave: the conf is read at EXECUTION
+    // time, so restoring it here (before the returned DataFrame runs)
+    // would re-break the query.
     "sql_recursive" -> ((s, d) => {
+      s.conf.set("spark.sql.cteRecursionRowLimit", (1 << 30).toString)
       Tables.orders(s, d).createOrReplaceTempView("orders_rec")
       s.sql(
         """WITH RECURSIVE reach(src, dst, depth) AS (

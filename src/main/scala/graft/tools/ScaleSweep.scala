@@ -163,6 +163,17 @@ object ScaleSweep {
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
 
+    // --gen-only (round 13): write the factor× corpus and exit. The
+    // FULL 362-query inventory is then swept by pointing Bench at the
+    // corpus (SPARK_GRAFT_SF_DIR=<outDir> SPARK_GRAFT_SNAPSHOT=...),
+    // reusing its run order, cache lifecycle, and instrumentation
+    // instead of duplicating them here.
+    if (args.lift(3).contains("--gen-only")) {
+      println(s"""{"metric":"scale_corpus","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,"out":"$outDir","base":"$base"}""")
+      spark.stop()
+      return
+    }
+
     // ---- the heavy family at scale ----------------------------------
     // Bench's shared corpus run order + release schedule (BenchShared,
     // one definition for both harnesses) plus the embedding/ANN and
