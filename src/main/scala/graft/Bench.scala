@@ -61,6 +61,8 @@ object BenchShared {
     // contrast, is |sources|-bounded and stays cached)
     "assoc_rules" -> Seq("basket_items"),
     "minhash_est" -> Seq("minhash_sigs"),
+    // shingle_ids feeds exactly the two exact-verification joins
+    "minhash_containment" -> Seq("shingle_ids"),
     "simhash_recall_eval" -> Seq("simhash"),
     "dup_ngram_frac" -> Seq("shingles"),
     "dedup_incremental" -> Seq("bands"),

@@ -564,6 +564,33 @@ object LlmQueries {
       shingleTable(s, d).distinct()
     }
 
+  /** Memoized dictionary-encoded distinct-shingle relation (doc_id,
+    * sid): each shingle STRING mapped once to a dense long id, so the
+    * exact pair-verification joins (ngram_jaccard,
+    * minhash_containment) shuffle an 8-byte key instead of the ~20-30
+    * byte shingle text. Their Σ_pairs |shingles| intermediate is the
+    * single largest relation the dedup stack materializes — at the
+    * 100× long-doc sweep corpus the string-keyed formulation spilled
+    * past the sandbox's entire local disk (round-13 finding), while
+    * the encoded rows are fixed 24-byte triples. Ids are assigned by
+    * the skew-free distributed prefix-sum rank over the distinct
+    * vocabulary ([[graft.operators.DistributedNtile.withRunningSum]]
+    * — never a single-task global sort, never
+    * monotonically_increasing_id whose values depend on partition
+    * layout), so the mapping is a pure deterministic function of the
+    * vocabulary and both join sides agree even across recomputation.
+    */
+  private[queries] def shingleIdTable(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    memoized(s, d, "shingle_ids") {
+      val dsh = distinctShingleTable(s, d)
+      val vocab = dsh.select(col("sh")).distinct().withColumn("g", lit(1))
+      val ids = graft.operators.DistributedNtile.withRunningSum(
+        vocab, "g", Seq(col("sh")), lit(1L), "sid")
+        .select(col("sh"), col("sid"))
+      dsh.join(ids, Seq("sh")).select(col("doc_id"), col("sid"))
+    }
+
   /** Memoized token rows (doc_id, term) — the corpus term relation
     * feeding tf and df aggregates (tfidf_topk), so the tokenize+explode
     * pipeline runs once, not once per aggregate branch.
@@ -1479,12 +1506,15 @@ object LlmQueries {
     // is what survives 100 TB.
     "ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val dsh = distinctShingleTable(s, d)
+      // dictionary-encoded shingles (see shingleIdTable): the
+      // Σ_pairs |shingles| intermediate below shuffles 8-byte sids,
+      // not shingle text — the round-13 100× disk-exhaustion fix
+      val dsh = shingleIdTable(s, d)
       val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = pairTable(s, d)
       val inter = cand
-        .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
-        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .join(dsh.select($"doc_id".as("doc_a"), $"sid"), Seq("doc_a"))
+        .join(dsh.select($"doc_id".as("doc_b"), $"sid"), Seq("doc_b", "sid"))
         .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
       // zero-intersection candidates drop out of `inter`, which is fine:
       // jacc = 0 can never pass the >= 0.4 verification threshold
@@ -2072,11 +2102,14 @@ object LlmQueries {
     // is bounded by candidate-pair count, not corpus size.
     "minhash_containment" -> ((s, d) => {
       import s.implicits._
-      val dsh = distinctShingleTable(s, d)
+      // dictionary-encoded shingles (see shingleIdTable): the
+      // Σ_pairs |shingles| intermediate below shuffles 8-byte sids,
+      // not shingle text — the round-13 100× disk-exhaustion fix
+      val dsh = shingleIdTable(s, d)
       val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = pairTable(s, d)
-        .join(dsh.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
-        .join(dsh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+        .join(dsh.select($"doc_id".as("doc_a"), $"sid"), Seq("doc_a"))
+        .join(dsh.select($"doc_id".as("doc_b"), $"sid"), Seq("doc_b", "sid"))
         .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
       // zero-intersection candidates drop out of `inter`: containment
       // 0 can never pass the >= 0.5 threshold

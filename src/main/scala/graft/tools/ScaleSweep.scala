@@ -370,6 +370,11 @@ object ScaleSweep {
       // moment aggregate); source_overlap rides the memoized term
       // relation (distinct + term-keyed self-join, bounded fan-out)
       "simpson_check", "source_overlap")
+      // a few ops are (intentionally) listed both in corpusFamily and
+      // in their wave block above — dedupe, keeping the FIRST (family)
+      // position so release points stay ahead of their consumers; the
+      // round-13 100× subset measured js_divergence twice before this
+      .distinct
     // optional subset (args 3+): sweep only the named queries — for
     // targeted high-factor runs where re-measuring the whole family
     // would burn hours re-confirming already-recorded readings
