@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench recorder keeps a bounded tail of this process's combined
+// console stream and parses the last JSON line it finds there. sbt's
+// default output strategy for forked runs is LoggedOutput, which
+// prefixes every stdout line with "[info] " — so the compact bench
+// record survived the tail window (round 13) but still failed the
+// parse. StdoutOutput passes the forked JVM's stdout/stderr through
+// raw: the record line reaches the recorder starting with '{'.
+run / outputStrategy := Some(StdoutOutput)
+// ...and if the recorder parses only the LITERAL last line, sbt's own
+// trailing "[success] Total time ..." summary would still shadow the
+// record. Suppress it (cosmetic only — exit codes and [error] lines
+// are unaffected) so the bench record is the final line of the stream.
+Global / showSuccess := false
+// lintUnused can't see that runMain reads run-scoped outputStrategy
+// (the raw passthrough IS observed in runMain output — smoke-tested)
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,18 +148,62 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Writeback mitigation (VERDICT r12 item 2): the gate sequence
-    // dumps gigabytes of Verify parquet immediately before benching,
-    // and the round-12 instrumentation proved the resulting dirty-page
-    // writeback/reclaim taxes disk-touching queries 12-130× in KERNEL
-    // time (proc_sys_sec) mid-run. A blocking `sync` here forces that
-    // writeback to complete BEFORE the timed region — outside every
-    // per-query wall number — while leaving the (clean) page cache
-    // warm, unlike a drop_caches which would cool the sf parquet
-    // reads. Recorded as sync_sec so the record shows how much debt
-    // was flushed. SPARK_GRAFT_NO_SYNC=1 skips it (A/B runs).
+    // Subset runs (SPARK_GRAFT_ONLY) record no gate numbers, so the
+    // startup mitigations below — which exist to keep the GATE wall
+    // numbers clean — are skipped for them (ADVICE r13: the
+    // unconditional sync blocked dev iterations on whatever unrelated
+    // dirty pages the box had).
+    val isSubsetRun = sys.env.contains("SPARK_GRAFT_ONLY")
+    // Writeback mitigation, part 1 (VERDICT r13 item 2): the driver's
+    // own t2-then-bench sequence bypasses scripts/verify_all.sh, so
+    // its Verify dump survives to this point as page-cache residency
+    // (and possibly dirty pages) that taxed disk-touching queries in
+    // KERNEL time two driver rounds running (r12 sys/user 1.9+, r13
+    // 1.86 — e.g. jaccard_band_sweep 569.6 s sys vs 33.4 s user).
+    // Verify now drops its own dump from the cache at exit (the
+    // complete fix for any dump location); deleting any verify dump
+    // dirs still under OUR target/ is the belt-and-braces half —
+    // unlinking a file frees its page-cache pages unconditionally,
+    // dirty or clean. Only known scratch output is touched, never
+    // inputs. SPARK_GRAFT_KEEP_DUMPS=1 skips (e.g. a compare still
+    // wants them).
+    if (!isSubsetRun && !sys.env.contains("SPARK_GRAFT_KEEP_DUMPS")) {
+      val target = java.nio.file.Paths.get("target")
+      val stale: Seq[java.nio.file.Path] =
+        if (!java.nio.file.Files.isDirectory(target)) Nil
+        else {
+          val s = java.nio.file.Files.list(target)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("verify_out"))
+              .toSeq
+          } finally s.close()
+        }
+      stale.foreach { dir =>
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+          System.err.println(s"[bench] deleted stale verify dump: $dir")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] could not delete $dir: ${e.getMessage}")
+        }
+      }
+    }
+    // Writeback mitigation, part 2 (VERDICT r12 item 2): a blocking
+    // `sync` forces any remaining dirty-page writeback to complete
+    // BEFORE the timed region — outside every per-query wall number —
+    // while leaving the (clean) page cache warm, unlike a drop_caches
+    // which would cool the sf parquet reads. Recorded as sync_sec so
+    // the record shows how much debt was flushed. SPARK_GRAFT_NO_SYNC=1
+    // skips it (A/B runs); subset runs skip it too (ADVICE r13).
     val syncSec: Double =
-      if (sys.env.contains("SPARK_GRAFT_NO_SYNC")) -1.0
+      if (isSubsetRun || sys.env.contains("SPARK_GRAFT_NO_SYNC")) -1.0
       else {
         val t0 = System.nanoTime()
         try {
@@ -408,6 +452,20 @@ object Bench {
     System.err.println(s"[bench] full per-query record -> $snapshotFile")
     val compact = BenchRecord.compactLine(results, cpuSec.values.sum,
       gcSec.values.sum, syncSec, bucketStats.toSeq, snapshotFile, sfDir)
+    // Belt-and-braces for the recorder (VERDICT r13 item 1): besides
+    // printing the compact line (raw, now that build.sbt passes forked
+    // stdout through unprefixed), publish the SAME line to a fixed
+    // committed path the judge/driver can read even if the tail parse
+    // fails again. Only the default full-sweep gate run writes it —
+    // a subset or snapshot-routed (scale-sweep) run must not clobber
+    // the record of record with off-gate numbers.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_SNAPSHOT")) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_COMPACT.json"),
+        (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not persist compact record: ${e.getMessage}") }
+    }
     // stop() BEFORE the final print: Spark's shutdown chatter (if any)
     // must not land after the line the recorder needs to parse. A
     // failed stop must not lose the record either.

@@ -824,10 +824,21 @@ object CorpusOpsQueries {
       // literal division before that can happen
       val n = math.max(1L,
         LlmQueries.memoizedCount(s, d, "documents_count")(docs.count()))
+      // sym/deg get referenced by EVERY unrolled iteration: without
+      // collapsing them, each iteration's plan re-inlines the whole
+      // candidate-pair subtree, and Catalyst re-codegens it per
+      // iteration — measured 68 codegen units / 10 s JIT / 6.5 s GC
+      // for ~8 s of actual data work at sf0.1 (round 14). The same
+      // LAZY localCheckpoint as the rank frame collapses each to a
+      // LogicalRDD immediately (no side-effect job; materialization
+      // rides the caller's action), so per-iteration plans stay small
+      // and codegen/JIT cost is O(1) in the iteration count.
       val e = LlmQueries.pairTable(s, d)
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
       val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+        .localCheckpoint(eager = false)
       val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = false)
       var r = docs.select($"doc_id", rnd(lit(1.0) / lit(n.toDouble), 12).as("r"))
       for (it <- 1 to iters) {
         val contrib = r.join(sym, $"doc_id" === $"src")

@@ -147,6 +147,17 @@ object ExtraQueries {
     // runaway backstop. Set-and-leave: the conf is read at EXECUTION
     // time, so restoring it here (before the returned DataFrame runs)
     // would re-break the query.
+    //
+    // Session-wide bleed (ADVICE r13, accepted): Bench/Verify/test
+    // sessions are long-lived, so the raised row guard silently
+    // applies to any LATER Spark-side recursive CTE on the same
+    // session, leaving only the level limit as its backstop. Today
+    // this is the engine's ONLY Spark-side recursive query — every
+    // other WITH RECURSIVE string in the codebase is DuckDB oracle
+    // SQL, which never touches this conf — and SqlSurfaceSpec pins
+    // that (exactly one cteRecursionRowLimit writer in src/main). A
+    // second recursive query must budget its own row guard
+    // explicitly rather than inherit this one.
     "sql_recursive" -> ((s, d) => {
       s.conf.set("spark.sql.cteRecursionRowLimit", (1 << 30).toString)
       Tables.orders(s, d).createOrReplaceTempView("orders_rec")

@@ -428,8 +428,14 @@ object ProfilingQueries {
       // (n_ref = 0, n_bins = NULL) row, skip the grid (the bin
       // explode yields nothing for NULL nb), and surface in the
       // output with NULL psi and new_type = true.
+      // the join-miss marker is an EXPLICIT null test, not
+      // size(NULL): under spark.sql.legacy.sizeOfNull (ANSI off)
+      // size(NULL) is -1, which would silently turn a new type's
+      // NULL nb into 0 and diverge from the oracle (ADVICE r13)
       val binned = halved.join(broadcast(edges), Seq("t"), "left")
-        .selectExpr("t", "ref", "size(edges) + 1 AS nb",
+        .selectExpr("t", "ref",
+          "CASE WHEN edges IS NULL THEN CAST(NULL AS INT)" +
+            " ELSE size(edges) + 1 END AS nb",
           "1 + aggregate(edges, 0, (a, e) ->" +
             " a + CASE WHEN value > e THEN 1 ELSE 0 END) AS bin")
       val cell = binned.groupBy($"t", $"nb", $"bin").agg(

@@ -2751,13 +2751,13 @@ object StatQueries {
          |    CAST((sum(c) - sum(c) % count(*)) // count(*) AS BIGINT) AS mu
          |  FROM ev GROUP BY g),
          |dev AS (SELECT e.g, e.c - m.mu AS dd,
-         |    CASE WHEN abs(e.c - m.mu) > 1000000 THEN NULL
+         |    CASE WHEN abs(e.c - m.mu) > $JbDevBound THEN NULL
          |      ELSE CAST(CAST(e.c - m.mu AS DECIMAL(19,0))
          |        * CAST(e.c - m.mu AS DECIMAL(19,0)) AS DECIMAL(19,0))
          |      END AS d2c
          |  FROM ev e JOIN mu m USING (g)),
          |g2 AS (SELECT g, count(*) AS n,
-         |    SUM(CASE WHEN abs(dd) > 1000000 THEN 1 ELSE 0 END) AS n_oob,
+         |    SUM(CASE WHEN abs(dd) > $JbDevBound THEN 1 ELSE 0 END) AS n_oob,
          |    SUM(CAST(dd AS DECIMAL(38,0))) AS d1,
          |    SUM(CAST(d2c AS DECIMAL(38,0))) AS d2,
          |    SUM(CAST(d2c * CAST(dd AS DECIMAL(19,0)) AS DECIMAL(38,0)))

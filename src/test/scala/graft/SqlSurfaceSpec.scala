@@ -85,4 +85,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
       s"bloom probe barely pruned: $survivors of $total rows " +
         s"survived for $trueMatches true matches")
   }
+
+  test("sql_recursive is the only writer of the session recursion row guard") {
+    // sql_recursive raises spark.sql.cteRecursionRowLimit on the
+    // shared session and deliberately never restores it (the conf is
+    // read at execution time; see the ExtraQueries comment). That
+    // bleed is safe ONLY while it is the engine's single Spark-side
+    // recursive query — a second one would silently inherit the
+    // weakened row backstop. Pin the invariant at the source level:
+    // exactly one file under src/main sets the conf, and it is the
+    // documented one.
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+    val writers = try {
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .filter(p => java.nio.file.Files.readString(p)
+          .contains("cteRecursionRowLimit"))
+        .map(_.getFileName.toString).toList
+    } finally walk.close()
+    assert(writers == List("ExtraQueries.scala"),
+      s"cteRecursionRowLimit is now touched by $writers — a second " +
+        "recursive query must set its own row guard (and this pin must " +
+        "be updated) rather than inherit sql_recursive's 2^30 bleed")
+  }
 }
