@@ -366,6 +366,12 @@ object Bench {
       val (pu1, ps1) = procTimes()
       procUserSec(name) = if (pu0 < 0 || pu1 < 0) -1.0 else (pu1 - pu0) / 100.0
       procSysSec(name) = if (ps0 < 0 || ps1 < 0) -1.0 else (ps1 - ps0) / 100.0
+      // live progress line: a multi-hour scale sweep that dies mid-run
+      // (OOM, disk, wall-clock) must still leave per-query evidence in
+      // the console log, not lose everything to the end-of-run record
+      System.err.println(f"[bench] ${res._1}%-24s wall ${res._2}%9.2f s  " +
+        f"user ${procUserSec(name)}%9.1f  sys ${procSysSec(name)}%8.1f  " +
+        f"gc ${gcSec(name)}%7.1f")
       val built = graft.queries.LlmQueries.memoizedTags(spark).diff(tagsBefore)
       if (built.nonEmpty) {
         cacheBuilds(name) = built.toSeq.sorted
