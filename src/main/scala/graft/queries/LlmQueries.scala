@@ -51,6 +51,32 @@ object LlmQueries {
     */
   private[graft] val LshBucketCap = 8L * LshTargetBucket
 
+  /** Per-doc EXACT-VERIFICATION budget for the shingle-intersection
+    * verifiers (ngram_jaccard, minhash_containment): each doc_a
+    * verifies at most this many of its candidate pairs, selected by
+    * deterministic md5 rank (a pure function of the pair ids — both
+    * engines and every rerun pick the same ones).
+    *
+    * Why a second cap on top of [[LshBucketCap]]: the bucket cap
+    * bounds the candidate GRAPH (Σ bucket² → cap·Σ bucket), but exact
+    * verification multiplies every surviving pair by its shingle-set
+    * size — Σ_pairs |shingles| — and that mass is what actually
+    * exhausted local disk at the 100× corpus TWICE (round 13:
+    * string-keyed rows, fixed by dictionary encoding; round 14: the
+    * id-encoded rows again, because sub-cap buckets grew ~10× and the
+    * pair count itself went super-linear). A per-doc budget makes the
+    * verification intermediate ≤ cap × Σ_docs |shingles| — LINEAR in
+    * corpus size, the best an exact verifier can be — which is the
+    * shape that survives 100 TB on a real cluster. Un-verified
+    * candidates are not lost: they remain in the candidate graph
+    * (clustering connectivity is unaffected), and the sketch
+    * estimators (minhash_est / minhash_b_bit), whose per-pair cost is
+    * O(1), still cover EVERY pair — mirroring the production split
+    * where sketches are decisive and exact verification is a budgeted
+    * spot-check.
+    */
+  private[graft] val VerifyDegreeCap = 16L
+
   /** fs_linkage assessor-set (m, u) per field → (agree, disagree)
     * log-likelihood-ratio weights, computed HERE once (lang m=.95
     * u=.30; source m=.90 u=.20; length m=.85 u=.10) and embedded in
@@ -324,6 +350,17 @@ object LlmQueries {
        |  FROM bands b JOIN bstat s ON s.band = b.band AND s.key = b.key
        |  WHERE s.bn > $LshBucketCap AND b.doc_id <> s.rep) u)""".stripMargin
   }
+
+  /** [[duckCandidateCtes]] plus the budgeted verification relation —
+    * the oracle mirror of [[verifyPairs]]: same md5("a|b") rank, same
+    * [[VerifyDegreeCap]], same doc_b tie-break.
+    */
+  private[queries] val duckVerifyCandCtes: String =
+    s"""$duckCandidateCtes,
+       |vcand AS (SELECT doc_a, doc_b FROM (
+       | SELECT doc_a, doc_b, row_number() OVER (PARTITION BY doc_a
+       |   ORDER BY md5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR)), doc_b) AS rk
+       | FROM cand) r WHERE rk <= $VerifyDegreeCap)""".stripMargin
 
   /** DuckDB decode of one md5 hex digit (0-based position k) to 0-15. */
   private[queries] def duckHexDigit(col: String, k: Int): String =
@@ -759,6 +796,34 @@ object LlmQueries {
     memoized(s, d, "candidate_pairs") {
       candidatePairs(bandTable(s, d))
     }
+
+  /** The budgeted verification pair relation: [[pairTable]] capped at
+    * [[VerifyDegreeCap]] candidates per doc_a by deterministic md5
+    * rank (tie-broken by doc_b; md5 of "a|b" is a pure function of
+    * the pair, so Spark and DuckDB rank identically and the selection
+    * is stable across reruns and partitionings). The row_number
+    * window partitions by doc_a — the heaviest partition is one
+    * capped-bucket star rep (≤ a few hundred thousand rows), never a
+    * corpus-scale single-task sort.
+    */
+  private[queries] def verifyPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"))
+      .orderBy(md5(concat_ws("|", col("doc_a"), col("doc_b"))).asc, col("doc_b").asc)
+    pairTable(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= VerifyDegreeCap)
+      .drop("rk")
+  }
+
+  /** Accessors for [[graft.tools.DedupScaleProbe]] (the tables
+    * themselves stay private[queries]).
+    */
+  private[graft] def probeShingleIds(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = shingleIdTable(s, d)
+  private[graft] def probePairTable(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = pairTable(s, d)
 
   // ---- random-hyperplane LSH (sign of projection) ---------------------
 
@@ -1508,10 +1573,14 @@ object LlmQueries {
       import s.implicits._
       // dictionary-encoded shingles (see shingleIdTable): the
       // Σ_pairs |shingles| intermediate below shuffles 8-byte sids,
-      // not shingle text — the round-13 100× disk-exhaustion fix
+      // not shingle text — the round-13 100× disk-exhaustion fix.
+      // Budgeted pairs (see VerifyDegreeCap): the round-14 100× sweep
+      // exhausted disk AGAIN on the id-encoded rows because the pair
+      // count itself grew super-linearly; the per-doc verification
+      // budget makes this intermediate linear in corpus size.
       val dsh = shingleIdTable(s, d)
       val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = pairTable(s, d)
+      val cand = verifyPairs(s, d)
       val inter = cand
         .join(dsh.select($"doc_id".as("doc_a"), $"sid"), Seq("doc_a"))
         .join(dsh.select($"doc_id".as("doc_b"), $"sid"), Seq("doc_b", "sid"))
@@ -2104,10 +2173,14 @@ object LlmQueries {
       import s.implicits._
       // dictionary-encoded shingles (see shingleIdTable): the
       // Σ_pairs |shingles| intermediate below shuffles 8-byte sids,
-      // not shingle text — the round-13 100× disk-exhaustion fix
+      // not shingle text — the round-13 100× disk-exhaustion fix.
+      // Budgeted pairs (see VerifyDegreeCap): the round-14 100× sweep
+      // exhausted disk AGAIN on the id-encoded rows because the pair
+      // count itself grew super-linearly; the per-doc verification
+      // budget makes this intermediate linear in corpus size.
       val dsh = shingleIdTable(s, d)
       val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = pairTable(s, d)
+      val inter = verifyPairs(s, d)
         .join(dsh.select($"doc_id".as("doc_a"), $"sid"), Seq("doc_a"))
         .join(dsh.select($"doc_id".as("doc_b"), $"sid"), Seq("doc_b", "sid"))
         .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_int"))
@@ -2543,13 +2616,13 @@ object LlmQueries {
     },
 
     "ngram_jaccard" ->
-      s"""WITH $duckCandidateCtes
+      s"""WITH $duckVerifyCandCtes
          |SELECT doc_a, doc_b, jacc FROM (
          | SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
          |   / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
          |      - len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x)))) AS jacc
-         | FROM cand c
+         | FROM vcand c
          |  JOIN sh sa ON sa.doc_id = c.doc_a
          |  JOIN sh sb ON sb.doc_id = c.doc_b) t
          |WHERE jacc >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
@@ -2859,7 +2932,7 @@ object LlmQueries {
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
     "minhash_containment" ->
-      s"""WITH $duckCandidateCtes
+      s"""WITH $duckVerifyCandCtes
          |SELECT doc_a, doc_b, n_a, n_b, n_int, containment FROM (
          | SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_distinct(sa.sh)) AS BIGINT) AS n_a,
@@ -2867,7 +2940,7 @@ object LlmQueries {
          |  CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS BIGINT) AS n_int,
          |  CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
          |   / least(len(list_distinct(sa.sh)), len(list_distinct(sb.sh))) AS containment
-         | FROM cand c
+         | FROM vcand c
          |  JOIN sh sa ON sa.doc_id = c.doc_a
          |  JOIN sh sb ON sb.doc_id = c.doc_b) t
          |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,

@@ -86,6 +86,15 @@ class LshGuardSpec extends SparkSpecBase {
       val verified = SparkEntry.queries("ngram_jaccard")(spark, dir)
         .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
       assert(verified.contains((1000L, 1001L)), "near-dup pair lost in verification")
+      // the per-doc verification budget ENGAGES on the star rep: doc 0
+      // owns nBoiler-1 star edges in the candidate graph, but exact
+      // verification scores at most VerifyDegreeCap of them (the
+      // round-14 100× finding: unbudgeted Σ_pairs |shingles| exhausted
+      // local disk even on 8-byte shingle ids). The budget must bound
+      // the VERIFIER without touching the candidate graph above.
+      val repVerified = verified.count(_._1 == 0L)
+      assert(repVerified.toLong == LlmQueries.VerifyDegreeCap,
+        s"star rep verified $repVerified pairs; budget is ${LlmQueries.VerifyDegreeCap}")
       // recall at the cluster level: every boilerplate doc resolves to
       // one component; base/near pair to each other; unrelated alone
       val clusters = SparkEntry.queries("dedup_clusters")(spark, dir)
